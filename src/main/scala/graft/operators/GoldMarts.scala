@@ -1,0 +1,321 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import graft.util.Parity._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's four gold analytic tables, re-expressed over the
+  * TPC-H-ish testdata (role map: orders+lineitem = supply_orders fact,
+  * part = products, supplier = suppliers, customer+nation+region =
+  * stores/regions).
+  *
+  * Reference semantics reproduced:
+  *  - monthly sales performance: gold/gold_builder.py:88-123 (A1/A2, J1)
+  *  - inventory health metrics:  gold/gold_builder.py:131-185 (A3, J2)
+  *  - supplier monthly scorecard: gold/gold_builder.py:193-232 (A4/A5, J3)
+  *  - wide dashboard:            gold/gold_builder.py:277-411 (J4 + §2.8)
+  *
+  * Scale notes (100 TB design): the fact table only ever joins dims via
+  * equi-joins — region/nation are constant-size (5/25 rows) and always
+  * broadcast; part/supplier/customer scale with SF so their strategy is
+  * left to Catalyst/AQE (broadcast below threshold, shuffled hash above).
+  * Aggregations are partial-aggregated map-side by Catalyst; all money
+  * reductions run on DecimalType so results are partitioning-independent
+  * (see graft.util.Parity).
+  */
+object GoldMarts extends QueryModule {
+
+  /** Enriched fact: lineitem ⋈ orders ⋈ part ⋈ customer ⋈ nation ⋈ region.
+    * Star-join backbone shared by the marts (reference J1/J3/J4). */
+  private def salesStar(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.t(s, dir, "lineitem")
+    val o = Tables.t(s, dir, "orders")
+    val p = Tables.t(s, dir, "part")
+    val c = Tables.t(s, dir, "customer")
+    val n = Tables.t(s, dir, "nation")
+    val r = Tables.t(s, dir, "region")
+    // nation/region are fixed-cardinality — always broadcast regardless
+    // of SF. part/customer scale with the data: let AQE decide.
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+  }
+
+  /** q01 — A1/A2: monthly sales by region × segment × brand with
+    * count-distinct measures and NULLIF-guarded post-agg ratios. */
+  def monthlySales(s: SparkSession, dir: String): DataFrame =
+    salesStar(s, dir)
+      .filter(col("o_orderstatus").isin("F", "O")) // P4 status membership
+      .groupBy(
+        date_trunc("month", col("o_orderdate")).cast(DateType).as("sales_month"),
+        col("r_name").as("region"),
+        col("c_mktsegment").as("segment"),
+        col("p_brand").as("brand"))
+      .agg(
+        countDistinct(col("o_orderkey")).as("total_orders"),
+        moneySum(col("l_quantity")).as("total_quantity"),
+        derivedSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"),
+        moneyAvg(col("l_extendedprice")).as("avg_line_price"),
+        countDistinct(col("o_custkey")).as("active_customers"),
+        countDistinct(col("l_partkey")).as("unique_parts"))
+      .withColumn("revenue_per_unit", safeDiv(col("total_revenue"), col("total_quantity")))
+      .withColumn("revenue_per_customer",
+        safeDiv(col("total_revenue"), col("active_customers").cast(DoubleType)))
+      .orderBy(col("sales_month").desc, col("total_revenue").desc,
+        col("region"), col("segment"), col("brand"))
+
+  private val monthlySalesSql =
+    """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS sales_month,
+      |       r_name AS region, c_mktsegment AS segment, p_brand AS brand,
+      |       count(DISTINCT o_orderkey) AS total_orders,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS total_quantity,
+      |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(32,4))) AS DOUBLE) AS total_revenue,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / count(l_extendedprice) AS avg_line_price,
+      |       count(DISTINCT o_custkey) AS active_customers,
+      |       count(DISTINCT l_partkey) AS unique_parts,
+      |       round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(32,4))) AS DOUBLE)
+      |             / nullif(CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE), 0.0), 2) AS revenue_per_unit,
+      |       round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(32,4))) AS DOUBLE)
+      |             / nullif(CAST(count(DISTINCT o_custkey) AS DOUBLE), 0.0), 2) AS revenue_per_customer
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN part     ON l_partkey = p_partkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE o_orderstatus IN ('F', 'O')
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY sales_month DESC NULLS LAST, total_revenue DESC NULLS LAST,
+      |         region, segment, brand""".stripMargin
+
+  /** q02 — A3: inventory-health-style metrics per supplier × part type:
+    * distinct counts, sum/avg/min/max, conditional counts, utilization. */
+  def inventoryHealth(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.t(s, dir, "lineitem")
+    val sup = Tables.t(s, dir, "supplier")
+    val p = Tables.t(s, dir, "part")
+    l.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("s_suppkey"), col("s_name"), col("p_type"))
+      .agg(
+        countDistinct(col("l_partkey")).as("unique_parts"),
+        moneySum(col("l_quantity")).as("total_quantity"),
+        moneyAvg(col("l_quantity")).as("avg_quantity"),
+        min(col("l_quantity")).as("min_quantity"),
+        max(col("l_quantity")).as("max_quantity"),
+        count(when(col("l_quantity") <= 5, 1)).as("critical_stock_lines"),
+        count(when(col("l_quantity") < 20, 1)).as("low_stock_lines"),
+        count(when(col("l_returnflag") === "R", 1)).as("returned_lines"),
+        count(lit(1)).as("total_lines"))
+      // capacity proxy = 50 units/line (testdata max qty) — reference
+      // utilization = SUM(q)/capacity*100 (gold/gold_builder.py:153)
+      .withColumn("utilization_pct",
+        round(col("total_quantity") / (lit(50.0) * col("total_lines").cast(DoubleType)) * lit(100.0), 2))
+      .orderBy(col("s_suppkey"), col("p_type"))
+  }
+
+  private val inventoryHealthSql =
+    """SELECT s_suppkey, s_name, p_type,
+      |       count(DISTINCT l_partkey) AS unique_parts,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS total_quantity,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) / count(l_quantity) AS avg_quantity,
+      |       min(l_quantity) AS min_quantity,
+      |       max(l_quantity) AS max_quantity,
+      |       count(CASE WHEN l_quantity <= 5 THEN 1 END) AS critical_stock_lines,
+      |       count(CASE WHEN l_quantity < 20 THEN 1 END) AS low_stock_lines,
+      |       count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS returned_lines,
+      |       count(1) AS total_lines,
+      |       round(CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE)
+      |             / (50.0 * CAST(count(1) AS DOUBLE)) * 100.0, 2) AS utilization_pct
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN part     ON l_partkey = p_partkey
+      |GROUP BY 1, 2, 3
+      |ORDER BY s_suppkey, p_type""".stripMargin
+
+  /** q03 — A4/A5: supplier monthly scorecard with lead time, CASE-sum
+    * fulfillment counts, and OTIF-style NULLIF-guarded rates. */
+  def supplierMonthly(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.t(s, dir, "lineitem")
+    val o = Tables.t(s, dir, "orders")
+    val sup = Tables.t(s, dir, "supplier")
+    val leadDays = datediff(col("l_shipdate"), col("o_orderdate"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(
+        date_trunc("month", col("o_orderdate")).cast(DateType).as("order_month"),
+        col("s_suppkey"), col("s_name"))
+      .agg(
+        count(lit(1)).as("total_lines"),
+        countDistinct(col("o_orderkey")).as("total_orders"),
+        moneySum(col("l_quantity")).as("total_quantity"),
+        derivedSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_value"),
+        (sum(leadDays).cast(DoubleType) / count(lit(1))).as("avg_lead_time_days"),
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("fulfilled_lines"),
+        sum(when(leadDays <= 60, 1).otherwise(0)).as("on_time_lines"),
+        sum(when(col("l_quantity") >= 25, 1).otherwise(0)).as("in_full_lines"))
+      .withColumn("on_time_rate",
+        round(col("on_time_lines").cast(DoubleType) / nullif(col("total_lines").cast(DoubleType), lit(0.0)) * lit(100.0), 2))
+      .withColumn("in_full_rate",
+        round(col("in_full_lines").cast(DoubleType) / nullif(col("total_lines").cast(DoubleType), lit(0.0)) * lit(100.0), 2))
+      // reference OTIF proxy ((on_time>0)::INT+(in_full>0)::INT)/2*100
+      // (gold/gold_builder.py:226-228)
+      .withColumn("otif_proxy_pct",
+        round((when(col("on_time_lines") > 0, 1).otherwise(0) +
+               when(col("in_full_lines") > 0, 1).otherwise(0)).cast(DoubleType) / lit(2.0) * lit(100.0), 2))
+      .orderBy(col("order_month"), col("s_suppkey"))
+  }
+
+  private val supplierMonthlySql =
+    """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+      |       s_suppkey, s_name,
+      |       count(1) AS total_lines,
+      |       count(DISTINCT o_orderkey) AS total_orders,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS total_quantity,
+      |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(32,4))) AS DOUBLE) AS total_value,
+      |       CAST(sum(date_diff('day', o_orderdate, l_shipdate)) AS DOUBLE) / count(1) AS avg_lead_time_days,
+      |       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS fulfilled_lines,
+      |       sum(CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 60 THEN 1 ELSE 0 END) AS on_time_lines,
+      |       sum(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS in_full_lines,
+      |       round(CAST(sum(CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 60 THEN 1 ELSE 0 END) AS DOUBLE)
+      |             / nullif(CAST(count(1) AS DOUBLE), 0.0) * 100.0, 2) AS on_time_rate,
+      |       round(CAST(sum(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS DOUBLE)
+      |             / nullif(CAST(count(1) AS DOUBLE), 0.0) * 100.0, 2) AS in_full_rate,
+      |       round(CAST((CASE WHEN sum(CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 60 THEN 1 ELSE 0 END) > 0 THEN 1 ELSE 0 END
+      |                 + CASE WHEN sum(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+      |             / 2.0 * 100.0, 2) AS otif_proxy_pct
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY 1, 2, 3
+      |ORDER BY order_month, s_suppkey""".stripMargin
+
+  /** q04 — J4 + §2.8: the wide one-row-per-fact dashboard: 4-way LEFT
+    * star join with COALESCE('Unknown') dim defaults, date-part
+    * derivations (ISO dow, date keys), profit math, CASE bucketization
+    * ladders, and DQ boolean flags. Anchor date replaces the
+    * reference's CURRENT_DATE for determinism (SURVEY §7.4 risk 3). */
+  def dashboard(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.t(s, dir, "lineitem")
+    val o = Tables.t(s, dir, "orders")
+    val p = Tables.t(s, dir, "part")
+    val sup = Tables.t(s, dir, "supplier")
+    val c = Tables.t(s, dir, "customer")
+    val n = Tables.t(s, dir, "nation")
+    val r = Tables.t(s, dir, "region")
+    val revenue = moneyRound(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+    val cost = moneyRound(col("p_retailprice") * col("l_quantity") / lit(10.0))
+    val anchor = lit("2002-01-01").cast(DateType)
+    l.join(o, col("l_orderkey") === col("o_orderkey"), "left")
+      .join(p, col("l_partkey") === col("p_partkey"), "left")
+      .join(sup, col("l_suppkey") === col("s_suppkey"), "left")
+      .join(c, col("o_custkey") === col("c_custkey"), "left")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"), "left")
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"), "left")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        coalesce(col("p_name"), lit("Unknown")).as("part_name"),
+        coalesce(col("p_brand"), lit("Unknown")).as("brand"),
+        coalesce(col("s_name"), lit("Unknown")).as("supplier_name"),
+        coalesce(col("c_name"), lit("Unknown")).as("customer_name"),
+        coalesce(col("c_mktsegment"), lit("Unknown")).as("segment"),
+        coalesce(col("n_name"), lit("Unknown")).as("nation"),
+        coalesce(col("r_name"), lit("Unknown")).as("region"),
+        col("o_orderstatus").as("order_status"),
+        col("o_orderdate").cast(DateType).as("order_date"),
+        col("l_shipdate").cast(DateType).as("ship_date"),
+        year(col("o_orderdate")).as("order_year"),
+        month(col("o_orderdate")).as("order_month"),
+        quarter(col("o_orderdate")).as("order_quarter"),
+        isoDow(col("o_orderdate")).as("order_isodow"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("order_year_month"),
+        date_format(col("o_orderdate"), "yyyyMMdd").cast(IntegerType).as("order_date_key"),
+        datediff(col("l_shipdate"), col("o_orderdate")).as("days_to_ship"),
+        date_add(col("l_shipdate").cast(DateType), 3).as("expected_delivery_date"),
+        datediff(anchor, col("o_orderdate")).as("order_age_days"),
+        col("l_quantity").as("quantity"),
+        revenue.as("net_revenue"),
+        cost.as("est_cost"),
+        round(revenue - cost, 2).as("est_profit"),
+        round((revenue - cost) / nullif(cost, lit(0.0)) * lit(100.0), 2).as("margin_pct"),
+        when(revenue >= 80000, "Premium").when(revenue >= 40000, "High")
+          .when(revenue >= 10000, "Medium").otherwise("Low").as("value_band"),
+        when(datediff(col("l_shipdate"), col("o_orderdate")) <= 30, "Fast")
+          .when(datediff(col("l_shipdate"), col("o_orderdate")) <= 90, "Normal")
+          .otherwise("Slow").as("ship_speed_band"),
+        (col("l_returnflag") === "R").as("is_returned"),
+        (col("o_orderstatus") === "F").as("is_fulfilled"),
+        col("p_name").isNull.or(col("s_name").isNull).as("dq_missing_dim"),
+        (revenue < 0).as("dq_negative_amount"),
+        (col("l_shipdate") < col("o_orderdate")).as("dq_invalid_dates"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  // decimal-routed rounding in the oracle too — see Parity.moneyRound
+  private val revSql = "CAST(round(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)), 2) AS DOUBLE)"
+  private val costSql = "CAST(round(CAST(p_retailprice * l_quantity / 10.0 AS DECIMAL(18,4)), 2) AS DOUBLE)"
+
+  private val dashboardSql =
+    s"""SELECT l_orderkey, l_linenumber,
+      |       coalesce(p_name, 'Unknown') AS part_name,
+      |       coalesce(p_brand, 'Unknown') AS brand,
+      |       coalesce(s_name, 'Unknown') AS supplier_name,
+      |       coalesce(c_name, 'Unknown') AS customer_name,
+      |       coalesce(c_mktsegment, 'Unknown') AS segment,
+      |       coalesce(n_name, 'Unknown') AS nation,
+      |       coalesce(r_name, 'Unknown') AS region,
+      |       o_orderstatus AS order_status,
+      |       CAST(o_orderdate AS DATE) AS order_date,
+      |       CAST(l_shipdate AS DATE) AS ship_date,
+      |       year(o_orderdate) AS order_year,
+      |       month(o_orderdate) AS order_month,
+      |       quarter(o_orderdate) AS order_quarter,
+      |       isodow(CAST(o_orderdate AS DATE)) AS order_isodow,
+      |       strftime(o_orderdate, '%Y-%m') AS order_year_month,
+      |       CAST(strftime(o_orderdate, '%Y%m%d') AS INTEGER) AS order_date_key,
+      |       date_diff('day', o_orderdate, l_shipdate) AS days_to_ship,
+      |       CAST(l_shipdate AS DATE) + 3 AS expected_delivery_date,
+      |       date_diff('day', CAST(o_orderdate AS DATE), CAST('2002-01-01' AS DATE)) AS order_age_days,
+      |       l_quantity AS quantity,
+      |       $revSql AS net_revenue,
+      |       $costSql AS est_cost,
+      |       round($revSql - $costSql, 2) AS est_profit,
+      |       round(($revSql - $costSql)
+      |             / nullif($costSql, 0.0) * 100.0, 2) AS margin_pct,
+      |       CASE WHEN $revSql >= 80000 THEN 'Premium'
+      |            WHEN $revSql >= 40000 THEN 'High'
+      |            WHEN $revSql >= 10000 THEN 'Medium'
+      |            ELSE 'Low' END AS value_band,
+      |       CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN 'Fast'
+      |            WHEN date_diff('day', o_orderdate, l_shipdate) <= 90 THEN 'Normal'
+      |            ELSE 'Slow' END AS ship_speed_band,
+      |       l_returnflag = 'R' AS is_returned,
+      |       o_orderstatus = 'F' AS is_fulfilled,
+      |       p_name IS NULL OR s_name IS NULL AS dq_missing_dim,
+      |       $revSql < 0 AS dq_negative_amount,
+      |       l_shipdate < o_orderdate AS dq_invalid_dates
+      |FROM lineitem
+      |LEFT JOIN orders   ON l_orderkey = o_orderkey
+      |LEFT JOIN part     ON l_partkey = p_partkey
+      |LEFT JOIN supplier ON l_suppkey = s_suppkey
+      |LEFT JOIN customer ON o_custkey = c_custkey
+      |LEFT JOIN nation   ON c_nationkey = n_nationkey
+      |LEFT JOIN region   ON n_regionkey = r_regionkey
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_monthly_sales" -> monthlySales,
+    "q02_inventory_health" -> inventoryHealth,
+    "q03_supplier_monthly" -> supplierMonthly,
+    "q04_dashboard" -> dashboard)
+
+  override def oracles: Map[String, String] = Map(
+    "q01_monthly_sales" -> monthlySalesSql,
+    "q02_inventory_health" -> inventoryHealthSql,
+    "q03_supplier_monthly" -> supplierMonthlySql,
+    "q04_dashboard" -> dashboardSql)
+}

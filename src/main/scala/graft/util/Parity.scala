@@ -1,0 +1,54 @@
+package graft.util
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Cross-engine determinism helpers.
+  *
+  * The driver hash-compares our parquet output against DuckDB running
+  * the oracle SQL. Floating-point reductions are order-dependent, so any
+  * `sum(double)` can differ in the last ulp between engines. The recipe
+  * used by every query in this repo:
+  *
+  *   - per-row arithmetic stays in double (IEEE ops on identical
+  *     operands are bit-identical in both engines),
+  *   - reductions go through DecimalType (exact, associative,
+  *     order-independent — safe under Spark's parallel partial
+  *     aggregation at any scale),
+  *   - the output edge is cast back to double (exact for |x| < 2^53)
+  *     or long, so the written parquet schema is plain DOUBLE/BIGINT
+  *     in both engines.
+  *
+  * This is not just a test trick: at 100 TB the same property makes
+  * results independent of partitioning/AQE decisions, i.e. reruns are
+  * byte-stable.
+  */
+object Parity {
+  /** Exact sum of a money-like column (2 decimal digits in testdata). */
+  def moneySum(c: Column): Column = sum(c.cast(DecimalType(30, 2))).cast(DoubleType)
+
+  /** Exact sum of a derived per-row double, fixed at 4 decimals. */
+  def derivedSum(c: Column): Column = sum(c.cast(DecimalType(32, 4))).cast(DoubleType)
+
+  /** Deterministic mean: exact decimal sum, one double division. */
+  def moneyAvg(c: Column): Column =
+    sum(c.cast(DecimalType(30, 2))).cast(DoubleType) / count(c)
+
+  /** Round a product of 2-dp money values exactly. Such products have
+    * exactly 4 decimal digits, so ~1/1000 of them sit ON the .xx50
+    * rounding boundary — where double-rounding differs between engines.
+    * Routing through DecimalType(18,4) makes the tie exact, and both
+    * Spark (HALF_UP) and DuckDB round decimal ties away from zero. */
+  def moneyRound(c: Column, scale: Int = 2): Column =
+    round(c.cast(DecimalType(18, 4)), scale).cast(DoubleType)
+
+  /** NULLIF(x, 0)-guarded division, rounded — matches the reference's
+    * `ROUND(a / NULLIF(b, 0), 2)` idiom (gold/gold_builder.py:118-119). */
+  def safeDiv(num: Column, den: Column, scale: Int = 2): Column =
+    round(num / nullif(den, lit(0.0)), scale)
+
+  /** ISO day-of-week (Mon=1..Sun=7) — Postgres EXTRACT(ISODOW) semantics
+    * (reference gold/gold_builder.py:341); Spark's dayofweek is Sun=1. */
+  def isoDow(c: Column): Column = (dayofweek(c) + lit(5)) % lit(7) + lit(1)
+}

@@ -18,7 +18,18 @@ object Tables {
 
   /** Lazy parquet reader — metadata-only until an action runs. */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects. Read it as raw nanos and floor-divide to micros
+    * (integer div — a double division would lose precision at 1.7e18).
+    * Matches DuckDB's CAST(ts_ns AS TIMESTAMP) truncation. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
 
   /** Register all tables as temp views so `spark.sql(...)` works —
     * the reference's ad-hoc SQL runner surface (SURVEY §2.1 S13,

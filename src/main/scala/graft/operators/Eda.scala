@@ -1,0 +1,350 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import graft.util.Parity._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's EDA / profiling surface (eda/supply_chain_eda.py) as
+  * distributed one-pass queries: descriptive statistics (A11), Pearson
+  * correlation (A12), group-sum top-k (A13), quantile bucketing (A14),
+  * value-counts (A15), null/duplicate profiling (A16), cross-layer
+  * reconciliation (A17), plus pagination (S11), DISTINCT projection
+  * (P5) and the latest-wins upsert semantics (S2) as a window dedup.
+  *
+  * Determinism: every moment-based statistic (mean/stddev/skew/kurt/
+  * corr) is computed from exact DecimalType power sums, then a fixed
+  * double formula — so results don't depend on partial-aggregation
+  * order (same property that makes them reproducible cluster-wide).
+  * The reference computes these with pandas on a single machine
+  * (eda/supply_chain_eda.py:686-740); here they are single-pass
+  * hash aggregations that scale out.
+  */
+object Eda extends QueryModule {
+
+  private val dec = DecimalType(38, 8)
+
+  /** q05 — A13/O4: group-sum top-k (reference `nlargest(10)`,
+    * eda/supply_chain_eda.py:465). Total order via revenue DESC then
+    * key, so ties can't reorder across engines. */
+  def topkCustomers(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.t(s, dir, "lineitem")
+    val o = Tables.t(s, dir, "orders")
+    val c = Tables.t(s, dir, "customer")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(derivedSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        countDistinct(col("o_orderkey")).as("orders"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(10)
+  }
+
+  private val topkCustomersSql =
+    """SELECT c_custkey, c_name,
+      |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(32,4))) AS DOUBLE) AS revenue,
+      |       count(DISTINCT o_orderkey) AS orders
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1, 2
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 10""".stripMargin
+
+  /** q06 — S11/O3: LIMIT+OFFSET pagination over a total order
+    * (reference DB-explorer scan, app.py:1279-1282). */
+  def pagination(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "orders")
+      .orderBy(col("o_orderkey"))
+      .offset(200)
+      .limit(100)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate").cast(DateType).as("o_orderdate"))
+
+  private val paginationSql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |       CAST(o_orderdate AS DATE) AS o_orderdate
+      |FROM orders ORDER BY o_orderkey LIMIT 100 OFFSET 200""".stripMargin
+
+  /** q07 — P5: DISTINCT entity projection with NOT NULL + ORDER BY
+    * (reference forecasting.py:108-118). */
+  def distinctEntities(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "customer")
+      .select(col("c_mktsegment"))
+      .where(col("c_mktsegment").isNotNull)
+      .distinct()
+      .orderBy(col("c_mktsegment"))
+
+  private val distinctEntitiesSql =
+    """SELECT DISTINCT c_mktsegment FROM customer
+      |WHERE c_mktsegment IS NOT NULL ORDER BY c_mktsegment""".stripMargin
+
+  /** q08 — A15: value-counts histograms across two tables, tagged and
+    * unioned (reference value_counts(), eda/supply_chain_eda.py:378-399).
+    * Set-op surface: the reference has none (§2.7); unionByName here. */
+  def valueCounts(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.t(s, dir, "orders")
+      .groupBy(col("o_orderstatus").as("value")).count()
+      .withColumn("source_column", lit("orders.o_orderstatus"))
+    val l = Tables.t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("value")).count()
+      .withColumn("source_column", lit("lineitem.l_returnflag"))
+    o.unionByName(l)
+      .select(col("source_column"), col("value"), col("count"))
+      .orderBy(col("source_column"), col("value"))
+  }
+
+  private val valueCountsSql =
+    """SELECT * FROM (
+      |  SELECT 'orders.o_orderstatus' AS source_column, o_orderstatus AS value, count(*) AS count
+      |  FROM orders GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'lineitem.l_returnflag' AS source_column, l_returnflag AS value, count(*) AS count
+      |  FROM lineitem GROUP BY 2)
+      |ORDER BY source_column, value""".stripMargin
+
+  /** q09 — A16: per-column null counts + whole-row duplicate count
+    * (reference isnull().sum() / duplicated().sum(),
+    * eda/supply_chain_eda.py:141-152,678-683). One pass, no collect. */
+  def nullProfile(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.t(s, dir, "lineitem")
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+      "l_extendedprice", "l_returnflag", "l_shipdate")
+    val nulls = cols.map(c => count(when(col(c).isNull, 1)).as(s"nulls_$c"))
+    val pairDups = (count(lit(1)) -
+      countDistinct(col("l_partkey"), col("l_suppkey"))).as("dup_part_supp_pairs")
+    l.agg(nulls.head, (nulls.tail :+ pairDups :+ count(lit(1)).as("total_rows")): _*)
+  }
+
+  private val nullProfileSql =
+    """SELECT count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS nulls_l_orderkey,
+      |       count(CASE WHEN l_partkey IS NULL THEN 1 END) AS nulls_l_partkey,
+      |       count(CASE WHEN l_suppkey IS NULL THEN 1 END) AS nulls_l_suppkey,
+      |       count(CASE WHEN l_quantity IS NULL THEN 1 END) AS nulls_l_quantity,
+      |       count(CASE WHEN l_extendedprice IS NULL THEN 1 END) AS nulls_l_extendedprice,
+      |       count(CASE WHEN l_returnflag IS NULL THEN 1 END) AS nulls_l_returnflag,
+      |       count(CASE WHEN l_shipdate IS NULL THEN 1 END) AS nulls_l_shipdate,
+      |       count(1) - count(DISTINCT (l_partkey, l_suppkey)) AS dup_part_supp_pairs,
+      |       count(1) AS total_rows
+      |FROM lineitem""".stripMargin
+
+  /** Shared moment sums for one numeric column: n, nulls, Σx..Σx⁴ as
+    * exact decimals, min/max, distinct, exact percentiles. */
+  private def momentStats(df: DataFrame, c: String): DataFrame = {
+    val x = col(c).cast(DoubleType)
+    df.agg(
+      count(col(c)).as("n"),
+      (count(lit(1)) - count(col(c))).as("nulls"),
+      sum(x.cast(dec)).as("s1"),
+      sum((x * x).cast(dec)).as("s2"),
+      sum((x * x * x).cast(dec)).as("s3"),
+      min(x).as("min_value"),
+      max(x).as("max_value"),
+      countDistinct(col(c)).as("distinct_count"),
+      expr(s"percentile($c, 0.25)").as("q25"),
+      expr(s"percentile($c, 0.5)").as("median"),
+      expr(s"percentile($c, 0.75)").as("q75"))
+      .select(
+        lit(c).as("column_name"), col("n"), col("nulls"),
+        col("min_value"), col("max_value"), col("distinct_count"),
+        col("q25"), col("median"), col("q75"),
+        (col("s1").cast(DoubleType) / col("n")).as("mean"),
+        sqrt((col("s2").cast(DoubleType) - col("s1").cast(DoubleType) * col("s1").cast(DoubleType) / col("n")) / (col("n") - lit(1))).as("stddev"),
+        // population moments for skew/kurtosis — fixed formula from
+        // exact sums, sqrt(m2)*m2 (not pow) keeps it IEEE-deterministic
+        ((col("s3").cast(DoubleType) / col("n")
+          - lit(3.0) * (col("s1").cast(DoubleType) / col("n")) * (col("s2").cast(DoubleType) / col("n"))
+          + lit(2.0) * (col("s1").cast(DoubleType) / col("n")) * (col("s1").cast(DoubleType) / col("n")) * (col("s1").cast(DoubleType) / col("n")))
+          / (sqrt(col("s2").cast(DoubleType) / col("n") - (col("s1").cast(DoubleType) / col("n")) * (col("s1").cast(DoubleType) / col("n")))
+            * (col("s2").cast(DoubleType) / col("n") - (col("s1").cast(DoubleType) / col("n")) * (col("s1").cast(DoubleType) / col("n"))))).as("skewness"))
+  }
+
+  private def momentStatsSql(c: String): String =
+    s"""SELECT '$c' AS column_name, n, nulls, min_value, max_value, distinct_count,
+       |       q25, median, q75,
+       |       s1 / n AS mean,
+       |       sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev,
+       |       (s3 / n - 3.0 * (s1 / n) * (s2 / n) + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
+       |         / (sqrt(s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n))) AS skewness
+       |FROM (SELECT count($c) AS n, count(1) - count($c) AS nulls,
+       |             CAST(sum(CAST($c AS DECIMAL(38,8))) AS DOUBLE) AS s1,
+       |             CAST(sum(CAST($c * $c AS DECIMAL(38,8))) AS DOUBLE) AS s2,
+       |             CAST(sum(CAST($c * $c * $c AS DECIMAL(38,8))) AS DOUBLE) AS s3,
+       |             min($c) AS min_value, max($c) AS max_value,
+       |             count(DISTINCT $c) AS distinct_count,
+       |             quantile_cont($c, 0.25) AS q25,
+       |             quantile_cont($c, 0.5) AS median,
+       |             quantile_cont($c, 0.75) AS q75
+       |      FROM lineitem)""".stripMargin
+
+  /** q10 — A11: descriptive-statistics profile of the fact table's
+    * numeric columns, one row per column. */
+  def statsProfile(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.t(s, dir, "lineitem")
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(momentStats(l, _))
+      .reduce(_.unionByName(_))
+      .orderBy(col("column_name"))
+  }
+
+  private val statsProfileSql =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(momentStatsSql)
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY column_name")
+
+  /** q11 — A12: Pearson correlation for all numeric column pairs,
+    * from exact co-moment sums (reference eda/supply_chain_eda.py:604-641;
+    * its pandas .corr() becomes one distributed pass). */
+  def corrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.t(s, dir, "lineitem")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j } yield (cols(i), cols(j))
+    pairs.map { case (a, b) =>
+      val (xa, xb) = (col(a).cast(DoubleType), col(b).cast(DoubleType))
+      l.agg(
+        count(lit(1)).as("n"),
+        sum(xa.cast(dec)).as("sx"), sum(xb.cast(dec)).as("sy"),
+        sum((xa * xa).cast(dec)).as("sxx"), sum((xb * xb).cast(dec)).as("syy"),
+        sum((xa * xb).cast(dec)).as("sxy"))
+        .select(lit(a).as("col_a"), lit(b).as("col_b"),
+          ((col("n") * col("sxy").cast(DoubleType) - col("sx").cast(DoubleType) * col("sy").cast(DoubleType))
+            / (sqrt(col("n") * col("sxx").cast(DoubleType) - col("sx").cast(DoubleType) * col("sx").cast(DoubleType))
+              * sqrt(col("n") * col("syy").cast(DoubleType) - col("sy").cast(DoubleType) * col("sy").cast(DoubleType)))).as("pearson_r"))
+    }.reduce(_.unionByName(_)).orderBy(col("col_a"), col("col_b"))
+  }
+
+  private val corrMatrixSql = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j } yield (cols(i), cols(j))
+    pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_a, '$b' AS col_b,
+         |       (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS pearson_r
+         |FROM (SELECT count(1) AS n,
+         |             CAST(sum(CAST($a AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+         |             CAST(sum(CAST($b AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+         |             CAST(sum(CAST($a * $a AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+         |             CAST(sum(CAST($b * $b AS DECIMAL(38,8))) AS DOUBLE) AS syy,
+         |             CAST(sum(CAST($a * $b AS DECIMAL(38,8))) AS DOUBLE) AS sxy
+         |      FROM lineitem)""".stripMargin
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_a, col_b")
+  }
+
+  /** q12 — A14: quantile bucketing — exact q25/q75 then a Low/Medium/
+    * High CASE ladder with bucket counts (reference pd.cut,
+    * eda/supply_chain_eda.py:553-558). */
+  def quantileBuckets(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.t(s, dir, "lineitem")
+    val q = l.agg(
+      expr("percentile(l_quantity, 0.25)").as("q25"),
+      expr("percentile(l_quantity, 0.75)").as("q75"))
+    l.crossJoin(broadcast(q))
+      .select(when(col("l_quantity") <= col("q25"), "Low")
+        .when(col("l_quantity") <= col("q75"), "Medium")
+        .otherwise("High").as("bucket"))
+      .groupBy(col("bucket")).count()
+      .orderBy(col("bucket"))
+  }
+
+  private val quantileBucketsSql =
+    """SELECT bucket, count(*) AS count FROM (
+      |  SELECT CASE WHEN l_quantity <= (SELECT quantile_cont(l_quantity, 0.25) FROM lineitem) THEN 'Low'
+      |              WHEN l_quantity <= (SELECT quantile_cont(l_quantity, 0.75) FROM lineitem) THEN 'Medium'
+      |              ELSE 'High' END AS bucket
+      |  FROM lineitem)
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  /** q13 — A17: cross-layer reconciliation — detail-layer totals vs
+    * aggregated-mart totals with pct-diff and a 5% tolerance verdict
+    * (reference eda/supply_chain_eda.py:818-888). Exact decimal sums
+    * make the comparison itself exact. */
+  def reconciliation(s: SparkSession, dir: String): DataFrame = {
+    val silver = Tables.t(s, dir, "lineitem")
+      .join(Tables.t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderstatus").isin("F", "O"))
+      .agg(derivedSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("silver_revenue"),
+        moneySum(col("l_quantity")).as("silver_quantity"))
+    val gold = GoldMarts.monthlySales(s, dir)
+      .agg(sum(col("total_revenue").cast(dec)).cast(DoubleType).as("gold_revenue"),
+        sum(col("total_quantity").cast(dec)).cast(DoubleType).as("gold_quantity"))
+    silver.crossJoin(gold)
+      .withColumn("revenue_pct_diff",
+        snapRound(abs(col("silver_revenue") - col("gold_revenue")) / nullif(col("silver_revenue"), lit(0.0)) * lit(100.0), 6))
+      .withColumn("quantity_pct_diff",
+        snapRound(abs(col("silver_quantity") - col("gold_quantity")) / nullif(col("silver_quantity"), lit(0.0)) * lit(100.0), 6))
+      .withColumn("within_tolerance",
+        col("revenue_pct_diff") <= 5.0 && col("quantity_pct_diff") <= 5.0)
+  }
+
+  private val reconciliationSql =
+    """WITH silver AS (
+      |  SELECT CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(32,4))) AS DOUBLE) AS silver_revenue,
+      |         CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS silver_quantity
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus IN ('F', 'O')),
+      |gold AS (
+      |  SELECT CAST(sum(CAST(total_revenue AS DECIMAL(38,8))) AS DOUBLE) AS gold_revenue,
+      |         CAST(sum(CAST(total_quantity AS DECIMAL(38,8))) AS DOUBLE) AS gold_quantity
+      |  FROM (SELECT CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(32,4))) AS DOUBLE) AS total_revenue,
+      |               CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS total_quantity
+      |        FROM lineitem
+      |        JOIN orders   ON l_orderkey = o_orderkey
+      |        JOIN part     ON l_partkey = p_partkey
+      |        JOIN customer ON o_custkey = c_custkey
+      |        JOIN nation   ON c_nationkey = n_nationkey
+      |        JOIN region   ON n_regionkey = r_regionkey
+      |        WHERE o_orderstatus IN ('F', 'O')
+      |        GROUP BY CAST(date_trunc('month', o_orderdate) AS DATE), r_name, c_mktsegment, p_brand))
+      |SELECT silver_revenue, silver_quantity, gold_revenue, gold_quantity,
+      |       CAST(round(CAST(abs(silver_revenue - gold_revenue) / nullif(silver_revenue, 0.0) * 100.0 AS DECIMAL(30,10)), 6) AS DOUBLE) AS revenue_pct_diff,
+      |       CAST(round(CAST(abs(silver_quantity - gold_quantity) / nullif(silver_quantity, 0.0) * 100.0 AS DECIMAL(30,10)), 6) AS DOUBLE) AS quantity_pct_diff,
+      |       CAST(round(CAST(abs(silver_revenue - gold_revenue) / nullif(silver_revenue, 0.0) * 100.0 AS DECIMAL(30,10)), 6) AS DOUBLE) <= 5.0
+      |         AND CAST(round(CAST(abs(silver_quantity - gold_quantity) / nullif(silver_quantity, 0.0) * 100.0 AS DECIMAL(30,10)), 6) AS DOUBLE) <= 5.0 AS within_tolerance
+      |FROM silver, gold""".stripMargin
+
+  /** q14 — S2: the reference's ON CONFLICT upsert as distributed
+    * latest-wins dedup — one row per user_id, newest event wins, with
+    * a deterministic event_id tiebreak (reference
+    * bronze/data_loader.py:602-679). Window + filter: at scale this is
+    * one shuffle on the upsert key, no driver loop. */
+  def latestWinsUpsert(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.t(s, dir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  private val latestWinsUpsertSql =
+    """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q05_topk_customers" -> topkCustomers,
+    "q06_pagination" -> pagination,
+    "q07_distinct_entities" -> distinctEntities,
+    "q08_value_counts" -> valueCounts,
+    "q09_null_profile" -> nullProfile,
+    "q10_stats_profile" -> statsProfile,
+    "q11_corr_matrix" -> corrMatrix,
+    "q12_quantile_buckets" -> quantileBuckets,
+    "q13_reconciliation" -> reconciliation,
+    "q14_latest_wins_upsert" -> latestWinsUpsert)
+
+  override def oracles: Map[String, String] = Map(
+    "q05_topk_customers" -> topkCustomersSql,
+    "q06_pagination" -> paginationSql,
+    "q07_distinct_entities" -> distinctEntitiesSql,
+    "q08_value_counts" -> valueCountsSql,
+    "q09_null_profile" -> nullProfileSql,
+    "q10_stats_profile" -> statsProfileSql,
+    "q11_corr_matrix" -> corrMatrixSql,
+    "q12_quantile_buckets" -> quantileBucketsSql,
+    "q13_reconciliation" -> reconciliationSql,
+    "q14_latest_wins_upsert" -> latestWinsUpsertSql)
+}

@@ -77,10 +77,10 @@ object GoldMarts extends QueryModule {
       |       CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / count(l_extendedprice) AS avg_line_price,
       |       count(DISTINCT o_custkey) AS active_customers,
       |       count(DISTINCT l_partkey) AS unique_parts,
-      |       round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(32,4))) AS DOUBLE)
-      |             / nullif(CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE), 0.0), 2) AS revenue_per_unit,
-      |       round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(32,4))) AS DOUBLE)
-      |             / nullif(CAST(count(DISTINCT o_custkey) AS DOUBLE), 0.0), 2) AS revenue_per_customer
+      |       CAST(round(CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(32,4))) AS DOUBLE)
+      |             / nullif(CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE), 0.0) AS DECIMAL(30,6)), 2) AS DOUBLE) AS revenue_per_unit,
+      |       CAST(round(CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(32,4))) AS DOUBLE)
+      |             / nullif(CAST(count(DISTINCT o_custkey) AS DOUBLE), 0.0) AS DECIMAL(30,6)), 2) AS DOUBLE) AS revenue_per_customer
       |FROM lineitem
       |JOIN orders   ON l_orderkey = o_orderkey
       |JOIN part     ON l_partkey = p_partkey
@@ -114,7 +114,7 @@ object GoldMarts extends QueryModule {
       // capacity proxy = 50 units/line (testdata max qty) — reference
       // utilization = SUM(q)/capacity*100 (gold/gold_builder.py:153)
       .withColumn("utilization_pct",
-        round(col("total_quantity") / (lit(50.0) * col("total_lines").cast(DoubleType)) * lit(100.0), 2))
+        snapRound(col("total_quantity") / (lit(50.0) * col("total_lines").cast(DoubleType)) * lit(100.0)))
       .orderBy(col("s_suppkey"), col("p_type"))
   }
 
@@ -129,8 +129,8 @@ object GoldMarts extends QueryModule {
       |       count(CASE WHEN l_quantity < 20 THEN 1 END) AS low_stock_lines,
       |       count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS returned_lines,
       |       count(1) AS total_lines,
-      |       round(CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE)
-      |             / (50.0 * CAST(count(1) AS DOUBLE)) * 100.0, 2) AS utilization_pct
+      |       CAST(round(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE)
+      |             / (50.0 * CAST(count(1) AS DOUBLE)) * 100.0 AS DECIMAL(30,6)), 2) AS DOUBLE) AS utilization_pct
       |FROM lineitem
       |JOIN supplier ON l_suppkey = s_suppkey
       |JOIN part     ON l_partkey = p_partkey
@@ -159,9 +159,9 @@ object GoldMarts extends QueryModule {
         sum(when(leadDays <= 60, 1).otherwise(0)).as("on_time_lines"),
         sum(when(col("l_quantity") >= 25, 1).otherwise(0)).as("in_full_lines"))
       .withColumn("on_time_rate",
-        round(col("on_time_lines").cast(DoubleType) / nullif(col("total_lines").cast(DoubleType), lit(0.0)) * lit(100.0), 2))
+        snapRound(col("on_time_lines").cast(DoubleType) / nullif(col("total_lines").cast(DoubleType), lit(0.0)) * lit(100.0)))
       .withColumn("in_full_rate",
-        round(col("in_full_lines").cast(DoubleType) / nullif(col("total_lines").cast(DoubleType), lit(0.0)) * lit(100.0), 2))
+        snapRound(col("in_full_lines").cast(DoubleType) / nullif(col("total_lines").cast(DoubleType), lit(0.0)) * lit(100.0)))
       // reference OTIF proxy ((on_time>0)::INT+(in_full>0)::INT)/2*100
       // (gold/gold_builder.py:226-228)
       .withColumn("otif_proxy_pct",
@@ -181,10 +181,10 @@ object GoldMarts extends QueryModule {
       |       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS fulfilled_lines,
       |       sum(CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 60 THEN 1 ELSE 0 END) AS on_time_lines,
       |       sum(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS in_full_lines,
-      |       round(CAST(sum(CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 60 THEN 1 ELSE 0 END) AS DOUBLE)
-      |             / nullif(CAST(count(1) AS DOUBLE), 0.0) * 100.0, 2) AS on_time_rate,
-      |       round(CAST(sum(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS DOUBLE)
-      |             / nullif(CAST(count(1) AS DOUBLE), 0.0) * 100.0, 2) AS in_full_rate,
+      |       CAST(round(CAST(CAST(sum(CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 60 THEN 1 ELSE 0 END) AS DOUBLE)
+      |             / nullif(CAST(count(1) AS DOUBLE), 0.0) * 100.0 AS DECIMAL(30,6)), 2) AS DOUBLE) AS on_time_rate,
+      |       CAST(round(CAST(CAST(sum(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS DOUBLE)
+      |             / nullif(CAST(count(1) AS DOUBLE), 0.0) * 100.0 AS DECIMAL(30,6)), 2) AS DOUBLE) AS in_full_rate,
       |       round(CAST((CASE WHEN sum(CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 60 THEN 1 ELSE 0 END) > 0 THEN 1 ELSE 0 END
       |                 + CASE WHEN sum(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) > 0 THEN 1 ELSE 0 END) AS DOUBLE)
       |             / 2.0 * 100.0, 2) AS otif_proxy_pct
@@ -241,7 +241,7 @@ object GoldMarts extends QueryModule {
         revenue.as("net_revenue"),
         cost.as("est_cost"),
         round(revenue - cost, 2).as("est_profit"),
-        round((revenue - cost) / nullif(cost, lit(0.0)) * lit(100.0), 2).as("margin_pct"),
+        snapRound((revenue - cost) / nullif(cost, lit(0.0)) * lit(100.0)).as("margin_pct"),
         when(revenue >= 80000, "Premium").when(revenue >= 40000, "High")
           .when(revenue >= 10000, "Medium").otherwise("Low").as("value_band"),
         when(datediff(col("l_shipdate"), col("o_orderdate")) <= 30, "Fast")
@@ -284,8 +284,8 @@ object GoldMarts extends QueryModule {
       |       $revSql AS net_revenue,
       |       $costSql AS est_cost,
       |       round($revSql - $costSql, 2) AS est_profit,
-      |       round(($revSql - $costSql)
-      |             / nullif($costSql, 0.0) * 100.0, 2) AS margin_pct,
+      |       CAST(round(CAST(($revSql - $costSql)
+      |             / nullif($costSql, 0.0) * 100.0 AS DECIMAL(30,6)), 2) AS DOUBLE) AS margin_pct,
       |       CASE WHEN $revSql >= 80000 THEN 'Premium'
       |            WHEN $revSql >= 40000 THEN 'High'
       |            WHEN $revSql >= 10000 THEN 'Medium'

@@ -43,10 +43,22 @@ object Parity {
   def moneyRound(c: Column, scale: Int = 2): Column =
     round(c.cast(DecimalType(18, 4)), scale).cast(DoubleType)
 
+  /** Round an arbitrary double (ratios, percentages) via a decimal
+    * "snap" 4 digits below the target scale. Quotients often land a
+    * hair's width from a .xx5 tie; snapping makes the tie exact, where
+    * both engines round away from zero. SQL mirror:
+    * CAST(round(CAST(x AS DECIMAL(30,scale+4)), scale) AS DOUBLE). */
+  def snapRound(c: Column, scale: Int = 2): Column =
+    round(c.cast(DecimalType(30, scale + 4)), scale).cast(DoubleType)
+
+  /** SQL-side twin of snapRound for oracle strings. */
+  def snapRoundSql(x: String, scale: Int = 2): String =
+    s"CAST(round(CAST($x AS DECIMAL(30,${scale + 4})), $scale) AS DOUBLE)"
+
   /** NULLIF(x, 0)-guarded division, rounded — matches the reference's
     * `ROUND(a / NULLIF(b, 0), 2)` idiom (gold/gold_builder.py:118-119). */
   def safeDiv(num: Column, den: Column, scale: Int = 2): Column =
-    round(num / nullif(den, lit(0.0)), scale)
+    snapRound(num / nullif(den, lit(0.0)), scale)
 
   /** ISO day-of-week (Mon=1..Sun=7) — Postgres EXTRACT(ISODOW) semantics
     * (reference gold/gold_builder.py:341); Spark's dayofweek is Sun=1. */

@@ -1,0 +1,345 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import graft.functions.TextFunctions._
+import graft.util.Parity._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** LLM-training-data text operators over the `documents` table: exact
+  * and near deduplication (MinHash+LSH, SimHash, n-gram Jaccard),
+  * language-ID, quality scoring, token counting, and document
+  * fingerprinting (BASELINE.json north star; beyond the reference's
+  * own surface).
+  *
+  * Scale design: every stage is a narrow map + one hash aggregation /
+  * bucket join. MinHash never materializes the full pairwise matrix —
+  * candidates come from LSH band buckets (shuffle keyed on band
+  * signature), which is the standard way this survives 100 TB of
+  * documents. Hashes are md5-based so results are engine-portable and
+  * rerun-stable (see graft.functions.TextFunctions).
+  */
+object TextOps extends QueryModule {
+
+  private val K = 8     // minhash components
+  private val BANDS = 4 // LSH bands (2 rows each)
+
+  // ---- q20: exact dedup ------------------------------------------
+
+  /** q20 — exact dedup via content hash: canonical = min doc_id per
+    * hash (hash-groupBy; at scale, one shuffle on the 128-bit key). */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+      .groupBy(md5(col("text").cast(BinaryType)).as("text_hash"))
+      .agg(count(lit(1)).as("doc_count"),
+        min(col("doc_id")).as("canonical_doc_id"))
+      .withColumn("dup_count", col("doc_count") - lit(1))
+      .orderBy(col("text_hash"))
+
+  private val dedupExactSql =
+    """SELECT md5(text) AS text_hash, count(1) AS doc_count,
+      |       min(doc_id) AS canonical_doc_id,
+      |       count(1) - 1 AS dup_count
+      |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin
+
+  // ---- shared shingle SQL ----------------------------------------
+
+  /** DuckDB: distinct word-3-gram shingles per doc (mirror of
+    * TextFunctions.shingles). */
+  private val shinglesCte =
+    """sh AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(string_split(text,' ')) >= 3
+      |    THEN list_distinct(list_transform(generate_series(1, len(string_split(text,' '))-2),
+      |         i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))
+      |    ELSE [] END) AS s
+      |  FROM documents)""".stripMargin
+
+  // ---- q21: minhash signatures -----------------------------------
+
+  /** q21 — MinHash signature per document: K lexicographic-min salted
+    * md5 hashes over the shingle set. One narrow map per doc — the
+    * signature replaces the document for all downstream similarity. */
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(s, dir, "documents")
+    val sh = shingles(col("text"))
+    val mins = (0 until K).map(i => minHash(sh, i).as(s"mh$i"))
+    d.select(col("doc_id") +: mins: _*)
+      .orderBy(col("doc_id"))
+  }
+
+  private val minhashSignaturesSql = {
+    val mins = (0 until K).map(i => s"min(md5('$i|' || s)) AS mh$i").mkString(",\n       ")
+    // LEFT JOIN so shingle-less docs keep a NULL-signature row, like
+    // the Spark side (array_min over an empty array is NULL).
+    s"""WITH $shinglesCte,
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)
+       |SELECT d.doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7
+       |FROM documents d LEFT JOIN sig USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- q22: LSH candidate pairs ----------------------------------
+
+  /** q22 — LSH banding: band signature = md5 of 2 adjacent minhashes;
+    * docs sharing any band signature become candidate pairs. The join
+    * is keyed on (band, signature) — bucket-local, never all-pairs. */
+  def lshCandidates(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(s, dir)
+    val bands = (0 until BANDS).map { b =>
+      sig.select(col("doc_id"),
+        lit(b).as("band"),
+        md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).cast(BinaryType)).as("band_sig"))
+    }.reduce(_.unionByName(_))
+    val a = bands.alias("a")
+    val b = bands.alias("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val lshCandidatesSql = {
+    val mins = (0 until K).map(i => s"min(md5('$i|' || s)) AS mh$i").mkString(", ")
+    val bandRows = (0 until BANDS).map(b =>
+      s"SELECT doc_id, $b AS band, md5(mh${2 * b} || mh${2 * b + 1}) AS band_sig FROM sig")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH $shinglesCte,
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---- q23: exact n-gram Jaccard on candidates --------------------
+
+  /** q23 — exact shingle-set Jaccard, computed only for LSH candidate
+    * pairs (intersection via bucket join on shingle, union by
+    * inclusion-exclusion). */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(s, dir, "documents")
+    val shingleRows = d.select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+    val sizes = shingleRows.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = lshCandidates(s, dir)
+    val inter = pairs
+      .join(shingleRows.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(shingleRows.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("na.n") + col("nb.n") - col("inter")).as("union_size"),
+        snapRound(col("inter").cast(DoubleType) / (col("na.n") + col("nb.n") - col("inter")).cast(DoubleType), 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val ngramJaccardSql = {
+    val mins = (0 until K).map(i => s"min(md5('$i|' || s)) AS mh$i").mkString(", ")
+    val bandRows = (0 until BANDS).map(b =>
+      s"SELECT doc_id, $b AS band, md5(mh${2 * b} || mh${2 * b + 1}) AS band_sig FROM sig")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH $shinglesCte,
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(1) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT doc_a, doc_b, count(1) AS inter
+       |  FROM pairs
+       |  JOIN sh sa ON doc_a = sa.doc_id
+       |  JOIN sh sb ON doc_b = sb.doc_id AND sa.s = sb.s
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, inter,
+       |       na.n + nb.n - inter AS union_size,
+       |       ${snapRoundSql("CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE)", 6)} AS jaccard
+       |FROM inter
+       |JOIN sizes na ON doc_a = na.doc_id
+       |JOIN sizes nb ON doc_b = nb.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---- q24: simhash ----------------------------------------------
+
+  /** q24 — 32-bit SimHash: per-bit majority vote over token-occurrence
+    * hashes. Exploded to (doc, token) then 32 conditional sums in ONE
+    * aggregation pass — no per-bit scan. */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(s, dir, "documents")
+    val tok = d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .withColumn("h", md5(col("tok").cast(BinaryType)))
+    val bitSums = (0 until 32).map(b => sum(simhashBitWeight(col("h"), b)).as(s"b$b"))
+    val hashVal = (0 until 32).map(b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), hashVal.as("simhash32"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val simhashSql = {
+    val bitSums = (0 until 32).map(b =>
+      s"sum(${simhashBitWeightSql("md5(tok)", b)}) AS b$b").mkString(",\n         ")
+    val hashVal = (0 until 32).map(b =>
+      s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""SELECT doc_id, $hashVal AS simhash32 FROM (
+       |  SELECT doc_id, $bitSums
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- q25: language ID ------------------------------------------
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von"))
+
+  /** q25 — n-gram/stopword-heuristic language ID: per-language
+    * stopword hit ratio, argmax with fixed tiebreak order. */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(s, dir, "documents")
+    val toks = tokens(col("text"))
+    val n = size(toks).cast(DoubleType)
+    val scores = stopwords.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      (lang, (size(filter(toks, t => t.isin(ws: _*))).cast(DoubleType) / n).as(s"score_$lang"))
+    }
+    val withScores = d.select(col("doc_id") +: col("lang").as("labeled_lang") +: scores.map(_._2): _*)
+    withScores.withColumn("predicted_lang",
+      when(col("score_en") >= col("score_es") && col("score_en") >= col("score_de"), "en")
+        .when(col("score_es") >= col("score_de"), "es")
+        .otherwise("de"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val langIdSql = {
+    val scoreExprs = stopwords.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      val list = ws.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ($list))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS score_$lang"
+    }.mkString(",\n       ")
+    s"""SELECT doc_id, labeled_lang, score_de, score_en, score_es,
+       |       CASE WHEN score_en >= score_es AND score_en >= score_de THEN 'en'
+       |            WHEN score_es >= score_de THEN 'es'
+       |            ELSE 'de' END AS predicted_lang
+       |FROM (SELECT doc_id, lang AS labeled_lang,
+       |       $scoreExprs
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- q26: quality scoring --------------------------------------
+
+  /** q26 — document quality: length/punctuation/stopword components
+    * with a weighted score. */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(s, dir, "documents")
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast(DoubleType)
+    val nChars = length(col("text")).cast(DoubleType)
+    val punct = (length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))).cast(DoubleType)
+    val stops = size(filter(toks, t => t.isin(stopwords("en"): _*))).cast(DoubleType)
+    d.select(
+      col("doc_id"),
+      nTok.cast(LongType).as("n_tokens"),
+      nChars.cast(LongType).as("n_chars"),
+      snapRound((nChars - (nTok - lit(1.0))) / nTok, 4).as("avg_token_len"),
+      snapRound(punct / nChars, 6).as("punct_ratio"),
+      snapRound(stops / nTok, 6).as("stopword_ratio"),
+      snapRound(least(lit(1.0), nTok / lit(100.0)) * lit(40.0)
+        + (stops / nTok) * lit(30.0)
+        + when(punct / nChars < 0.1, lit(30.0)).otherwise(lit(10.0)), 2).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qualityScoreSql = {
+    val nTok = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
+    val nChars = "CAST(length(text) AS DOUBLE)"
+    val punct = "CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)"
+    val stops = s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to','is'))) AS DOUBLE)"
+    s"""SELECT doc_id,
+       |       CAST($nTok AS BIGINT) AS n_tokens,
+       |       CAST($nChars AS BIGINT) AS n_chars,
+       |       ${snapRoundSql(s"($nChars - ($nTok - 1.0)) / $nTok", 4)} AS avg_token_len,
+       |       ${snapRoundSql(s"$punct / $nChars", 6)} AS punct_ratio,
+       |       ${snapRoundSql(s"$stops / $nTok", 6)} AS stopword_ratio,
+       |       ${snapRoundSql(s"least(1.0, $nTok / 100.0) * 40.0 + ($stops / $nTok) * 30.0 + (CASE WHEN $punct / $nChars < 0.1 THEN 30.0 ELSE 10.0 END)", 2)} AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- q27: token counting ---------------------------------------
+
+  /** q27 — whitespace + BPE-ish regex token counts. */
+  def tokenCount(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(s, dir, "documents")
+    d.select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("ws_tokens"),
+      size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)")).as("regex_tokens"),
+      size(array_distinct(tokens(col("text")))).as("distinct_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val tokenCountSql =
+    """SELECT doc_id,
+      |       len(string_split(text, ' ')) AS ws_tokens,
+      |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS regex_tokens,
+      |       len(list_distinct(string_split(text, ' '))) AS distinct_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- q28: fingerprinting ---------------------------------------
+
+  /** q28 — document fingerprints: (a) winnowing-style min rolling hash
+    * over char 5-grams (md5-min — same machinery as MinHash at the
+    * character level); (b) exact 8-char polynomial rolling hash with
+    * base-31 literal coefficients (bigint-exact in both engines). */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(s, dir, "documents")
+    // char 5-grams: substring at a lambda-bound position needs expr()
+    val minGram = expr(
+      "array_min(transform(sequence(1, length(text) - 4), i -> md5(cast(substring(text, i, 5) as binary))))")
+    val coefs = (0 until 8).map(i => math.pow(31, 7 - i).toLong)
+    val poly = (0 until 8).map(i =>
+      ascii(substring(col("text"), i + 1, 1)).cast(LongType) * lit(coefs(i))).reduce(_ + _)
+    d.select(col("doc_id"), minGram.as("min_gram_fingerprint"), poly.as("poly_hash8"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val fingerprintSql = {
+    val coefs = (0 until 8).map(i => math.pow(31, 7 - i).toLong)
+    val poly = (0 until 8).map(i =>
+      s"CAST(ascii(substr(text, ${i + 1}, 1)) AS BIGINT) * ${coefs(i)}").mkString(" + ")
+    s"""SELECT doc_id,
+       |       list_min(list_transform(generate_series(1, length(text) - 4), i -> md5(substr(text, i, 5)))) AS min_gram_fingerprint,
+       |       $poly AS poly_hash8
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_dedup_exact" -> dedupExact,
+    "q21_minhash_signatures" -> minhashSignatures,
+    "q22_lsh_candidates" -> lshCandidates,
+    "q23_ngram_jaccard" -> ngramJaccard,
+    "q24_simhash" -> simhash,
+    "q25_langid" -> langId,
+    "q26_text_quality" -> qualityScore,
+    "q27_token_count" -> tokenCount,
+    "q28_fingerprint" -> fingerprint)
+
+  override def oracles: Map[String, String] = Map(
+    "q20_dedup_exact" -> dedupExactSql,
+    "q21_minhash_signatures" -> minhashSignaturesSql,
+    "q22_lsh_candidates" -> lshCandidatesSql,
+    "q23_ngram_jaccard" -> ngramJaccardSql,
+    "q24_simhash" -> simhashSql,
+    "q25_langid" -> langIdSql,
+    "q26_text_quality" -> qualityScoreSql,
+    "q27_token_count" -> tokenCountSql,
+    "q28_fingerprint" -> fingerprintSql)
+}

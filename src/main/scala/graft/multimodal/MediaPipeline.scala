@@ -1,0 +1,59 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column processing: media as opaque binary payloads with
+  * typed metadata, decoded/feature-extracted in partition-local
+  * batches via mapPartitions (the Scala analogue of mapInPandas batch
+  * UDFs: amortize per-batch setup — a real codec would be initialized
+  * once per partition, not per row).
+  *
+  * The codec itself is STUBBED — this container has no image/audio
+  * libraries — with `fakeDecode`, a deterministic byte-level feature
+  * extractor, clearly marked. Everything around it (schema, batch
+  * shape, partition parallelism, output columns) is the real
+  * production plumbing and is spec-tested (MediaPipelineSpec).
+  */
+object MediaPipeline {
+
+  case class MediaRow(doc_id: Long, mime: String, payload: Array[Byte])
+
+  case class MediaFeatures(doc_id: Long, mime: String, byte_len: Int,
+    checksum64: Long, n_frames: Int, frame_sample: Array[Int])
+
+  /** STUB — stands in for image/audio decode (no codec libs in this
+    * environment). Deterministic byte-level features: checksum of the
+    * first 64 bytes + one "frame" sampled per 256-byte block (its
+    * first byte). A real implementation would decode pixels/samples
+    * here; the signature and batch shape would not change. */
+  def fakeDecode(payload: Array[Byte]): (Long, Array[Int]) = {
+    val checksum = payload.take(64).foldLeft(0L)((acc, b) => acc + (b & 0xff))
+    val frames = payload.indices.by(256).map(i => payload(i) & 0xff).toArray
+    (checksum, frames)
+  }
+
+  /** Partition-local batch decode: one pass per partition, codec
+    * "initialized" once per partition (the iterator wrapper), rows
+    * processed in order. No shuffle — parallelism is the input
+    * partitioning. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition codec init would go here (expensive, once)
+      rows.map { r =>
+        val (checksum, frames) = fakeDecode(r.payload)
+        MediaFeatures(r.doc_id, r.mime, r.payload.length, checksum,
+          frames.length, frames)
+      }
+    }
+  }
+
+  /** documents.text → binary payload dataset (stand-in for reading
+    * real media bytes; schema/partitioning identical). */
+  def fromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), lit("text/plain").as("mime"),
+      col("text").cast("binary").as("payload")).as[MediaRow]
+  }
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import graft.util.Parity._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-stream operators over the `events` table, expressed with
+  * batch semantics here (oracle-comparable) and re-used by the real
+  * Structured Streaming pipeline in graft.streaming (same window
+  * semantics; see StreamingSpec for the streaming-vs-batch equality
+  * test). The reference is batch-only (SURVEY §2.9) — this is the
+  * beyond-reference streaming seam.
+  */
+object EventOps extends QueryModule {
+
+  /** q32 — 5-minute tumbling-window aggregation per event type:
+    * epoch-aligned windows, count/sum/distinct-users. Streaming twin:
+    * groupBy(window($"ts","5 minutes"), $"event_type") + watermark. */
+  def eventWindows(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "events")
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("total_value"),
+        countDistinct(col("user_id")).as("distinct_users"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"), col("distinct_users"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  private val eventWindowsSql =
+    """SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+      |       time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) + INTERVAL '5 minutes' AS window_end,
+      |       event_type,
+      |       count(1) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value,
+      |       count(DISTINCT user_id) AS distinct_users
+      |FROM events
+      |GROUP BY 1, 2, 3
+      |ORDER BY window_start, event_type""".stripMargin
+
+  /** q33 — gap-based sessionization (30-min inactivity): lag + running
+    * sum of session starts per user, then per-session rollup. The
+    * stateful-streaming twin lives in graft.streaming (
+    * flatMapGroupsWithState); identical session boundaries. */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "events")
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser))
+    val isNew = when(gapUs.isNull || gapUs > lit(30L * 60 * 1000000), 1L).otherwise(0L)
+    e.withColumn("is_new", isNew)
+      .withColumn("session_seq",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("session_value"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  private val sessionizeSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+      |           OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_us
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+      |  FROM ev),
+      |sessions AS (
+      |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM flagged)
+      |SELECT user_id, session_seq,
+      |       min(ts) AS session_start,
+      |       max(ts) AS session_end,
+      |       count(1) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS session_value
+      |FROM sessions
+      |GROUP BY 1, 2
+      |ORDER BY user_id, session_seq""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_event_windows" -> eventWindows,
+    "q33_sessionize" -> sessionize)
+
+  override def oracles: Map[String, String] = Map(
+    "q32_event_windows" -> eventWindowsSql,
+    "q33_sessionize" -> sessionizeSql)
+}

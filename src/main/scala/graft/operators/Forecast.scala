@@ -1,0 +1,220 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import graft.util.Parity._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+
+/** The reference's forecasting pipeline (forecasting.py) re-expressed
+  * as one distributed job: series building (A9), gap-filling reindex
+  * (W3), lag/rolling features (W1/W2), and two pure-SQL-expressible
+  * models — linear trend (closed-form OLS from exact sums; stands in
+  * for Prophet's trend component) and seasonal-naive (period 4).
+  * Prophet/SARIMAX/LightGBM have no JVM port; SURVEY §7.4 documents
+  * the substitution: same output interface (ds/yhat/bounds/entity),
+  * and the reference's yhat*0.8/1.2 default-bounds rule
+  * (forecasting.py:421-425).
+  *
+  * Scale: the reference re-queries Postgres per entity
+  * (forecasting.py:256-258); here every entity's series is built in
+  * ONE pass — entities are a groupBy key, not a task loop.
+  */
+object Forecast extends QueryModule {
+
+  /** Daily demand per supplier with gap-filled calendar (W3):
+    * sequence(min, max) + explode + left join + coalesce(0). */
+  private def dailySeries(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.t(s, dir, "lineitem")
+    val daily = l.groupBy(col("l_suppkey").as("entity"),
+        col("l_shipdate").cast(DateType).as("ds"))
+      .agg(moneySum(col("l_quantity")).as("y"))
+    val spans = daily.groupBy(col("entity"))
+      .agg(min(col("ds")).as("min_ds"), max(col("ds")).as("max_ds"))
+    val calendar = spans.select(col("entity"),
+      explode(sequence(col("min_ds"), col("max_ds"), expr("interval 1 day"))).as("ds"))
+    calendar.join(daily, Seq("entity", "ds"), "left")
+      .select(col("entity"), col("ds"), coalesce(col("y"), lit(0.0)).as("y"))
+  }
+
+  private val dailySeriesSql =
+    """WITH daily AS (
+      |  SELECT l_suppkey AS entity, CAST(l_shipdate AS DATE) AS ds,
+      |         CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS y
+      |  FROM lineitem GROUP BY 1, 2),
+      |spans AS (SELECT entity, min(ds) AS min_ds, max(ds) AS max_ds FROM daily GROUP BY 1),
+      |calendar AS (
+      |  SELECT entity, CAST(unnest(generate_series(min_ds, max_ds, INTERVAL 1 DAY)) AS DATE) AS ds
+      |  FROM spans)
+      |SELECT c.entity, c.ds, coalesce(d.y, 0.0) AS y
+      |FROM calendar c LEFT JOIN daily d ON c.entity = d.entity AND c.ds = d.ds""".stripMargin
+
+  /** q34 — W3 gap-filled series (aggregated checksum form so the
+    * verify output stays compact at any SF: per entity, days, zero
+    * days, total). */
+  def gapfillSeries(s: SparkSession, dir: String): DataFrame =
+    dailySeries(s, dir)
+      .groupBy(col("entity"))
+      .agg(count(lit(1)).as("n_days"),
+        count(when(col("y") === 0.0, 1)).as("zero_days"),
+        min(col("ds")).as("min_ds"), max(col("ds")).as("max_ds"),
+        sum(col("y").cast(DecimalType(38, 8))).cast(DoubleType).as("total_y"))
+      .orderBy(col("entity"))
+
+  private val gapfillSeriesSql =
+    s"""WITH series AS ($dailySeriesSql)
+       |SELECT entity, count(1) AS n_days,
+       |       count(CASE WHEN y = 0.0 THEN 1 END) AS zero_days,
+       |       min(ds) AS min_ds, max(ds) AS max_ds,
+       |       CAST(sum(CAST(y AS DECIMAL(38,8))) AS DOUBLE) AS total_y
+       |FROM series GROUP BY 1 ORDER BY entity""".stripMargin
+
+  /** q35 — W1/W2 lag + trailing-window features per entity (the LGBM
+    * feature builder, forecasting.py:244-322, as window functions).
+    * Restricted to one quarter so the row-level output stays
+    * verify-sized; the window spec is SF-independent. */
+  def lagFeatures(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("entity")).orderBy(col("ds"))
+    val w7 = w.rowsBetween(-6, 0)
+    dailySeries(s, dir)
+      .withColumn("lag_1", lag(col("y"), 1).over(w))
+      .withColumn("lag_7", lag(col("y"), 7).over(w))
+      .withColumn("lag_14", lag(col("y"), 14).over(w))
+      .withColumn("rolling_7",
+        (sum(col("y").cast(DecimalType(38, 8))).over(w7).cast(DoubleType) / count(col("y")).over(w7)))
+      .filter(col("ds") >= lit("1998-01-01").cast(DateType) &&
+        col("ds") < lit("1998-04-01").cast(DateType))
+      .orderBy(col("entity"), col("ds"))
+  }
+
+  private val lagFeaturesSql =
+    s"""WITH series AS ($dailySeriesSql),
+       |feat AS (
+       |  SELECT entity, ds, y,
+       |         lag(y, 1) OVER w AS lag_1,
+       |         lag(y, 7) OVER w AS lag_7,
+       |         lag(y, 14) OVER w AS lag_14,
+       |         CAST(sum(CAST(y AS DECIMAL(38,8))) OVER (PARTITION BY entity ORDER BY ds
+       |              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |           / count(y) OVER (PARTITION BY entity ORDER BY ds
+       |              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS rolling_7
+       |  FROM series
+       |  WINDOW w AS (PARTITION BY entity ORDER BY ds))
+       |SELECT * FROM feat
+       |WHERE ds >= DATE '1998-01-01' AND ds < DATE '1998-04-01'
+       |ORDER BY entity, ds""".stripMargin
+
+  /** Weekly (ISO-Monday) series per entity. */
+  private def weekly(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey").as("entity"),
+        date_trunc("week", col("l_shipdate")).cast(DateType).as("week"))
+      .agg(moneySum(col("l_quantity")).as("y"))
+
+  private val weeklySql =
+    """SELECT l_suppkey AS entity, CAST(date_trunc('week', l_shipdate) AS DATE) AS week,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS y
+      |FROM lineitem GROUP BY 1, 2""".stripMargin
+
+  /** q36 — linear-trend forecast: per-entity closed-form OLS over
+    * (day-index, y) from exact sums, projected 4 weeks ahead, with
+    * the reference's 0.8/1.2 default bounds. */
+  def forecastLinear(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 8)
+    val wk = weekly(s, dir)
+      .withColumn("x", datediff(col("week"), lit("1995-01-02").cast(DateType)).cast(LongType))
+    val fit = wk.groupBy(col("entity")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("y").cast(dec)).cast(DoubleType).as("sy"),
+      sum((col("x") * col("x"))).as("sxx"),
+      sum((col("x").cast(DoubleType) * col("y")).cast(dec)).cast(DoubleType).as("sxy"),
+      max(col("week")).as("last_week"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
+    val intercept = (col("sy") - col("slope") * col("sx").cast(DoubleType)) / col("n")
+    val horizons = explode(sequence(lit(1), lit(4))).as("h")
+    fit.select(col("entity"), col("n"), col("sx"), col("sy"), col("sxx"), col("sxy"),
+        col("last_week"), slope.as("slope"))
+      .withColumn("intercept", intercept)
+      .select(col("entity"), col("last_week"), col("slope"), col("intercept"), horizons)
+      .withColumn("ds", expr("date_add(last_week, 7 * h)"))
+      .withColumn("x_future",
+        datediff(col("ds"), lit("1995-01-02").cast(DateType)).cast(DoubleType))
+      .select(
+        col("entity"), col("ds"),
+        snapRound(col("intercept") + col("slope") * col("x_future"), 4).as("yhat"),
+        snapRound((col("intercept") + col("slope") * col("x_future")) * lit(0.8), 4).as("yhat_lower"),
+        snapRound((col("intercept") + col("slope") * col("x_future")) * lit(1.2), 4).as("yhat_upper"))
+      .orderBy(col("entity"), col("ds"))
+  }
+
+  private val forecastLinearSql =
+    s"""WITH wk AS ($weeklySql),
+       |xy AS (SELECT entity, week, y,
+       |              CAST(date_diff('day', DATE '1995-01-02', week) AS BIGINT) AS x FROM wk),
+       |fit AS (
+       |  SELECT entity, count(1) AS n, sum(x) AS sx,
+       |         CAST(sum(CAST(y AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+       |         sum(x * x) AS sxx,
+       |         CAST(sum(CAST(CAST(x AS DOUBLE) * y AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+       |         max(week) AS last_week
+       |  FROM xy GROUP BY 1),
+       |params AS (
+       |  SELECT entity, last_week,
+       |         (n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+       |         (sy - ((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / n AS intercept
+       |  FROM fit),
+       |fc AS (
+       |  SELECT entity, last_week, slope, intercept, unnest(generate_series(1, 4)) AS h
+       |  FROM params)
+       |SELECT entity, last_week + CAST(7 * h AS INTEGER) AS ds,
+       |       ${snapRoundSql("intercept + slope * CAST(date_diff('day', DATE '1995-01-02', last_week + CAST(7 * h AS INTEGER)) AS DOUBLE)", 4)} AS yhat,
+       |       ${snapRoundSql("(intercept + slope * CAST(date_diff('day', DATE '1995-01-02', last_week + CAST(7 * h AS INTEGER)) AS DOUBLE)) * 0.8", 4)} AS yhat_lower,
+       |       ${snapRoundSql("(intercept + slope * CAST(date_diff('day', DATE '1995-01-02', last_week + CAST(7 * h AS INTEGER)) AS DOUBLE)) * 1.2", 4)} AS yhat_upper
+       |FROM fc
+       |ORDER BY entity, ds""".stripMargin
+
+  /** q37 — seasonal-naive (period 4): yhat(T+h) = y(T+h-4), i.e. the
+    * 4 newest observed weeks replay as the 4 forecast weeks. */
+  def forecastSeasonalNaive(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("entity")).orderBy(col("week").desc)
+    val wk = weekly(s, dir)
+    val last = wk.groupBy(col("entity")).agg(max(col("week")).as("last_week"))
+    wk.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 4)
+      .join(last, "entity")
+      .select(col("entity"),
+        expr("date_add(last_week, 7 * (5 - rn))").as("ds"),
+        col("y").as("yhat"),
+        snapRound(col("y") * lit(0.8), 4).as("yhat_lower"),
+        snapRound(col("y") * lit(1.2), 4).as("yhat_upper"))
+      .orderBy(col("entity"), col("ds"))
+  }
+
+  private val forecastSeasonalNaiveSql =
+    s"""WITH wk AS ($weeklySql),
+       |ranked AS (
+       |  SELECT entity, week, y,
+       |         row_number() OVER (PARTITION BY entity ORDER BY week DESC) AS rn,
+       |         max(week) OVER (PARTITION BY entity) AS last_week
+       |  FROM wk)
+       |SELECT entity, last_week + CAST(7 * (5 - rn) AS INTEGER) AS ds, y AS yhat,
+       |       ${snapRoundSql("y * 0.8", 4)} AS yhat_lower,
+       |       ${snapRoundSql("y * 1.2", 4)} AS yhat_upper
+       |FROM ranked WHERE rn <= 4
+       |ORDER BY entity, ds""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_gapfill_series" -> gapfillSeries,
+    "q35_lag_features" -> lagFeatures,
+    "q36_forecast_linear" -> forecastLinear,
+    "q37_forecast_seasonal_naive" -> forecastSeasonalNaive)
+
+  override def oracles: Map[String, String] = Map(
+    "q34_gapfill_series" -> gapfillSeriesSql,
+    "q35_lag_features" -> lagFeaturesSql,
+    "q36_forecast_linear" -> forecastLinearSql,
+    "q37_forecast_seasonal_naive" -> forecastSeasonalNaiveSql)
+}

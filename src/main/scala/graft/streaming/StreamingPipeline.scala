@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming twins of the batch event operators
+  * (graft.operators.EventOps): identical window/session semantics, so
+  * a stream and a batch over the same rows produce the same answers
+  * (proved in StreamingSpec via the file source).
+  *
+  * Design notes for production scale: the windowed agg keys state by
+  * (window, event_type) and the watermark bounds state size; the
+  * sessionizer keys state by user_id — one state entry per active
+  * user, emitted and dropped on gap close. Both survive shuffle
+  * repartitioning because state is keyed, not positional.
+  */
+object StreamingPipeline {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+    session_end: Timestamp, n_events: Long, session_value: Double)
+
+  case class SessionState(start: Long, last: Long, n: Long, total: Double)
+
+  val GapMicros: Long = 30L * 60 * 1000000
+
+  /** Full-precision conversions — Timestamp.getTime alone is
+    * millisecond-truncating; the sub-ms part lives in getNanos. */
+  def tsMicros(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+  def microsTs(us: Long): Timestamp = {
+    val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** 5-minute tumbling windows per event type with a 10-minute
+    * watermark. Works on a streaming OR batch DataFrame (same plan
+    * shape as EventOps.eventWindows). */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(30,2)")).cast("double").as("total_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Stateful gap-based sessionization (30-min inactivity) via
+    * flatMapGroupsWithState. A session closes when a later event
+    * arrives past the gap; the closing event starts the next session.
+    * (The final open session per user flushes only on a subsequent
+    * event — tests append a sentinel event per user to drain state.) */
+  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[SessionOut]
+          for (e <- sorted) {
+            val tsUs = tsMicros(e.ts)
+            if (st == null) {
+              st = SessionState(tsUs, tsUs, 1, e.value)
+            } else if (tsUs - st.last > GapMicros) {
+              out += SessionOut(userId, microsTs(st.start),
+                microsTs(st.last), st.n, math.round(st.total * 100.0) / 100.0)
+              st = SessionState(tsUs, tsUs, 1, e.value)
+            } else {
+              st = SessionState(st.start, tsUs, st.n + 1, st.total + e.value)
+            }
+          }
+          if (st != null) state.update(st) else state.remove()
+          out.result().iterator
+      }
+  }
+}

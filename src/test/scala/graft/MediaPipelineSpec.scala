@@ -1,0 +1,35 @@
+package graft
+
+import graft.multimodal.MediaPipeline
+
+/** The mapPartitions media plumbing agrees with the column-wise
+  * q39 features, and the batch decode is deterministic. */
+class MediaPipelineSpec extends SparkSpec {
+
+  test("mapPartitions features match column-wise q39 on doc_id/byte_len/checksum") {
+    val docs = Tables.t(spark, sf0001, "documents")
+    val viaPartitions = MediaPipeline.extractFeatures(MediaPipeline.fromDocuments(docs))
+      .select("doc_id", "byte_len", "checksum64")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2)))
+    val viaColumns = graft.operators.Multimodal.binaryFeatures(spark, sf0001)
+      .select("doc_id", "byte_len", "checksum64")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2)))
+    assert(viaPartitions.toSeq == viaColumns.toSeq)
+  }
+
+  test("frame sampling: one frame per 256-byte block") {
+    val bytes = Array.fill[Byte](700)(65)
+    val (_, frames) = MediaPipeline.fakeDecode(bytes)
+    assert(frames.length == 3) // offsets 0, 256, 512
+    assert(frames.forall(_ == 65))
+  }
+
+  test("decode is deterministic across invocations") {
+    val bytes = "hello multimodal world".getBytes("UTF-8")
+    assert(MediaPipeline.fakeDecode(bytes) == MediaPipeline.fakeDecode(bytes) ||
+      (MediaPipeline.fakeDecode(bytes)._1 == MediaPipeline.fakeDecode(bytes)._1 &&
+        MediaPipeline.fakeDecode(bytes)._2.toSeq == MediaPipeline.fakeDecode(bytes)._2.toSeq))
+  }
+}

@@ -57,16 +57,27 @@ object TextOps extends QueryModule {
 
   // ---- q21: minhash signatures -----------------------------------
 
-  /** q21 — MinHash signature per document: K lexicographic-min salted
-    * md5 hashes over the shingle set. One narrow map per doc — the
-    * signature replaces the document for all downstream similarity. */
-  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.t(s, dir, "documents")
-    val sh = shingles(col("text"))
-    val mins = (0 until K).map(i => minHash(sh, i).as(s"mh$i"))
-    d.select(col("doc_id") +: mins: _*)
-      .orderBy(col("doc_id"))
+  /** (doc_id, shingle) exploded rows — shingling computed ONCE here;
+    * inlining the shingle transform into each of the K minhash columns
+    * would make Catalyst's collapsed projection re-shingle per seed. */
+  private def shingleRows(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+
+  /** Per-doc MinHash signature from exploded shingle rows: one hash
+    * aggregation with K min() columns (LEFT JOIN keeps shingle-less
+    * docs as NULL signatures, mirroring the oracle). */
+  private def signatures(s: SparkSession, dir: String, sh: DataFrame): DataFrame = {
+    val mins = (0 until K).map(i =>
+      min(md5(concat(lit(s"$i|"), col("s")).cast(BinaryType))).as(s"mh$i"))
+    Tables.t(s, dir, "documents").select(col("doc_id"))
+      .join(sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*), Seq("doc_id"), "left")
   }
+
+  /** q21 — MinHash signature per document: K lexicographic-min salted
+    * md5 hashes over the shingle set. */
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame =
+    signatures(s, dir, shingleRows(s, dir)).orderBy(col("doc_id"))
 
   private val minhashSignaturesSql = {
     val mins = (0 until K).map(i => s"min(md5('$i|' || s)) AS mh$i").mkString(",\n       ")
@@ -83,20 +94,26 @@ object TextOps extends QueryModule {
   /** q22 — LSH banding: band signature = md5 of 2 adjacent minhashes;
     * docs sharing any band signature become candidate pairs. The join
     * is keyed on (band, signature) — bucket-local, never all-pairs. */
-  def lshCandidates(s: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(s, dir)
+  def lshCandidates(s: SparkSession, dir: String): DataFrame =
+    lshCandidatesFrom(signatures(s, dir, shingleRows(s, dir)))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Candidate pairs from a signature frame. The band frame is
+    * persisted before the self-join — both join sides would otherwise
+    * recompute the whole shingle+minhash chain. */
+  private def lshCandidatesFrom(sig: DataFrame): DataFrame = {
     val bands = (0 until BANDS).map { b =>
       sig.select(col("doc_id"),
         lit(b).as("band"),
         md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).cast(BinaryType)).as("band_sig"))
-    }.reduce(_.unionByName(_))
+    }.reduce(_.unionByName(_)).persist()
+    bands.count() // materialize so the self-join reads the cache
     val a = bands.alias("a")
     val b = bands.alias("b")
     a.join(b, col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig")
         && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   private val lshCandidatesSql = {
@@ -120,13 +137,13 @@ object TextOps extends QueryModule {
     * pairs (intersection via bucket join on shingle, union by
     * inclusion-exclusion). */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.t(s, dir, "documents")
-    val shingleRows = d.select(col("doc_id"), explode(shingles(col("text"))).as("s"))
-    val sizes = shingleRows.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = lshCandidates(s, dir)
+    val sh = shingleRows(s, dir).persist()
+    sh.count() // one shingling pass feeds sizes, signatures, and both intersection sides
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = lshCandidatesFrom(signatures(s, dir, sh))
     val inter = pairs
-      .join(shingleRows.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(shingleRows.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))

@@ -1,0 +1,128 @@
+package graft
+
+import graft.functions.Cleaning._
+import graft.operators.{DqChecks, Eda, GoldMarts}
+import graft.sources.LayerStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's `etl.py --layer all` orchestrator (SURVEY §3.1) as
+  * one Spark program with strict layer gating: silver runs only if
+  * bronze succeeded, gold only if silver, exactly like
+  * etl.py:109-125. Each layer is a set of full-refresh writes through
+  * LayerStore; the run summary mirrors etl.py:127-150.
+  *
+  * `sbt "runMain graft.Pipeline <sfDir> <outRoot>"`
+  */
+object Pipeline {
+
+  case class LayerResult(layer: String, ok: Boolean, tables: Long, rows: Long, seconds: Double)
+
+  def runBronze(spark: SparkSession, store: LayerStore, sfDir: String): LayerResult = timed("bronze") {
+    // upsert-style loads (S2): testdata stands in for the Sheets
+    // extract; latest-wins on the natural key makes re-runs idempotent
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val keyOf = Map("region" -> "r_regionkey", "nation" -> "n_nationkey",
+      "customer" -> "c_custkey", "supplier" -> "s_suppkey", "part" -> "p_partkey",
+      "orders" -> "o_orderkey", "events" -> "event_id", "documents" -> "doc_id",
+      "embeddings" -> "vec_id")
+    var rows = 0L
+    tables.foreach { t =>
+      val df = Tables.t(spark, sfDir, t)
+      rows += (t match {
+        case "lineitem" => // composite key fact
+          val (ins, _) = store.upsert("bronze", t, df,
+            Seq("l_orderkey", "l_linenumber"), "l_orderkey")
+          ins
+        case other =>
+          val (ins, _) = store.upsert("bronze", other, df, Seq(keyOf(other)), keyOf(other))
+          ins
+      })
+    }
+    (tables.size.toLong, rows)
+  }
+
+  def runSilver(spark: SparkSession, store: LayerStore): LayerResult = timed("silver") {
+    // clean + validate + split, from bronze (S3 scan -> S5 reload)
+    val o = store.table("bronze", "orders")
+    val cleanedOrders = o.select(
+      col("o_orderkey"), col("o_custkey"),
+      mapStatus(col("o_orderstatus"),
+        Map("fulfilled" -> Seq("f"), "open" -> Seq("o"), "partial" -> Seq("p"))).as("status"),
+      col("o_totalprice").cast(DecimalType(15, 4)).as("total_price"),
+      col("o_orderdate").cast(DateType).as("order_date"),
+      cleanText(col("o_orderpriority")).as("priority"))
+    val (clean, rejected) = (
+      cleanedOrders.filter(col("order_date").isNotNull && col("total_price") >= 0),
+      cleanedOrders.filter(col("order_date").isNull || col("total_price") < 0))
+    var rows = store.write("silver", "orders", clean)
+    store.write("audit", "rejected_orders",
+      rejected.withColumn("reject_reason", lit("invalid_date_or_price")))
+    val l = store.table("bronze", "lineitem")
+    rows += store.write("silver", "lineitem", l.filter(col("l_quantity") > 0))
+    (2L, rows)
+  }
+
+  def runGold(spark: SparkSession, store: LayerStore, sfDir: String): LayerResult = timed("gold") {
+    val marts = Seq(
+      "monthly_sales" -> GoldMarts.monthlySales(spark, sfDir),
+      "inventory_health" -> GoldMarts.inventoryHealth(spark, sfDir),
+      "supplier_monthly" -> GoldMarts.supplierMonthly(spark, sfDir),
+      "dashboard" -> GoldMarts.dashboard(spark, sfDir))
+    val counts = marts.map { case (name, df) => name -> store.write("gold", name, df) }
+    store.writeMetadata(counts.map { case (name, n) =>
+      (name, s"gold mart $name", Seq("orders", "lineitem", "part", "customer", "supplier"), n)
+    })
+    // the 12 DQ assertions run and are recorded; like the reference the
+    // pipeline reports failures in its summary rather than aborting
+    // (gold_builder.py:529-567). NB the lead-time check legitimately
+    // fires on this synthetic data (shipdate independent of orderdate).
+    val dq = DqChecks.dqChecks(spark, sfDir)
+    store.write("audit", "dq_results", dq)
+    val failed = dq.filter(!col("passed")).count()
+    if (failed > 0) System.err.println(s"[pipeline] $failed/12 gold DQ checks flagged violations (recorded in audit.dq_results)")
+    (marts.size.toLong + 1, counts.map(_._2).sum)
+  }
+
+  private def timed(layer: String)(body: => (Long, Long)): LayerResult = {
+    val t0 = System.nanoTime()
+    try {
+      val (tables, rows) = body
+      LayerResult(layer, ok = true, tables, rows, (System.nanoTime() - t0) / 1e9)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[pipeline] $layer failed: ${e.getMessage}")
+        LayerResult(layer, ok = false, 0, 0, (System.nanoTime() - t0) / 1e9)
+    }
+  }
+
+  /** Full pipeline with layer gating; returns per-layer results. */
+  def run(spark: SparkSession, sfDir: String, outRoot: String): Seq[LayerResult] = {
+    val store = new LayerStore(spark, outRoot)
+    val bronze = runBronze(spark, store, sfDir)
+    val silver = if (bronze.ok) runSilver(spark, store)
+      else LayerResult("silver", ok = false, 0, 0, 0)
+    val gold = if (silver.ok) runGold(spark, store, sfDir)
+      else LayerResult("gold", ok = false, 0, 0, 0)
+    Seq(bronze, silver, gold)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val outRoot = if (args.length > 1) args(1) else "/tmp/graft-pipeline"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val results = run(spark, sfDir, outRoot)
+    results.foreach(r => println(
+      f"[pipeline] ${r.layer}%-7s ok=${r.ok} tables=${r.tables} rows=${r.rows} ${r.seconds}%.1fs"))
+    spark.stop()
+    if (!results.forall(_.ok)) sys.exit(1)
+  }
+}

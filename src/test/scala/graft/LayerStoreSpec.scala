@@ -1,0 +1,75 @@
+package graft
+
+import graft.sources.LayerStore
+import graft.Pipeline
+import org.apache.spark.sql.functions._
+
+/** Write-path semantics: upsert idempotence + latest-wins, DDL clone,
+  * count verification, metadata catalog, SQL surface, teardown, and
+  * the full gated pipeline. */
+class LayerStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshStore(): (LayerStore, String) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-store").toString
+    (new LayerStore(spark, dir), dir)
+  }
+
+  test("upsert: latest-wins within batch, key merge across batches, idempotent") {
+    val (store, _) = freshStore()
+    val batch1 = Seq((1L, "a", 10L), (2L, "b", 10L), (2L, "b2", 11L)).toDF("id", "v", "ver")
+    val (ins1, upd1) = store.upsert("bronze", "t", batch1, Seq("id"), "ver")
+    assert((ins1, upd1) == (2L, 0L)) // in-batch dedup: id=2 keeps ver 11
+    assert(store.table("bronze", "t").filter($"id" === 2).select("v").as[String].head() == "b2")
+    val batch2 = Seq((2L, "b3", 12L), (3L, "c", 12L)).toDF("id", "v", "ver")
+    val (ins2, upd2) = store.upsert("bronze", "t", batch2, Seq("id"), "ver")
+    assert((ins2, upd2) == (1L, 1L))
+    // idempotent re-run of the same batch: no growth
+    val (ins3, upd3) = store.upsert("bronze", "t", batch2, Seq("id"), "ver")
+    assert(ins3 == 0L && store.table("bronze", "t").count() == 3)
+  }
+
+  test("ddl clone, count verification, metadata, sql surface") {
+    val (store, _) = freshStore()
+    val df = Seq((1L, "x")).toDF("id", "name")
+    store.write("silver", "demo", df)
+    assert(store.ddl("silver", "demo").contains("BIGINT"))
+    assert(store.verifyCounts(df, "silver", "demo"))
+    store.writeMetadata(Seq(("demo", "d", Seq("a", "b"), 1L)))
+    val meta = store.table("gold", "table_metadata")
+    assert(meta.select("source_tables").first().getSeq[String](0) == Seq("a", "b"))
+    assert(store.sql("SELECT count(*) AS n FROM silver_demo").as[Long].head() == 1L)
+  }
+
+  test("csv export round-trips") {
+    val (store, dir) = freshStore()
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    store.exportCsv(df, s"$dir/export")
+    val back = spark.read.option("header", "true").csv(s"$dir/export")
+    assert(back.count() == 2)
+  }
+
+  test("teardown removes all layers and verifies emptiness") {
+    val (store, _) = freshStore()
+    store.write("bronze", "x", Seq(1).toDF("a"))
+    store.write("gold", "y", Seq(1).toDF("a"))
+    assert(store.teardown())
+  }
+
+  test("full pipeline: gated layers all succeed on sf0.001") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pipe").toString
+    val results = Pipeline.run(spark, sf0001, dir)
+    assert(results.map(r => (r.layer, r.ok)) ==
+      Seq(("bronze", true), ("silver", true), ("gold", true)))
+    val store = new LayerStore(spark, dir)
+    assert(store.table("gold", "monthly_sales").count() > 0)
+    assert(store.table("gold", "table_metadata").count() == 4)
+    // all 12 checks recorded; the lead-time check legitimately fires
+    // on synthetic data (shipdate independent of orderdate)
+    assert(store.table("audit", "dq_results").count() == 12)
+    assert(store.table("audit", "dq_results").filter(!col("passed")).count() <= 1)
+    // ad-hoc SQL over the registered medallion views (S13)
+    assert(store.sql(
+      "SELECT count(*) FROM gold_dashboard WHERE region <> 'Unknown'").as[Long].head() > 0)
+  }
+}

@@ -128,6 +128,28 @@ object Eda extends QueryModule {
       |       count(1) AS total_rows
       |FROM lineitem""".stripMargin
 
+  /** q19 — J5: type-coercing equi-join (INT↔TEXT key, like the
+    * reference's CAST(rs.retail_store_id AS TEXT) = so.retail_store_id,
+    * bronze/database_setup.py:251), LEFT, with COALESCE default.
+    * Scale note: a cast on the join key defeats bucketing/pruning on
+    * that side — acceptable for dim-sized inputs, never for two facts. */
+  def castJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.t(s, dir, "customer")
+    val n = Tables.t(s, dir, "nation")
+    c.join(broadcast(n), col("c_nationkey").cast(StringType) === col("n_nationkey").cast(StringType), "left")
+      .groupBy(coalesce(col("n_name"), lit("Unknown")).as("nation"))
+      .agg(count(lit(1)).as("customers"),
+        moneySum(col("c_acctbal")).as("total_balance"))
+      .orderBy(col("nation"))
+  }
+
+  private val castJoinSql =
+    """SELECT coalesce(n_name, 'Unknown') AS nation, count(1) AS customers,
+      |       CAST(sum(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS total_balance
+      |FROM customer LEFT JOIN nation
+      |  ON CAST(c_nationkey AS VARCHAR) = CAST(n_nationkey AS VARCHAR)
+      |GROUP BY 1 ORDER BY nation""".stripMargin
+
   /** Shared moment sums for one numeric column: n, nulls, Σx..Σx⁴ as
     * exact decimals, min/max, distinct, exact percentiles. */
   private def momentStats(df: DataFrame, c: String): DataFrame = {
@@ -334,9 +356,11 @@ object Eda extends QueryModule {
     "q11_corr_matrix" -> corrMatrix,
     "q12_quantile_buckets" -> quantileBuckets,
     "q13_reconciliation" -> reconciliation,
-    "q14_latest_wins_upsert" -> latestWinsUpsert)
+    "q14_latest_wins_upsert" -> latestWinsUpsert,
+    "q19_cast_join" -> castJoin)
 
   override def oracles: Map[String, String] = Map(
+    "q19_cast_join" -> castJoinSql,
     "q05_topk_customers" -> topkCustomersSql,
     "q06_pagination" -> paginationSql,
     "q07_distinct_entities" -> distinctEntitiesSql,

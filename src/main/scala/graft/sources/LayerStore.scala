@@ -77,6 +77,26 @@ class LayerStore(spark: SparkSession, root: String) {
     }
   }
 
+  /** S9 — run-scoped overwrite: DELETE WHERE run_id = X then append
+    * (forecasting.py:86-105) as read-filter-union-overwrite. */
+  def overwriteRun(layer: String, name: String, df: DataFrame,
+    runCol: String, runId: String): Long = {
+    val existing =
+      try Some(table(layer, name)) catch { case _: Throwable => None }
+    val merged = existing match {
+      case None => df
+      case Some(old) =>
+        val kept = old.filter(col(runCol) =!= runId).persist()
+        kept.count()
+        kept.unionByName(df)
+    }
+    val staged = merged.persist()
+    staged.count()
+    val n = write(layer, name, staged)
+    staged.unpersist()
+    n
+  }
+
   def table(layer: String, name: String): DataFrame =
     spark.read.parquet(path(layer, name))
 

@@ -41,6 +41,17 @@ class LayerStoreSpec extends SparkSpec {
     assert(store.sql("SELECT count(*) AS n FROM silver_demo").as[Long].head() == 1L)
   }
 
+  test("run-scoped overwrite replaces only the run's rows") {
+    val (store, _) = freshStore()
+    val run1 = Seq(("r1", 1), ("r1", 2), ("r2", 3)).toDF("run_id", "v")
+    store.write("gold", "forecasts", run1)
+    val run1b = Seq(("r1", 9)).toDF("run_id", "v")
+    val n = store.overwriteRun("gold", "forecasts", run1b, "run_id", "r1")
+    assert(n == 2) // r2 row kept, r1 rows replaced by one
+    val vs = store.table("gold", "forecasts").orderBy("v").select("v").as[Int].collect().toSeq
+    assert(vs == Seq(3, 9))
+  }
+
   test("csv export round-trips") {
     val (store, dir) = freshStore()
     val df = Seq((1, "a"), (2, "b")).toDF("k", "v")

@@ -338,7 +338,19 @@ object TextOps extends QueryModule {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** q29 — rows-only (no fold primitive in the oracle dialect to
+    * mirror it): full-text 64-bit fingerprint via the native codegen
+    * PolyHash expression (graft.plans.PolyHash) — the whole-document
+    * rolling hash without char-gram explosion. Cross-checked against
+    * an independent implementation in PolyHashSpec. */
+  def polyFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.plans.PolyHash.poly_hash(col("text")).as("fingerprint64"))
+      .orderBy(col("doc_id"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_poly_fingerprint" -> polyFingerprint,
     "q20_dedup_exact" -> dedupExact,
     "q21_minhash_signatures" -> minhashSignatures,
     "q22_lsh_candidates" -> lshCandidates,

@@ -118,6 +118,21 @@ class LayerStore(spark: SparkSession, root: String) {
     write("gold", "table_metadata", df)
   }
 
+  /** Bucketed managed table: pre-shuffles data into `buckets` files
+    * per bucket column so equi-joins/aggregations on those keys read
+    * co-located and skip the shuffle entirely (the parquet analogue of
+    * the reference's FK b-tree indexes, SURVEY §4). Lives in the
+    * session catalog (saveAsTable is required for bucket metadata). */
+  def writeBucketed(layer: String, name: String, df: DataFrame,
+    buckets: Int, cols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, cols.head, cols.tail: _*)
+      .sortBy(cols.head, cols.tail: _*)
+      .saveAsTable(viewName(layer, name))
+
+  def bucketedTable(layer: String, name: String): DataFrame =
+    spark.table(viewName(layer, name))
+
   /** S12 — CSV export with header. */
   def exportCsv(df: DataFrame, out: String): Unit =
     df.coalesce(1).write.mode(SaveMode.Overwrite)

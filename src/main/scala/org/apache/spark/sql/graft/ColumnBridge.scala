@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column <-> Expression bridge. Spark 4 scoped these conversions
+  * private[sql]; third-party native expressions (graft.plans.*) reach
+  * them through this in-namespace shim — the standard pattern for
+  * Catalyst extension libraries. */
+object ColumnBridge {
+  def expr(c: Column): Expression = ExpressionUtils.expression(c)
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+}

@@ -14,7 +14,10 @@ class QuerySmokeSpec extends SparkSpec {
   }
 
   test("every query has oracle SQL (or is a declared rows-only op)") {
-    val rowsOnly = Set.empty[String] // grows only with justification
+    // q29: DuckDB 1.0 has no list-fold primitive to mirror a full-text
+    // rolling hash; value-pinned against an independent impl instead
+    // (PolyHashSpec) -> driver records the weaker rows-only check.
+    val rowsOnly = Set("q29_poly_fingerprint")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }

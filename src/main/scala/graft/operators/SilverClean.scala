@@ -299,13 +299,84 @@ object SilverClean extends QueryModule {
        |ORDER BY p_partkey""".stripMargin
   }
 
+  /** q40 — A6: daily order metrics with P3 regex-guarded casts: dirty
+    * string quantities pass a `^[0-9]+$` validity predicate BEFORE the
+    * cast (the reference's pre-cast guard pattern,
+    * bronze/database_setup.py:223-237); invalid rows counted but
+    * excluded from numeric aggregates. */
+  def dailyOrderMetrics(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.t(s, dir, "lineitem")
+    val key = col("l_orderkey") * lit(10) + col("l_linenumber")
+    val dirtyQty = when(pmod(key, lit(7)) === 0, lit("N/A"))
+      .when(pmod(key, lit(7)) === 1, concat(lit("-"), col("l_quantity").cast(IntegerType)))
+      .otherwise(col("l_quantity").cast(IntegerType).cast(StringType))
+    val guarded = when(dirtyQty.rlike("^[0-9]+$"), dirtyQty.cast(IntegerType))
+    l.select(col("l_shipdate").cast(DateType).as("ship_date"),
+        col("l_returnflag"), guarded.as("qty"), col("l_suppkey"))
+      .groupBy(col("ship_date"), col("l_returnflag"))
+      .agg(count(lit(1)).as("total_lines"),
+        count(col("qty")).as("valid_qty_lines"),
+        sum(col("qty")).as("total_qty"),
+        (sum(col("qty")).cast(DoubleType) / nullif(count(col("qty")).cast(DoubleType), lit(0.0))).as("avg_qty"),
+        countDistinct(col("l_suppkey")).as("distinct_suppliers"))
+      .orderBy(col("ship_date"), col("l_returnflag"))
+  }
+
+  private val dailyOrderMetricsSql =
+    """SELECT ship_date, l_returnflag,
+      |       count(1) AS total_lines,
+      |       count(qty) AS valid_qty_lines,
+      |       sum(qty) AS total_qty,
+      |       CAST(sum(qty) AS DOUBLE) / nullif(CAST(count(qty) AS DOUBLE), 0.0) AS avg_qty,
+      |       count(DISTINCT l_suppkey) AS distinct_suppliers
+      |FROM (
+      |  SELECT CAST(l_shipdate AS DATE) AS ship_date, l_returnflag, l_suppkey,
+      |         CASE WHEN regexp_matches(dirty_qty, '^[0-9]+$') THEN CAST(dirty_qty AS INTEGER) END AS qty
+      |  FROM (
+      |    SELECT *,
+      |           CASE WHEN (l_orderkey * 10 + l_linenumber) % 7 = 0 THEN 'N/A'
+      |                WHEN (l_orderkey * 10 + l_linenumber) % 7 = 1 THEN '-' || CAST(CAST(l_quantity AS INTEGER) AS VARCHAR)
+      |                ELSE CAST(CAST(l_quantity AS INTEGER) AS VARCHAR) END AS dirty_qty
+      |    FROM lineitem))
+      |GROUP BY 1, 2
+      |ORDER BY ship_date, l_returnflag""".stripMargin
+
+  /** q41 — A7: store-performance view: dims LEFT-joined to facts so
+    * storeless customers survive with NULL metrics, ranked with
+    * DESC NULLS LAST (bronze/database_setup.py:240-257). */
+  def storePerformance(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.t(s, dir, "customer")
+    val o = Tables.t(s, dir, "orders")
+    val l = Tables.t(s, dir, "lineitem")
+    val facts = o.join(l, col("o_orderkey") === col("l_orderkey"))
+    c.join(facts, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(col("o_orderkey")).as("order_lines"),
+        derivedSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc_nulls_last, col("c_custkey"))
+  }
+
+  private val storePerformanceSql =
+    """SELECT c_custkey, c_name,
+      |       count(o_orderkey) AS order_lines,
+      |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(32,4))) AS DOUBLE) AS revenue
+      |FROM customer
+      |LEFT JOIN (SELECT * FROM orders JOIN lineitem ON o_orderkey = l_orderkey) f
+      |  ON c_custkey = f.o_custkey
+      |GROUP BY 1, 2
+      |ORDER BY revenue DESC NULLS LAST, c_custkey""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_daily_order_metrics" -> dailyOrderMetrics,
+    "q41_store_performance" -> storePerformance,
     "q15_clean_supplier_text" -> cleanSupplierText,
     "q16_clean_order_fields" -> cleanOrderFields,
     "q17_rejection_split" -> rejectionSplit,
     "q18_category_parse" -> categoryParse)
 
   override def oracles: Map[String, String] = Map(
+    "q40_daily_order_metrics" -> dailyOrderMetricsSql,
+    "q41_store_performance" -> storePerformanceSql,
     "q15_clean_supplier_text" -> cleanSupplierTextSql,
     "q16_clean_order_fields" -> cleanOrderFieldsSql,
     "q17_rejection_split" -> rejectionSplitSql,

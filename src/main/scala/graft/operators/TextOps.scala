@@ -94,9 +94,11 @@ object TextOps extends QueryModule {
   /** q22 — LSH banding: band signature = md5 of 2 adjacent minhashes;
     * docs sharing any band signature become candidate pairs. The join
     * is keyed on (band, signature) — bucket-local, never all-pairs. */
-  def lshCandidates(s: SparkSession, dir: String): DataFrame =
+  def lshCandidates(s: SparkSession, dir: String): DataFrame = {
+    s.catalog.clearCache() // drop persisted frames of earlier queries
     lshCandidatesFrom(signatures(s, dir, shingleRows(s, dir)))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
 
   /** Candidate pairs from a signature frame. The band frame is
     * persisted before the self-join — both join sides would otherwise
@@ -137,6 +139,7 @@ object TextOps extends QueryModule {
     * pairs (intersection via bucket join on shingle, union by
     * inclusion-exclusion). */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    s.catalog.clearCache() // drop persisted frames of earlier queries
     val sh = shingleRows(s, dir).persist()
     sh.count() // one shingling pass feeds sizes, signatures, and both intersection sides
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))

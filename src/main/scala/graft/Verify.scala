@@ -20,6 +20,12 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // remove any stale output from a previous run — it would mask
+        // this failure as a (wrong-looking or spuriously-passing) result
+        try {
+          val dir = new java.io.File(s"$outDir/$name")
+          if (dir.exists) { dir.listFiles.foreach(_.delete()); dir.delete() }
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -124,11 +124,21 @@ class LayerStore(spark: SparkSession, root: String) {
     * the reference's FK b-tree indexes, SURVEY §4). Lives in the
     * session catalog (saveAsTable is required for bucket metadata). */
   def writeBucketed(layer: String, name: String, df: DataFrame,
-    buckets: Int, cols: Seq[String]): Unit =
+    buckets: Int, cols: Seq[String]): Unit = {
+    val view = viewName(layer, name)
+    // the in-memory catalog forgets tables across JVMs but their
+    // warehouse directories persist — drop both or saveAsTable
+    // refuses with LOCATION_ALREADY_EXISTS
+    spark.sql(s"DROP TABLE IF EXISTS $view")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(s"$warehouse/$view")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, cols.head, cols.tail: _*)
       .sortBy(cols.head, cols.tail: _*)
-      .saveAsTable(viewName(layer, name))
+      .saveAsTable(view)
+  }
 
   def bucketedTable(layer: String, name: String): DataFrame =
     spark.table(viewName(layer, name))

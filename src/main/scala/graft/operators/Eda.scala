@@ -150,6 +150,35 @@ object Eda extends QueryModule {
       |  ON CAST(c_nationkey AS VARCHAR) = CAST(n_nationkey AS VARCHAR)
       |GROUP BY 1 ORDER BY nation""".stripMargin
 
+  /** q42 — A11's categorical piece: per-column mode via
+    * groupBy-count + rank, deterministic tiebreak on the value itself
+    * (engine mode() builtins tiebreak differently — the explicit
+    * window is portable). */
+  def categoricalMode(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = Tables.t(s, dir, "lineitem")
+    val o = Tables.t(s, dir, "orders")
+    val counted = l.groupBy(lit("l_returnflag").as("column_name"), col("l_returnflag").as("value")).count()
+      .unionByName(l.groupBy(lit("l_linestatus").as("column_name"), col("l_linestatus").as("value")).count())
+      .unionByName(o.groupBy(lit("o_orderpriority").as("column_name"), col("o_orderpriority").as("value")).count())
+    val w = Window.partitionBy(col("column_name")).orderBy(col("count").desc, col("value"))
+    counted.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("column_name"), col("value").as("mode_value"), col("count").as("mode_count"))
+      .orderBy(col("column_name"))
+  }
+
+  private val categoricalModeSql =
+    """SELECT column_name, value AS mode_value, count AS mode_count FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY column_name ORDER BY count DESC, value) AS rn
+      |  FROM (
+      |    SELECT 'l_returnflag' AS column_name, l_returnflag AS value, count(*) AS count FROM lineitem GROUP BY 2
+      |    UNION ALL
+      |    SELECT 'l_linestatus', l_linestatus, count(*) FROM lineitem GROUP BY 2
+      |    UNION ALL
+      |    SELECT 'o_orderpriority', o_orderpriority, count(*) FROM orders GROUP BY 2))
+      |WHERE rn = 1 ORDER BY column_name""".stripMargin
+
   /** Shared moment sums for one numeric column: n, nulls, Σx..Σx⁴ as
     * exact decimals, min/max, distinct, exact percentiles. */
   private def momentStats(df: DataFrame, c: String): DataFrame = {
@@ -357,10 +386,12 @@ object Eda extends QueryModule {
     "q12_quantile_buckets" -> quantileBuckets,
     "q13_reconciliation" -> reconciliation,
     "q14_latest_wins_upsert" -> latestWinsUpsert,
-    "q19_cast_join" -> castJoin)
+    "q19_cast_join" -> castJoin,
+    "q42_categorical_mode" -> categoricalMode)
 
   override def oracles: Map[String, String] = Map(
     "q19_cast_join" -> castJoinSql,
+    "q42_categorical_mode" -> categoricalModeSql,
     "q05_topk_customers" -> topkCustomersSql,
     "q06_pagination" -> paginationSql,
     "q07_distinct_entities" -> distinctEntitiesSql,

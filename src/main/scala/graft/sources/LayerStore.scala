@@ -143,6 +143,18 @@ class LayerStore(spark: SparkSession, root: String) {
   def bucketedTable(layer: String, name: String): DataFrame =
     spark.table(viewName(layer, name))
 
+  /** Partitioned layout: one directory per partition value so
+    * predicates on the partition column prune entire directories at
+    * planning time (the reference's date-index analogue; SURVEY §4 —
+    * e.g. gold dashboard partitioned by order_year_month). */
+  def writePartitioned(layer: String, name: String, df: DataFrame,
+    partitionCols: Seq[String]): Unit = {
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(s"$root/$layer/$name")
+    table(layer, name).createOrReplaceTempView(viewName(layer, name))
+  }
+
   /** S12 — CSV export with header. */
   def exportCsv(df: DataFrame, out: String): Unit =
     df.coalesce(1).write.mode(SaveMode.Overwrite)

@@ -26,6 +26,24 @@ class ScaleSpec extends SparkSpec {
     assert(spread == 8)
   }
 
+  test("partitioned write prunes directories at planning time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val store = new LayerStore(spark, dir)
+    val dash = Tables.t(spark, sf0001, "orders")
+      .withColumn("order_year", year($"o_orderdate"))
+    store.writePartitioned("gold", "orders_by_year", dash, Seq("order_year"))
+    // one directory per year on disk
+    val years = new java.io.File(s"$dir/gold/orders_by_year")
+      .listFiles.filter(_.getName.startsWith("order_year=")).map(_.getName).sorted
+    assert(years.length >= 5 && years.head == "order_year=1995")
+    val filtered = store.table("gold", "orders_by_year").filter($"order_year" === 1997)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(order_year"),
+      s"expected partition pruning in:\n$plan")
+    val full = store.table("gold", "orders_by_year")
+    assert(filtered.count() > 0 && filtered.count() < full.count())
+  }
+
   test("bucketed co-located join plans without a shuffle") {
     // bucketed tables are managed: they live under the (gitignored)
     // default warehouse dir; the store root only hosts plain layers

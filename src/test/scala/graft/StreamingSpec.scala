@@ -34,6 +34,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("watermark drops late data in append mode") {
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("graft-late").toString
+    def ts(m: Int, s: Int = 0) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:$s%02d")
+    def writeBatch(n: Int, rows: Seq[Event]): Unit =
+      rows.toDF().write.parquet(s"$dir/in/b$n")
+    // batch 1: three events inside window [00:00, 00:05)
+    writeBatch(1, Seq(Event(1, ts(1), 1, "view", 1.0),
+      Event(2, ts(2), 1, "view", 1.0), Event(3, ts(3), 1, "view", 1.0)))
+    val schema = spark.read.parquet(s"$dir/in/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*")
+    val q = StreamingPipeline.windowedCounts(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    q.processAllAvailable()
+    // batch 2: an event at 00:55 pushes the watermark (10 min lag) to
+    // 00:45 — the first window finalizes and emits
+    writeBatch(2, Seq(Event(4, ts(55), 1, "view", 1.0)))
+    q.processAllAvailable()
+    // batch 3: a LATE event back inside the finalized window -> dropped
+    writeBatch(3, Seq(Event(5, ts(4), 1, "view", 1.0)))
+    q.processAllAvailable()
+    q.stop()
+    val w1 = spark.table("late_out")
+      .filter($"window_start" === ts(0)).select("n_events").collect()
+    assert(w1.length == 1 && w1.head.getLong(0) == 3,
+      "late event must not re-open the finalized window")
+    // contrast: batch semantics (no watermark) count all 4
+    val batchCount = spark.read.parquet(s"$dir/in/*")
+      .groupBy(window($"ts", "5 minutes")).count()
+      .filter($"window.start" === ts(0)).select("count").as[Long].head()
+    assert(batchCount == 4)
+  }
+
   test("stateful streaming sessionization == batch sessionization") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
     val ev = eventsDf

@@ -199,24 +199,25 @@ object Eda extends QueryModule {
         lit(c).as("column_name"), col("n"), col("nulls"),
         col("min_value"), col("max_value"), col("distinct_count"),
         col("q25"), col("median"), col("q75"),
-        (col("s1").cast(DoubleType) / col("n")).as("mean"),
-        sqrt((col("s2").cast(DoubleType) - col("s1").cast(DoubleType) * col("s1").cast(DoubleType) / col("n")) / (col("n") - lit(1))).as("stddev"),
+        snapRound(col("s1").cast(DoubleType) / col("n"), 6).as("mean"),
+        snapRound(sqrt((col("s2").cast(DoubleType) - col("s1").cast(DoubleType) * col("s1").cast(DoubleType) / col("n")) / (col("n") - lit(1))), 6).as("stddev"),
         // population moments for skew/kurtosis — fixed formula from
         // exact sums, sqrt(m2)*m2 (not pow) keeps it IEEE-deterministic
         ((col("s3").cast(DoubleType) / col("n")
           - lit(3.0) * (col("s1").cast(DoubleType) / col("n")) * (col("s2").cast(DoubleType) / col("n"))
           + lit(2.0) * (col("s1").cast(DoubleType) / col("n")) * (col("s1").cast(DoubleType) / col("n")) * (col("s1").cast(DoubleType) / col("n")))
           / (sqrt(col("s2").cast(DoubleType) / col("n") - (col("s1").cast(DoubleType) / col("n")) * (col("s1").cast(DoubleType) / col("n")))
-            * (col("s2").cast(DoubleType) / col("n") - (col("s1").cast(DoubleType) / col("n")) * (col("s1").cast(DoubleType) / col("n"))))).as("skewness"))
+            * (col("s2").cast(DoubleType) / col("n") - (col("s1").cast(DoubleType) / col("n")) * (col("s1").cast(DoubleType) / col("n"))))).as("skew_raw"))
+      .withColumn("skewness", snapRound(col("skew_raw"), 9)).drop("skew_raw")
   }
 
   private def momentStatsSql(c: String): String =
     s"""SELECT '$c' AS column_name, n, nulls, min_value, max_value, distinct_count,
        |       q25, median, q75,
-       |       s1 / n AS mean,
-       |       sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev,
-       |       (s3 / n - 3.0 * (s1 / n) * (s2 / n) + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
-       |         / (sqrt(s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n))) AS skewness
+       |       CAST(round(CAST(s1 / n AS DECIMAL(30,10)), 6) AS DOUBLE) AS mean,
+       |       CAST(round(CAST(sqrt((s2 - s1 * s1 / n) / (n - 1)) AS DECIMAL(30,10)), 6) AS DOUBLE) AS stddev,
+       |       CAST(round(CAST((s3 / n - 3.0 * (s1 / n) * (s2 / n) + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
+       |         / (sqrt(s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n))) AS DECIMAL(30,13)), 9) AS DOUBLE) AS skewness
        |FROM (SELECT count($c) AS n, count(1) - count($c) AS nulls,
        |             CAST(sum(CAST($c AS DECIMAL(38,8))) AS DOUBLE) AS s1,
        |             CAST(sum(CAST($c * $c AS DECIMAL(38,8))) AS DOUBLE) AS s2,
@@ -260,7 +261,8 @@ object Eda extends QueryModule {
         .select(lit(a).as("col_a"), lit(b).as("col_b"),
           ((col("n") * col("sxy").cast(DoubleType) - col("sx").cast(DoubleType) * col("sy").cast(DoubleType))
             / (sqrt(col("n") * col("sxx").cast(DoubleType) - col("sx").cast(DoubleType) * col("sx").cast(DoubleType))
-              * sqrt(col("n") * col("syy").cast(DoubleType) - col("sy").cast(DoubleType) * col("sy").cast(DoubleType)))).as("pearson_r"))
+              * sqrt(col("n") * col("syy").cast(DoubleType) - col("sy").cast(DoubleType) * col("sy").cast(DoubleType)))).as("r_raw"))
+        .select(col("col_a"), col("col_b"), snapRound(col("r_raw"), 9).as("pearson_r"))
     }.reduce(_.unionByName(_)).orderBy(col("col_a"), col("col_b"))
   }
 
@@ -269,7 +271,7 @@ object Eda extends QueryModule {
     val pairs = for { i <- cols.indices; j <- cols.indices if i < j } yield (cols(i), cols(j))
     pairs.map { case (a, b) =>
       s"""SELECT '$a' AS col_a, '$b' AS col_b,
-         |       (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS pearson_r
+         |       CAST(round(CAST((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS DECIMAL(30,13)), 9) AS DOUBLE) AS pearson_r
          |FROM (SELECT count(1) AS n,
          |             CAST(sum(CAST($a AS DECIMAL(38,8))) AS DOUBLE) AS sx,
          |             CAST(sum(CAST($b AS DECIMAL(38,8))) AS DOUBLE) AS sy,

@@ -121,7 +121,10 @@ object Forecast extends QueryModule {
     * (day-index, y) from exact sums, projected 4 weeks ahead, with
     * the reference's 0.8/1.2 default bounds. */
   def forecastLinear(s: SparkSession, dir: String): DataFrame = {
-    val dec = DecimalType(38, 8)
+    // scale 2 keeps sums exact for 2-dp y AND keeps the scaled integer
+    // below 2^53 at much larger SFs (decimal->double conversion of
+    // wider sums rounds differently across engines)
+    val dec = DecimalType(38, 2)
     val wk = weekly(s, dir)
       .withColumn("x", datediff(col("week"), lit("1995-01-02").cast(DateType)).cast(LongType))
     val fit = wk.groupBy(col("entity")).agg(
@@ -156,9 +159,9 @@ object Forecast extends QueryModule {
        |              CAST(date_diff('day', DATE '1995-01-02', week) AS BIGINT) AS x FROM wk),
        |fit AS (
        |  SELECT entity, count(1) AS n, sum(x) AS sx,
-       |         CAST(sum(CAST(y AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+       |         CAST(sum(CAST(y AS DECIMAL(38,2))) AS DOUBLE) AS sy,
        |         sum(x * x) AS sxx,
-       |         CAST(sum(CAST(CAST(x AS DOUBLE) * y AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+       |         CAST(sum(CAST(CAST(x AS DOUBLE) * y AS DECIMAL(38,2))) AS DOUBLE) AS sxy,
        |         max(week) AS last_week
        |  FROM xy GROUP BY 1),
        |params AS (

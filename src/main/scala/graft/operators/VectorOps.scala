@@ -13,12 +13,12 @@ import org.apache.spark.sql.expressions.Window
   * Shape: the query side (fixed small set) broadcasts against the
   * collection; dot products are array-local `zip_with` folds — one
   * narrow pass per (query, candidate) pair, no per-dimension shuffle.
-  * Top-k is a per-query rank window. The IVF variant (q31) restricts
-  * the pair join to the query's cluster (label = precomputed coarse
-  * quantizer assignment), cutting candidates by the cluster fan-out —
-  * the standard ANN scale path. At real scale the broadcast side is
-  * the query batch (bounded), the collection streams — exactly this
-  * plan.
+  * Top-k is a per-query rank window. Three search modes: q30
+  * brute-force (correctness baseline), q31 attribute-filtered (label
+  * predicate — a tenant/category constraint), q43 true IVF (sampled
+  * coarse quantizer + cell-restricted search — the geometric scale
+  * path). At real scale the broadcast side is the query batch
+  * (bounded), the collection streams — exactly these plans.
   *
   * Determinism: per-element products stay double (IEEE-identical in
   * both engines); the fold accumulates into DECIMAL(38,20) — exact
@@ -70,10 +70,91 @@ object VectorOps extends QueryModule {
   def cosineTopk(s: SparkSession, dir: String): DataFrame =
     topk(s, dir, sameCluster = false, k = 5)
 
-  /** q31 — IVF-style ANN: search only the query's own cluster
-    * (label = precomputed coarse-quantizer assignment). */
-  def annIvf(s: SparkSession, dir: String): DataFrame =
+  /** q31 — attribute-filtered ANN: search restricted to the query's
+    * metadata partition (label). This is FILTERED vector search (a
+    * tenant/category constraint), not a geometric quantizer — the
+    * labels are class labels, not spatial cells (ScaleSpec measured
+    * only 37% label-centroid agreement). The geometric variant is
+    * q43. */
+  def annFiltered(s: SparkSession, dir: String): DataFrame =
     topk(s, dir, sameCluster = true, k = 3)
+
+  private val N_CELLS = 8
+
+  /** q43 — true IVF: a sampled coarse quantizer (the first N_CELLS
+    * vectors are the centroids), one assignment pass (argmax cosine,
+    * deterministic tiebreak), then top-k search restricted to the
+    * query's cell. Probe = 1; recall vs q30 is measured in
+    * VectorRecallSpec. At scale: assignment is a broadcast of
+    * N_CELLS centroids against the streaming collection; search
+    * shuffles once on cell id. */
+  def annIvfSampled(s: SparkSession, dir: String): DataFrame = {
+    val all = withNorm(Tables.t(s, dir, "embeddings"))
+    val cents = all.filter(col("vec_id") < N_CELLS)
+      .select(col("vec_id").as("centroid_id"), col("e").as("ce"), col("norm2").as("cnorm2"))
+    val sim = (decSum(zip_with(col("e"), col("ce"), (x, y) => x * y)).cast(DoubleType)
+      / (sqrt(col("norm2")) * sqrt(col("cnorm2")))).as("csim")
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("centroid_id"))
+    val assigned = all.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("e"), col("norm2"), col("centroid_id"), sim)
+      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("e"), col("norm2"), col("centroid_id").as("cell"))
+    val q = assigned.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("qid"), col("e").as("qe"),
+        col("norm2").as("qnorm2"), col("cell").as("qcell"))
+    val c = assigned.select(col("vec_id").as("cid"), col("e").as("ce2"),
+      col("norm2").as("cnorm22"), col("cell").as("ccell"))
+    val dot = decSum(zip_with(col("qe"), col("ce2"), (x, y) => x * y)).cast(DoubleType)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine_raw").desc, col("cid"))
+    c.join(broadcast(q), (col("qcell") === col("ccell")) && (col("qid") !== col("cid")))
+      .select(col("qid"), col("cid"),
+        (dot / (sqrt(col("qnorm2")) * sqrt(col("cnorm22")))).as("cosine_raw"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("cid").as("neighbor_id"), snapRound(col("cosine_raw"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val annIvfSampledSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+       |         unnest(generate_series(1, len(embedding))) AS pos
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, CAST(sum(CAST(x * x AS DECIMAL(38,20))) AS DOUBLE) AS norm2
+       |  FROM e GROUP BY vec_id),
+       |csim AS (
+       |  SELECT v.vec_id, c.vec_id AS centroid_id,
+       |         CAST(sum(CAST(v.x * c.x AS DECIMAL(38,20))) AS DOUBLE)
+       |           / (sqrt(vn.norm2) * sqrt(cn.norm2)) AS csim
+       |  FROM e v JOIN e c ON v.pos = c.pos AND c.vec_id < $N_CELLS
+       |  JOIN n vn ON v.vec_id = vn.vec_id
+       |  JOIN n cn ON c.vec_id = cn.vec_id
+       |  GROUP BY v.vec_id, c.vec_id, vn.norm2, cn.norm2),
+       |assigned AS (
+       |  SELECT vec_id, centroid_id AS cell FROM (
+       |    SELECT vec_id, centroid_id,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id) AS rn
+       |    FROM csim) WHERE rn = 1),
+       |dots AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |         CAST(sum(CAST(q.x * c.x AS DECIMAL(38,20))) AS DOUBLE) AS dot
+       |  FROM e q JOIN e c ON q.pos = c.pos AND q.vec_id <> c.vec_id
+       |  JOIN assigned qa ON q.vec_id = qa.vec_id
+       |  JOIN assigned ca ON c.vec_id = ca.vec_id AND qa.cell = ca.cell
+       |  WHERE q.vec_id < $N_QUERIES
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT qid, cid, dot / (sqrt(qn.norm2) * sqrt(cn.norm2)) AS cosine_raw,
+       |         row_number() OVER (PARTITION BY qid ORDER BY dot / (sqrt(qn.norm2) * sqrt(cn.norm2)) DESC, cid) AS rank
+       |  FROM dots
+       |  JOIN n qn ON qid = qn.vec_id
+       |  JOIN n cn ON cid = cn.vec_id)
+       |SELECT qid AS query_id, rank, cid AS neighbor_id,
+       |       ${snapRoundSql("cosine_raw", 6)} AS cosine
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
 
   private def topkSql(sameCluster: Boolean, k: Int): String = {
     val clusterPred = if (sameCluster) "AND q.label = c.label" else ""
@@ -105,9 +186,11 @@ object VectorOps extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_cosine_topk" -> cosineTopk,
-    "q31_ann_ivf" -> annIvf)
+    "q31_ann_filtered" -> annFiltered,
+    "q43_ann_ivf_sampled" -> annIvfSampled)
 
   override def oracles: Map[String, String] = Map(
     "q30_cosine_topk" -> topkSql(sameCluster = false, 5),
-    "q31_ann_ivf" -> topkSql(sameCluster = true, 3))
+    "q31_ann_filtered" -> topkSql(sameCluster = true, 3),
+    "q43_ann_ivf_sampled" -> annIvfSampledSql)
 }

@@ -18,6 +18,23 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** Two-stage aggregation for hot grouping keys: partial-aggregate on
+    * (key, salt) first so one hot key's rows spread over `salts`
+    * reducers, then combine the partials. Valid for decomposable
+    * aggregates (sum/count/min/max — pass the combine column map).
+    * Catalyst's own partial aggregation covers most cases; this is for
+    * explicit control when a single reducer key would still bottleneck
+    * (e.g. high-cardinality payloads per hot key). */
+  def saltedSum(df: DataFrame, key: String, valueCol: String, salts: Int): DataFrame = {
+    val partial = df
+      .withColumn("__salt", pmod(hash(col(valueCol)), lit(salts)))
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(col(valueCol)).as("__partial_sum"), count(lit(1)).as("__partial_n"))
+    partial.groupBy(col(key))
+      .agg(sum(col("__partial_sum")).as(s"sum_$valueCol"),
+        sum(col("__partial_n")).as("count"))
+  }
+
   def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
     dimKey: String, salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0)

@@ -50,6 +50,29 @@ object StreamingPipeline {
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup: drop events already seen within the
+    * watermark horizon (state = seen keys, bounded by the watermark —
+    * the streaming face of the LLM-pipeline dedup family). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Streaming bronze ingest: micro-batches land in the medallion
+    * store through the same latest-wins upsert the batch loader uses
+    * (S2) — one code path for batch and streaming writes. Returns the
+    * started query; caller owns lifecycle. */
+  def bronzeIngest(events: DataFrame, store: graft.sources.LayerStore,
+    table: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        store.upsert("bronze", table, batch.toDF(), Seq("event_id"), "event_id")
+        ()
+      }
+      .start()
+
   /** Stateful gap-based sessionization (30-min inactivity) via
     * flatMapGroupsWithState. A session closes when a later event
     * arrives past the gap; the closing event starts the next session.

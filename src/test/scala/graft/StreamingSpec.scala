@@ -34,6 +34,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming dedup drops duplicate event ids within the watermark") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup").toString
+    val base = eventsDf.select("event_id", "ts", "user_id", "event_type", "value").limit(50)
+    // duplicate every event once (same id) — streaming dedup must halve it
+    base.unionByName(base).write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val q = StreamingPipeline.dedupStream(stream)
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("dedup_out").count() == 50)
+    assert(spark.table("dedup_out").select("event_id").distinct().count() == 50)
+  }
+
+  test("streaming bronze ingest lands micro-batches via the batch upsert path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val store = new graft.sources.LayerStore(spark, s"$dir/store")
+    val batch1 = eventsDf.select("event_id", "ts", "user_id", "event_type", "value").limit(30)
+    batch1.write.parquet(s"$dir/in/b1")
+    val schema = spark.read.parquet(s"$dir/in/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*")
+    val q = StreamingPipeline.bronzeIngest(stream, store, "events", s"$dir/ckpt")
+    q.processAllAvailable()
+    assert(store.table("bronze", "events").count() == 30)
+    // second micro-batch: 10 overlapping ids + 10 new -> idempotent merge
+    val batch2 = eventsDf.select("event_id", "ts", "user_id", "event_type", "value")
+      .filter($"event_id" >= 20 && $"event_id" < 40)
+    batch2.write.parquet(s"$dir/in/b2")
+    q.processAllAvailable(); q.stop()
+    assert(store.table("bronze", "events").count() == 40)
+  }
+
   test("watermark drops late data in append mode") {
     import java.sql.Timestamp
     val dir = java.nio.file.Files.createTempDirectory("graft-late").toString

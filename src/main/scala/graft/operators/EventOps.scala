@@ -82,11 +82,66 @@ object EventOps extends QueryModule {
       |GROUP BY 1, 2
       |ORDER BY user_id, session_seq""".stripMargin
 
+  /** q44 — JSON metadata extraction: events.props is a JSON string;
+    * pull a typed field out, bucket it, aggregate. (The reference
+    * only ever SERIALIZES json — to_json payloads,
+    * silver/silver_builder.py:464-469; parsing is the beyond-reference
+    * direction every metadata-rich pipeline needs.) */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+      .groupBy(col("event_type"), floor(col("k") / lit(10.0)).cast(IntegerType).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"), col("k_bucket"))
+
+  private val jsonExtractSql =
+    """SELECT event_type, CAST(floor(CAST(json_extract_string(props, '$.k') AS INTEGER) / 10.0) AS INTEGER) AS k_bucket,
+      |       count(1) AS n,
+      |       min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+      |       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY event_type, k_bucket""".stripMargin
+
+  /** q45 — ROLLUP hierarchy totals (region → segment → grand total)
+    * with grouping ids: subtotal semantics the reference approximates
+    * with separate queries; one pass here. */
+  def rollupSales(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.t(s, dir, "orders")
+    val c = Tables.t(s, dir, "customer")
+    val n = Tables.t(s, dir, "nation")
+    val r = Tables.t(s, dir, "region")
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("orders"),
+        moneySum(col("o_totalprice")).as("total_price"),
+        grouping_id().as("grouping_level"))
+      .orderBy(col("grouping_level"), col("r_name"), col("c_mktsegment"))
+  }
+
+  private val rollupSalesSql =
+    """SELECT r_name, c_mktsegment, count(1) AS orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total_price,
+      |       GROUPING(r_name) * 2 + GROUPING(c_mktsegment) AS grouping_level
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, c_mktsegment)
+      |ORDER BY grouping_level, r_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_event_windows" -> eventWindows,
-    "q33_sessionize" -> sessionize)
+    "q33_sessionize" -> sessionize,
+    "q44_json_extract" -> jsonExtract,
+    "q45_rollup_sales" -> rollupSales)
 
   override def oracles: Map[String, String] = Map(
     "q32_event_windows" -> eventWindowsSql,
-    "q33_sessionize" -> sessionizeSql)
+    "q33_sessionize" -> sessionizeSql,
+    "q44_json_extract" -> jsonExtractSql,
+    "q45_rollup_sales" -> rollupSalesSql)
 }

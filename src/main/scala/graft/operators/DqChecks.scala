@@ -1,80 +1,88 @@
 package graft.operators
 
-import graft.{QueryModule, Tables}
-import graft.util.Parity._
+import graft.QueryModule
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** The reference's 12 named gold assertion checks
   * (gold/gold_builder.py:465-527) as a reusable DQ module: each check
-  * is a violation-count query; pass ⇔ zero violations. This is
-  * product surface, not test scaffolding (SURVEY §5) — the checks run
-  * over the live gold marts.
+  * is a violation count; pass ⇔ zero violations. This is product
+  * surface, not test scaffolding (SURVEY §5).
+  *
+  * Shape: ONE aggregation pass per mart computes every check's
+  * violation count as a conditional-count column, then the row of
+  * counts unpivots to (check_name, violations) — 12 checks cost 2
+  * mart scans, not 12 (the naive union-of-aggregates plan had 69
+  * exchanges; this has ~12).
   */
 object DqChecks extends QueryModule {
 
-  /** q38 — all checks, one row each: name, violations, passed. */
-  def dqChecks(s: SparkSession, dir: String): DataFrame = {
-    val sales = GoldMarts.monthlySales(s, dir)
-    val sup = GoldMarts.supplierMonthly(s, dir)
+  private val anchorDate = "2002-01-01"
 
-    def check(df: DataFrame, name: String, violation: Column): DataFrame =
-      df.agg(count(when(violation, 1)).as("violations"))
-        .select(lit(name).as("check_name"), col("violations"),
-          (col("violations") === 0).as("passed"))
+  private val salesChecks: Seq[(String, Column)] = Seq(
+    "sales_revenue_non_negative" -> (col("total_revenue") < 0),
+    "sales_no_future_months" -> (col("sales_month") > lit(anchorDate).cast(DateType)),
+    "sales_quantity_positive" -> (col("total_quantity") <= 0),
+    "sales_orders_positive" -> (col("total_orders") <= 0),
+    "sales_revenue_per_unit_consistent" ->
+      (abs(col("revenue_per_unit") * col("total_quantity") - col("total_revenue")) > lit(1.0) * col("total_quantity")),
+    "sales_active_customers_bound" -> (col("active_customers") > col("total_orders")))
 
-    val anchor = lit("2002-01-01").cast(DateType)
-    val checks = Seq(
-      check(sales, "sales_revenue_non_negative", col("total_revenue") < 0),
-      check(sales, "sales_no_future_months", col("sales_month") > anchor),
-      check(sales, "sales_quantity_positive", col("total_quantity") <= 0),
-      check(sales, "sales_orders_positive", col("total_orders") <= 0),
-      check(sales, "sales_revenue_per_unit_consistent",
-        abs(col("revenue_per_unit") * col("total_quantity") - col("total_revenue")) > lit(1.0) * col("total_quantity")),
-      check(sales, "sales_active_customers_bound", col("active_customers") > col("total_orders")),
-      check(sup, "supplier_lead_time_non_negative", col("avg_lead_time_days") < 0),
-      check(sup, "supplier_on_time_rate_bounds", col("on_time_rate") < 0 || col("on_time_rate") > 100),
-      check(sup, "supplier_in_full_rate_bounds", col("in_full_rate") < 0 || col("in_full_rate") > 100),
-      check(sup, "supplier_quantity_positive", col("total_quantity") <= 0),
-      check(sup, "supplier_value_non_negative", col("total_value") < 0),
-      check(sup, "supplier_lines_cover_orders", col("total_orders") > col("total_lines")))
-    checks.reduce(_.unionByName(_)).orderBy(col("check_name"))
+  private val supChecks: Seq[(String, Column)] = Seq(
+    "supplier_lead_time_non_negative" -> (col("avg_lead_time_days") < 0),
+    "supplier_on_time_rate_bounds" -> (col("on_time_rate") < 0 || col("on_time_rate") > 100),
+    "supplier_in_full_rate_bounds" -> (col("in_full_rate") < 0 || col("in_full_rate") > 100),
+    "supplier_quantity_positive" -> (col("total_quantity") <= 0),
+    "supplier_value_non_negative" -> (col("total_value") < 0),
+    "supplier_lines_cover_orders" -> (col("total_orders") > col("total_lines")))
+
+  private def checkRows(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    val counted = df.agg(
+      count(when(checks.head._2, 1)).as(checks.head._1),
+      checks.tail.map { case (name, cond) => count(when(cond, 1)).as(name) }: _*)
+    val stackArgs = checks.map { case (name, _) => s"'$name', $name" }.mkString(", ")
+    counted.select(expr(
+      s"stack(${checks.size}, $stackArgs) AS (check_name, violations)"))
   }
 
+  /** q38 — all checks, one row each: name, violations, passed. */
+  def dqChecks(s: SparkSession, dir: String): DataFrame =
+    checkRows(GoldMarts.monthlySales(s, dir), salesChecks)
+      .unionByName(checkRows(GoldMarts.supplierMonthly(s, dir), supChecks))
+      .withColumn("passed", col("violations") === 0)
+      .orderBy(col("check_name"))
+
   private val dqChecksSql = {
-    // run the checks over the same mart SQL the oracle uses for q01/q03
     val salesCte = GoldMarts.oracles("q01_monthly_sales")
     val supCte = GoldMarts.oracles("q03_supplier_monthly")
-    def c(src: String, name: String, violation: String): String =
-      s"""SELECT '$name' AS check_name, count(CASE WHEN $violation THEN 1 END) AS violations,
-         |       count(CASE WHEN $violation THEN 1 END) = 0 AS passed FROM $src""".stripMargin
+    val salesCondSql = Map(
+      "sales_revenue_non_negative" -> "total_revenue < 0",
+      "sales_no_future_months" -> s"sales_month > DATE '$anchorDate'",
+      "sales_quantity_positive" -> "total_quantity <= 0",
+      "sales_orders_positive" -> "total_orders <= 0",
+      "sales_revenue_per_unit_consistent" -> "abs(revenue_per_unit * total_quantity - total_revenue) > 1.0 * total_quantity",
+      "sales_active_customers_bound" -> "active_customers > total_orders")
+    val supCondSql = Map(
+      "supplier_lead_time_non_negative" -> "avg_lead_time_days < 0",
+      "supplier_on_time_rate_bounds" -> "on_time_rate < 0 OR on_time_rate > 100",
+      "supplier_in_full_rate_bounds" -> "in_full_rate < 0 OR in_full_rate > 100",
+      "supplier_quantity_positive" -> "total_quantity <= 0",
+      "supplier_value_non_negative" -> "total_value < 0",
+      "supplier_lines_cover_orders" -> "total_orders > total_lines")
+    def aggCols(conds: Map[String, String]) = conds.toSeq.sortBy(_._1).map {
+      case (name, cond) => s"count(CASE WHEN $cond THEN 1 END) AS $name"
+    }.mkString(",\n       ")
+    def unpivot(src: String, conds: Map[String, String]) = conds.keys.toSeq.sorted.map(name =>
+      s"SELECT '$name' AS check_name, $name AS violations FROM $src").mkString("\nUNION ALL\n")
     s"""WITH sales AS ($salesCte),
-       |sup AS ($supCte)
-       |SELECT * FROM (
-       |${c("sales", "sales_revenue_non_negative", "total_revenue < 0")}
+       |sup AS ($supCte),
+       |sa AS (SELECT ${aggCols(salesCondSql)} FROM sales),
+       |su AS (SELECT ${aggCols(supCondSql)} FROM sup)
+       |SELECT check_name, violations, violations = 0 AS passed FROM (
+       |${unpivot("sa", salesCondSql)}
        |UNION ALL
-       |${c("sales", "sales_no_future_months", "sales_month > DATE '2002-01-01'")}
-       |UNION ALL
-       |${c("sales", "sales_quantity_positive", "total_quantity <= 0")}
-       |UNION ALL
-       |${c("sales", "sales_orders_positive", "total_orders <= 0")}
-       |UNION ALL
-       |${c("sales", "sales_revenue_per_unit_consistent", "abs(revenue_per_unit * total_quantity - total_revenue) > 1.0 * total_quantity")}
-       |UNION ALL
-       |${c("sales", "sales_active_customers_bound", "active_customers > total_orders")}
-       |UNION ALL
-       |${c("sup", "supplier_lead_time_non_negative", "avg_lead_time_days < 0")}
-       |UNION ALL
-       |${c("sup", "supplier_on_time_rate_bounds", "on_time_rate < 0 OR on_time_rate > 100")}
-       |UNION ALL
-       |${c("sup", "supplier_in_full_rate_bounds", "in_full_rate < 0 OR in_full_rate > 100")}
-       |UNION ALL
-       |${c("sup", "supplier_quantity_positive", "total_quantity <= 0")}
-       |UNION ALL
-       |${c("sup", "supplier_value_non_negative", "total_value < 0")}
-       |UNION ALL
-       |${c("sup", "supplier_lines_cover_orders", "total_orders > total_lines")})
+       |${unpivot("su", supCondSql)})
        |ORDER BY check_name""".stripMargin
   }
 

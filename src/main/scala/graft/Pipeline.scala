@@ -98,7 +98,9 @@ object Pipeline {
     }
   }
 
-  /** Full pipeline with layer gating; returns per-layer results. */
+  /** Full pipeline with layer gating; returns per-layer results and
+    * appends the run to audit.etl_log (the reference's per-step
+    * in/out/duration accounting, silver/silver_builder.py:497-516). */
   def run(spark: SparkSession, sfDir: String, outRoot: String): Seq[LayerResult] = {
     val store = new LayerStore(spark, outRoot)
     val bronze = runBronze(spark, store, sfDir)
@@ -106,7 +108,13 @@ object Pipeline {
       else LayerResult("silver", ok = false, 0, 0, 0)
     val gold = if (silver.ok) runGold(spark, store, sfDir)
       else LayerResult("gold", ok = false, 0, 0, 0)
-    Seq(bronze, silver, gold)
+    val results = Seq(bronze, silver, gold)
+    import spark.implicits._
+    store.append("audit", "etl_log",
+      results.map(r => (r.layer, r.ok, r.tables, r.rows, r.seconds))
+        .toDF("layer", "ok", "tables", "rows", "seconds")
+        .withColumn("logged_at", org.apache.spark.sql.functions.current_timestamp()))
+    results
   }
 
   def main(args: Array[String]): Unit = {

@@ -189,6 +189,7 @@ object Eda extends QueryModule {
       sum(x.cast(dec)).as("s1"),
       sum((x * x).cast(dec)).as("s2"),
       sum((x * x * x).cast(dec)).as("s3"),
+      sum((x * x * x * x).cast(dec)).as("s4"),
       min(x).as("min_value"),
       max(x).as("max_value"),
       countDistinct(col(c)).as("distinct_count"),
@@ -207,8 +208,18 @@ object Eda extends QueryModule {
           - lit(3.0) * (col("s1").cast(DoubleType) / col("n")) * (col("s2").cast(DoubleType) / col("n"))
           + lit(2.0) * (col("s1").cast(DoubleType) / col("n")) * (col("s1").cast(DoubleType) / col("n")) * (col("s1").cast(DoubleType) / col("n")))
           / (sqrt(col("s2").cast(DoubleType) / col("n") - (col("s1").cast(DoubleType) / col("n")) * (col("s1").cast(DoubleType) / col("n")))
-            * (col("s2").cast(DoubleType) / col("n") - (col("s1").cast(DoubleType) / col("n")) * (col("s1").cast(DoubleType) / col("n"))))).as("skew_raw"))
-      .withColumn("skewness", snapRound(col("skew_raw"), 9)).drop("skew_raw")
+            * (col("s2").cast(DoubleType) / col("n") - (col("s1").cast(DoubleType) / col("n")) * (col("s1").cast(DoubleType) / col("n"))))).as("skew_raw"),
+        // excess kurtosis m4/m2^2 - 3 from the same exact power sums
+        ((col("s4").cast(DoubleType) / col("n")
+          - lit(4.0) * (col("s1").cast(DoubleType) / col("n")) * (col("s3").cast(DoubleType) / col("n"))
+          + lit(6.0) * (col("s1").cast(DoubleType) / col("n")) * (col("s1").cast(DoubleType) / col("n")) * (col("s2").cast(DoubleType) / col("n"))
+          - lit(3.0) * (col("s1").cast(DoubleType) / col("n")) * (col("s1").cast(DoubleType) / col("n")) * (col("s1").cast(DoubleType) / col("n")) * (col("s1").cast(DoubleType) / col("n")))
+          / ((col("s2").cast(DoubleType) / col("n") - (col("s1").cast(DoubleType) / col("n")) * (col("s1").cast(DoubleType) / col("n")))
+            * (col("s2").cast(DoubleType) / col("n") - (col("s1").cast(DoubleType) / col("n")) * (col("s1").cast(DoubleType) / col("n"))))
+          - lit(3.0)).as("kurt_raw"))
+      .withColumn("skewness", snapRound(col("skew_raw"), 9))
+      .withColumn("kurtosis", snapRound(col("kurt_raw"), 9))
+      .drop("skew_raw", "kurt_raw")
   }
 
   private def momentStatsSql(c: String): String =
@@ -217,11 +228,14 @@ object Eda extends QueryModule {
        |       CAST(round(CAST(s1 / n AS DECIMAL(30,10)), 6) AS DOUBLE) AS mean,
        |       CAST(round(CAST(sqrt((s2 - s1 * s1 / n) / (n - 1)) AS DECIMAL(30,10)), 6) AS DOUBLE) AS stddev,
        |       CAST(round(CAST((s3 / n - 3.0 * (s1 / n) * (s2 / n) + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
-       |         / (sqrt(s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n))) AS DECIMAL(30,13)), 9) AS DOUBLE) AS skewness
+       |         / (sqrt(s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n))) AS DECIMAL(30,13)), 9) AS DOUBLE) AS skewness,
+       |       CAST(round(CAST((s4 / n - 4.0 * (s1 / n) * (s3 / n) + 6.0 * (s1 / n) * (s1 / n) * (s2 / n) - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+       |         / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n))) - 3.0 AS DECIMAL(30,13)), 9) AS DOUBLE) AS kurtosis
        |FROM (SELECT count($c) AS n, count(1) - count($c) AS nulls,
        |             CAST(sum(CAST($c AS DECIMAL(38,8))) AS DOUBLE) AS s1,
        |             CAST(sum(CAST($c * $c AS DECIMAL(38,8))) AS DOUBLE) AS s2,
        |             CAST(sum(CAST($c * $c * $c AS DECIMAL(38,8))) AS DOUBLE) AS s3,
+       |             CAST(sum(CAST($c * $c * $c * $c AS DECIMAL(38,8))) AS DOUBLE) AS s4,
        |             min($c) AS min_value, max($c) AS max_value,
        |             count(DISTINCT $c) AS distinct_count,
        |             quantile_cont($c, 0.25) AS q25,

@@ -133,15 +133,60 @@ object EventOps extends QueryModule {
       |GROUP BY ROLLUP (r_name, c_mktsegment)
       |ORDER BY grouping_level, r_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin
 
+  /** q46 — as-of join: each purchase matched to the same user's
+    * latest view at-or-before it. Spark lacks a native ASOF JOIN;
+    * per the preference order (SURVEY §7.3 / guide) it composes from
+    * built-ins: tag both sides, union, one window pass with
+    * last_value(ignoreNulls) — refs sort before probes at equal ts so
+    * the <= bound is inclusive. ONE shuffle on the key, no range
+    * explosion — this is the scalable formulation (a custom
+    * SparkPlan would save only the tag column). The oracle is
+    * DuckDB's native ASOF LEFT JOIN — two independent
+    * implementations of the semantics. */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "events")
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("tag"),
+        col("event_id").as("view_event_id"), col("ts").as("view_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("tag"),
+        lit(null).cast(LongType).as("view_event_id"),
+        lit(null).cast(TimestampType).as("view_ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    views.unionByName(purchases)
+      .withColumn("matched_view_id", last(col("view_event_id"), ignoreNulls = true).over(w))
+      .withColumn("matched_view_ts", last(col("view_ts"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("purchase_ts"),
+        col("matched_view_id"), col("matched_view_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("matched_view_ts"))).as("gap_micros"))
+      .orderBy(col("purchase_id"))
+  }
+
+  private val asofJoinSql =
+    """SELECT p.event_id AS purchase_id, p.user_id,
+      |       CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+      |       v.event_id AS matched_view_id,
+      |       CAST(v.ts AS TIMESTAMP) AS matched_view_ts,
+      |       epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(v.ts AS TIMESTAMP)) AS gap_micros
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON p.user_id = v.user_id AND v.ts <= p.ts
+      |ORDER BY purchase_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_event_windows" -> eventWindows,
     "q33_sessionize" -> sessionize,
     "q44_json_extract" -> jsonExtract,
-    "q45_rollup_sales" -> rollupSales)
+    "q45_rollup_sales" -> rollupSales,
+    "q46_asof_join" -> asofJoin)
 
   override def oracles: Map[String, String] = Map(
     "q32_event_windows" -> eventWindowsSql,
     "q33_sessionize" -> sessionizeSql,
     "q44_json_extract" -> jsonExtractSql,
-    "q45_rollup_sales" -> rollupSalesSql)
+    "q45_rollup_sales" -> rollupSalesSql,
+    "q46_asof_join" -> asofJoinSql)
 }

@@ -150,6 +150,40 @@ object Eda extends QueryModule {
       |  ON CAST(c_nationkey AS VARCHAR) = CAST(n_nationkey AS VARCHAR)
       |GROUP BY 1 ORDER BY nation""".stripMargin
 
+  /** q47 — semi/anti joins (EXISTS / NOT EXISTS): per segment, how
+    * many customers have high-value orders vs none at all. The
+    * reference never uses them (SURVEY §2.3 'Absent'); they are the
+    * backbone of our upsert (left_anti) and any incremental pipeline.
+    * left_semi/left_anti never duplicate or widen rows — at scale
+    * that's the difference between this and an inner-join + distinct. */
+  def semiAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.t(s, dir, "customer")
+    val bigOrders = Tables.t(s, dir, "orders").filter(col("o_totalprice") > 200000)
+    val withBig = c.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("customers_with_big_orders"))
+    val without = c.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("customers_without_big_orders"))
+    withBig.join(without, Seq("c_mktsegment"), "full_outer")
+      .select(col("c_mktsegment"),
+        coalesce(col("customers_with_big_orders"), lit(0L)).as("customers_with_big_orders"),
+        coalesce(col("customers_without_big_orders"), lit(0L)).as("customers_without_big_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val semiAntiJoinSql =
+    """WITH big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 200000),
+      |w AS (SELECT c_mktsegment, count(1) AS customers_with_big_orders
+      |      FROM customer WHERE EXISTS (SELECT 1 FROM big WHERE o_custkey = c_custkey)
+      |      GROUP BY 1),
+      |wo AS (SELECT c_mktsegment, count(1) AS customers_without_big_orders
+      |       FROM customer WHERE NOT EXISTS (SELECT 1 FROM big WHERE o_custkey = c_custkey)
+      |       GROUP BY 1)
+      |SELECT c_mktsegment,
+      |       coalesce(customers_with_big_orders, 0) AS customers_with_big_orders,
+      |       coalesce(customers_without_big_orders, 0) AS customers_without_big_orders
+      |FROM w FULL OUTER JOIN wo USING (c_mktsegment)
+      |ORDER BY c_mktsegment""".stripMargin
+
   /** q42 — A11's categorical piece: per-column mode via
     * groupBy-count + rank, deterministic tiebreak on the value itself
     * (engine mode() builtins tiebreak differently — the explicit
@@ -403,11 +437,13 @@ object Eda extends QueryModule {
     "q13_reconciliation" -> reconciliation,
     "q14_latest_wins_upsert" -> latestWinsUpsert,
     "q19_cast_join" -> castJoin,
-    "q42_categorical_mode" -> categoricalMode)
+    "q42_categorical_mode" -> categoricalMode,
+    "q47_semi_anti_join" -> semiAntiJoin)
 
   override def oracles: Map[String, String] = Map(
     "q19_cast_join" -> castJoinSql,
     "q42_categorical_mode" -> categoricalModeSql,
+    "q47_semi_anti_join" -> semiAntiJoinSql,
     "q05_topk_customers" -> topkCustomersSql,
     "q06_pagination" -> paginationSql,
     "q07_distinct_entities" -> distinctEntitiesSql,

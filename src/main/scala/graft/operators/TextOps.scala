@@ -186,6 +186,48 @@ object TextOps extends QueryModule {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** q48 — edit-distance near-dup scoring: Levenshtein on the LSH
+    * candidate pairs only (the quadratic-cost metric is applied to a
+    * bucket-bounded set, never all-pairs — same scale discipline as
+    * q23). Normalized similarity = 1 - d / max(len). */
+  def editDistance(s: SparkSession, dir: String): DataFrame = {
+    s.catalog.clearCache()
+    val d = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val pairs = lshCandidatesFrom(signatures(s, dir, shingleRows(s, dir)))
+    pairs
+      .join(d.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("text_a"), col("text_b")).as("edit_distance"),
+        greatest(length(col("text_a")), length(col("text_b"))).as("max_len"))
+      .withColumn("similarity",
+        snapRound(lit(1.0) - col("edit_distance").cast(DoubleType) / col("max_len").cast(DoubleType), 6))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val editDistanceSql = {
+    val mins = (0 until K).map(i => s"min(md5('$i|' || s)) AS mh$i").mkString(", ")
+    val bandRows = (0 until BANDS).map(b =>
+      s"SELECT doc_id, $b AS band, md5(mh${2 * b} || mh${2 * b + 1}) AS band_sig FROM sig")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH $shinglesCte,
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |       levenshtein(da.text, db.text) AS edit_distance,
+       |       greatest(length(da.text), length(db.text)) AS max_len,
+       |       ${snapRoundSql("1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE) / CAST(greatest(length(da.text), length(db.text)) AS DOUBLE)", 6)} AS similarity
+       |FROM pairs
+       |JOIN documents da ON doc_a = da.doc_id
+       |JOIN documents db ON doc_b = db.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ---- q24: simhash ----------------------------------------------
 
   /** q24 — 32-bit SimHash: per-bit majority vote over token-occurrence
@@ -358,6 +400,7 @@ object TextOps extends QueryModule {
     "q21_minhash_signatures" -> minhashSignatures,
     "q22_lsh_candidates" -> lshCandidates,
     "q23_ngram_jaccard" -> ngramJaccard,
+    "q48_edit_distance" -> editDistance,
     "q24_simhash" -> simhash,
     "q25_langid" -> langId,
     "q26_text_quality" -> qualityScore,
@@ -369,6 +412,7 @@ object TextOps extends QueryModule {
     "q21_minhash_signatures" -> minhashSignaturesSql,
     "q22_lsh_candidates" -> lshCandidatesSql,
     "q23_ngram_jaccard" -> ngramJaccardSql,
+    "q48_edit_distance" -> editDistanceSql,
     "q24_simhash" -> simhashSql,
     "q25_langid" -> langIdSql,
     "q26_text_quality" -> qualityScoreSql,

@@ -23,7 +23,18 @@ def norm(df):
     idx = key.sort_values(by=list(df.columns)).index
     return df.loc[idx].reset_index(drop=True)
 
-def compare(name, got, want):
+def strnorm(df):
+    """Driver-style cell stringification: values as pandas renders them
+    (dtype-sensitive!), NULLs canonicalized. A DuckDB HUGEINT column
+    (sum of ints) becomes float64 -> '3.0' while Spark int64 -> '3';
+    a Spark DECIMAL parquet column -> Decimal('1.2300') vs '1.23'.
+    These MUST match or the driver's hash compare fails."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    s = df.astype(str)
+    s = s.mask(df.isna(), "NULL")
+    return s.sort_values(by=list(s.columns)).reset_index(drop=True)
+
+def compare(name, got, want, got_pa=None):
     ok = True
     if sorted(got.columns) != sorted(want.columns):
         print(f"[FAIL] {name}: columns differ\n  spark={sorted(got.columns)}\n  duck ={sorted(want.columns)}")
@@ -50,6 +61,16 @@ def compare(name, got, want):
                 i = int(np.argmin(eq.to_numpy()))
                 print(f"[FAIL] {name}.{c}: {int((~eq).sum())}/{len(eq)} cells differ e.g. {gv.iloc[i]!r} vs {wv.iloc[i]!r}")
                 ok = False
+    # second gate: driver-style dtype-sensitive stringify compare
+    # (spark side read via pyarrow/pandas like the driver, not duckdb)
+    if ok and got_pa is not None:
+        gs, ws = strnorm(got_pa), strnorm(want)
+        for c in gs.columns:
+            ne = gs[c] != ws[c]
+            if ne.any():
+                i = int(ne.to_numpy().argmax())
+                print(f"[FAIL] {name}.{c}: stringify mismatch {int(ne.sum())}/{len(ne)} e.g. {gs[c].iloc[i]!r} vs {ws[c].iloc[i]!r} (dtype {got_pa[c].dtype} vs {want[c].dtype})")
+                ok = False
     if ok:
         print(f"[ OK ] {name}: {len(got)} rows x {len(got.columns)} cols")
     return ok
@@ -75,6 +96,7 @@ def main():
             continue
         try:
             got = con.execute(f"SELECT * FROM read_parquet({files!r})").df()
+            got_pa = pd.read_parquet(res_dir)
         except Exception as e:
             print(f"[FAIL] {name}: cannot read spark output: {e}")
             n_fail += 1
@@ -85,7 +107,7 @@ def main():
             print(f"[FAIL] {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
-        if compare(name, got, want):
+        if compare(name, got, want, got_pa):
             n_ok += 1
         else:
             n_fail += 1

@@ -111,8 +111,13 @@ object Eda extends QueryModule {
     val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
       "l_extendedprice", "l_returnflag", "l_shipdate")
     val nulls = cols.map(c => count(when(col(c).isNull, 1)).as(s"nulls_$c"))
-    val pairDups = (count(lit(1)) -
-      countDistinct(col("l_partkey"), col("l_suppkey"))).as("dup_part_supp_pairs")
+    // NULL-guarded both-sides: Spark countDistinct(a,b) skips rows where
+    // EITHER key is NULL while DuckDB count(DISTINCT (a,b)) counts the
+    // struct — restrict both engines to rows where both keys are set.
+    val bothSet = col("l_partkey").isNotNull && col("l_suppkey").isNotNull
+    val pairDups = (count(when(bothSet, 1)) -
+      countDistinct(when(bothSet, struct(col("l_partkey"), col("l_suppkey")))))
+      .as("dup_part_supp_pairs")
     l.agg(nulls.head, (nulls.tail :+ pairDups :+ count(lit(1)).as("total_rows")): _*)
   }
 
@@ -124,7 +129,9 @@ object Eda extends QueryModule {
       |       count(CASE WHEN l_extendedprice IS NULL THEN 1 END) AS nulls_l_extendedprice,
       |       count(CASE WHEN l_returnflag IS NULL THEN 1 END) AS nulls_l_returnflag,
       |       count(CASE WHEN l_shipdate IS NULL THEN 1 END) AS nulls_l_shipdate,
-      |       count(1) - count(DISTINCT (l_partkey, l_suppkey)) AS dup_part_supp_pairs,
+      |       count(CASE WHEN l_partkey IS NOT NULL AND l_suppkey IS NOT NULL THEN 1 END)
+      |         - count(DISTINCT CASE WHEN l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+      |                               THEN (l_partkey, l_suppkey) END) AS dup_part_supp_pairs,
       |       count(1) AS total_rows
       |FROM lineitem""".stripMargin
 

@@ -178,9 +178,9 @@ object GoldMarts extends QueryModule {
       |       CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS total_quantity,
       |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(32,4))) AS DOUBLE) AS total_value,
       |       CAST(sum(date_diff('day', o_orderdate, l_shipdate)) AS DOUBLE) / count(1) AS avg_lead_time_days,
-      |       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS fulfilled_lines,
-      |       sum(CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 60 THEN 1 ELSE 0 END) AS on_time_lines,
-      |       sum(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS in_full_lines,
+      |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS fulfilled_lines,
+      |       CAST(sum(CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS on_time_lines,
+      |       CAST(sum(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS in_full_lines,
       |       CAST(round(CAST(CAST(sum(CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 60 THEN 1 ELSE 0 END) AS DOUBLE)
       |             / nullif(CAST(count(1) AS DOUBLE), 0.0) * 100.0 AS DECIMAL(30,6)), 2) AS DOUBLE) AS on_time_rate,
       |       CAST(round(CAST(CAST(sum(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS DOUBLE)

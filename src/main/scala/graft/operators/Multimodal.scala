@@ -35,9 +35,9 @@ object Multimodal extends QueryModule {
 
   private val binaryFeaturesSql =
     """SELECT doc_id,
-      |       length(text) AS byte_len,
-      |       list_aggregate(list_transform(generate_series(1, least(64, length(text))),
-      |                      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)), 'sum') AS checksum64,
+      |       CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS byte_len,
+      |       CAST(list_aggregate(list_transform(generate_series(1, least(64, length(text))),
+      |                      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)), 'sum') AS BIGINT) AS checksum64,
       |       CAST(floor(length(text) / 256) + 1 AS BIGINT) AS n_frames,
       |       substr(to_base64(CAST(text AS BLOB)), 1, 16) AS payload_preview
       |FROM documents ORDER BY doc_id""".stripMargin

@@ -136,7 +136,10 @@ object SilverClean extends QueryModule {
       col("o_orderkey"),
       parseDateMulti(dirtyDate).as("clean_date"),
       cleanInteger(nullifySentinels(dirtyCust)).as("clean_custkey"),
-      cleanDecimal(dirtyPrice).as("clean_price"),
+      // DOUBLE at the output edge: a DECIMAL(15,4) parquet column
+      // stringifies as '1.2300' driver-side vs the oracle's '1.23'
+      // (decimal(15,4) → double is exact here: scaled int < 2^53)
+      cleanDecimal(dirtyPrice).cast(DoubleType).as("clean_price"),
       mapStatus(dirtyStatus, orderStatusMap).as("clean_status"))
       .orderBy(col("o_orderkey"))
   }
@@ -165,7 +168,7 @@ object SilverClean extends QueryModule {
                |     ELSE
                |       CASE WHEN o_orderkey % 4 = 0 THEN 'In Transit' WHEN o_orderkey % 4 = 1 THEN 'dispatched'
                |            WHEN o_orderkey % 4 = 2 THEN 'SENT' ELSE NULL END END""".stripMargin
-    s"""SELECT o_orderkey, clean_date, clean_custkey, clean_price, clean_status FROM (
+    s"""SELECT o_orderkey, clean_date, clean_custkey, CAST(clean_price AS DOUBLE) AS clean_price, clean_status FROM (
        |SELECT o_orderkey,
        |       ($dd) AS dirty_date,
        |       ($dc) AS dirty_cust,

@@ -383,11 +383,13 @@ object TextOps extends QueryModule {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
-  /** q29 — rows-only (no fold primitive in the oracle dialect to
-    * mirror it): full-text 64-bit fingerprint via the native codegen
+  /** q29 — full-text 64-bit fingerprint via the native codegen
     * PolyHash expression (graft.plans.PolyHash) — the whole-document
     * rolling hash without char-gram explosion. Cross-checked against
-    * an independent implementation in PolyHashSpec. */
+    * an independent implementation in PolyHashSpec AND a DuckDB
+    * list_reduce oracle (base-31 fold in HUGEINT mod 2^64, re-signed
+    * at the edge). The oracle folds code points (= UTF-8 bytes on
+    * this ASCII corpus); PolyHash itself folds raw UTF-8 bytes. */
   def polyFingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "documents")
       .select(col("doc_id"),
@@ -407,7 +409,21 @@ object TextOps extends QueryModule {
     "q27_token_count" -> tokenCount,
     "q28_fingerprint" -> fingerprint)
 
+  private val polyFingerprintSql =
+    """SELECT doc_id,
+      |       CAST(CASE WHEN u >= 9223372036854775808::HUGEINT THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT) AS fingerprint64
+      |FROM (
+      |  SELECT doc_id,
+      |         list_reduce(
+      |           list_prepend(0::HUGEINT,
+      |             list_transform(generate_series(1, length(text)),
+      |                            i -> CAST(ascii(substr(text, i, 1)) AS HUGEINT))),
+      |           (acc, b) -> (acc * 31 + b) % 18446744073709551616::HUGEINT) AS u
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   override def oracles: Map[String, String] = Map(
+    "q29_poly_fingerprint" -> polyFingerprintSql,
     "q20_dedup_exact" -> dedupExactSql,
     "q21_minhash_signatures" -> minhashSignaturesSql,
     "q22_lsh_candidates" -> lshCandidatesSql,

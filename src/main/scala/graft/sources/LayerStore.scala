@@ -30,14 +30,54 @@ class LayerStore(spark: SparkSession, root: String) {
   private def path(layer: String, name: String) = s"$root/$layer/$name"
   private def viewName(layer: String, name: String) = s"${layer}_$name"
 
+  private def hadoopPath(layer: String, name: String, suffix: String = "") =
+    new org.apache.hadoop.fs.Path(path(layer, name) + suffix)
+  private def fsFor(p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Narrow existence probe: only "the path is absent" means absent.
+    * A corrupt footer / transient FS error / OOM while READING must
+    * propagate — treating it as "no table" would make upsert silently
+    * truncate the store to just the incoming batch. */
+  def exists(layer: String, name: String): Boolean = {
+    val p = hadoopPath(layer, name)
+    fsFor(p).exists(p)
+  }
+
+  /** Stage-and-swap write: materialize `df` fully at a staging path
+    * NEXT TO the target, then promote with two directory renames
+    * (target -> .bak, staging -> target). The read path is never the
+    * write path, so a mid-write executor/driver loss leaves the stored
+    * table untouched; after the staging write is durable the worst
+    * crash window leaves the old table at .bak (recoverable), never
+    * lost. This is the table-level analogue of Spark's task-level
+    * commit protocol, and the property SaveMode.Overwrite alone does
+    * NOT give you (it deletes the target before writing). */
+  private def stageSwap(layer: String, name: String, df: DataFrame): Long = {
+    val target = hadoopPath(layer, name)
+    val staging = hadoopPath(layer, name, ".__staging__")
+    val backup = hadoopPath(layer, name, ".__bak__")
+    val fs = fsFor(target)
+    if (fs.exists(staging)) fs.delete(staging, true)
+    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    if (fs.exists(backup)) fs.delete(backup, true)
+    if (fs.exists(target) && !fs.rename(target, backup))
+      sys.error(s"stage-swap: cannot move $target aside")
+    if (!fs.rename(staging, target)) {
+      fs.rename(backup, target) // roll back; staged data still on disk
+      sys.error(s"stage-swap: cannot promote $staging to $target")
+    }
+    fs.delete(backup, true)
+    val back = table(layer, name)
+    back.createOrReplaceTempView(viewName(layer, name))
+    back.count()
+  }
+
   /** S4/S5 — full-refresh write (CTAS / TRUNCATE-reload semantics) +
     * catalog registration so spark.sql sees `<layer>_<name>`. */
   def write(layer: String, name: String, df: DataFrame): Long = {
     require(layers.contains(layer), s"unknown layer $layer")
-    df.write.mode(SaveMode.Overwrite).parquet(path(layer, name))
-    val back = table(layer, name)
-    back.createOrReplaceTempView(viewName(layer, name))
-    back.count()
+    stageSwap(layer, name, df)
   }
 
   /** Append (audit tables — the reference batches these per run,
@@ -49,52 +89,38 @@ class LayerStore(spark: SparkSession, root: String) {
 
   /** S2 — key-level latest-wins upsert: incoming rows win over stored
     * rows on `keys`; within the incoming batch the highest `orderCol`
-    * wins. Read-modify-overwrite (idempotent, like the reference's
-    * re-runnable loads). Returns (inserted, updated) counts like the
-    * reference's before/after accounting. */
+    * wins. Stage-and-swap (idempotent, like the reference's re-runnable
+    * loads): the merge reads the live table while writing the staging
+    * dir, so no persist/checkpoint of the full table is needed and the
+    * live table survives any mid-write failure. Returns (inserted,
+    * updated) counts like the reference's before/after accounting. */
   def upsert(layer: String, name: String, incoming: DataFrame,
     keys: Seq[String], orderCol: String): (Long, Long) = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol).desc)
     val latest = incoming.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-    val existing =
-      try Some(table(layer, name)) catch { case _: Throwable => None }
-    existing match {
-      case None =>
-        val n = write(layer, name, latest)
-        (n, 0L)
-      case Some(old) =>
-        val oldCount = old.count()
-        val kept = old.join(latest.select(keys.map(col): _*).distinct(),
-          keys, "left_anti")
-        val keptCount = kept.count()
-        // writing over the path we read from needs a materialized copy
-        val staged = kept.unionByName(latest).persist()
-        staged.count()
-        val total = write(layer, name, staged)
-        staged.unpersist()
-        (total - oldCount, oldCount - keptCount) // (inserted, updated)
+    if (!exists(layer, name)) {
+      val n = write(layer, name, latest)
+      (n, 0L)
+    } else {
+      val old = table(layer, name)
+      val oldCount = old.count()
+      val kept = old.join(latest.select(keys.map(col): _*).distinct(),
+        keys, "left_anti")
+      val keptCount = kept.count()
+      val total = write(layer, name, kept.unionByName(latest))
+      (total - oldCount, oldCount - keptCount) // (inserted, updated)
     }
   }
 
   /** S9 — run-scoped overwrite: DELETE WHERE run_id = X then append
-    * (forecasting.py:86-105) as read-filter-union-overwrite. */
+    * (forecasting.py:86-105) as read-filter-union + stage-and-swap. */
   def overwriteRun(layer: String, name: String, df: DataFrame,
     runCol: String, runId: String): Long = {
-    val existing =
-      try Some(table(layer, name)) catch { case _: Throwable => None }
-    val merged = existing match {
-      case None => df
-      case Some(old) =>
-        val kept = old.filter(col(runCol) =!= runId).persist()
-        kept.count()
-        kept.unionByName(df)
-    }
-    val staged = merged.persist()
-    staged.count()
-    val n = write(layer, name, staged)
-    staged.unpersist()
-    n
+    val merged =
+      if (!exists(layer, name)) df
+      else table(layer, name).filter(col(runCol) =!= runId).unionByName(df)
+    write(layer, name, merged)
   }
 
   def table(layer: String, name: String): DataFrame =

@@ -52,6 +52,39 @@ class LayerStoreSpec extends SparkSpec {
     assert(vs == Seq(3, 9))
   }
 
+  test("write failure mid-staging leaves the stored table untouched") {
+    val (store, dir) = freshStore()
+    store.write("silver", "t", Seq((1L, "keep"), (2L, "keep")).toDF("id", "v"))
+    // a frame whose evaluation throws only at write time — simulates an
+    // executor/driver loss mid-write; SaveMode.Overwrite alone would
+    // have already deleted the live table at this point
+    val poison = Seq(1L, 2L).toDF("id")
+      .withColumn("v", assert_true(col("id") < 2L).cast("string"))
+    intercept[Exception] { store.write("silver", "t", poison) }
+    // live table survives, no staging/backup debris
+    assert(store.table("silver", "t").count() == 2)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/silver/t.__bak__")))
+  }
+
+  test("upsert onto an unreadable table propagates instead of truncating") {
+    val (store, dir) = freshStore()
+    store.write("bronze", "t", Seq((1L, "a", 1L)).toDF("id", "v", "ver"))
+    // corrupt the stored table: replace parquet files with garbage —
+    // the old catch-all probe would have treated this as "table absent"
+    // and silently replaced the whole store with the incoming batch
+    val p = java.nio.file.Paths.get(dir, "bronze", "t")
+    java.nio.file.Files.list(p).forEach(f => java.nio.file.Files.delete(f))
+    java.nio.file.Files.write(p.resolve("part-corrupt.parquet"),
+      "not a parquet file".getBytes)
+    intercept[Exception] {
+      store.upsert("bronze", "t", Seq((2L, "b", 2L)).toDF("id", "v", "ver"),
+        Seq("id"), "ver")
+    }
+    // the corrupt-but-present data was NOT overwritten
+    assert(java.nio.file.Files.exists(p.resolve("part-corrupt.parquet")))
+  }
+
   test("csv export round-trips") {
     val (store, dir) = freshStore()
     val df = Seq((1, "a"), (2, "b")).toDF("k", "v")

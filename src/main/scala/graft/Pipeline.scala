@@ -44,8 +44,34 @@ object Pipeline {
     (tables.size.toLong, rows)
   }
 
-  def runSilver(spark: SparkSession, store: LayerStore): LayerResult = timed("silver") {
-    // clean + validate + split, from bronze (S3 scan -> S5 reload)
+  /** The reference's six-entity cleaning pipeline
+    * (silver/silver_builder.py:1101-1166): per-entity clean/reject/
+    * score via SilverLayer, plus the three audit surfaces — rejected
+    * rows with full-record JSON payloads (audit.rejected_rows),
+    * silver.quality_issues_log, and per-step in/out/rejected
+    * accounting (audit.etl_steps). */
+  def runSilver(spark: SparkSession, store: LayerStore, runId: String): LayerResult = timed("silver") {
+    import spark.implicits._
+    val entities = graft.operators.SilverLayer.buildAll(store.table("bronze", _))
+    var rows = 0L
+    val steps = entities.map { case (name, e) =>
+      val outRows = store.write("silver", name, e.clean)
+      rows += outRows
+      val rejectedRows = e.rejected.count()
+      (s"clean_$name", name, outRows + rejectedRows, outRows, rejectedRows)
+    }
+    val rejected = entities.map(_._2.rejected).reduce(_ unionByName _)
+    store.write("audit", "rejected_rows",
+      rejected.withColumn("run_id", lit(runId)))
+    store.write("silver", "quality_issues_log",
+      entities.map(_._2.issues)
+        .foldLeft(graft.operators.SilverLayer.emptyIssues(spark))(_ unionByName _))
+    store.append("audit", "etl_steps",
+      steps.toDF("step_executed", "table_name", "input_count", "output_count", "rejected_count")
+        .withColumn("run_id", lit(runId))
+        .withColumn("logged_at", current_timestamp()))
+    // kept from the pre-entity layer: the orders/lineitem silver twins
+    // the gold marts read (S3 scan -> S5 reload)
     val o = store.table("bronze", "orders")
     val cleanedOrders = o.select(
       col("o_orderkey"), col("o_custkey"),
@@ -54,15 +80,14 @@ object Pipeline {
       col("o_totalprice").cast(DecimalType(15, 4)).as("total_price"),
       col("o_orderdate").cast(DateType).as("order_date"),
       cleanText(col("o_orderpriority")).as("priority"))
-    val (clean, rejected) = (
-      cleanedOrders.filter(col("order_date").isNotNull && col("total_price") >= 0),
-      cleanedOrders.filter(col("order_date").isNull || col("total_price") < 0))
-    var rows = store.write("silver", "orders", clean)
+    rows += store.write("silver", "orders",
+      cleanedOrders.filter(col("order_date").isNotNull && col("total_price") >= 0))
     store.write("audit", "rejected_orders",
-      rejected.withColumn("reject_reason", lit("invalid_date_or_price")))
+      cleanedOrders.filter(col("order_date").isNull || col("total_price") < 0)
+        .withColumn("reject_reason", lit("invalid_date_or_price")))
     val l = store.table("bronze", "lineitem")
     rows += store.write("silver", "lineitem", l.filter(col("l_quantity") > 0))
-    (2L, rows)
+    (8L, rows)
   }
 
   def runGold(spark: SparkSession, store: LayerStore, sfDir: String): LayerResult = timed("gold") {
@@ -103,8 +128,9 @@ object Pipeline {
     * in/out/duration accounting, silver/silver_builder.py:497-516). */
   def run(spark: SparkSession, sfDir: String, outRoot: String): Seq[LayerResult] = {
     val store = new LayerStore(spark, outRoot)
+    val runId = java.util.UUID.randomUUID().toString
     val bronze = runBronze(spark, store, sfDir)
-    val silver = if (bronze.ok) runSilver(spark, store)
+    val silver = if (bronze.ok) runSilver(spark, store, runId)
       else LayerResult("silver", ok = false, 0, 0, 0)
     val gold = if (silver.ok) runGold(spark, store, sfDir)
       else LayerResult("gold", ok = false, 0, 0, 0)

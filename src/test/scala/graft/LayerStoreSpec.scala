@@ -115,5 +115,25 @@ class LayerStoreSpec extends SparkSpec {
     // ad-hoc SQL over the registered medallion views (S13)
     assert(store.sql(
       "SELECT count(*) FROM gold_dashboard WHERE region <> 'Unknown'").as[Long].head() > 0)
+    // six-entity silver layer + audit surfaces (silver_builder.py:1101-1166)
+    val entities = Seq("suppliers", "warehouses", "retail_stores",
+      "products", "inventory", "supply_orders")
+    entities.foreach { e =>
+      val t = store.table("silver", e)
+      assert(t.count() > 0, s"silver.$e empty")
+      assert(t.columns.contains("quality_score"), s"silver.$e missing quality_score")
+    }
+    // clean testdata: nothing rejected, but the audit tables exist with
+    // the reference's schema (table_name, record JSON, reason, run_id)
+    assert(store.table("audit", "rejected_rows").columns.toSeq ==
+      Seq("table_name", "record", "reason", "run_id"))
+    assert(store.table("silver", "quality_issues_log").columns.contains("issue_type"))
+    // per-step in/out/rejected accounting, one row per entity
+    assert(store.table("audit", "etl_steps").count() == 6)
+    // supply_orders carries the reference's business validations
+    assert(store.sql(
+      """SELECT count(*) FROM silver_supply_orders
+        |WHERE is_calculation_correct AND date_logic_valid""".stripMargin)
+      .as[Long].head() > 0)
   }
 }

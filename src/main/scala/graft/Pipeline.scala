@@ -90,16 +90,22 @@ object Pipeline {
     (8L, rows)
   }
 
-  def runGold(spark: SparkSession, store: LayerStore, sfDir: String): LayerResult = timed("gold") {
+  def runGold(spark: SparkSession, store: LayerStore, sfDir: String, runId: String): LayerResult = timed("gold") {
     val marts = Seq(
       "monthly_sales" -> GoldMarts.monthlySales(spark, sfDir),
       "inventory_health" -> GoldMarts.inventoryHealth(spark, sfDir),
       "supplier_monthly" -> GoldMarts.supplierMonthly(spark, sfDir),
       "dashboard" -> GoldMarts.dashboard(spark, sfDir))
     val counts = marts.map { case (name, df) => name -> store.write("gold", name, df) }
+    // gold.forecasts via run-scoped overwrite (forecasting.py:86-105):
+    // the global AR model's 7-day horizon for every entity, replacing
+    // only this run's rows on re-run
+    val forecasts = graft.operators.GlobalAR.forecastGlobalAr(spark, sfDir)
+      .withColumn("run_id", lit(runId))
+    val nFc = store.overwriteRun("gold", "forecasts", forecasts, "run_id", runId)
     store.writeMetadata(counts.map { case (name, n) =>
       (name, s"gold mart $name", Seq("orders", "lineitem", "part", "customer", "supplier"), n)
-    })
+    } :+ ("forecasts", "global AR forecast horizon", Seq("lineitem"), nFc))
     // the 12 DQ assertions run and are recorded; like the reference the
     // pipeline reports failures in its summary rather than aborting
     // (gold_builder.py:529-567). NB the lead-time check legitimately
@@ -132,7 +138,7 @@ object Pipeline {
     val bronze = runBronze(spark, store, sfDir)
     val silver = if (bronze.ok) runSilver(spark, store, runId)
       else LayerResult("silver", ok = false, 0, 0, 0)
-    val gold = if (silver.ok) runGold(spark, store, sfDir)
+    val gold = if (silver.ok) runGold(spark, store, sfDir, runId)
       else LayerResult("gold", ok = false, 0, 0, 0)
     val results = Seq(bronze, silver, gold)
     import spark.implicits._

@@ -25,7 +25,7 @@ object Forecast extends QueryModule {
 
   /** Daily demand per supplier with gap-filled calendar (W3):
     * sequence(min, max) + explode + left join + coalesce(0). */
-  private def dailySeries(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def dailySeries(s: SparkSession, dir: String): DataFrame = {
     val l = Tables.t(s, dir, "lineitem")
     val daily = l.groupBy(col("l_suppkey").as("entity"),
         col("l_shipdate").cast(DateType).as("ds"))
@@ -38,7 +38,7 @@ object Forecast extends QueryModule {
       .select(col("entity"), col("ds"), coalesce(col("y"), lit(0.0)).as("y"))
   }
 
-  private val dailySeriesSql =
+  private[operators] val dailySeriesSql =
     """WITH daily AS (
       |  SELECT l_suppkey AS entity, CAST(l_shipdate AS DATE) AS ds,
       |         CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS y

@@ -107,7 +107,11 @@ class LayerStoreSpec extends SparkSpec {
       Seq(("bronze", true), ("silver", true), ("gold", true)))
     val store = new LayerStore(spark, dir)
     assert(store.table("gold", "monthly_sales").count() > 0)
-    assert(store.table("gold", "table_metadata").count() == 4)
+    assert(store.table("gold", "table_metadata").count() == 5)
+    // run-scoped forecast sink: 7-day horizon per entity, run_id column
+    val fc = store.table("gold", "forecasts")
+    assert(fc.count() > 0 && fc.columns.contains("run_id"))
+    assert(fc.select("entity_id").distinct().count() * 7 == fc.count())
     // all 12 checks recorded; the lead-time check legitimately fires
     // on synthetic data (shipdate independent of orderdate)
     assert(store.table("audit", "dq_results").count() == 12)

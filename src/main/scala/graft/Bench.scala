@@ -1,6 +1,29 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
+  *
+  * Methodology (round-2 verdict: n=1 timings were too noisy to gate a
+  * 2× threshold):
+  *  - one untimed global warmup (JVM + codegen paths);
+  *  - an explicit artifact-prepare phase, timed and reported as
+  *    "prep_artifacts": the shared LSH signature chain and the stored
+  *    gold marts are built ONCE — the 100 TB design — so per-query
+  *    numbers measure consumption, not repeated construction;
+  *  - each query executes via a noop sink (full materialization of
+  *    every output column — count() lets Catalyst prune projections
+  *    and skip sorts, under-measuring map-heavy queries);
+  *  - 3 timed runs per query, MEDIAN reported (absorbs first-run
+  *    codegen and GC spikes);
+  *  - the JSON line is also written to bench_out.json so the result
+  *    survives log scraping.
+  */
 object Bench {
+  private def median3(a: Double, b: Double, c: Double): Double =
+    Seq(a, b, c).sorted.apply(1)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -10,22 +33,42 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warmup outside the timed section: one small scan +
-    // aggregate so first-query numbers measure the query, not class
-    // loading and first-time Janino compilation.
+    // JVM/codegen warmup outside the timed section
     try {
       val w = spark.read.parquet(s"$sfDir/region.parquet")
       w.groupBy("r_name").count().count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+
+    def timed(body: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      try body catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // artifact prepare: shared LSH signature chain + stored marts,
+    // built once and reported as their own cost entry
+    val prep = timed {
+      graft.operators.TextOps.prepareArtifacts(spark, sfDir)
+      graft.operators.DqChecks.prepareArtifacts(spark, sfDir)
+    }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      def once(): Double = timed {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      }
+      name -> median3(once(), once(), once())
+    }
+
+    val all = results :+ ("prep_artifacts" -> prep)
+    val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = all.map(_._2).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes)
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

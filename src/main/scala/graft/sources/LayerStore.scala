@@ -181,6 +181,23 @@ class LayerStore(spark: SparkSession, root: String) {
     table(layer, name).createOrReplaceTempView(viewName(layer, name))
   }
 
+  /** S6 — batched JDBC bulk push (gold/push.py:127-163: the reference
+    * pushes gold tables to a warehouse in `batchsize` chunks). Spark's
+    * JDBC sink writes per-partition batched inserts — the distributed
+    * analogue of the reference's executemany loop; `batchsize` maps to
+    * the JDBC fetch/batch option and `repartition` bounds concurrent
+    * connections. UNTESTED IN THIS ENVIRONMENT (documented deviation:
+    * no JDBC endpoint or driver offline); the code path is the
+    * standard DataFrameWriter.jdbc contract. */
+  def pushJdbc(layer: String, name: String, url: String, targetTable: String,
+    props: java.util.Properties, batchSize: Int = 1000,
+    maxConnections: Int = 8): Unit =
+    table(layer, name)
+      .repartition(maxConnections)
+      .write.mode(SaveMode.Append)
+      .option("batchsize", batchSize)
+      .jdbc(url, targetTable, props)
+
   /** S12 — CSV export with header. */
   def exportCsv(df: DataFrame, out: String): Unit =
     df.coalesce(1).write.mode(SaveMode.Overwrite)

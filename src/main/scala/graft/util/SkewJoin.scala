@@ -35,9 +35,29 @@ object SkewJoin {
         sum(col("__partial_n")).as("count"))
   }
 
+  /** Join types that preserve semantics under salting. The dim side is
+    * replicated across every salt, so any type that can EMIT unmatched
+    * dim rows ("right", "full_outer") would emit them once per salt —
+    * `salts`-fold duplication. Fact-side-preserving types are safe:
+    * each fact row carries exactly one salt and meets each dim row at
+    * most once. */
+  private val factSafeJoinTypes =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "left_anti", "leftanti", "cross")
+
+  /** Limitation (documented): the salt hashes the fact row's non-key
+    * columns, so hot-key rows with byte-identical payloads still land
+    * on one salt. For such data add a monotonically_increasing_id
+    * column before salting. At runtime AQE's skew-split of sort-merge
+    * joins remains the default production path; this utility is for
+    * plans AQE can't re-split (see object scaladoc). */
   def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
     dimKey: String, salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0)
+    require(factSafeJoinTypes.contains(joinType.toLowerCase),
+      s"saltedJoin: join type '$joinType' is not semantics-preserving under " +
+        "salting (unmatched dim rows would duplicate once per salt); " +
+        s"allowed: ${factSafeJoinTypes.toSeq.sorted.mkString(", ")}")
     val spreadCols = fact.columns.filterNot(_ == factKey).map(col)
     val saltedFact = fact.withColumn("__salt",
       pmod(hash(spreadCols: _*), lit(salts)))

@@ -24,6 +24,20 @@ class ScaleSpec extends SparkSpec {
     val spread = fact.withColumn("__salt", pmod(hash($"v"), lit(8)))
       .filter($"k" === 7).select("__salt").distinct().count()
     assert(spread == 8)
+    // left variants stay fact-side-preserving (unmatched FACT rows
+    // survive exactly once even though the dim is salt-replicated)
+    val factMiss = fact.union(Seq((999L, 1L)).toDF("k", "v"))
+    val leftn = SkewJoin.saltedJoin(factMiss, dim, "k", "dk", salts = 8, "left")
+      .filter($"name".isNull).count()
+    assert(leftn == 1)
+    // dim-emitting types are rejected: unmatched dim rows would
+    // duplicate once per salt (ADVICE r2)
+    Seq("right", "full_outer", "full").foreach { jt =>
+      val e = intercept[IllegalArgumentException] {
+        SkewJoin.saltedJoin(fact, dim, "k", "dk", salts = 8, jt)
+      }
+      assert(e.getMessage.contains("not semantics-preserving"))
+    }
   }
 
   test("partitioned write prunes directories at planning time") {

@@ -50,6 +50,7 @@ object Bench {
     val prep = timed {
       graft.operators.TextOps.prepareArtifacts(spark, sfDir)
       graft.operators.DqChecks.prepareArtifacts(spark, sfDir)
+      graft.operators.Forecast.prepareArtifacts(spark, sfDir)
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

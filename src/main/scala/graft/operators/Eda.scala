@@ -220,25 +220,28 @@ object Eda extends QueryModule {
       |    SELECT 'o_orderpriority', o_orderpriority, count(*) FROM orders GROUP BY 2))
       |WHERE rn = 1 ORDER BY column_name""".stripMargin
 
-  /** Shared moment sums for one numeric column: n, nulls, Σx..Σx⁴ as
-    * exact decimals, min/max, distinct, exact percentiles. */
-  private def momentStats(df: DataFrame, c: String): DataFrame = {
+  /** Per-column aggregate expressions for the one-pass stats profile:
+    * n, nulls, Σx..Σx⁴ as exact decimals, min/max, distinct, and ONE
+    * exact-percentile buffer per column (percentile with an array of
+    * fractions sorts the column once for all three quantiles). */
+  private def momentAggs(c: String): Seq[org.apache.spark.sql.Column] = {
     val x = col(c).cast(DoubleType)
-    df.agg(
-      count(col(c)).as("n"),
-      (count(lit(1)) - count(col(c))).as("nulls"),
-      sum(x.cast(dec)).as("s1"),
-      sum((x * x).cast(dec)).as("s2"),
-      sum((x * x * x).cast(dec)).as("s3"),
-      sum((x * x * x * x).cast(dec)).as("s4"),
-      min(x).as("min_value"),
-      max(x).as("max_value"),
-      countDistinct(col(c)).as("distinct_count"),
-      expr(s"percentile($c, 0.25)").as("q25"),
-      expr(s"percentile($c, 0.5)").as("median"),
-      expr(s"percentile($c, 0.75)").as("q75"))
-      .select(
-        lit(c).as("column_name"), col("n"), col("nulls"),
+    Seq(
+      count(col(c)).as(s"n_$c"),
+      (count(lit(1)) - count(col(c))).as(s"nulls_$c"),
+      sum(x.cast(dec)).as(s"s1_$c"),
+      sum((x * x).cast(dec)).as(s"s2_$c"),
+      sum((x * x * x).cast(dec)).as(s"s3_$c"),
+      sum((x * x * x * x).cast(dec)).as(s"s4_$c"),
+      min(x).as(s"min_$c"),
+      max(x).as(s"max_$c"),
+      expr(s"percentile($c, array(0.25D, 0.5D, 0.75D))").as(s"pct_$c"))
+  }
+
+  /** Derived statistics over the unpivoted (one row per column) sums. */
+  private def deriveMoments(row: DataFrame): DataFrame =
+    row.select(
+        col("column_name"), col("n"), col("nulls"),
         col("min_value"), col("max_value"), col("distinct_count"),
         col("q25"), col("median"), col("q75"),
         snapRound(col("s1").cast(DoubleType) / col("n"), 6).as("mean"),
@@ -261,7 +264,6 @@ object Eda extends QueryModule {
       .withColumn("skewness", snapRound(col("skew_raw"), 9))
       .withColumn("kurtosis", snapRound(col("kurt_raw"), 9))
       .drop("skew_raw", "kurt_raw")
-  }
 
   private def momentStatsSql(c: String): String =
     s"""SELECT '$c' AS column_name, n, nulls, min_value, max_value, distinct_count,
@@ -285,12 +287,32 @@ object Eda extends QueryModule {
        |      FROM lineitem)""".stripMargin
 
   /** q10 — A11: descriptive-statistics profile of the fact table's
-    * numeric columns, one row per column. */
+    * numeric columns, one row per column — TWO scan/aggregation passes
+    * for all four columns (the unioned-aggregates form scanned the
+    * fact 4× with 3 percentile buffers per column). The distinct
+    * counts run in their own pass: fusing 4 countDistincts with the
+    * percentile buffers makes the multi-distinct Expand push 5× the
+    * rows through every percentile aggregate (measured 1.7× slower
+    * than the naive form). */
   def statsProfile(s: SparkSession, dir: String): DataFrame = {
     val l = Tables.t(s, dir, "lineitem")
-    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      .map(momentStats(l, _))
-      .reduce(_.unionByName(_))
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = cols.flatMap(momentAggs)
+    val dcs = cols.map(c => countDistinct(col(c)).as(s"dc_$c"))
+    val one = l.agg(aggs.head, aggs.tail: _*)
+      .crossJoin(l.agg(dcs.head, dcs.tail: _*))
+    val rows = cols.map { c =>
+      struct(
+        lit(c).as("column_name"), col(s"n_$c").as("n"), col(s"nulls_$c").as("nulls"),
+        col(s"min_$c").as("min_value"), col(s"max_$c").as("max_value"),
+        col(s"dc_$c").as("distinct_count"),
+        element_at(col(s"pct_$c"), 1).as("q25"),
+        element_at(col(s"pct_$c"), 2).as("median"),
+        element_at(col(s"pct_$c"), 3).as("q75"),
+        col(s"s1_$c").as("s1"), col(s"s2_$c").as("s2"),
+        col(s"s3_$c").as("s3"), col(s"s4_$c").as("s4"))
+    }
+    deriveMoments(one.select(explode(array(rows: _*)).as("r")).select(col("r.*")))
       .orderBy(col("column_name"))
   }
 

@@ -123,9 +123,17 @@ object GlobalAR extends QueryModule {
              if i <= j } yield s8(fi * fj).as(s"s$i$j")) ++
       fs.toSeq.sortBy(_._1).map { case (i, f) => s8(f * col("y")).as(s"t$i") }
     val fit = feat.agg(sumCols.head, sumCols.tail: _*)
-    val model = solveFormulas.foldLeft(fit) { case (df, (name, f)) =>
+    // Materialize the fitted model: the solve runs over ONE row of 20
+    // exact sums, and collecting its 5 coefficients (standard model-fit
+    // materialization, like any MLlib estimator) keeps the unrolled AR
+    // recursion's expression trees small — leaving beta0..beta4 as live
+    // columns makes Catalyst's collapsed projections substitute the
+    // whole elimination chain into every p_k, exponentially.
+    val betaRow = solveFormulas.foldLeft(fit) { case (df, (name, f)) =>
       df.withColumn(name, expr(f)) }
       .select((0 to 4).map(i => col(s"beta$i")): _*)
+      .head()
+    val betas = (0 to 4).map(i => s"beta$i" -> betaRow.getDouble(i))
     // per-entity history: newest 14 values + last date, one row each
     val wd = Window.partitionBy(col("entity")).orderBy(col("ds").desc)
     val histCols = (1 to 14).map(k =>
@@ -134,7 +142,9 @@ object GlobalAR extends QueryModule {
       .filter(col("rn") <= 14)
       .groupBy(col("entity"))
       .agg(max(col("ds")).as("last_ds"), histCols: _*)
-    val stepped = stepFormulas.foldLeft(hist.crossJoin(broadcast(model))) {
+    val withBetas = betas.foldLeft(hist) { case (df, (name, v)) =>
+      df.withColumn(name, lit(v)) }
+    val stepped = stepFormulas.foldLeft(withBetas) {
       case (df, (name, f)) => df.withColumn(name, expr(f)) }
     stepped
       .select(col("entity"), col("last_ds"),

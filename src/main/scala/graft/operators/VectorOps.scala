@@ -184,13 +184,106 @@ object VectorOps extends QueryModule {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---- q51: embedding-cosine near-dup via sign-projection LSH ------
+
+  private val SRP_BITS = 16  // hyperplanes
+  private val SRP_ROWS = 8   // bits per band -> 2 bands, 256 buckets each
+  private val DIM = 64
+
+  /** Deterministic ±1 hyperplane weight for (hyperplane h, dim i):
+    * one LCG step on the flattened index, bit 16 picks the sign.
+    * Pure 64-bit integer arithmetic — bit-identical in both engines
+    * (no transcendentals, which ARE allowed to differ across libm
+    * implementations). */
+  private def srpWeight(h: Int, i: Column): Column = {
+    val v = lit(1103515245L) * (lit(h.toLong * DIM) + i.cast(LongType)) + lit(12345L)
+    when(shiftright(v, 16).bitwiseAND(lit(1L)) === 0, lit(1.0)).otherwise(lit(-1.0))
+  }
+
+  /** q51 — embedding-cosine near-duplicate detection at collection
+    * scale (every vector vs every vector — dedup, not query search):
+    * 16 sign-projection bits per vector (narrow map), banded 2×8 so
+    * candidates come from 256-way bucket joins, exact decimal-fold
+    * cosine ONLY on candidates, near-dup flag at 0.95. The SRP-LSH
+    * analogue of q22's minhash banding — the standard shape that
+    * survives 100 TB of embeddings (never all-pairs). */
+  def cosineNearDup(s: SparkSession, dir: String): DataFrame = {
+    val all = withNorm(Tables.t(s, dir, "embeddings"))
+    val bits = (0 until SRP_BITS).map { h =>
+      (decSum(transform(col("e"), (x, i) => x * srpWeight(h, i)))
+        .cast(DoubleType) >= 0).cast(IntegerType).as(s"bit$h")
+    }
+    val sig = all.select(col("vec_id") +: col("e") +: col("norm2") +: bits: _*)
+    val bands = (0 until SRP_BITS / SRP_ROWS).map { b =>
+      val bandVal = (0 until SRP_ROWS).map(j =>
+        col(s"bit${b * SRP_ROWS + j}") * lit(1 << (SRP_ROWS - 1 - j))).reduce(_ + _)
+      sig.select(col("vec_id"), lit(b).as("band"), bandVal.as("band_val"))
+    }.reduce(_.unionByName(_))
+    val pairs = bands.alias("a").join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val ea = all.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("norm2").as("na"))
+    val eb = all.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("norm2").as("nb"))
+    val dot = decSum(zip_with(col("ea"), col("eb"), (x, y) => x * y)).cast(DoubleType)
+    pairs.join(ea, "vec_a").join(eb, "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        (dot / (sqrt(col("na")) * sqrt(col("nb")))).as("cosine_raw"))
+      .select(col("vec_a"), col("vec_b"),
+        snapRound(col("cosine_raw"), 6).as("cosine"),
+        (col("cosine_raw") >= 0.95).as("is_near_dup"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  private val cosineNearDupSql = {
+    val w = s"(CASE WHEN (((1103515245 * (CAST(h AS BIGINT) * $DIM + (pos - 1)) + 12345) >> 16) & 1) = 0 THEN 1.0 ELSE -1.0 END)"
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+       |         unnest(generate_series(1, len(embedding))) AS pos
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, CAST(sum(CAST(x * x AS DECIMAL(38,20))) AS DOUBLE) AS norm2
+       |  FROM e GROUP BY vec_id),
+       |bits AS (
+       |  SELECT vec_id, h,
+       |         CASE WHEN CAST(sum(CAST(x * $w AS DECIMAL(38,20))) AS DOUBLE) >= 0
+       |              THEN 1 ELSE 0 END AS bit
+       |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, ${SRP_BITS - 1})) AS h)
+       |  GROUP BY vec_id, h),
+       |bands AS (
+       |  SELECT vec_id, h // $SRP_ROWS AS band,
+       |         sum(bit * (1 << ($SRP_ROWS - 1 - (h % $SRP_ROWS)))) AS band_val
+       |  FROM bits GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id),
+       |dots AS (
+       |  SELECT vec_a, vec_b,
+       |         CAST(sum(CAST(qa.x * qb.x AS DECIMAL(38,20))) AS DOUBLE) AS dot
+       |  FROM pairs
+       |  JOIN e qa ON qa.vec_id = vec_a
+       |  JOIN e qb ON qb.vec_id = vec_b AND qa.pos = qb.pos
+       |  GROUP BY 1, 2)
+       |SELECT vec_a, vec_b,
+       |       ${snapRoundSql("dot / (sqrt(na.norm2) * sqrt(nb.norm2))", 6)} AS cosine,
+       |       dot / (sqrt(na.norm2) * sqrt(nb.norm2)) >= 0.95 AS is_near_dup
+       |FROM dots
+       |JOIN n na ON vec_a = na.vec_id
+       |JOIN n nb ON vec_b = nb.vec_id
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_cosine_topk" -> cosineTopk,
     "q31_ann_filtered" -> annFiltered,
-    "q43_ann_ivf_sampled" -> annIvfSampled)
+    "q43_ann_ivf_sampled" -> annIvfSampled,
+    "q51_cosine_near_dup" -> cosineNearDup)
 
   override def oracles: Map[String, String] = Map(
     "q30_cosine_topk" -> topkSql(sameCluster = false, 5),
     "q31_ann_filtered" -> topkSql(sameCluster = true, 3),
-    "q43_ann_ivf_sampled" -> annIvfSampledSql)
+    "q43_ann_ivf_sampled" -> annIvfSampledSql,
+    "q51_cosine_near_dup" -> cosineNearDupSql)
 }

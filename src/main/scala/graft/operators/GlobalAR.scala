@@ -52,7 +52,7 @@ object GlobalAR extends QueryModule {
     * t0..t4; output beta0..beta4. No pivoting: X'X of a full-rank
     * feature matrix is positive definite, so leading minors never
     * vanish. */
-  private[operators] def solveFormulas: Seq[(String, String)] = {
+  private[graft] def solveFormulas: Seq[(String, String)] = {
     val buf = collection.mutable.ArrayBuffer.empty[(String, String)]
     val a = Array.tabulate(5, 5)((i, j) => s"s${i min j}${i max j}")
     val b = Array.tabulate(5)(i => s"t$i")
@@ -81,7 +81,7 @@ object GlobalAR extends QueryModule {
     * through history h1..h14 (h1 = newest), roll_7 is the mean of the
     * 7 most recent values (predictions first). Fixed left-associated
     * operand order so both engines evaluate identically. */
-  private[operators] def stepFormulas: Seq[(String, String)] = {
+  private[graft] def stepFormulas: Seq[(String, String)] = {
     val buf = collection.mutable.ArrayBuffer.empty[(String, String)]
     for (k <- 1 to H) {
       val lag1 = if (k == 1) "h1" else s"p${k - 1}"

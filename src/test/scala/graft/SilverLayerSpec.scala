@@ -1,0 +1,102 @@
+package graft
+
+import graft.operators.SilverLayer
+import org.apache.spark.sql.functions._
+
+/** Unit semantics of the six-entity silver builders: essential-field
+  * rejection with full-record JSON payloads, business-rule flagging,
+  * quality scoring, and the issues log — on tiny frames where every
+  * branch is reachable (the pipeline test covers the clean-data
+  * path). */
+class SilverLayerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("suppliers: rejection carries the original record as JSON") {
+    val bronze = Seq(
+      (1L, "  ACME CORP  ", "A@B.com", "(555) 123-4567x"),
+      (2L, "!!!", "bad", "12")) // name cleans to NULL -> rejected
+      .toDF("supplier_id", "supplier_name", "contact_email", "phone_number")
+    val r = SilverLayer.suppliers(bronze)
+    assert(r.clean.count() == 1)
+    val row = r.clean.head()
+    assert(row.getString(1) == "Acme Corp") // collapse + title-case
+    assert(row.getString(2) == "a@b.com")   // lowercased valid email
+    val rej = r.rejected.head()
+    assert(rej.getString(0) == "suppliers")
+    assert(rej.getString(1).contains("\"supplier_name\":\"!!!\""))
+    assert(rej.getString(2) == "Missing supplier name")
+  }
+
+  test("products: cost>price flagged, margin zero-guard, 6-field score") {
+    val bronze = Seq(
+      (1L, "Widget", "5.00", "10.00", "Tools > Hand", "active"),
+      (2L, "Gadget", "20.00", "10.00", "N/A", "inactive"), // cost > price
+      (3L, "NoPrice", "1.00", "N/A", "x", "active"))       // rejected
+      .toDF("product_id", "product_name", "unit_cost", "selling_price",
+        "product_category", "status")
+    val r = SilverLayer.products(bronze)
+    assert(r.clean.count() == 2)
+    val byId = r.clean.collect().map(x => x.getLong(0) -> x).toMap
+    assert(byId(1L).getAs[Double]("price_margin") == 5.0)
+    assert(byId(1L).getAs[String]("main_category") == "Tools")
+    assert(byId(1L).getAs[String]("sub_category") == "Hand")
+    assert(byId(2L).getAs[String]("status") == "discontinued")
+    assert(byId(2L).getAs[String]("main_category") == "Uncategorized")
+    // flagged business-rule issue present in the log
+    assert(r.issues.filter(col("issue_type") === "cost_higher_than_price")
+      .select("record_id").as[Long].collect().toSeq == Seq(2L))
+    assert(r.rejected.count() == 1)
+  }
+
+  test("supply_orders: calc + date validations drive flags and score") {
+    val base = ("1", "2", "3", "5", "10.00", "2020-01-01", "2020-01-05", "2020-01-08")
+    val bronze = Seq(
+      // correct: invoice = qty * price
+      (1L, base._1, base._2, base._3, base._4, base._5, "50.00", base._6, base._7, base._8, "Completed"),
+      // calc mismatch: invoice off by > 0.01
+      (2L, base._1, base._2, base._3, base._4, base._5, "51.00", base._6, base._7, base._8, "In Transit"),
+      // date logic broken: shipped before ordered
+      (3L, base._1, base._2, base._3, base._4, base._5, "50.00", "2020-02-01", "2020-01-05", "2020-01-08", "Pending"),
+      // rejected: negative quantity cleans to 5 (sign-drop quirk) but
+      // NULL order date rejects
+      (4L, base._1, base._2, base._3, base._4, base._5, "50.00", "TBD", base._7, base._8, "x"))
+      .toDF("supply_order_id", "product_id", "warehouse_id", "retail_store_id",
+        "quantity", "price", "total_invoice", "order_date", "shipped_date",
+        "delivered_date", "status")
+    val r = SilverLayer.supplyOrders(bronze)
+    val byId = r.clean.collect().map(x => x.getLong(0) -> x).toMap
+    assert(byId.keySet == Set(1L, 2L, 3L))
+    assert(byId(1L).getAs[Boolean]("is_calculation_correct"))
+    assert(byId(1L).getAs[String]("status") == "delivered")
+    assert(!byId(2L).getAs[Boolean]("is_calculation_correct"))
+    assert(byId(2L).getAs[String]("status") == "shipped")
+    assert(!byId(3L).getAs[Boolean]("date_logic_valid"))
+    assert(byId(1L).getAs[Double]("quality_score") == 100.0)
+    assert(byId(2L).getAs[Double]("quality_score") < 100.0)
+    assert(r.rejected.count() == 1)
+    assert(r.issues.filter(col("issue_type") === "invoice_mismatch").count() == 1)
+    assert(r.issues.filter(col("issue_type") === "date_order_invalid").count() == 1)
+  }
+
+  test("inventory: negative or unparseable quantity rejects") {
+    val bronze = Seq(
+      (1L, "10", "20", "100", "2020-01-01"),
+      (2L, "10", "20", "N/A", "2020-01-01")) // unparseable -> rejected
+      .toDF("inventory_id", "product_id", "warehouse_id",
+        "quantity_on_hand", "last_stocked_date")
+    val r = SilverLayer.inventory(bronze)
+    assert(r.clean.count() == 1 && r.rejected.count() == 1)
+    assert(r.clean.head().getAs[Int]("quantity_on_hand") == 100)
+  }
+
+  test("adapters produce reference-shaped frames from the TPC-H roles") {
+    val entities = SilverLayer.buildAll(name => Tables.t(spark, sf0001, name))
+    assert(entities.map(_._1) == Seq("suppliers", "warehouses", "retail_stores",
+      "products", "inventory", "supply_orders"))
+    entities.foreach { case (name, e) =>
+      assert(e.clean.count() > 0, s"$name empty")
+      assert(e.clean.columns.contains("quality_score"))
+      assert(e.rejected.columns.toSeq == Seq("table_name", "record", "reason"))
+    }
+  }
+}

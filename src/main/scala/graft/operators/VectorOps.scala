@@ -88,20 +88,35 @@ object VectorOps extends QueryModule {
     * VectorRecallSpec. At scale: assignment is a broadcast of
     * N_CELLS centroids against the streaming collection; search
     * shuffles once on cell id. */
-  def annIvfSampled(s: SparkSession, dir: String): DataFrame = {
+  def annIvfSampled(s: SparkSession, dir: String): DataFrame =
+    annIvf(s, dir, probe = 1)
+
+  /** q52 — multi-probe IVF: the query side searches its `probe`
+    * NEAREST cells instead of only the best one. Collection vectors
+    * stay single-cell (the inverted file); only the query fans out —
+    * the standard recall/latency dial (probe=2 of 8 cells ≈ 2× the
+    * scanned fraction). Measured in VectorRecallSpec: recall@probe=2
+    * strictly above probe=1. */
+  def annIvfProbe2(s: SparkSession, dir: String): DataFrame =
+    annIvf(s, dir, probe = 2)
+
+  private def annIvf(s: SparkSession, dir: String, probe: Int): DataFrame = {
     val all = withNorm(Tables.t(s, dir, "embeddings"))
     val cents = all.filter(col("vec_id") < N_CELLS)
       .select(col("vec_id").as("centroid_id"), col("e").as("ce"), col("norm2").as("cnorm2"))
     val sim = (decSum(zip_with(col("e"), col("ce"), (x, y) => x * y)).cast(DoubleType)
       / (sqrt(col("norm2")) * sqrt(col("cnorm2")))).as("csim")
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("centroid_id"))
-    val assigned = all.crossJoin(broadcast(cents))
+    val ranked = all.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("e"), col("norm2"), col("centroid_id"), sim)
-      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+      .withColumn("rn", row_number().over(wAssign))
+    // the inverted file: every vector lives in its ONE nearest cell
+    val assigned = ranked.filter(col("rn") === 1)
       .select(col("vec_id"), col("e"), col("norm2"), col("centroid_id").as("cell"))
-    val q = assigned.filter(col("vec_id") < N_QUERIES)
+    // query side probes its `probe` nearest cells
+    val q = ranked.filter(col("vec_id") < N_QUERIES && col("rn") <= probe)
       .select(col("vec_id").as("qid"), col("e").as("qe"),
-        col("norm2").as("qnorm2"), col("cell").as("qcell"))
+        col("norm2").as("qnorm2"), col("centroid_id").as("qcell"))
     val c = assigned.select(col("vec_id").as("cid"), col("e").as("ce2"),
       col("norm2").as("cnorm22"), col("cell").as("ccell"))
     val dot = decSum(zip_with(col("qe"), col("ce2"), (x, y) => x * y)).cast(DoubleType)
@@ -116,7 +131,7 @@ object VectorOps extends QueryModule {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  private val annIvfSampledSql =
+  private def annIvfSql(probe: Int): String =
     s"""WITH e AS (
        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
        |         unnest(generate_series(1, len(embedding))) AS pos
@@ -132,18 +147,21 @@ object VectorOps extends QueryModule {
        |  JOIN n vn ON v.vec_id = vn.vec_id
        |  JOIN n cn ON c.vec_id = cn.vec_id
        |  GROUP BY v.vec_id, c.vec_id, vn.norm2, cn.norm2),
+       |rankedcells AS (
+       |  SELECT vec_id, centroid_id,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id) AS rn
+       |  FROM csim),
        |assigned AS (
-       |  SELECT vec_id, centroid_id AS cell FROM (
-       |    SELECT vec_id, centroid_id,
-       |           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id) AS rn
-       |    FROM csim) WHERE rn = 1),
+       |  SELECT vec_id, centroid_id AS cell FROM rankedcells WHERE rn = 1),
+       |qprobe AS (
+       |  SELECT vec_id, centroid_id AS cell FROM rankedcells
+       |  WHERE vec_id < $N_QUERIES AND rn <= $probe),
        |dots AS (
        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
        |         CAST(sum(CAST(q.x * c.x AS DECIMAL(38,20))) AS DOUBLE) AS dot
        |  FROM e q JOIN e c ON q.pos = c.pos AND q.vec_id <> c.vec_id
-       |  JOIN assigned qa ON q.vec_id = qa.vec_id
+       |  JOIN qprobe qa ON q.vec_id = qa.vec_id
        |  JOIN assigned ca ON c.vec_id = ca.vec_id AND qa.cell = ca.cell
-       |  WHERE q.vec_id < $N_QUERIES
        |  GROUP BY 1, 2),
        |ranked AS (
        |  SELECT qid, cid, dot / (sqrt(qn.norm2) * sqrt(cn.norm2)) AS cosine_raw,
@@ -279,11 +297,13 @@ object VectorOps extends QueryModule {
     "q30_cosine_topk" -> cosineTopk,
     "q31_ann_filtered" -> annFiltered,
     "q43_ann_ivf_sampled" -> annIvfSampled,
-    "q51_cosine_near_dup" -> cosineNearDup)
+    "q51_cosine_near_dup" -> cosineNearDup,
+    "q52_ann_ivf_probe2" -> annIvfProbe2)
 
   override def oracles: Map[String, String] = Map(
     "q30_cosine_topk" -> topkSql(sameCluster = false, 5),
     "q31_ann_filtered" -> topkSql(sameCluster = true, 3),
-    "q43_ann_ivf_sampled" -> annIvfSampledSql,
-    "q51_cosine_near_dup" -> cosineNearDupSql)
+    "q43_ann_ivf_sampled" -> annIvfSql(probe = 1),
+    "q51_cosine_near_dup" -> cosineNearDupSql,
+    "q52_ann_ivf_probe2" -> annIvfSql(probe = 2))
 }

@@ -115,6 +115,18 @@ class ScaleSpec extends SparkSpec {
     ivf.foreach { case (q, c) => assert(c <= brute(q) + 1e-9, s"query $q: ivf $c > brute ${brute(q)}") }
     val recall1 = ivf.count { case (q, c) => math.abs(c - brute(q)) < 1e-9 }.toDouble / brute.size
     info(f"IVF recall@1 (probe=1, 8 cells): $recall1%.2f")
+    // multi-probe (q52): scanning 2 cells must dominate probe=1 —
+    // the candidate set is a superset, so recall can only go up
+    val ivf2 = graft.operators.VectorOps.annIvfProbe2(spark, sf0001)
+      .filter($"rank" === 1).select($"query_id", $"cosine").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ivf2.foreach { case (q, c) =>
+      assert(c + 1e-9 >= ivf.getOrElse(q, Double.MinValue), s"query $q: probe2 $c < probe1")
+      assert(c <= brute(q) + 1e-9, s"query $q: probe2 $c > brute ${brute(q)}")
+    }
+    val recall2 = ivf2.count { case (q, c) => math.abs(c - brute(q)) < 1e-9 }.toDouble / brute.size
+    info(f"IVF recall@1 (probe=2, 8 cells): $recall2%.2f")
+    assert(recall2 >= recall1)
   }
 
   test("bucketed co-located join plans without a shuffle") {

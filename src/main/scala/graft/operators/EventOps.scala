@@ -133,6 +133,25 @@ object EventOps extends QueryModule {
       |GROUP BY ROLLUP (r_name, c_mktsegment)
       |ORDER BY grouping_level, r_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin
 
+  /** q53 — CUBE over (status, priority): every subtotal combination
+    * (including the segment-only slice ROLLUP cannot produce) in one
+    * pass, disambiguated by grouping_id. */
+  def cubeOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("orders"),
+        moneySum(col("o_totalprice")).as("total_price"),
+        grouping_id().as("grouping_level"))
+      .orderBy(col("grouping_level"), col("o_orderstatus"), col("o_orderpriority"))
+
+  private val cubeOrdersSql =
+    """SELECT o_orderstatus, o_orderpriority, count(1) AS orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total_price,
+      |       GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS grouping_level
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY grouping_level, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
   /** q46 — as-of join: each purchase matched to the same user's
     * latest view at-or-before it. Spark lacks a native ASOF JOIN;
     * per the preference order (SURVEY §7.3 / guide) it composes from
@@ -181,6 +200,7 @@ object EventOps extends QueryModule {
     "q33_sessionize" -> sessionize,
     "q44_json_extract" -> jsonExtract,
     "q45_rollup_sales" -> rollupSales,
+    "q53_cube_orders" -> cubeOrders,
     "q46_asof_join" -> asofJoin)
 
   override def oracles: Map[String, String] = Map(
@@ -188,5 +208,6 @@ object EventOps extends QueryModule {
     "q33_sessionize" -> sessionizeSql,
     "q44_json_extract" -> jsonExtractSql,
     "q45_rollup_sales" -> rollupSalesSql,
+    "q53_cube_orders" -> cubeOrdersSql,
     "q46_asof_join" -> asofJoinSql)
 }

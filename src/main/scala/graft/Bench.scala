@@ -51,6 +51,7 @@ object Bench {
       graft.operators.TextOps.prepareArtifacts(spark, sfDir)
       graft.operators.DqChecks.prepareArtifacts(spark, sfDir)
       graft.operators.Forecast.prepareArtifacts(spark, sfDir)
+      graft.operators.VectorOps.prepareArtifacts(spark, sfDir)
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -329,7 +329,7 @@ object SilverClean extends QueryModule {
     """SELECT ship_date, l_returnflag,
       |       count(1) AS total_lines,
       |       count(qty) AS valid_qty_lines,
-      |       sum(qty) AS total_qty,
+      |       CAST(sum(qty) AS BIGINT) AS total_qty,
       |       CAST(sum(qty) AS DOUBLE) / nullif(CAST(count(qty) AS DOUBLE), 0.0) AS avg_qty,
       |       count(DISTINCT l_suppkey) AS distinct_suppliers
       |FROM (

@@ -45,14 +45,13 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // artifact prepare: shared LSH signature chain + stored marts,
-    // built once and reported as their own cost entry
-    val prep = timed {
-      graft.operators.TextOps.prepareArtifacts(spark, sfDir)
-      graft.operators.DqChecks.prepareArtifacts(spark, sfDir)
-      graft.operators.Forecast.prepareArtifacts(spark, sfDir)
-      graft.operators.VectorOps.prepareArtifacts(spark, sfDir)
-    }
+    // artifact prepare: shared artifacts built once, each timed as its
+    // own cost entry (the stored-silver-table builds of a deployment)
+    val preps = Seq(
+      "prep_text_lsh" -> timed(graft.operators.TextOps.prepareArtifacts(spark, sfDir)),
+      "prep_gold_marts" -> timed(graft.operators.DqChecks.prepareArtifacts(spark, sfDir)),
+      "prep_demand_series" -> timed(graft.operators.Forecast.prepareArtifacts(spark, sfDir)),
+      "prep_srp_bands" -> timed(graft.operators.VectorOps.prepareArtifacts(spark, sfDir)))
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = timed {
@@ -61,7 +60,7 @@ object Bench {
       name -> median3(once(), once(), once())
     }
 
-    val all = results :+ ("prep_artifacts" -> prep)
+    val all = results ++ preps
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = all.map(_._2).sum

@@ -423,7 +423,95 @@ object TextOps extends QueryModule {
         graft.plans.PolyHash.poly_hash(col("text")).as("fingerprint64"))
       .orderBy(col("doc_id"))
 
+  // ---- q54: near-dup clusters (connected components) --------------
+
+  /** q54 — the final step of a production dedup pipeline: verified
+    * similar pairs (exact Jaccard >= 0.5 on the LSH candidates)
+    * become CLUSTERS via connected components, one canonical doc
+    * (min id) per cluster. Iterative min-label propagation — each
+    * round is one join + min-aggregation, converging in
+    * graph-diameter rounds (the GraphX-free distributed CC; near-dup
+    * components are clique-like, so 2-3 rounds in practice). The
+    * driver loop carries only a scalar convergence count per round —
+    * the labels never leave the cluster. Oracle: DuckDB recursive-CTE
+    * transitive closure + min-reachable. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(s, dir, "documents").select(col("doc_id"))
+    val sim = ngramJaccard(s, dir).filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = sim.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(sim.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    edges.count()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label")).persist()
+    labels.count()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 25) {
+      val neighborLabels = edges
+        .join(labels.select(col("doc_id").as("dst"), col("label")), "dst")
+        .select(col("src").as("doc_id"), col("label"))
+      val next = labels.unionByName(neighborLabels)
+        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+        .persist()
+      next.count()
+      changed = next.as("n").join(labels.as("o"), "doc_id")
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    val comp = labels.select(col("doc_id"), col("label").as("cluster_id"))
+    val sizes = comp.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dedupClustersSql = {
+    val mins = (0 until K).map(i => s"min(md5('$i|' || s)) AS mh$i").mkString(", ")
+    val bandRows = (0 until BANDS).map(b =>
+      s"SELECT doc_id, $b AS band, md5(mh${2 * b} || mh${2 * b + 1}) AS band_sig FROM sig")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH RECURSIVE $shinglesCte,
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+       |shsizes AS (SELECT doc_id, count(1) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT doc_a, doc_b, count(1) AS inter
+       |  FROM pairs
+       |  JOIN sh sa ON doc_a = sa.doc_id
+       |  JOIN sh sb ON doc_b = sb.doc_id AND sa.s = sb.s
+       |  GROUP BY 1, 2),
+       |sim AS (
+       |  SELECT doc_a, doc_b
+       |  FROM inter
+       |  JOIN shsizes na ON doc_a = na.doc_id
+       |  JOIN shsizes nb ON doc_b = nb.doc_id
+       |  WHERE ${snapRoundSql("CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE)", 6)} >= 0.5),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM sim
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM sim),
+       |reach AS (
+       |  SELECT doc_id AS node, doc_id AS reachable FROM documents
+       |  UNION
+       |  SELECT r.node, e.dst FROM reach r JOIN edges e ON r.reachable = e.src),
+       |comp AS (SELECT node AS doc_id, min(reachable) AS cluster_id FROM reach GROUP BY node),
+       |csizes AS (SELECT cluster_id, count(1) AS cluster_size FROM comp GROUP BY 1)
+       |SELECT doc_id, cluster_id, cluster_size, doc_id = cluster_id AS is_canonical
+       |FROM comp JOIN csizes USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_dedup_clusters" -> dedupClusters,
     "q29_poly_fingerprint" -> polyFingerprint,
     "q20_dedup_exact" -> dedupExact,
     "q21_minhash_signatures" -> minhashSignatures,
@@ -450,6 +538,7 @@ object TextOps extends QueryModule {
       |ORDER BY doc_id""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    "q54_dedup_clusters" -> dedupClustersSql,
     "q29_poly_fingerprint" -> polyFingerprintSql,
     "q20_dedup_exact" -> dedupExactSql,
     "q21_minhash_signatures" -> minhashSignaturesSql,

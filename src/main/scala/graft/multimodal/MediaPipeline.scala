@@ -56,4 +56,34 @@ object MediaPipeline {
     docs.select(col("doc_id"), lit("text/plain").as("mime"),
       col("text").cast("binary").as("payload")).as[MediaRow]
   }
+
+  case class ResizedMedia(doc_id: Long, mime: String, width: Int,
+    height: Int, pixels: Array[Int])
+
+  /** STUB resize — stands in for image downscale (no codec libs).
+    * Treats the payload as a row-major byte "image" and box-samples it
+    * to a fixed `side`×`side` grid: each output cell is the byte at
+    * the top-left of its source box (a real implementation would
+    * average the box after decode; signature, batch shape, and the
+    * fixed-size output schema would not change). Short payloads pad
+    * with 0 — output dimensions are ALWAYS side×side, the property
+    * downstream training pipelines rely on. */
+  def fakeResize(payload: Array[Byte], side: Int): Array[Int] = {
+    val srcSide = math.max(1, math.sqrt(payload.length.toDouble).toInt)
+    Array.tabulate(side * side) { i =>
+      val (r, c) = (i / side, i % side)
+      val idx = (r * srcSide / side) * srcSide + (c * srcSide / side)
+      if (idx < payload.length) payload(idx) & 0xff else 0
+    }
+  }
+
+  /** Partition-local batch resize to a fixed grid — same mapPartitions
+    * shape as extractFeatures (codec init once per partition). */
+  def resizeAll(media: Dataset[MediaRow], side: Int = 8): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map(r => ResizedMedia(r.doc_id, r.mime, side, side,
+        fakeResize(r.payload, side)))
+    }
+  }
 }

@@ -26,6 +26,22 @@ class MediaPipelineSpec extends SparkSpec {
     assert(frames.forall(_ == 65))
   }
 
+  test("resize: fixed-size output grid regardless of payload length") {
+    val docs = Tables.t(spark, sf0001, "documents")
+    val resized = MediaPipeline.resizeAll(MediaPipeline.fromDocuments(docs), side = 8)
+    val rows = resized.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.width == 8 && r.height == 8 && r.pixels.length == 64))
+    // deterministic: same input -> same grid
+    val again = MediaPipeline.resizeAll(MediaPipeline.fromDocuments(docs), side = 8)
+      .collect().map(r => r.doc_id -> r.pixels.toSeq).toMap
+    rows.foreach(r => assert(again(r.doc_id) == r.pixels.toSeq))
+    // empty payload pads with zeros, never throws; single-byte payload
+    // broadcasts its one source box to the whole grid
+    assert(MediaPipeline.fakeResize(Array.empty[Byte], 8).forall(_ == 0))
+    assert(MediaPipeline.fakeResize(Array[Byte](7), 8).forall(_ == 7))
+  }
+
   test("decode is deterministic across invocations") {
     val bytes = "hello multimodal world".getBytes("UTF-8")
     assert(MediaPipeline.fakeDecode(bytes) == MediaPipeline.fakeDecode(bytes) ||

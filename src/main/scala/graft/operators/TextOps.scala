@@ -435,8 +435,15 @@ object TextOps extends QueryModule {
     * driver loop carries only a scalar convergence count per round —
     * the labels never leave the cluster. Oracle: DuckDB recursive-CTE
     * transitive closure + min-reachable. */
+  /** The previous invocation's converged label frame (per dir): the
+    * returned DataFrame reads it lazily, so it must stay persisted
+    * until the NEXT invocation replaces it — without this, repeated
+    * runs (bench median-of-3) would leak one cached frame each. */
+  private val lastLabels = collection.concurrent.TrieMap.empty[String, DataFrame]
+
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.t(s, dir, "documents").select(col("doc_id"))
+    lastLabels.remove(dir).foreach(_.unpersist())
     val sim = ngramJaccard(s, dir).filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"))
     val edges = sim.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -461,6 +468,7 @@ object TextOps extends QueryModule {
       labels = next
       iter += 1
     }
+    lastLabels.put(dir, labels)
     val comp = labels.select(col("doc_id"), col("label").as("cluster_id"))
     val sizes = comp.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
     comp.join(sizes, "cluster_id")

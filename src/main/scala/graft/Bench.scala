@@ -39,22 +39,30 @@ object Bench {
       w.groupBy("r_name").count().count()
     } catch { case _: Throwable => () }
 
-    def timed(body: => Unit): Double = {
+    // failures are RECORDED, never swallowed: a failed prepare or
+    // query would otherwise report a plausible time-to-failure and the
+    // benchmark would look clean while measuring the wrong thing
+    val failures = collection.mutable.ArrayBuffer.empty[String]
+    def timed(label: String)(body: => Unit): Double = {
       val t0 = System.nanoTime()
-      try body catch { case _: Throwable => () }
+      try body catch {
+        case e: Throwable =>
+          failures += label
+          System.err.println(s"[bench] $label FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
       (System.nanoTime() - t0) / 1e9
     }
 
     // artifact prepare: shared artifacts built once, each timed as its
     // own cost entry (the stored-silver-table builds of a deployment)
     val preps = Seq(
-      "prep_text_lsh" -> timed(graft.operators.TextOps.prepareArtifacts(spark, sfDir)),
-      "prep_gold_marts" -> timed(graft.operators.DqChecks.prepareArtifacts(spark, sfDir)),
-      "prep_demand_series" -> timed(graft.operators.Forecast.prepareArtifacts(spark, sfDir)),
-      "prep_srp_bands" -> timed(graft.operators.VectorOps.prepareArtifacts(spark, sfDir)))
+      "prep_text_lsh" -> timed("prep_text_lsh")(graft.operators.TextOps.prepareArtifacts(spark, sfDir)),
+      "prep_gold_marts" -> timed("prep_gold_marts")(graft.operators.DqChecks.prepareArtifacts(spark, sfDir)),
+      "prep_demand_series" -> timed("prep_demand_series")(graft.operators.Forecast.prepareArtifacts(spark, sfDir)),
+      "prep_srp_bands" -> timed("prep_srp_bands")(graft.operators.VectorOps.prepareArtifacts(spark, sfDir)))
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = timed {
+      def once(): Double = timed(name) {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       }
       name -> median3(once(), once(), once())
@@ -64,8 +72,9 @@ object Bench {
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = all.map(_._2).sum
+    val failed = failures.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (line + "\n").getBytes)

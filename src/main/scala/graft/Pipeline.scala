@@ -70,6 +70,7 @@ object Pipeline {
       steps.toDF("step_executed", "table_name", "input_count", "output_count", "rejected_count")
         .withColumn("run_id", lit(runId))
         .withColumn("logged_at", current_timestamp()))
+    entities.foreach(_._2.release()) // drop the staged caches
     // kept from the pre-entity layer: the orders/lineitem silver twins
     // the gold marts read (S3 scan -> S5 reload)
     val o = store.table("bronze", "orders")

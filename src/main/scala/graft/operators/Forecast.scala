@@ -26,14 +26,15 @@ object Forecast extends QueryModule {
   /** Session-lifetime cache of the gap-filled series — the stored
     * demand-series silver table a deployment would materialize once
     * and share across every forecasting consumer (q34/q35/q50). */
-  private val seriesCache = collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val seriesCache =
+    collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private[operators] def dailySeries(s: SparkSession, dir: String): DataFrame =
-    seriesCache.getOrElseUpdate(dir, {
+    seriesCache.synchronized { seriesCache.getOrElseUpdate((s, dir), {
       val d = buildDailySeries(s, dir).persist()
       d.count()
       d
-    })
+    }) }
 
   /** Build the shared series artifact eagerly (Bench prepare phase). */
   def prepareArtifacts(s: SparkSession, dir: String): Unit = dailySeries(s, dir)

@@ -38,7 +38,19 @@ import org.apache.spark.sql.types._
   */
 object SilverLayer extends QueryModule {
 
-  case class Cleaned(clean: DataFrame, rejected: DataFrame, issues: DataFrame)
+  /** release(): unpersists the builder's shared staged frame when the
+    * caller opted into caching (buildAll does — the clean write, the
+    * rejected count/write, and the issues write would otherwise each
+    * recompute the whole cleaning chain from bronze). No-op without
+    * caching. */
+  case class Cleaned(clean: DataFrame, rejected: DataFrame, issues: DataFrame,
+    release: () => Unit = () => ())
+
+  /** Persist-on-request for the shared staged frame (one scan feeds
+    * clean + rejected + issues instead of three). */
+  private def maybeCache(df: DataFrame, cache: Boolean): (DataFrame, () => Unit) =
+    if (cache) { val p = df.persist(); (p, () => { p.unpersist(); () }) }
+    else (df, () => ())
 
   // ---- shared helpers --------------------------------------------
 
@@ -89,15 +101,15 @@ object SilverLayer extends QueryModule {
 
   /** Input shape: supplier_id, supplier_name, contact_email,
     * phone_number. Essential: cleaned name present. Score over 4. */
-  def suppliers(bronze: DataFrame): Cleaned = {
+  def suppliers(bronze: DataFrame, cache: Boolean = false): Cleaned = {
     val name = cleanText(col("supplier_name"))
     val email = cleanEmail(col("contact_email"))
     val phone = cleanPhone(col("phone_number"))
-    val staged = bronze.select(col("*"),
+    val (staged, release) = maybeCache(bronze.select(col("*"),
       name.as("clean_name"), email.as("clean_email"), phone.as("clean_phone"),
       (issueFlag(name, col("supplier_name")) +
         issueFlag(email, col("contact_email")) +
-        issueFlag(phone, col("phone_number"))).as("issues"))
+        issueFlag(phone, col("phone_number"))).as("issues")), cache)
     val clean = staged.filter(col("clean_name").isNotNull).select(
       col("supplier_id"),
       col("clean_name").as("supplier_name"),
@@ -110,7 +122,7 @@ object SilverLayer extends QueryModule {
       ("supplier_name", col("supplier_name"), col("supplier_name"), col("clean_name")),
       ("contact_email", col("contact_email"), col("contact_email"), col("clean_email")),
       ("phone_number", col("phone_number"), col("phone_number"), col("clean_phone"))))
-    Cleaned(clean, rejected, issues)
+    Cleaned(clean, rejected, issues, release)
   }
 
   // ---- products (silver_builder.py:614-731) ----------------------
@@ -123,14 +135,14 @@ object SilverLayer extends QueryModule {
     * Essential: name + both prices. price_margin = price - cost when
     * cost > 0 else 0; cost > price is a flagged quality issue
     * (silver_builder.py:689-697). Score over 6. */
-  def products(bronze: DataFrame): Cleaned = {
+  def products(bronze: DataFrame, cache: Boolean = false): Cleaned = {
     val dec = DecimalType(15, 4)
     val name = cleanText(col("product_name"))
     val cost = cleanDecimal(col("unit_cost"))
     val price = cleanDecimal(col("selling_price"))
     val cat = parseCategory(col("product_category"))
     val status = mapStatus(col("status"), productStatusMap)
-    val staged = bronze.select(col("*"), name.as("clean_name"),
+    val (staged, release) = maybeCache(bronze.select(col("*"), name.as("clean_name"),
       cost.as("clean_cost"), price.as("clean_price"),
       cat.getField("main_category").as("main_category"),
       cat.getField("sub_category").as("sub_category"),
@@ -139,7 +151,7 @@ object SilverLayer extends QueryModule {
         issueFlag(cost, col("unit_cost").try_cast(dec)) +
         issueFlag(price, col("selling_price").try_cast(dec)) +
         issueFlag(status, col("status")) +
-        when(cost > price, 1).otherwise(0)).as("issues"))
+        when(cost > price, 1).otherwise(0)).as("issues")), cache)
     val essential = col("clean_name").isNotNull &&
       col("clean_cost").isNotNull && col("clean_price").isNotNull
     val clean = staged.filter(essential).select(
@@ -169,24 +181,24 @@ object SilverLayer extends QueryModule {
       ("selling_price", col("selling_price"), col("selling_price").try_cast(dec), col("clean_price")),
       ("status", col("status"), col("status"), col("clean_status"))))
       .unionByName(flagged)
-    Cleaned(clean, rejected, issues)
+    Cleaned(clean, rejected, issues, release)
   }
 
   // ---- warehouses (silver_builder.py:733-814) --------------------
 
   /** Input shape: warehouse_id, warehouse_name, city, region,
     * storage_capacity. Essential: name. Score over 5. */
-  def warehouses(bronze: DataFrame): Cleaned = {
+  def warehouses(bronze: DataFrame, cache: Boolean = false): Cleaned = {
     val name = cleanText(col("warehouse_name"))
     val capacity = cleanInteger(col("storage_capacity"))
-    val staged = bronze.select(col("*"), name.as("clean_name"),
+    val (staged, release) = maybeCache(bronze.select(col("*"), name.as("clean_name"),
       cleanText(col("city")).as("clean_city"),
       cleanText(col("region")).as("clean_region"),
       capacity.as("clean_capacity"),
       (issueFlag(name, col("warehouse_name")) +
         issueFlag(cleanText(col("city")), col("city")) +
         issueFlag(cleanText(col("region")), col("region")) +
-        issueFlag(capacity, col("storage_capacity").try_cast(IntegerType))).as("issues"))
+        issueFlag(capacity, col("storage_capacity").try_cast(IntegerType))).as("issues")), cache)
     val clean = staged.filter(col("clean_name").isNotNull).select(
       col("warehouse_id"),
       col("clean_name").as("warehouse_name"),
@@ -199,8 +211,10 @@ object SilverLayer extends QueryModule {
     val issues = fieldIssues(staged, "warehouses", "warehouse_id", Seq(
       ("warehouse_name", col("warehouse_name"), col("warehouse_name"), col("clean_name")),
       ("city", col("city"), col("city"), col("clean_city")),
-      ("region", col("region"), col("region"), col("clean_region"))))
-    Cleaned(clean, rejected, issues)
+      ("region", col("region"), col("region"), col("clean_region")),
+      ("storage_capacity", col("storage_capacity"),
+        col("storage_capacity").try_cast(IntegerType), col("clean_capacity"))))
+    Cleaned(clean, rejected, issues, release)
   }
 
   // ---- retail_stores (silver_builder.py:816-905) -----------------
@@ -212,10 +226,10 @@ object SilverLayer extends QueryModule {
 
   /** Input shape: retail_store_id, store_name, city, region,
     * store_type, store_status. Essential: name. Score over 6. */
-  def retailStores(bronze: DataFrame): Cleaned = {
+  def retailStores(bronze: DataFrame, cache: Boolean = false): Cleaned = {
     val name = cleanText(col("store_name"))
     val status = mapStatus(col("store_status"), storeStatusMap)
-    val staged = bronze.select(col("*"), name.as("clean_name"),
+    val (staged, release) = maybeCache(bronze.select(col("*"), name.as("clean_name"),
       cleanText(col("city")).as("clean_city"),
       cleanText(col("region")).as("clean_region"),
       cleanText(col("store_type")).as("clean_type"),
@@ -224,7 +238,7 @@ object SilverLayer extends QueryModule {
         issueFlag(cleanText(col("city")), col("city")) +
         issueFlag(cleanText(col("region")), col("region")) +
         issueFlag(cleanText(col("store_type")), col("store_type")) +
-        issueFlag(status, col("store_status"))).as("issues"))
+        issueFlag(status, col("store_status"))).as("issues")), cache)
     val clean = staged.filter(col("clean_name").isNotNull).select(
       col("retail_store_id"),
       col("clean_name").as("store_name"),
@@ -237,9 +251,11 @@ object SilverLayer extends QueryModule {
       bronze.columns, "retail_stores", lit("Missing store name"))
     val issues = fieldIssues(staged, "retail_stores", "retail_store_id", Seq(
       ("store_name", col("store_name"), col("store_name"), col("clean_name")),
+      ("city", col("city"), col("city"), col("clean_city")),
+      ("region", col("region"), col("region"), col("clean_region")),
       ("store_type", col("store_type"), col("store_type"), col("clean_type")),
       ("store_status", col("store_status"), col("store_status"), col("clean_status"))))
-    Cleaned(clean, rejected, issues)
+    Cleaned(clean, rejected, issues, release)
   }
 
   // ---- inventory (silver_builder.py:1023-1090) -------------------
@@ -247,22 +263,27 @@ object SilverLayer extends QueryModule {
   /** Input shape: inventory_id, product_id, warehouse_id,
     * quantity_on_hand, last_stocked_date. Essential: quantity present
     * and non-negative. Score over 5. */
-  def inventory(bronze: DataFrame): Cleaned = {
+  def inventory(bronze: DataFrame, cache: Boolean = false): Cleaned = {
     val qty = cleanInteger(col("quantity_on_hand"))
-    val staged = bronze.select(col("*"), qty.as("clean_qty"),
-      parseDateMulti(col("last_stocked_date")).as("clean_date"))
+    val date = parseDateMulti(col("last_stocked_date"))
+    val (staged, release) = maybeCache(bronze.select(col("*"),
+      qty.as("clean_qty"), date.as("clean_date"),
+      (issueFlag(qty, col("quantity_on_hand").try_cast(IntegerType)) +
+        issueFlag(date, col("last_stocked_date").try_cast(DateType))).as("issues")), cache)
     val essential = col("clean_qty").isNotNull && col("clean_qty") >= 0
     val clean = staged.filter(essential).select(
       col("inventory_id"), col("product_id"), col("warehouse_id"),
       col("clean_qty").as("quantity_on_hand"),
       col("clean_date").as("last_stocked_date"),
-      qualityScore(lit(0), 5).as("quality_score"))
+      qualityScore(col("issues"), 5).as("quality_score"))
     val rejected = rejectedRows(staged.filter(!essential), bronze.columns,
       "inventory", lit("Invalid or negative quantity"))
     val issues = fieldIssues(staged, "inventory", "inventory_id", Seq(
       ("quantity_on_hand", col("quantity_on_hand"),
-        col("quantity_on_hand").try_cast(IntegerType), col("clean_qty"))))
-    Cleaned(clean, rejected, issues)
+        col("quantity_on_hand").try_cast(IntegerType), col("clean_qty")),
+      ("last_stocked_date", col("last_stocked_date"),
+        col("last_stocked_date").try_cast(DateType), col("clean_date"))))
+    Cleaned(clean, rejected, issues, release)
   }
 
   // ---- supply_orders (silver_builder.py:907-1021) ----------------
@@ -280,7 +301,7 @@ object SilverLayer extends QueryModule {
     * calculation check (|invoice - qty*price| <= 0.01) and date logic
     * (shipped >= ordered, delivered >= shipped), each flagged issue
     * lowering the 11-field quality score (silver_builder.py:975-995). */
-  def supplyOrders(bronze: DataFrame): Cleaned = {
+  def supplyOrders(bronze: DataFrame, cache: Boolean = false): Cleaned = {
     val qty = cleanInteger(col("quantity"))
     val price = cleanDecimal(col("price"))
     val invoice = cleanDecimal(col("total_invoice"))
@@ -292,12 +313,12 @@ object SilverLayer extends QueryModule {
       abs(invoice - qty.cast(DecimalType(15, 4)) * price) <= lit(0.01)
     val datesOk = (sDate.isNull || sDate >= oDate) &&
       (dDate.isNull || sDate.isNull || dDate >= sDate)
-    val staged = bronze.select(col("*"),
+    val (staged, release) = maybeCache(bronze.select(col("*"),
       qty.as("clean_qty"), price.as("clean_price"), invoice.as("clean_invoice"),
       oDate.as("clean_order_date"), sDate.as("clean_shipped_date"),
       dDate.as("clean_delivered_date"), status.as("clean_status"),
       calcOk.as("calc_ok"), datesOk.as("dates_ok"),
-      (when(!calcOk, 1).otherwise(0) + when(!datesOk, 1).otherwise(0)).as("issues"))
+      (when(!calcOk, 1).otherwise(0) + when(!datesOk, 1).otherwise(0)).as("issues")), cache)
     val essential = col("clean_order_date").isNotNull &&
       col("clean_qty").isNotNull && col("clean_qty") >= 0 &&
       col("clean_price").isNotNull
@@ -318,17 +339,22 @@ object SilverLayer extends QueryModule {
       qualityScore(col("issues"), 11).as("quality_score"))
     val rejected = rejectedRows(staged.filter(!essential), bronze.columns,
       "supply_orders", lit("Missing essential data (order_date, quantity, or price)"))
-    val flagged = staged.filter(!col("calc_ok") || !col("dates_ok"))
-      .select(lit("supply_orders").as("table_name"),
-        col("supply_order_id").cast(LongType).as("record_id"),
-        when(!col("calc_ok"), "calculation").otherwise("dates").as("field_name"),
-        when(!col("calc_ok"), "invoice_mismatch").otherwise("date_order_invalid").as("issue_type"),
-        concat(lit("qty:"), col("clean_qty").cast(StringType),
-          lit(", price:"), col("clean_price").cast(StringType),
-          lit(", invoice:"), col("clean_invoice").cast(StringType)).as("original_value"),
-        lit(null).cast(StringType).as("cleaned_value"),
-        lit("flagged").as("action_taken"))
-    Cleaned(clean, rejected, flagged)
+    // one issue row PER violation — a row failing both checks logs
+    // both, matching its 2-issue quality deduction
+    def flagRows(cond: Column, field: String, issueType: String) =
+      staged.filter(cond)
+        .select(lit("supply_orders").as("table_name"),
+          col("supply_order_id").cast(LongType).as("record_id"),
+          lit(field).as("field_name"),
+          lit(issueType).as("issue_type"),
+          concat(lit("qty:"), col("clean_qty").cast(StringType),
+            lit(", price:"), col("clean_price").cast(StringType),
+            lit(", invoice:"), col("clean_invoice").cast(StringType)).as("original_value"),
+          lit(null).cast(StringType).as("cleaned_value"),
+          lit("flagged").as("action_taken"))
+    val flagged = flagRows(!col("calc_ok"), "calculation", "invoice_mismatch")
+      .unionByName(flagRows(!col("dates_ok"), "dates", "date_order_invalid"))
+    Cleaned(clean, rejected, flagged, release)
   }
 
   // ---- TPC-H-role adapters (the repo's bronze -> reference shape) --
@@ -415,14 +441,14 @@ object SilverLayer extends QueryModule {
   /** All six entities in the reference's dependency-free order
     * (silver_builder.py:1117-1124). */
   def buildAll(bronzeOf: String => DataFrame): Seq[(String, Cleaned)] = Seq(
-    "suppliers" -> suppliers(suppliersFromTpch(bronzeOf("supplier"))),
-    "warehouses" -> warehouses(warehousesFromTpch(bronzeOf("nation"), bronzeOf("region"))),
+    "suppliers" -> suppliers(suppliersFromTpch(bronzeOf("supplier")), cache = true),
+    "warehouses" -> warehouses(warehousesFromTpch(bronzeOf("nation"), bronzeOf("region")), cache = true),
     "retail_stores" -> retailStores(retailStoresFromTpch(
-      bronzeOf("customer"), bronzeOf("nation"), bronzeOf("region"))),
-    "products" -> products(productsFromTpch(bronzeOf("part"))),
-    "inventory" -> inventory(inventoryFromTpch(bronzeOf("lineitem"))),
+      bronzeOf("customer"), bronzeOf("nation"), bronzeOf("region")), cache = true),
+    "products" -> products(productsFromTpch(bronzeOf("part")), cache = true),
+    "inventory" -> inventory(inventoryFromTpch(bronzeOf("lineitem")), cache = true),
     "supply_orders" -> supplyOrders(supplyOrdersFromTpch(
-      bronzeOf("lineitem"), bronzeOf("orders"))))
+      bronzeOf("lineitem"), bronzeOf("orders")), cache = true))
 
   // ---- q49: the products builder under oracle verification ---------
 

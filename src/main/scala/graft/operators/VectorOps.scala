@@ -221,10 +221,11 @@ object VectorOps extends QueryModule {
   /** Session-lifetime SRP band artifact per data dir — the stored
     * `embedding_signatures` table a deployment writes once and shares
     * (same artifact design as TextOps' minhash bands). */
-  private val srpBandCache = collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val srpBandCache =
+    collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def srpBands(s: SparkSession, dir: String): DataFrame =
-    srpBandCache.getOrElseUpdate(dir, {
+    srpBandCache.synchronized { srpBandCache.getOrElseUpdate((s, dir), {
       val all = withNorm(Tables.t(s, dir, "embeddings"))
       val bits = (0 until SRP_BITS).map { h =>
         (decSum(transform(col("e"), (x, i) => x * srpWeight(h, i)))
@@ -238,7 +239,7 @@ object VectorOps extends QueryModule {
       }.reduce(_.unionByName(_)).persist()
       bands.count()
       bands
-    })
+    }) }
 
   /** Build the shared artifact eagerly (Bench prepare phase). */
   def prepareArtifacts(s: SparkSession, dir: String): Unit = srpBands(s, dir)

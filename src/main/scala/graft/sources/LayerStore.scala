@@ -35,11 +35,27 @@ class LayerStore(spark: SparkSession, root: String) {
   private def fsFor(p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Crash recovery: a death inside stageSwap's swap window (after
+    * target -> .__bak__, before .__staging__ -> target) leaves the
+    * only copy of the table at .__bak__. Every entry point that looks
+    * at the table first promotes such an orphan back — without this,
+    * the next upsert would see "absent", merge only the incoming
+    * batch, and stageSwap would DELETE the backup before promoting:
+    * silent permanent truncation. */
+  private def recoverOrphanBackup(layer: String, name: String): Unit = {
+    val target = hadoopPath(layer, name)
+    val backup = hadoopPath(layer, name, ".__bak__")
+    val fs = fsFor(target)
+    if (!fs.exists(target) && fs.exists(backup) && !fs.rename(backup, target))
+      sys.error(s"recovery: cannot restore $backup to $target")
+  }
+
   /** Narrow existence probe: only "the path is absent" means absent.
     * A corrupt footer / transient FS error / OOM while READING must
     * propagate — treating it as "no table" would make upsert silently
     * truncate the store to just the incoming batch. */
   def exists(layer: String, name: String): Boolean = {
+    recoverOrphanBackup(layer, name)
     val p = hadoopPath(layer, name)
     fsFor(p).exists(p)
   }
@@ -54,6 +70,7 @@ class LayerStore(spark: SparkSession, root: String) {
     * commit protocol, and the property SaveMode.Overwrite alone does
     * NOT give you (it deletes the target before writing). */
   private def stageSwap(layer: String, name: String, df: DataFrame): Long = {
+    recoverOrphanBackup(layer, name)
     val target = hadoopPath(layer, name)
     val staging = hadoopPath(layer, name, ".__staging__")
     val backup = hadoopPath(layer, name, ".__bak__")
@@ -123,8 +140,10 @@ class LayerStore(spark: SparkSession, root: String) {
     write(layer, name, merged)
   }
 
-  def table(layer: String, name: String): DataFrame =
+  def table(layer: String, name: String): DataFrame = {
+    recoverOrphanBackup(layer, name)
     spark.read.parquet(path(layer, name))
+  }
 
   /** S7 — DDL clone from the stored schema. */
   def ddl(layer: String, name: String): String =

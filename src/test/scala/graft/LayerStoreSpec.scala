@@ -67,6 +67,23 @@ class LayerStoreSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/silver/t.__bak__")))
   }
 
+  test("orphaned backup from a crash mid-swap is recovered, not destroyed") {
+    val (store, dir) = freshStore()
+    store.write("silver", "t",
+      Seq((1L, "old", 1L), (2L, "old", 1L)).toDF("id", "v", "ver"))
+    // simulate dying between rename(target -> .__bak__) and
+    // rename(staging -> target): table gone, sole copy at .__bak__
+    val base = java.nio.file.Paths.get(dir, "silver")
+    java.nio.file.Files.move(base.resolve("t"), base.resolve("t.__bak__"))
+    // the next upsert must SEE the old table (recovered), merge with
+    // it, and never delete the backup before promoting
+    store.upsert("silver", "t",
+      Seq((2L, "new", 2L)).toDF("id", "v", "ver"), Seq("id"), "ver")
+    val rows = store.table("silver", "t").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "old"), (2L, "new")), s"got $rows")
+  }
+
   test("upsert onto an unreadable table propagates instead of truncating") {
     val (store, dir) = freshStore()
     store.write("bronze", "t", Seq((1L, "a", 1L)).toDF("id", "v", "ver"))

@@ -59,13 +59,15 @@ class SilverLayerSpec extends SparkSpec {
       (3L, base._1, base._2, base._3, base._4, base._5, "50.00", "2020-02-01", "2020-01-05", "2020-01-08", "Pending"),
       // rejected: negative quantity cleans to 5 (sign-drop quirk) but
       // NULL order date rejects
-      (4L, base._1, base._2, base._3, base._4, base._5, "50.00", "TBD", base._7, base._8, "x"))
+      (4L, base._1, base._2, base._3, base._4, base._5, "50.00", "TBD", base._7, base._8, "x"),
+      // BOTH violations at once: each must get its own issues-log row
+      (5L, base._1, base._2, base._3, base._4, base._5, "51.00", "2020-02-01", "2020-01-05", "2020-01-08", "Pending"))
       .toDF("supply_order_id", "product_id", "warehouse_id", "retail_store_id",
         "quantity", "price", "total_invoice", "order_date", "shipped_date",
         "delivered_date", "status")
     val r = SilverLayer.supplyOrders(bronze)
     val byId = r.clean.collect().map(x => x.getLong(0) -> x).toMap
-    assert(byId.keySet == Set(1L, 2L, 3L))
+    assert(byId.keySet == Set(1L, 2L, 3L, 5L))
     assert(byId(1L).getAs[Boolean]("is_calculation_correct"))
     assert(byId(1L).getAs[String]("status") == "delivered")
     assert(!byId(2L).getAs[Boolean]("is_calculation_correct"))
@@ -74,19 +76,29 @@ class SilverLayerSpec extends SparkSpec {
     assert(byId(1L).getAs[Double]("quality_score") == 100.0)
     assert(byId(2L).getAs[Double]("quality_score") < 100.0)
     assert(r.rejected.count() == 1)
-    assert(r.issues.filter(col("issue_type") === "invoice_mismatch").count() == 1)
-    assert(r.issues.filter(col("issue_type") === "date_order_invalid").count() == 1)
+    assert(r.issues.filter(col("issue_type") === "invoice_mismatch").count() == 2)  // rows 2, 5
+    assert(r.issues.filter(col("issue_type") === "date_order_invalid").count() == 2) // rows 3, 5
+    // the double-violation row logs BOTH and its score deducts both
+    assert(r.issues.filter(col("record_id") === 5L).count() == 2)
+    assert(byId(5L).getAs[Double]("quality_score") < byId(2L).getAs[Double]("quality_score"))
   }
 
-  test("inventory: negative or unparseable quantity rejects") {
+  test("inventory: negative or unparseable quantity rejects; fixes lower the score") {
     val bronze = Seq(
       (1L, "10", "20", "100", "2020-01-01"),
-      (2L, "10", "20", "N/A", "2020-01-01")) // unparseable -> rejected
+      (2L, "10", "20", "N/A", "2020-01-01"),     // unparseable -> rejected
+      (3L, "10", "20", "100 units", "01/15/2020")) // both fields need cleaning
       .toDF("inventory_id", "product_id", "warehouse_id",
         "quantity_on_hand", "last_stocked_date")
     val r = SilverLayer.inventory(bronze)
-    assert(r.clean.count() == 1 && r.rejected.count() == 1)
-    assert(r.clean.head().getAs[Int]("quantity_on_hand") == 100)
+    assert(r.clean.count() == 2 && r.rejected.count() == 1)
+    val byId = r.clean.collect().map(x => x.getLong(0) -> x).toMap
+    assert(byId(1L).getAs[Int]("quantity_on_hand") == 100)
+    assert(byId(1L).getAs[Double]("quality_score") == 100.0)
+    // '100 units' and the US-format date both count as fixed fields
+    assert(byId(3L).getAs[Int]("quantity_on_hand") == 100)
+    assert(byId(3L).getAs[Double]("quality_score") < 100.0)
+    assert(r.issues.filter(col("record_id") === 3L).count() == 2)
   }
 
   test("adapters produce reference-shaped frames from the TPC-H roles") {

@@ -122,13 +122,13 @@ object Forecast extends QueryModule {
        |ORDER BY entity, ds""".stripMargin
 
   /** Weekly (ISO-Monday) series per entity. */
-  private def weekly(s: SparkSession, dir: String): DataFrame =
+  private[operators] def weekly(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "lineitem")
       .groupBy(col("l_suppkey").as("entity"),
         date_trunc("week", col("l_shipdate")).cast(DateType).as("week"))
       .agg(moneySum(col("l_quantity")).as("y"))
 
-  private val weeklySql =
+  private[operators] val weeklySql =
     """SELECT l_suppkey AS entity, CAST(date_trunc('week', l_shipdate) AS DATE) AS week,
       |       CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS y
       |FROM lineitem GROUP BY 1, 2""".stripMargin

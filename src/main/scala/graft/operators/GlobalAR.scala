@@ -97,8 +97,20 @@ object GlobalAR extends QueryModule {
     * entity's gap-filled daily series, one pooled OLS fit, 7-day
     * autoregressive forecast per entity in the reference's output
     * interface. */
-  def forecastGlobalAr(s: SparkSession, dir: String): DataFrame = {
-    val series = Forecast.dailySeries(s, dir)
+  def forecastGlobalAr(s: SparkSession, dir: String): DataFrame =
+    globalArCore(Forecast.dailySeries(s, dir), stepDays = 1, granularity = "daily")
+
+  /** q55 — the same global AR model at WEEKLY granularity (the
+    * reference's second granularity mode, forecasting.py:303: weekly
+    * steps advance one week per autoregressive round; the lag indices
+    * stay 1/7/14 ROWS, i.e. weeks). */
+  def forecastGlobalArWeekly(s: SparkSession, dir: String): DataFrame =
+    globalArCore(
+      Forecast.weekly(s, dir).select(col("entity"), col("week").as("ds"), col("y")),
+      stepDays = 7, granularity = "weekly")
+
+  private def globalArCore(series: DataFrame, stepDays: Int,
+    granularity: String): DataFrame = {
     val w = Window.partitionBy(col("entity")).orderBy(col("ds"))
     val wPrev7 = w.rowsBetween(-7, -1)
     val feat = series
@@ -152,17 +164,18 @@ object GlobalAR extends QueryModule {
           struct(lit(k).as("h"), col(s"p$k").as("p"))): _*)).as("s"))
       .select(
         col("entity").cast(StringType).as("entity_id"),
-        expr("date_add(last_ds, s.h)").as("ds"),
+        expr(s"date_add(last_ds, $stepDays * s.h)").as("ds"),
         snapRound(greatest(col("s.p"), lit(0.0)), 4).as("yhat"),
         lit(null).cast(DoubleType).as("yhat_lower"),
         lit(null).cast(DoubleType).as("yhat_upper"),
-        lit("daily").as("granularity"),
+        lit(granularity).as("granularity"),
         lit("global_ar").as("model"),
         lit("supplier").as("level"))
       .orderBy(col("entity_id"), col("ds"))
   }
 
-  private val forecastGlobalArSql = {
+  private def globalArSql(seriesSql: String, stepDays: Int,
+    granularity: String): String = {
     val solveChain = solveFormulas.foldLeft("SELECT * FROM sums") {
       case (inner, (name, f)) => s"SELECT *, $f AS $name FROM ($inner)" }
     val stepChain = stepFormulas.foldLeft(
@@ -180,10 +193,10 @@ object GlobalAR extends QueryModule {
       Seq("lag_1" -> "1", "lag_7" -> "2", "lag_14" -> "3", "roll7" -> "4").map {
         case (f, i) => s"CAST(sum(CAST($f * y AS DECIMAL(38,8))) AS DOUBLE) AS t$i" }
     val unioned = (1 to H).map(k =>
-      s"""SELECT CAST(entity AS VARCHAR) AS entity_id, last_ds + $k AS ds,
+      s"""SELECT CAST(entity AS VARCHAR) AS entity_id, last_ds + ${stepDays * k} AS ds,
          |       ${snapRoundSql(s"greatest(p$k, 0.0)", 4)} AS yhat
          |FROM stepped""".stripMargin).mkString("\nUNION ALL\n")
-    s"""WITH series AS (${Forecast.dailySeriesSql}),
+    s"""WITH series AS ($seriesSql),
        |feat AS (
        |  SELECT * FROM (
        |    SELECT entity, ds, y,
@@ -209,14 +222,19 @@ object GlobalAR extends QueryModule {
        |SELECT entity_id, ds, yhat,
        |       CAST(NULL AS DOUBLE) AS yhat_lower,
        |       CAST(NULL AS DOUBLE) AS yhat_upper,
-       |       'daily' AS granularity, 'global_ar' AS model, 'supplier' AS level
+       |       '$granularity' AS granularity, 'global_ar' AS model, 'supplier' AS level
        |FROM ($unioned)
        |ORDER BY entity_id, ds""".stripMargin
   }
 
-  override def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q50_forecast_global_ar" -> forecastGlobalAr)
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_forecast_global_ar" -> forecastGlobalAr,
+    "q55_forecast_global_ar_weekly" -> forecastGlobalArWeekly)
 
-  override def oracles: Map[String, String] =
-    Map("q50_forecast_global_ar" -> forecastGlobalArSql)
+  override def oracles: Map[String, String] = Map(
+    "q50_forecast_global_ar" ->
+      globalArSql(Forecast.dailySeriesSql, stepDays = 1, granularity = "daily"),
+    "q55_forecast_global_ar_weekly" ->
+      globalArSql(s"SELECT entity, week AS ds, y FROM (${Forecast.weeklySql})",
+        stepDays = 7, granularity = "weekly"))
 }

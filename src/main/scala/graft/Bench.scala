@@ -68,10 +68,15 @@ object Bench {
       name -> median3(once(), once(), once())
     }
 
+    // a failed entry's time-to-failure is NOT a timing: report null for
+    // it and keep it out of the total, so the headline number only sums
+    // real work (its name is in "failed" for diagnosis)
     val all = results ++ preps
-    val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = all.map(_._2).sum
+    val failedSet = failures.distinct.toSet
+    val qs = all.map { case (k, v) =>
+      "\"" + k + "\":" + (if (failedSet(k)) "null" else v.toString)
+    }.mkString("{", ",", "}")
+    val total = all.collect { case (k, v) if !failedSet(k) => v }.sum
     val failed = failures.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""

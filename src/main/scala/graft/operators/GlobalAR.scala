@@ -109,6 +109,14 @@ object GlobalAR extends QueryModule {
       Forecast.weekly(s, dir).select(col("entity"), col("week").as("ds"), col("y")),
       stepDays = 7, granularity = "weekly")
 
+  /** Short-history deviation (documented): entities with fewer than 14
+    * (or 7) observations get zero-padded h_k lags, and roll_7 always
+    * divides by 7 — the reference's predict loop instead takes
+    * np.mean(hist[-7:]) over however many points exist
+    * (forecasting.py:322), so short-series forecasts differ from the
+    * reference there. Spark and the DuckDB oracle share these
+    * fixed-denominator semantics (q50/q55 pin them); the deviation
+    * only matters for entities younger than the lag window. */
   private def globalArCore(series: DataFrame, stepDays: Int,
     granularity: String): DataFrame = {
     val w = Window.partitionBy(col("entity")).orderBy(col("ds"))
@@ -145,6 +153,13 @@ object GlobalAR extends QueryModule {
       df.withColumn(name, expr(f)) }
       .select((0 to 4).map(i => col(s"beta$i")): _*)
       .head()
+    // an empty panel (every series shorter than the lag_14 window)
+    // yields NULL sums -> NULL betas; fail with a diagnosis instead of
+    // an opaque NPE from getDouble
+    require((0 to 4).forall(i => !betaRow.isNullAt(i)),
+      s"global AR ($granularity): training panel is empty after the lag_14 " +
+        "filter — every entity has fewer than 15 observations; " +
+        "cannot fit the pooled model")
     val betas = (0 to 4).map(i => s"beta$i" -> betaRow.getDouble(i))
     // per-entity history: newest 14 values + last date, one row each
     val wd = Window.partitionBy(col("entity")).orderBy(col("ds").desc)

@@ -134,13 +134,23 @@ object SilverLayer extends QueryModule {
     * product_category, status (numerics may arrive as dirty strings).
     * Essential: name + both prices. price_margin = price - cost when
     * cost > 0 else 0; cost > price is a flagged quality issue
-    * (silver_builder.py:689-697). Score over 6. */
+    * (silver_builder.py:689-697). Score over 6. The category term
+    * reproduces the reference quirk (silver_builder.py:656-659):
+    * issues += 1 when cleaned_category != raw OR main_category !=
+    * 'Uncategorized' — i.e. nearly every row with a parseable category
+    * takes the deduction. */
   def products(bronze: DataFrame, cache: Boolean = false): Cleaned = {
     val dec = DecimalType(15, 4)
     val name = cleanText(col("product_name"))
     val cost = cleanDecimal(col("unit_cost"))
     val price = cleanDecimal(col("selling_price"))
     val cat = parseCategory(col("product_category"))
+    // clean_category_field: cleaned text, empty/sentinel -> 'Uncategorized'
+    // (silver_builder.py:204-207)
+    val catClean = coalesce(cleanText(nullifySentinels(col("product_category"))),
+      lit("Uncategorized"))
+    val catIssue = when(!(catClean <=> col("product_category")) ||
+      cat.getField("main_category") =!= lit("Uncategorized"), 1).otherwise(0)
     val status = mapStatus(col("status"), productStatusMap)
     val (staged, release) = maybeCache(bronze.select(col("*"), name.as("clean_name"),
       cost.as("clean_cost"), price.as("clean_price"),
@@ -151,6 +161,7 @@ object SilverLayer extends QueryModule {
         issueFlag(cost, col("unit_cost").try_cast(dec)) +
         issueFlag(price, col("selling_price").try_cast(dec)) +
         issueFlag(status, col("status")) +
+        catIssue +
         when(cost > price, 1).otherwise(0)).as("issues")), cache)
     val essential = col("clean_name").isNotNull &&
       col("clean_cost").isNotNull && col("clean_price").isNotNull
@@ -297,10 +308,13 @@ object SilverLayer extends QueryModule {
   /** Input shape: supply_order_id, product_id, warehouse_id,
     * retail_store_id, quantity, price, total_invoice, order_date,
     * shipped_date, delivered_date, status. Essential: order_date,
-    * quantity (non-negative), price. Business validations:
-    * calculation check (|invoice - qty*price| <= 0.01) and date logic
-    * (shipped >= ordered, delivered >= shipped), each flagged issue
-    * lowering the 11-field quality score (silver_builder.py:975-995). */
+    * quantity (non-negative), price. Business validations
+    * (silver_builder.py:964-985): the calculation check
+    * (|invoice - qty*price| <= 0.01) is SKIPPED when the cleaned
+    * invoice is falsy (NULL or 0); shipped-before-ordered and
+    * delivered-before-shipped are TWO separate issue deductions (a
+    * row violating both loses 2 of its 11-field score) while
+    * date_logic_valid stays one combined boolean column. */
   def supplyOrders(bronze: DataFrame, cache: Boolean = false): Cleaned = {
     val qty = cleanInteger(col("quantity"))
     val price = cleanDecimal(col("price"))
@@ -309,16 +323,19 @@ object SilverLayer extends QueryModule {
     val sDate = parseDateMulti(col("shipped_date"))
     val dDate = parseDateMulti(col("delivered_date"))
     val status = mapStatus(col("status"), supplyOrderStatusMap)
-    val calcOk = invoice.isNull ||
+    val calcOk = invoice.isNull || invoice === lit(0) ||
       abs(invoice - qty.cast(DecimalType(15, 4)) * price) <= lit(0.01)
-    val datesOk = (sDate.isNull || sDate >= oDate) &&
-      (dDate.isNull || sDate.isNull || dDate >= sDate)
+    val shipLate = coalesce(sDate < oDate, lit(false))
+    val delivLate = coalesce(dDate < sDate, lit(false))
+    val datesOk = !shipLate && !delivLate
     val (staged, release) = maybeCache(bronze.select(col("*"),
       qty.as("clean_qty"), price.as("clean_price"), invoice.as("clean_invoice"),
       oDate.as("clean_order_date"), sDate.as("clean_shipped_date"),
       dDate.as("clean_delivered_date"), status.as("clean_status"),
       calcOk.as("calc_ok"), datesOk.as("dates_ok"),
-      (when(!calcOk, 1).otherwise(0) + when(!datesOk, 1).otherwise(0)).as("issues")), cache)
+      shipLate.as("ship_late"), delivLate.as("deliv_late"),
+      (when(!calcOk, 1).otherwise(0) + when(shipLate, 1).otherwise(0) +
+        when(delivLate, 1).otherwise(0)).as("issues")), cache)
     val essential = col("clean_order_date").isNotNull &&
       col("clean_qty").isNotNull && col("clean_qty") >= 0 &&
       col("clean_price").isNotNull
@@ -352,8 +369,11 @@ object SilverLayer extends QueryModule {
             lit(", invoice:"), col("clean_invoice").cast(StringType)).as("original_value"),
           lit(null).cast(StringType).as("cleaned_value"),
           lit("flagged").as("action_taken"))
+    // one issue row per distinct violation, mirroring the per-violation
+    // deductions above (silver_builder.py:975-985)
     val flagged = flagRows(!col("calc_ok"), "calculation", "invoice_mismatch")
-      .unionByName(flagRows(!col("dates_ok"), "dates", "date_order_invalid"))
+      .unionByName(flagRows(col("ship_late"), "dates", "date_order_invalid"))
+      .unionByName(flagRows(col("deliv_late"), "dates", "delivered_before_shipped"))
     Cleaned(clean, rejected, flagged, release)
   }
 
@@ -512,9 +532,12 @@ object SilverLayer extends QueryModule {
        |          + CASE WHEN clean_cost IS DISTINCT FROM TRY_CAST(unit_cost AS DECIMAL(15,4)) THEN 1 ELSE 0 END
        |          + CASE WHEN clean_price IS DISTINCT FROM TRY_CAST(selling_price AS DECIMAL(15,4)) THEN 1 ELSE 0 END
        |          + CASE WHEN ($statusSql) IS DISTINCT FROM status THEN 1 ELSE 0 END
+       |          + CASE WHEN clean_cat IS DISTINCT FROM product_category
+       |                   OR (CASE WHEN cat IS NULL OR trim(raw_main) = '' THEN 'Uncategorized' ELSE ${fix("raw_main")} END) != 'Uncategorized'
+       |            THEN 1 ELSE 0 END
        |          + CASE WHEN clean_cost > clean_price THEN 1 ELSE 0 END) AS issues
        |  FROM (
-       |    SELECT product_id, product_name, unit_cost, selling_price, status,
+       |    SELECT product_id, product_name, unit_cost, selling_price, status, product_category,
        |           trim(regexp_replace(product_name, '\\s+', ' ', 'g')) AS cn_c1,
        |           trim(regexp_replace(cn_c1, '^[^\\w\\s]+|[^\\w\\s]+$$', '', 'g')) AS cn_c2,
        |           nullif(CASE WHEN cn_c2 = upper(cn_c2) OR cn_c2 = lower(cn_c2)
@@ -522,7 +545,11 @@ object SilverLayer extends QueryModule {
        |           ${cleanDec("unit_cost")} AS clean_cost,
        |           ${cleanDec("selling_price")} AS clean_price,
        |           CASE WHEN upper(trim(product_category)) IN ('NULL','N/A','NOT AVAILABLE','TBD','UNKNOWN','','NONE','NIL')
-       |                THEN NULL ELSE trim(product_category) END AS cat
+       |                THEN NULL ELSE trim(product_category) END AS cat,
+       |           trim(regexp_replace(cat, '\\s+', ' ', 'g')) AS cc_c1,
+       |           trim(regexp_replace(cc_c1, '^[^\\w\\s]+|[^\\w\\s]+$$', '', 'g')) AS cc_c2,
+       |           coalesce(nullif(CASE WHEN cc_c2 = upper(cc_c2) OR cc_c2 = lower(cc_c2)
+       |                                THEN ${initcap("cc_c2")} ELSE cc_c2 END, ''), 'Uncategorized') AS clean_cat
        |    FROM (
        |      SELECT p_partkey AS product_id,
        |             CASE WHEN p_partkey % 5 = 0 THEN '  ' || upper(p_name) || '  '
@@ -543,9 +570,120 @@ object SilverLayer extends QueryModule {
        |ORDER BY product_id""".stripMargin
   }
 
+  // ---- q56: the supply-orders builder under oracle verification ----
+
+  /** q56 — the full silver supply_orders builder over a
+    * deterministically dirtied bronze frame seeded from `orders`
+    * (m = o_orderkey % 7): m=0 clean, m=1 invoice mismatch, m=2
+    * invoice 0 (calc check skipped — reference falsy semantics),
+    * m=3 shipped-before-ordered, m=4 delivered-before-shipped,
+    * m=5 calc + BOTH date violations (3 deductions), m=6 rejected
+    * (unparseable order_date). Pins the per-violation issue scoring
+    * of silver_builder.py:964-985. */
+  def silverSupplyOrders(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.t(s, dir, "orders")
+    val m = pmod(col("o_orderkey"), lit(7))
+    val qty = (pmod(col("o_orderkey"), lit(50)) + 1).cast(IntegerType)
+    val priceD = round((col("o_totalprice") / lit(100.0)).cast(DecimalType(18, 4)), 2)
+      .cast(DecimalType(15, 2))
+    val invoiceD = (qty * priceD).cast(DecimalType(15, 2))
+    val ship = when(m.isin(3, 5), date_sub(col("o_orderdate"), 3))
+      .otherwise(date_add(col("o_orderdate"), 2))
+    val deliv = when(m.isin(4, 5), date_sub(ship, 2)).otherwise(date_add(ship, 3))
+    val dirty = o.select(
+      col("o_orderkey").as("supply_order_id"),
+      col("o_custkey").cast(StringType).as("product_id"),
+      pmod(col("o_orderkey"), lit(25)).cast(StringType).as("warehouse_id"),
+      col("o_custkey").cast(StringType).as("retail_store_id"),
+      concat(qty.cast(StringType), lit(" units")).as("quantity"),
+      concat(lit("$"), priceD.cast(StringType)).as("price"),
+      when(m === 1, (invoiceD + 5).cast(DecimalType(15, 2)).cast(StringType))
+        .when(m === 2, lit("0.00"))
+        .otherwise(invoiceD.cast(StringType)).as("total_invoice"),
+      when(m === 6, lit("TBD"))
+        .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("order_date"),
+      date_format(ship, "yyyy-MM-dd").as("shipped_date"),
+      date_format(deliv, "yyyy-MM-dd").as("delivered_date"),
+      when(m === 0, lit("dispatched")).when(m === 1, lit("Complete"))
+        .when(m === 2, lit("CANCELLED")).when(m === 3, lit("processing"))
+        .when(m === 4, lit("received")).when(m === 5, lit("On Route"))
+        .otherwise(lit("weird status")).as("status"))
+    supplyOrders(dirty).clean.orderBy(col("supply_order_id"))
+  }
+
+  private val silverSupplyOrdersSql = {
+    val cleanDec = (x: String) => {
+      val m = s"TRY_CAST(regexp_extract(regexp_replace(trim($x), ',', '', 'g'), '[-+]?[0-9]*\\.?[0-9]+', 0) AS DECIMAL(15,4))"
+      s"CASE WHEN $m < 0 THEN CAST(0 AS DECIMAL(15,4)) ELSE $m END"
+    }
+    val cleanInt = (x: String) =>
+      s"TRY_CAST(regexp_extract(trim($x), '[0-9]+', 0) AS INTEGER)"
+    val statusSql =
+      """CASE WHEN status IS NULL THEN 'unknown'
+        |     WHEN lower(trim(status)) IN ('pending','awaiting','processing','in process') THEN 'pending'
+        |     WHEN lower(trim(status)) IN ('shipped','dispatched','in transit','on route') THEN 'shipped'
+        |     WHEN lower(trim(status)) IN ('delivered','complete','completed','received') THEN 'delivered'
+        |     WHEN lower(trim(status)) IN ('cancelled','canceled','void') THEN 'cancelled'
+        |     ELSE lower(trim(status)) END""".stripMargin
+    s"""SELECT supply_order_id, ${cleanInt("product_id")} AS product_id,
+       |       ${cleanInt("warehouse_id")} AS warehouse_id,
+       |       ${cleanInt("retail_store_id")} AS retail_store_id,
+       |       clean_qty AS quantity,
+       |       CAST(clean_price AS DOUBLE) AS price,
+       |       CAST(clean_invoice AS DOUBLE) AS total_invoice,
+       |       clean_order_date AS order_date,
+       |       clean_shipped_date AS shipped_date,
+       |       clean_delivered_date AS delivered_date,
+       |       ($statusSql) AS status,
+       |       calc_ok AS is_calculation_correct,
+       |       NOT (ship_late OR deliv_late) AS date_logic_valid,
+       |       ${snapRoundSql("CAST(11 - (CASE WHEN calc_ok THEN 0 ELSE 1 END + CASE WHEN ship_late THEN 1 ELSE 0 END + CASE WHEN deliv_late THEN 1 ELSE 0 END) AS DOUBLE) / 11.0 * 100.0")} AS quality_score
+       |FROM (
+       |  SELECT *,
+       |         (clean_invoice IS NULL OR clean_invoice = 0
+       |          OR abs(clean_invoice - CAST(clean_qty AS DECIMAL(15,4)) * clean_price) <= 0.01) AS calc_ok,
+       |         coalesce(clean_shipped_date < clean_order_date, false) AS ship_late,
+       |         coalesce(clean_delivered_date < clean_shipped_date, false) AS deliv_late
+       |  FROM (
+       |    SELECT supply_order_id, product_id, warehouse_id, retail_store_id, status,
+       |           ${cleanInt("quantity")} AS clean_qty,
+       |           ${cleanDec("price")} AS clean_price,
+       |           ${cleanDec("total_invoice")} AS clean_invoice,
+       |           TRY_CAST(trim(order_date) AS DATE) AS clean_order_date,
+       |           TRY_CAST(trim(shipped_date) AS DATE) AS clean_shipped_date,
+       |           TRY_CAST(trim(delivered_date) AS DATE) AS clean_delivered_date
+       |    FROM (
+       |      SELECT CAST(o_orderdate AS DATE) AS od,
+       |             o_orderkey AS supply_order_id,
+       |             CAST(o_custkey AS VARCHAR) AS product_id,
+       |             CAST(o_orderkey % 25 AS VARCHAR) AS warehouse_id,
+       |             CAST(o_custkey AS VARCHAR) AS retail_store_id,
+       |             CAST(o_orderkey % 50 + 1 AS VARCHAR) || ' units' AS quantity,
+       |             '$$' || CAST(CAST(round(CAST(o_totalprice / 100.0 AS DECIMAL(18,4)), 2) AS DECIMAL(15,2)) AS VARCHAR) AS price,
+       |             CASE WHEN o_orderkey % 7 = 1 THEN CAST(CAST(CAST(o_orderkey % 50 + 1 AS INTEGER) * CAST(round(CAST(o_totalprice / 100.0 AS DECIMAL(18,4)), 2) AS DECIMAL(15,2)) + 5 AS DECIMAL(15,2)) AS VARCHAR)
+       |                  WHEN o_orderkey % 7 = 2 THEN '0.00'
+       |                  ELSE CAST(CAST(CAST(o_orderkey % 50 + 1 AS INTEGER) * CAST(round(CAST(o_totalprice / 100.0 AS DECIMAL(18,4)), 2) AS DECIMAL(15,2)) AS DECIMAL(15,2)) AS VARCHAR) END AS total_invoice,
+       |             CASE WHEN o_orderkey % 7 = 6 THEN 'TBD'
+       |                  ELSE strftime(od, '%Y-%m-%d') END AS order_date,
+       |             strftime(CASE WHEN o_orderkey % 7 IN (3, 5) THEN od - 3 ELSE od + 2 END, '%Y-%m-%d') AS shipped_date,
+       |             strftime(CASE WHEN o_orderkey % 7 IN (4, 5)
+       |                           THEN (CASE WHEN o_orderkey % 7 IN (3, 5) THEN od - 3 ELSE od + 2 END) - 2
+       |                           ELSE (CASE WHEN o_orderkey % 7 IN (3, 5) THEN od - 3 ELSE od + 2 END) + 3 END, '%Y-%m-%d') AS delivered_date,
+       |             CASE WHEN o_orderkey % 7 = 0 THEN 'dispatched' WHEN o_orderkey % 7 = 1 THEN 'Complete'
+       |                  WHEN o_orderkey % 7 = 2 THEN 'CANCELLED' WHEN o_orderkey % 7 = 3 THEN 'processing'
+       |                  WHEN o_orderkey % 7 = 4 THEN 'received' WHEN o_orderkey % 7 = 5 THEN 'On Route'
+       |                  ELSE 'weird status' END AS status
+       |      FROM orders)))
+       |WHERE clean_order_date IS NOT NULL AND clean_qty IS NOT NULL
+       |  AND clean_qty >= 0 AND clean_price IS NOT NULL
+       |ORDER BY supply_order_id""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q49_silver_products" -> silverProducts)
+    Map("q49_silver_products" -> silverProducts,
+      "q56_silver_supply_orders" -> silverSupplyOrders)
 
   override def oracles: Map[String, String] =
-    Map("q49_silver_products" -> silverProductsSql)
+    Map("q49_silver_products" -> silverProductsSql,
+      "q56_silver_supply_orders" -> silverSupplyOrdersSql)
 }

@@ -98,8 +98,13 @@ class LayerStore(spark: SparkSession, root: String) {
   }
 
   /** Append (audit tables — the reference batches these per run,
-    * silver/silver_builder.py:456-516). */
+    * silver/silver_builder.py:456-516). Recovers an orphaned swap
+    * backup first: if the table's sole copy sits at .__bak__ (crash
+    * inside a stageSwap window), appending without recovery would
+    * recreate the target with only this batch and the next stageSwap
+    * would delete the orphan — silent loss. */
   def append(layer: String, name: String, df: DataFrame): Unit = {
+    recoverOrphanBackup(layer, name)
     df.write.mode(SaveMode.Append).parquet(path(layer, name))
     table(layer, name).createOrReplaceTempView(viewName(layer, name))
   }

@@ -84,6 +84,22 @@ class LayerStoreSpec extends SparkSpec {
     assert(rows == Seq((1L, "old"), (2L, "new")), s"got $rows")
   }
 
+  test("append after a crash mid-swap recovers the backup before writing") {
+    val (store, dir) = freshStore()
+    store.write("audit", "log", Seq((1L, "old")).toDF("id", "v"))
+    // crash window: sole copy at .__bak__
+    val base = java.nio.file.Paths.get(dir, "audit")
+    java.nio.file.Files.move(base.resolve("log"), base.resolve("log.__bak__"))
+    // append must promote the orphan first — otherwise it creates a
+    // fresh target with only the new batch and the next stageSwap
+    // deletes the orphaned backup (silent loss)
+    store.append("audit", "log", Seq((2L, "new")).toDF("id", "v"))
+    val rows = store.table("audit", "log").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "old"), (2L, "new")), s"got $rows")
+    assert(!java.nio.file.Files.exists(base.resolve("log.__bak__")))
+  }
+
   test("upsert onto an unreadable table propagates instead of truncating") {
     val (store, dir) = freshStore()
     store.write("bronze", "t", Seq((1L, "a", 1L)).toDF("id", "v", "ver"))

@@ -40,8 +40,14 @@ class SilverLayerSpec extends SparkSpec {
     assert(byId(1L).getAs[Double]("price_margin") == 5.0)
     assert(byId(1L).getAs[String]("main_category") == "Tools")
     assert(byId(1L).getAs[String]("sub_category") == "Hand")
+    // reference quirk (silver_builder.py:656-659): a parseable category
+    // (main != 'Uncategorized') counts as an issue on an otherwise-clean row
+    assert(byId(1L).getAs[Double]("quality_score") == 83.33)
     assert(byId(2L).getAs[String]("status") == "discontinued")
     assert(byId(2L).getAs[String]("main_category") == "Uncategorized")
+    // row 2: status fix + cost>price + category ('N/A' cleans to
+    // 'Uncategorized' != raw) -> 3 issues over 6
+    assert(byId(2L).getAs[Double]("quality_score") == 50.0)
     // flagged business-rule issue present in the log
     assert(r.issues.filter(col("issue_type") === "cost_higher_than_price")
       .select("record_id").as[Long].collect().toSeq == Seq(2L))
@@ -60,14 +66,19 @@ class SilverLayerSpec extends SparkSpec {
       // rejected: negative quantity cleans to 5 (sign-drop quirk) but
       // NULL order date rejects
       (4L, base._1, base._2, base._3, base._4, base._5, "50.00", "TBD", base._7, base._8, "x"),
-      // BOTH violations at once: each must get its own issues-log row
-      (5L, base._1, base._2, base._3, base._4, base._5, "51.00", "2020-02-01", "2020-01-05", "2020-01-08", "Pending"))
+      // calc + ship-late at once: each must get its own issues-log row
+      (5L, base._1, base._2, base._3, base._4, base._5, "51.00", "2020-02-01", "2020-01-05", "2020-01-08", "Pending"),
+      // BOTH date violations: shipped<ordered AND delivered<shipped ->
+      // TWO deductions (silver_builder.py:975-985), one combined boolean
+      (6L, base._1, base._2, base._3, base._4, base._5, "50.00", "2020-02-01", "2020-01-05", "2020-01-01", "Pending"),
+      // invoice 0 is falsy -> calculation check skipped (stays correct)
+      (7L, base._1, base._2, base._3, base._4, base._5, "0.00", base._6, base._7, base._8, "Completed"))
       .toDF("supply_order_id", "product_id", "warehouse_id", "retail_store_id",
         "quantity", "price", "total_invoice", "order_date", "shipped_date",
         "delivered_date", "status")
     val r = SilverLayer.supplyOrders(bronze)
     val byId = r.clean.collect().map(x => x.getLong(0) -> x).toMap
-    assert(byId.keySet == Set(1L, 2L, 3L, 5L))
+    assert(byId.keySet == Set(1L, 2L, 3L, 5L, 6L, 7L))
     assert(byId(1L).getAs[Boolean]("is_calculation_correct"))
     assert(byId(1L).getAs[String]("status") == "delivered")
     assert(!byId(2L).getAs[Boolean]("is_calculation_correct"))
@@ -77,10 +88,18 @@ class SilverLayerSpec extends SparkSpec {
     assert(byId(2L).getAs[Double]("quality_score") < 100.0)
     assert(r.rejected.count() == 1)
     assert(r.issues.filter(col("issue_type") === "invoice_mismatch").count() == 2)  // rows 2, 5
-    assert(r.issues.filter(col("issue_type") === "date_order_invalid").count() == 2) // rows 3, 5
-    // the double-violation row logs BOTH and its score deducts both
+    assert(r.issues.filter(col("issue_type") === "date_order_invalid").count() == 3) // rows 3, 5, 6
+    assert(r.issues.filter(col("issue_type") === "delivered_before_shipped")
+      .select("record_id").as[Long].collect().toSeq == Seq(6L))
+    // the double-violation rows log BOTH and their score deducts both
     assert(r.issues.filter(col("record_id") === 5L).count() == 2)
+    assert(r.issues.filter(col("record_id") === 6L).count() == 2)
     assert(byId(5L).getAs[Double]("quality_score") < byId(2L).getAs[Double]("quality_score"))
+    assert(byId(6L).getAs[Double]("quality_score") == byId(5L).getAs[Double]("quality_score"))
+    assert(!byId(6L).getAs[Boolean]("date_logic_valid"))
+    // invoice=0: check skipped, flag true, perfect score
+    assert(byId(7L).getAs[Boolean]("is_calculation_correct"))
+    assert(byId(7L).getAs[Double]("quality_score") == 100.0)
   }
 
   test("inventory: negative or unparseable quantity rejects; fixes lower the score") {

@@ -21,27 +21,31 @@ import org.apache.spark.sql.expressions.Window
   * (bounded), the collection streams — exactly these plans.
   *
   * Determinism: per-element products stay double (IEEE-identical in
-  * both engines); the fold accumulates into DECIMAL(38,20) — exact
-  * and order-independent — so cosines are bit-identical to the
-  * oracle's unnest+grouped-decimal-sum formulation and rank windows
-  * can never disagree.
+  * both engines) and every reduction is an ORDERED left fold over the
+  * array (Spark `aggregate`, DuckDB `list_reduce`) — the same sequence
+  * of binary64 adds on both sides is bit-identical, so cosines match
+  * the oracle and rank windows can never disagree. (Unordered SUMs
+  * would need decimal accumulators; array folds don't, and the double
+  * fold is ~100× cheaper than BigDecimal per element.)
   */
 object VectorOps extends QueryModule {
 
-  private val dec = DecimalType(38, 20)
   private val N_QUERIES = 20
 
-  /** Σ x_i as decimal, folded array-locally. The cast-back keeps the
-    * accumulator type fixed (decimal + decimal loses a scale digit to
-    * the precision cap); the 1e-19 intermediate rounding is 13 orders
-    * below the 1e-6 output snap and any cosine gap. */
-  private def decSum(arr: Column): Column =
-    aggregate(arr, lit(0).cast(dec), (acc, v) => (acc + v.cast(dec)).cast(dec))
+  /** Σ x_i as an ordered binary64 left fold — bit-identical to the
+    * oracle's `list_reduce(list_prepend(0.0, …), +)`. */
+  private def dSum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, v) => acc + v)
+
+  /** SQL twin of dSum ∘ zip_with(·,·,*): ordered double dot product. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip($a, $b), " +
+      "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, x) -> acc + x)"
 
   private def withNorm(df: DataFrame): DataFrame = {
     val xs = transform(col("embedding"), x => x.cast(DoubleType))
     df.select(col("vec_id"), col("label"), xs.as("e"))
-      .withColumn("norm2", decSum(transform(col("e"), x => x * x)).cast(DoubleType))
+      .withColumn("norm2", dSum(transform(col("e"), x => x * x)))
   }
 
   private def topk(s: SparkSession, dir: String, sameCluster: Boolean, k: Int): DataFrame = {
@@ -53,7 +57,7 @@ object VectorOps extends QueryModule {
       col("e").as("ce"), col("norm2").as("cnorm2"))
     val cond = (col("qid") !== col("cid")) &&
       (if (sameCluster) col("qlabel") === col("clabel") else lit(true))
-    val dot = decSum(zip_with(col("qe"), col("ce"), (x, y) => x * y)).cast(DoubleType)
+    val dot = dSum(zip_with(col("qe"), col("ce"), (x, y) => x * y))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine_raw").desc, col("cid"))
     c.join(broadcast(q), cond) // bounded query batch broadcasts; collection streams
       .select(col("qid"), col("cid"),
@@ -104,7 +108,7 @@ object VectorOps extends QueryModule {
     val all = withNorm(Tables.t(s, dir, "embeddings"))
     val cents = all.filter(col("vec_id") < N_CELLS)
       .select(col("vec_id").as("centroid_id"), col("e").as("ce"), col("norm2").as("cnorm2"))
-    val sim = (decSum(zip_with(col("e"), col("ce"), (x, y) => x * y)).cast(DoubleType)
+    val sim = (dSum(zip_with(col("e"), col("ce"), (x, y) => x * y))
       / (sqrt(col("norm2")) * sqrt(col("cnorm2")))).as("csim")
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("centroid_id"))
     val ranked = all.crossJoin(broadcast(cents))
@@ -119,7 +123,7 @@ object VectorOps extends QueryModule {
         col("norm2").as("qnorm2"), col("centroid_id").as("qcell"))
     val c = assigned.select(col("vec_id").as("cid"), col("e").as("ce2"),
       col("norm2").as("cnorm22"), col("cell").as("ccell"))
-    val dot = decSum(zip_with(col("qe"), col("ce2"), (x, y) => x * y)).cast(DoubleType)
+    val dot = dSum(zip_with(col("qe"), col("ce2"), (x, y) => x * y))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine_raw").desc, col("cid"))
     c.join(broadcast(q), (col("qcell") === col("ccell")) && (col("qid") !== col("cid")))
       .select(col("qid"), col("cid"),
@@ -132,21 +136,15 @@ object VectorOps extends QueryModule {
   }
 
   private def annIvfSql(probe: Int): String =
-    s"""WITH e AS (
-       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-       |         unnest(generate_series(1, len(embedding))) AS pos
-       |  FROM embeddings),
-       |n AS (
-       |  SELECT vec_id, CAST(sum(CAST(x * x AS DECIMAL(38,20))) AS DOUBLE) AS norm2
-       |  FROM e GROUP BY vec_id),
+    s"""WITH n AS (
+       |  SELECT vec_id, ${dotSql("embedding", "embedding")} AS norm2 FROM embeddings),
        |csim AS (
        |  SELECT v.vec_id, c.vec_id AS centroid_id,
-       |         CAST(sum(CAST(v.x * c.x AS DECIMAL(38,20))) AS DOUBLE)
+       |         ${dotSql("v.embedding", "c.embedding")}
        |           / (sqrt(vn.norm2) * sqrt(cn.norm2)) AS csim
-       |  FROM e v JOIN e c ON v.pos = c.pos AND c.vec_id < $N_CELLS
+       |  FROM embeddings v JOIN embeddings c ON c.vec_id < $N_CELLS
        |  JOIN n vn ON v.vec_id = vn.vec_id
-       |  JOIN n cn ON c.vec_id = cn.vec_id
-       |  GROUP BY v.vec_id, c.vec_id, vn.norm2, cn.norm2),
+       |  JOIN n cn ON c.vec_id = cn.vec_id),
        |rankedcells AS (
        |  SELECT vec_id, centroid_id,
        |         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id) AS rn
@@ -158,11 +156,11 @@ object VectorOps extends QueryModule {
        |  WHERE vec_id < $N_QUERIES AND rn <= $probe),
        |dots AS (
        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
-       |         CAST(sum(CAST(q.x * c.x AS DECIMAL(38,20))) AS DOUBLE) AS dot
-       |  FROM e q JOIN e c ON q.pos = c.pos AND q.vec_id <> c.vec_id
-       |  JOIN qprobe qa ON q.vec_id = qa.vec_id
-       |  JOIN assigned ca ON c.vec_id = ca.vec_id AND qa.cell = ca.cell
-       |  GROUP BY 1, 2),
+       |         ${dotSql("q.embedding", "c.embedding")} AS dot
+       |  FROM qprobe qa
+       |  JOIN assigned ca ON qa.cell = ca.cell AND qa.vec_id <> ca.vec_id
+       |  JOIN embeddings q ON q.vec_id = qa.vec_id
+       |  JOIN embeddings c ON c.vec_id = ca.vec_id),
        |ranked AS (
        |  SELECT qid, cid, dot / (sqrt(qn.norm2) * sqrt(cn.norm2)) AS cosine_raw,
        |         row_number() OVER (PARTITION BY qid ORDER BY dot / (sqrt(qn.norm2) * sqrt(cn.norm2)) DESC, cid) AS rank
@@ -176,20 +174,14 @@ object VectorOps extends QueryModule {
 
   private def topkSql(sameCluster: Boolean, k: Int): String = {
     val clusterPred = if (sameCluster) "AND q.label = c.label" else ""
-    s"""WITH e AS (
-       |  SELECT vec_id, label,
-       |         CAST(unnest(embedding) AS DOUBLE) AS x,
-       |         unnest(generate_series(1, len(embedding))) AS pos
-       |  FROM embeddings),
-       |n AS (
-       |  SELECT vec_id, CAST(sum(CAST(x * x AS DECIMAL(38,20))) AS DOUBLE) AS norm2
-       |  FROM e GROUP BY vec_id),
+    s"""WITH n AS (
+       |  SELECT vec_id, ${dotSql("embedding", "embedding")} AS norm2 FROM embeddings),
        |dots AS (
        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
-       |         CAST(sum(CAST(q.x * c.x AS DECIMAL(38,20))) AS DOUBLE) AS dot
-       |  FROM e q JOIN e c ON q.pos = c.pos AND q.vec_id <> c.vec_id $clusterPred
-       |  WHERE q.vec_id < $N_QUERIES
-       |  GROUP BY 1, 2),
+       |         ${dotSql("q.embedding", "c.embedding")} AS dot
+       |  FROM embeddings q
+       |  JOIN embeddings c ON q.vec_id <> c.vec_id $clusterPred
+       |  WHERE q.vec_id < $N_QUERIES),
        |ranked AS (
        |  SELECT qid, cid, dot / (sqrt(qn.norm2) * sqrt(cn.norm2)) AS cosine_raw,
        |         row_number() OVER (PARTITION BY qid ORDER BY dot / (sqrt(qn.norm2) * sqrt(cn.norm2)) DESC, cid) AS rank
@@ -228,8 +220,8 @@ object VectorOps extends QueryModule {
     srpBandCache.synchronized { srpBandCache.getOrElseUpdate((s, dir), {
       val all = withNorm(Tables.t(s, dir, "embeddings"))
       val bits = (0 until SRP_BITS).map { h =>
-        (decSum(transform(col("e"), (x, i) => x * srpWeight(h, i)))
-          .cast(DoubleType) >= 0).cast(IntegerType).as(s"bit$h")
+        (dSum(transform(col("e"), (x, i) => x * srpWeight(h, i))) >= 0)
+          .cast(IntegerType).as(s"bit$h")
       }
       val sig = all.select(col("vec_id") +: col("e") +: col("norm2") +: bits: _*)
       val bands = (0 until SRP_BITS / SRP_ROWS).map { b =>
@@ -261,7 +253,7 @@ object VectorOps extends QueryModule {
       .distinct()
     val ea = all.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("norm2").as("na"))
     val eb = all.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("norm2").as("nb"))
-    val dot = decSum(zip_with(col("ea"), col("eb"), (x, y) => x * y)).cast(DoubleType)
+    val dot = dSum(zip_with(col("ea"), col("eb"), (x, y) => x * y))
     pairs.join(ea, "vec_a").join(eb, "vec_b")
       .select(col("vec_a"), col("vec_b"),
         (dot / (sqrt(col("na")) * sqrt(col("nb")))).as("cosine_raw"))
@@ -272,20 +264,14 @@ object VectorOps extends QueryModule {
   }
 
   private val cosineNearDupSql = {
-    val w = s"(CASE WHEN (((1103515245 * (CAST(h AS BIGINT) * $DIM + (pos - 1)) + 12345) >> 16) & 1) = 0 THEN 1.0 ELSE -1.0 END)"
-    s"""WITH e AS (
-       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-       |         unnest(generate_series(1, len(embedding))) AS pos
-       |  FROM embeddings),
-       |n AS (
-       |  SELECT vec_id, CAST(sum(CAST(x * x AS DECIMAL(38,20))) AS DOUBLE) AS norm2
-       |  FROM e GROUP BY vec_id),
+    val w = s"(CASE WHEN (((1103515245 * (CAST(h AS BIGINT) * $DIM + (i - 1)) + 12345) >> 16) & 1) = 0 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)"
+    val proj = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * $w)), (acc, x) -> acc + x)"
+    s"""WITH n AS (
+       |  SELECT vec_id, ${dotSql("embedding", "embedding")} AS norm2 FROM embeddings),
        |bits AS (
-       |  SELECT vec_id, h,
-       |         CASE WHEN CAST(sum(CAST(x * $w AS DECIMAL(38,20))) AS DOUBLE) >= 0
-       |              THEN 1 ELSE 0 END AS bit
-       |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, ${SRP_BITS - 1})) AS h)
-       |  GROUP BY vec_id, h),
+       |  SELECT vec_id, h, CASE WHEN $proj >= 0 THEN 1 ELSE 0 END AS bit
+       |  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, ${SRP_BITS - 1})) AS h)),
        |bands AS (
        |  SELECT vec_id, h // $SRP_ROWS AS band,
        |         sum(bit * (1 << ($SRP_ROWS - 1 - (h % $SRP_ROWS)))) AS band_val
@@ -295,12 +281,10 @@ object VectorOps extends QueryModule {
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id),
        |dots AS (
-       |  SELECT vec_a, vec_b,
-       |         CAST(sum(CAST(qa.x * qb.x AS DECIMAL(38,20))) AS DOUBLE) AS dot
+       |  SELECT vec_a, vec_b, ${dotSql("qa.embedding", "qb.embedding")} AS dot
        |  FROM pairs
-       |  JOIN e qa ON qa.vec_id = vec_a
-       |  JOIN e qb ON qb.vec_id = vec_b AND qa.pos = qb.pos
-       |  GROUP BY 1, 2)
+       |  JOIN embeddings qa ON qa.vec_id = vec_a
+       |  JOIN embeddings qb ON qb.vec_id = vec_b)
        |SELECT vec_a, vec_b,
        |       ${snapRoundSql("dot / (sqrt(na.norm2) * sqrt(nb.norm2))", 6)} AS cosine,
        |       dot / (sqrt(na.norm2) * sqrt(nb.norm2)) >= 0.95 AS is_near_dup

@@ -184,6 +184,33 @@ object EventOps extends QueryModule {
       .orderBy(col("purchase_id"))
   }
 
+  /** q57 — the SAME as-of semantics as q46 through the native Catalyst
+    * operator (graft.plans.AsOfJoin: custom LogicalPlan + Strategy +
+    * merge-join SparkPlan). Both sides pre-project to disjoint names;
+    * the view event id is the right-side tiebreak so equal-timestamp
+    * views resolve to the newest — exactly the composed q46's window
+    * order (ts, tag, event_id). Verified three ways: against the
+    * DuckDB ASOF oracle, and against q46 in AsOfJoinSpec. */
+  def asofJoinNative(s: SparkSession, dir: String): DataFrame = {
+    val purchases = Tables.t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    val views = Tables.t(s, dir, "events")
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"),
+        col("event_id").as("matched_view_id"), col("ts").as("matched_view_ts"))
+    graft.plans.AsOf.join(purchases, views,
+        leftKeys = Seq("user_id"), rightKeys = Seq("v_user_id"),
+        leftTs = "purchase_ts", rightTs = "matched_view_ts",
+        rightTiebreak = Seq("matched_view_id"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("matched_view_id"), col("matched_view_ts"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("matched_view_ts")))
+          .as("gap_micros"))
+      .orderBy(col("purchase_id"))
+  }
+
   private val asofJoinSql =
     """SELECT p.event_id AS purchase_id, p.user_id,
       |       CAST(p.ts AS TIMESTAMP) AS purchase_ts,
@@ -201,7 +228,8 @@ object EventOps extends QueryModule {
     "q44_json_extract" -> jsonExtract,
     "q45_rollup_sales" -> rollupSales,
     "q53_cube_orders" -> cubeOrders,
-    "q46_asof_join" -> asofJoin)
+    "q46_asof_join" -> asofJoin,
+    "q57_asof_native" -> asofJoinNative)
 
   override def oracles: Map[String, String] = Map(
     "q32_event_windows" -> eventWindowsSql,
@@ -209,5 +237,6 @@ object EventOps extends QueryModule {
     "q44_json_extract" -> jsonExtractSql,
     "q45_rollup_sales" -> rollupSalesSql,
     "q53_cube_orders" -> cubeOrdersSql,
-    "q46_asof_join" -> asofJoinSql)
+    "q46_asof_join" -> asofJoinSql,
+    "q57_asof_native" -> asofJoinSql)
 }

@@ -64,8 +64,11 @@ object PolyHash {
 /** Session extension wiring: `SparkSession.builder()
   * .withExtensions(new GraftExtensions)` (or
   * spark.sql.extensions=graft.plans.GraftExtensions) makes
-  * `poly_hash(...)` available from SQL text. */
+  * `poly_hash(...)` available from SQL text and plans the native
+  * AS-OF join operator (graft.plans.AsOfJoinPlan). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(PolyHash.fnDescriptor)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
 }

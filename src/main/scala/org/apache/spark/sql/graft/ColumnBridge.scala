@@ -11,4 +11,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def expr(c: Column): Expression = ExpressionUtils.expression(c)
   def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** DataFrame over a custom LogicalPlan (classic.Dataset.ofRows is
+    * private[sql]) — how third-party operators (graft.plans.AsOfJoin)
+    * hand their plan back to the session. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+    plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+    : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -97,8 +97,12 @@ object Forecast extends QueryModule {
       .withColumn("lag_1", lag(col("y"), 1).over(w))
       .withColumn("lag_7", lag(col("y"), 7).over(w))
       .withColumn("lag_14", lag(col("y"), 14).over(w))
+      // y is integer-valued (sum of integer quantities, 0-filled), so
+      // the window sum is an exact LONG — same value as the oracle's
+      // decimal-sum-to-double, without per-row BigDecimal in the
+      // sliding frame (Spark re-evaluates bounded frames per row)
       .withColumn("rolling_7",
-        (sum(col("y").cast(DecimalType(38, 8))).over(w7).cast(DoubleType) / count(col("y")).over(w7)))
+        (sum(col("y").cast(LongType)).over(w7).cast(DoubleType) / count(col("y")).over(w7)))
       .filter(col("ds") >= lit("1998-01-01").cast(DateType) &&
         col("ds") < lit("1998-04-01").cast(DateType))
       .orderBy(col("entity"), col("ds"))

@@ -125,23 +125,36 @@ object GlobalAR extends QueryModule {
       .withColumn("lag_1", lag(col("y"), 1).over(w))
       .withColumn("lag_7", lag(col("y"), 7).over(w))
       .withColumn("lag_14", lag(col("y"), 14).over(w))
+      // integer window sum (y is an integer-valued series) — exact,
+      // value-identical to a decimal sum, no BigDecimal per frame row
       .withColumn("roll7",
-        sum(col("y").cast(DecimalType(38, 2))).over(wPrev7).cast(DoubleType) / lit(7.0))
+        sum(col("y").cast(LongType)).over(wPrev7).cast(DoubleType) / lit(7.0))
       .filter(col("lag_14").isNotNull)
-    // the 20 sums of the normal equations — exact decimal reductions,
-    // one global aggregation to a single row
+    // the 20 sums of the normal equations — exact reductions, one
+    // global aggregation to a single row. y and the lags are
+    // integer-valued, so every sum touching only them runs as LONG
+    // adds (products of integers <= 2^53 are exact doubles; the long
+    // sum equals the oracle's decimal-sum bit for bit); only the six
+    // roll7-involving sums need decimal accumulation (roll7 = k/7 has
+    // a full double fraction).
     val fs = Map("1" -> col("lag_1"), "2" -> col("lag_7"),
       "3" -> col("lag_14"), "4" -> col("roll7"))
+    val isInt = Map("1" -> true, "2" -> true, "3" -> true, "4" -> false)
+    def sInt(c: org.apache.spark.sql.Column) =
+      sum(c.cast(LongType)).cast(DoubleType)
     def s2(c: org.apache.spark.sql.Column) =
       sum(c.cast(DecimalType(38, 2))).cast(DoubleType)
     def s8(c: org.apache.spark.sql.Column) =
       sum(c.cast(DecimalType(38, 8))).cast(DoubleType)
     val sumCols =
-      Seq(count(lit(1)).cast(DoubleType).as("s00"), s2(col("y")).as("t0")) ++
-      fs.toSeq.sortBy(_._1).map { case (i, f) => s2(f).as(s"s0$i") } ++
+      Seq(count(lit(1)).cast(DoubleType).as("s00"), sInt(col("y")).as("t0")) ++
+      fs.toSeq.sortBy(_._1).map { case (i, f) =>
+        (if (isInt(i)) sInt(f) else s2(f)).as(s"s0$i") } ++
       (for { (i, fi) <- fs.toSeq.sortBy(_._1); (j, fj) <- fs.toSeq.sortBy(_._1)
-             if i <= j } yield s8(fi * fj).as(s"s$i$j")) ++
-      fs.toSeq.sortBy(_._1).map { case (i, f) => s8(f * col("y")).as(s"t$i") }
+             if i <= j } yield
+        (if (isInt(i) && isInt(j)) sInt(fi * fj) else s8(fi * fj)).as(s"s$i$j")) ++
+      fs.toSeq.sortBy(_._1).map { case (i, f) =>
+        (if (isInt(i)) sInt(f * col("y")) else s8(f * col("y"))).as(s"t$i") }
     val fit = feat.agg(sumCols.head, sumCols.tail: _*)
     // Materialize the fitted model: the solve runs over ONE row of 20
     // exact sums, and collecting its 5 coefficients (standard model-fit

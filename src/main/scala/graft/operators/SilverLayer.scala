@@ -47,10 +47,16 @@ object SilverLayer extends QueryModule {
     release: () => Unit = () => ())
 
   /** Persist-on-request for the shared staged frame (one scan feeds
-    * clean + rejected + issues instead of three). */
+    * clean + rejected + issues instead of three). Without caching, a
+    * non-deterministic barrier column stops Catalyst from substituting
+    * the cleaning expressions into the essential-filter predicate —
+    * substitution re-runs every regex and date parse once in the
+    * filter and again in the output projection (~1.9× the builder's
+    * cost measured at sf0.1). Every consumer projects an explicit
+    * column list, so the barrier column never escapes. */
   private def maybeCache(df: DataFrame, cache: Boolean): (DataFrame, () => Unit) =
     if (cache) { val p = df.persist(); (p, () => { p.unpersist(); () }) }
-    else (df, () => ())
+    else (df.withColumn("__once", monotonically_increasing_id()), () => ())
 
   // ---- shared helpers --------------------------------------------
 

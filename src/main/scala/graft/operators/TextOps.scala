@@ -5,6 +5,7 @@ import graft.functions.TextFunctions._
 import graft.util.Parity._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
 /** LLM-training-data text operators over the `documents` table: exact
@@ -535,7 +536,134 @@ object TextOps extends QueryModule {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q58: TF-IDF term ranking ----------------------------------
+
+  /** q58 — top-3 salient terms per document by tf-idf. The idf factor
+    * is the exact rational (N+1)/(df+1) instead of its logarithm
+    * (documented deviation: libm log is not correctly-rounded and
+    * differs across engines; the rational keeps scoring in exact
+    * integer arithmetic until one final double division). Shape:
+    * explode → per-(doc, term) count → per-term doc frequency (the
+    * vocabulary aggregate — small relative to the corpus, broadcast
+    * side of the join at scale) → rank window per doc. */
+  def tfidfTopk(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(s, dir, "documents")
+    val termRows = d.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = termRows.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, "term").crossJoin(n)
+      .withColumn("score", snapRound(
+        (col("tf") * (col("n_docs") + lit(1))).cast(DoubleType) /
+          (col("df") + lit(1)).cast(DoubleType), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  private val tfidfTopkSql =
+    s"""WITH terms AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (
+       |  SELECT doc_id, term, count(1) AS tf FROM terms GROUP BY doc_id, term),
+       |df AS (SELECT term, count(1) AS df FROM tf GROUP BY term),
+       |n AS (SELECT count(1) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT doc_id, term, tf, df,
+       |         ${snapRoundSql("CAST(tf * (n_docs + 1) AS DOUBLE) / CAST(df + 1 AS DOUBLE)", 6)} AS score
+       |  FROM tf JOIN df USING (term) CROSS JOIN n),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+       |  FROM scored)
+       |SELECT doc_id, rank, term, tf, df, score
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY doc_id, rank""".stripMargin
+
+  // ---- q59: deterministic stratified sampling ----------------------
+
+  /** q59 — per-source stratified sample with a deterministic keyed
+    * coin: bucket = (doc_id · 2654435761) mod 1000 (Knuth
+    * multiplicative hash, exact 64-bit integer math in both engines),
+    * keep when bucket < the source's per-mille rate. Reproducible
+    * across engines, reruns, and partitionings — the property random()
+    * sampling loses — and a narrow map at any scale. */
+  private val sampleRates: Seq[(String, Int)] =
+    Seq(("src0", 800), ("src1", 500), ("src2", 200), ("src3", 700))
+
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val rate = sampleRates.foldLeft(lit(100)) { case (acc, (src, r)) =>
+      when(col("source") === src, lit(r)).otherwise(acc) }
+    Tables.t(s, dir, "documents")
+      .withColumn("bucket", pmod(col("doc_id") * lit(2654435761L), lit(1000)))
+      .withColumn("rate_permille", rate)
+      .filter(col("bucket") < col("rate_permille"))
+      .select(col("doc_id"), col("source"), col("bucket"), col("rate_permille"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val stratifiedSampleSql = {
+    val rateSql = sampleRates.map { case (s, r) => s"WHEN source = '$s' THEN $r" }
+      .mkString("CASE ", " ", " ELSE 100 END")
+    s"""SELECT doc_id, source,
+       |       (doc_id * 2654435761) % 1000 AS bucket,
+       |       $rateSql AS rate_permille
+       |FROM documents
+       |WHERE (doc_id * 2654435761) % 1000 < ($rateSql)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- q60: token-budget sequence packing --------------------------
+
+  /** q60 — contiguous greedy packing of documents into fixed
+    * token-budget training sequences (budget 4096): within each
+    * source, documents pack in doc_id order; a document belongs to
+    * the sequence where its first token lands (straddle-allowed
+    * concatenation packing — the streaming-friendly strategy, since
+    * seq_id = floor(preceding-cumsum / budget) is one window cumsum,
+    * not a per-bin first-fit loop). Per-source windows keep the
+    * cumsum distributed — at scale each source/shard packs
+    * independently. */
+  private val packBudget = 4096
+
+  def sequencePack(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast(LongType).as("tokens"))
+      .withColumn("cum", sum(col("tokens")).over(w))
+      .withColumn("seq_id", ((col("cum") - col("tokens")) / lit(packBudget)).cast(LongType))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("seq_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("seq_id"))
+  }
+
+  private val sequencePackSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+       |  FROM documents),
+       |packed AS (
+       |  SELECT doc_id, source, tokens,
+       |         CAST((sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens)
+       |           // $packBudget AS BIGINT) AS seq_id
+       |  FROM toks)
+       |SELECT source, seq_id, count(1) AS n_docs, CAST(sum(tokens) AS BIGINT) AS seq_tokens,
+       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM packed GROUP BY 1, 2
+       |ORDER BY source, seq_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_tfidf_topk" -> tfidfTopk,
+    "q59_stratified_sample" -> stratifiedSample,
+    "q60_sequence_pack" -> sequencePack,
     "q54_dedup_clusters" -> dedupClusters,
     "q29_poly_fingerprint" -> polyFingerprint,
     "q20_dedup_exact" -> dedupExact,
@@ -563,6 +691,9 @@ object TextOps extends QueryModule {
       |ORDER BY doc_id""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    "q58_tfidf_topk" -> tfidfTopkSql,
+    "q59_stratified_sample" -> stratifiedSampleSql,
+    "q60_sequence_pack" -> sequencePackSql,
     "q54_dedup_clusters" -> dedupClustersSql,
     "q29_poly_fingerprint" -> polyFingerprintSql,
     "q20_dedup_exact" -> dedupExactSql,

@@ -24,7 +24,17 @@ object Bench {
   private def median3(a: Double, b: Double, c: Double): Double =
     Seq(a, b, c).sorted.apply(1)
 
-  def main(args: Array[String]): Unit = {
+  /** The shared-artifact prepare stages, by bench label — single
+    * registry shared with tools.TimeIt so ad-hoc timing can never
+    * drift from what the bench builds. */
+  val prepStages: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "prep_text_lsh" -> ((s, d) => graft.operators.TextOps.prepareArtifacts(s, d)),
+    "prep_gold_marts" -> ((s, d) => graft.operators.DqChecks.prepareArtifacts(s, d)),
+    "prep_demand_series" -> ((s, d) => graft.operators.Forecast.prepareArtifacts(s, d)),
+    "prep_srp_bands" -> ((s, d) => graft.operators.VectorOps.prepareArtifacts(s, d)))
+
+  /** The bench's session, shared with TimeIt. */
+  def session(): (SparkSession, String) = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -33,11 +43,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warmup outside the timed section
+    // JVM/codegen warmup outside any timed section
     try {
       val w = spark.read.parquet(s"$sfDir/region.parquet")
       w.groupBy("r_name").count().count()
     } catch { case _: Throwable => () }
+    (spark, sfDir)
+  }
+
+  /** One query execution through the noop sink (full materialization
+    * of every output column — count() would let Catalyst prune). */
+  def runQuery(spark: SparkSession, sfDir: String, name: String): Unit =
+    SparkEntry.queries(name)(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+
+  def main(args: Array[String]): Unit = {
+    val (spark, sfDir) = session()
 
     // failures are RECORDED, never swallowed: a failed prepare or
     // query would otherwise report a plausible time-to-failure and the
@@ -55,16 +76,12 @@ object Bench {
 
     // artifact prepare: shared artifacts built once, each timed as its
     // own cost entry (the stored-silver-table builds of a deployment)
-    val preps = Seq(
-      "prep_text_lsh" -> timed("prep_text_lsh")(graft.operators.TextOps.prepareArtifacts(spark, sfDir)),
-      "prep_gold_marts" -> timed("prep_gold_marts")(graft.operators.DqChecks.prepareArtifacts(spark, sfDir)),
-      "prep_demand_series" -> timed("prep_demand_series")(graft.operators.Forecast.prepareArtifacts(spark, sfDir)),
-      "prep_srp_bands" -> timed("prep_srp_bands")(graft.operators.VectorOps.prepareArtifacts(spark, sfDir)))
+    val preps = prepStages.map { case (label, prep) =>
+      label -> timed(label)(prep(spark, sfDir))
+    }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = timed(name) {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      }
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      def once(): Double = timed(name)(runQuery(spark, sfDir, name))
       name -> median3(once(), once(), once())
     }
 

@@ -603,7 +603,7 @@ object SilverLayer extends QueryModule {
       col("o_custkey").cast(StringType).as("retail_store_id"),
       concat(qty.cast(StringType), lit(" units")).as("quantity"),
       concat(lit("$"), priceD.cast(StringType)).as("price"),
-      when(m === 1, (invoiceD + 5).cast(DecimalType(15, 2)).cast(StringType))
+      when(m.isin(1, 5), (invoiceD + 5).cast(DecimalType(15, 2)).cast(StringType))
         .when(m === 2, lit("0.00"))
         .otherwise(invoiceD.cast(StringType)).as("total_invoice"),
       when(m === 6, lit("TBD"))
@@ -666,7 +666,7 @@ object SilverLayer extends QueryModule {
        |             CAST(o_custkey AS VARCHAR) AS retail_store_id,
        |             CAST(o_orderkey % 50 + 1 AS VARCHAR) || ' units' AS quantity,
        |             '$$' || CAST(CAST(round(CAST(o_totalprice / 100.0 AS DECIMAL(18,4)), 2) AS DECIMAL(15,2)) AS VARCHAR) AS price,
-       |             CASE WHEN o_orderkey % 7 = 1 THEN CAST(CAST(CAST(o_orderkey % 50 + 1 AS INTEGER) * CAST(round(CAST(o_totalprice / 100.0 AS DECIMAL(18,4)), 2) AS DECIMAL(15,2)) + 5 AS DECIMAL(15,2)) AS VARCHAR)
+       |             CASE WHEN o_orderkey % 7 IN (1, 5) THEN CAST(CAST(CAST(o_orderkey % 50 + 1 AS INTEGER) * CAST(round(CAST(o_totalprice / 100.0 AS DECIMAL(18,4)), 2) AS DECIMAL(15,2)) + 5 AS DECIMAL(15,2)) AS VARCHAR)
        |                  WHEN o_orderkey % 7 = 2 THEN '0.00'
        |                  ELSE CAST(CAST(CAST(o_orderkey % 50 + 1 AS INTEGER) * CAST(round(CAST(o_totalprice / 100.0 AS DECIMAL(18,4)), 2) AS DECIMAL(15,2)) AS DECIMAL(15,2)) AS VARCHAR) END AS total_invoice,
        |             CASE WHEN o_orderkey % 7 = 6 THEN 'TBD'

@@ -165,11 +165,31 @@ object AsOf {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
     import org.apache.spark.sql.graft.ColumnBridge
+    // shared lineage (self-join / common un-renamed scan) would put the
+    // same exprId on both sides; the output projection then binds right
+    // attributes to LEFT ordinals — silently wrong columns. Re-alias
+    // the right side (Alias mints fresh exprIds) when outputs overlap.
+    val lPlan = leftDf.queryExecution.analyzed
+    val right =
+      if (lPlan.outputSet.intersect(rightDf.queryExecution.analyzed.outputSet).isEmpty) rightDf
+      else rightDf.select(rightDf.columns.map(n => rightDf(n).as(n)).toSeq: _*)
+    // the merge compares left-vs-right key and time values with
+    // orderings built from the LEFT datatypes — a type mismatch would
+    // not throw, it would compare raw representations (date days vs
+    // timestamp micros) and match garbage
+    leftKeys.zip(rightKeys).foreach { case (l, r) =>
+      val (lt, rt) = (ColumnBridge.expr(leftDf(l)).dataType,
+        ColumnBridge.expr(right(r)).dataType)
+      require(lt == rt, s"as-of key type mismatch: $l: $lt vs $r: $rt")
+    }
+    require(ColumnBridge.expr(leftDf(leftTs)).dataType ==
+      ColumnBridge.expr(right(rightTs)).dataType,
+      s"as-of time type mismatch: $leftTs vs $rightTs")
     ColumnBridge.ofRows(spark, AsOfJoinPlan(
-      leftDf.queryExecution.analyzed, rightDf.queryExecution.analyzed,
+      lPlan, right.queryExecution.analyzed,
       leftKeys.map(n => ColumnBridge.expr(leftDf(n))),
-      rightKeys.map(n => ColumnBridge.expr(rightDf(n))),
-      ColumnBridge.expr(leftDf(leftTs)), ColumnBridge.expr(rightDf(rightTs)),
-      rightTiebreak.map(n => ColumnBridge.expr(rightDf(n)))))
+      rightKeys.map(n => ColumnBridge.expr(right(n))),
+      ColumnBridge.expr(leftDf(leftTs)), ColumnBridge.expr(right(rightTs)),
+      rightTiebreak.map(n => ColumnBridge.expr(right(n)))))
   }
 }

@@ -18,10 +18,17 @@ class AsOfJoinSpec extends SparkSpec {
     assert(native == composed)
   }
 
-  test("the plan contains AsOfJoinExec and one exchange per side") {
+  test("the plan merges with an exchange and a (keys, time) sort per side") {
     val df = EventOps.asofJoinNative(spark, sf0001)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("AsOfJoin"), plan.take(400))
+    // EnsureRequirements must have materialized the operator's
+    // required distribution and ordering: a hash exchange and a sort
+    // per child (a regression to UnspecifiedDistribution would merge
+    // unsorted, un-co-partitioned children and still name-match)
+    def n(p: String) = p.r.findAllIn(plan).size
+    assert(n("Exchange hashpartitioning") >= 2, plan.take(800))
+    assert(n("\\+- Sort ") >= 2, plan.take(800))
   }
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
@@ -60,6 +67,41 @@ class AsOfJoinSpec extends SparkSpec {
       .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
     (1L to 40L).foreach { k =>
       assert(out(k) == (if (k % 2 == 0) k * 1000 else -1L), s"key $k")
+    }
+  }
+
+  test("shared lineage (self-join) is re-aliased, not silently mirrored") {
+    // both sides from the SAME frame: without dedup the output
+    // projection binds right attrs to left ordinals by exprId and the
+    // "matched" columns would mirror the left row
+    val events = Seq(
+      (1L, 5L, ts("2020-01-01 10:00:00")),
+      (2L, 5L, ts("2020-01-01 12:00:00")))
+      .toDF("id", "user_id", "t")
+    val out = AsOf.join(
+      events.select(col("id").as("pid"), col("user_id"), col("t").as("pts")),
+      events.select(col("id").as("vid"), col("user_id").as("vuid"), col("t").as("vts")),
+      Seq("user_id"), Seq("vuid"), "pts", "vts", rightTiebreak = Seq("vid"))
+      .select(col("pid"), col("vid")).orderBy(col("pid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // pid 2 must match vid 2 at-or-before; pid 1 matches itself (<=)
+    assert(out.toSeq == Seq((1L, 1L), (2L, 2L)))
+    // self-join verbatim: right columns must come from the matched
+    // right row, not mirror the left
+    val self = AsOf.join(events, events, Seq("user_id"), Seq("user_id"),
+        "t", "t", rightTiebreak = Seq("id"))
+    assert(self.count() == 2)
+  }
+
+  test("key/time type mismatches are rejected, not compared raw") {
+    val l = Seq((1L, 5L, ts("2020-01-01 10:00:00"))).toDF("pid", "user_id", "pts")
+    val r = Seq((2L, 5L, java.sql.Date.valueOf("2020-01-01"))).toDF("vid", "vuid", "vd")
+    intercept[IllegalArgumentException] {
+      AsOf.join(l, r, Seq("user_id"), Seq("vuid"), "pts", "vd")
+    }
+    val r2 = Seq((2L, 5, ts("2020-01-01 09:00:00"))).toDF("vid", "vuid", "vts")
+    intercept[IllegalArgumentException] {
+      AsOf.join(l, r2, Seq("user_id"), Seq("vuid"), "pts", "vts")
     }
   }
 

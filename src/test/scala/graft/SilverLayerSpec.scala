@@ -72,13 +72,16 @@ class SilverLayerSpec extends SparkSpec {
       // TWO deductions (silver_builder.py:975-985), one combined boolean
       (6L, base._1, base._2, base._3, base._4, base._5, "50.00", "2020-02-01", "2020-01-05", "2020-01-01", "Pending"),
       // invoice 0 is falsy -> calculation check skipped (stays correct)
-      (7L, base._1, base._2, base._3, base._4, base._5, "0.00", base._6, base._7, base._8, "Completed"))
+      (7L, base._1, base._2, base._3, base._4, base._5, "0.00", base._6, base._7, base._8, "Completed"),
+      // ALL THREE violations: calc mismatch + shipped<ordered +
+      // delivered<shipped -> 3 deductions
+      (8L, base._1, base._2, base._3, base._4, base._5, "51.00", "2020-02-01", "2020-01-05", "2020-01-01", "Pending"))
       .toDF("supply_order_id", "product_id", "warehouse_id", "retail_store_id",
         "quantity", "price", "total_invoice", "order_date", "shipped_date",
         "delivered_date", "status")
     val r = SilverLayer.supplyOrders(bronze)
     val byId = r.clean.collect().map(x => x.getLong(0) -> x).toMap
-    assert(byId.keySet == Set(1L, 2L, 3L, 5L, 6L, 7L))
+    assert(byId.keySet == Set(1L, 2L, 3L, 5L, 6L, 7L, 8L))
     assert(byId(1L).getAs[Boolean]("is_calculation_correct"))
     assert(byId(1L).getAs[String]("status") == "delivered")
     assert(!byId(2L).getAs[Boolean]("is_calculation_correct"))
@@ -87,10 +90,10 @@ class SilverLayerSpec extends SparkSpec {
     assert(byId(1L).getAs[Double]("quality_score") == 100.0)
     assert(byId(2L).getAs[Double]("quality_score") < 100.0)
     assert(r.rejected.count() == 1)
-    assert(r.issues.filter(col("issue_type") === "invoice_mismatch").count() == 2)  // rows 2, 5
-    assert(r.issues.filter(col("issue_type") === "date_order_invalid").count() == 3) // rows 3, 5, 6
+    assert(r.issues.filter(col("issue_type") === "invoice_mismatch").count() == 3)  // rows 2, 5, 8
+    assert(r.issues.filter(col("issue_type") === "date_order_invalid").count() == 4) // rows 3, 5, 6, 8
     assert(r.issues.filter(col("issue_type") === "delivered_before_shipped")
-      .select("record_id").as[Long].collect().toSeq == Seq(6L))
+      .select("record_id").as[Long].collect().toSeq.sorted == Seq(6L, 8L))
     // the double-violation rows log BOTH and their score deducts both
     assert(r.issues.filter(col("record_id") === 5L).count() == 2)
     assert(r.issues.filter(col("record_id") === 6L).count() == 2)
@@ -100,6 +103,11 @@ class SilverLayerSpec extends SparkSpec {
     // invoice=0: check skipped, flag true, perfect score
     assert(byId(7L).getAs[Boolean]("is_calculation_correct"))
     assert(byId(7L).getAs[Double]("quality_score") == 100.0)
+    // triple violation: 3 issue rows, 3 deductions -> (11-3)/11*100
+    assert(r.issues.filter(col("record_id") === 8L).count() == 3)
+    assert(byId(8L).getAs[Double]("quality_score") == 72.73)
+    assert(!byId(8L).getAs[Boolean]("is_calculation_correct"))
+    assert(!byId(8L).getAs[Boolean]("date_logic_valid"))
   }
 
   test("inventory: negative or unparseable quantity rejects; fixes lower the score") {

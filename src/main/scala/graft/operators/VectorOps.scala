@@ -196,8 +196,8 @@ object VectorOps extends QueryModule {
 
   // ---- q51: embedding-cosine near-dup via sign-projection LSH ------
 
-  private val SRP_BITS = 16  // hyperplanes
-  private val SRP_ROWS = 8   // bits per band -> 2 bands, 256 buckets each
+  private val SRP_BITS = 96  // hyperplanes
+  private val SRP_ROWS = 16  // bits per band -> 6 bands, 65536 buckets each
   private val DIM = 64
 
   /** Deterministic ±1 hyperplane weight for (hyperplane h, dim i):
@@ -238,9 +238,16 @@ object VectorOps extends QueryModule {
 
   /** q51 — embedding-cosine near-duplicate detection at collection
     * scale (every vector vs every vector — dedup, not query search):
-    * 16 sign-projection bits per vector (narrow map), banded 2×8 so
-    * candidates come from 256-way bucket joins, exact decimal-fold
-    * cosine ONLY on candidates, near-dup flag at 0.95. The SRP-LSH
+    * 96 sign-projection bits per vector (narrow map), banded 6×16 so
+    * candidates come from 65536-way bucket joins, exact ordered-fold
+    * cosine ONLY on candidates, near-dup flag at 0.95. Band sizing:
+    * at cosine 0.95 per-bit agreement is 1−θ/π ≈ 0.899, so a 16-bit
+    * band collides with p ≈ 0.18 and 6 bands give ≈ 0.70 recall —
+    * while merely-similar pairs (cos 0.7 → per-bit 0.75) collide at
+    * ≈ 0.9% per band, so candidates stay near-linear. A previous 2×8
+    * design had only 256 buckets per band — a CONSTANT, so candidate
+    * pairs grew O(N²/256) on clustered data; 16-bit bands defer that
+    * wall by 256× at both better recall and lower cost. The SRP-LSH
     * analogue of q22's minhash banding — the standard shape that
     * survives 100 TB of embeddings (never all-pairs). */
   def cosineNearDup(s: SparkSession, dir: String): DataFrame = {

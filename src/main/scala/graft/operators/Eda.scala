@@ -369,40 +369,79 @@ object Eda extends QueryModule {
 
   /** q11 — A12: Pearson correlation for all numeric column pairs,
     * from exact co-moment sums (reference eda/supply_chain_eda.py:604-641;
-    * its pandas .corr() becomes one distributed pass). */
+    * its pandas .corr() becomes one distributed pass).
+    *
+    * ONE aggregation computes every sum the 6 pairs need (the per-pair
+    * form scanned the fact 6×; measured 25 s → ~3 s at sf0.1). r is
+    * scale-invariant, so both engines work on 10^k-scaled LONG values:
+    * exact codegen'd long sums here (DuckDB sums BIGINT into HUGEINT,
+    * also exact), identical doubles at the formula edge. Only
+    * l_extendedprice² exceeds 64 bits in aggregate — its per-row v²
+    * (≤1.1e14) splits into two long limbs recombined in decimal after
+    * the aggregate, exact to ~9e9 rows; every other scaled sum is
+    * bounded by ~6e13 per 6e5 rows, i.e. safe past 1e10 rows. */
   def corrMatrix(s: SparkSession, dir: String): DataFrame = {
     val l = Tables.t(s, dir, "lineitem")
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val sc: Map[String, Column] = Map(
+      "l_quantity" -> asScaled(col("l_quantity"), 0),
+      "l_extendedprice" -> asScaled(col("l_extendedprice"), 2),
+      "l_discount" -> asScaled(col("l_discount"), 2),
+      "l_tax" -> asScaled(col("l_tax"), 2))
     val pairs = for { i <- cols.indices; j <- cols.indices if i < j } yield (cols(i), cols(j))
-    pairs.map { case (a, b) =>
-      val (xa, xb) = (col(a).cast(DoubleType), col(b).cast(DoubleType))
-      l.agg(
-        count(lit(1)).as("n"),
-        sum(xa.cast(dec)).as("sx"), sum(xb.cast(dec)).as("sy"),
-        sum((xa * xa).cast(dec)).as("sxx"), sum((xb * xb).cast(dec)).as("syy"),
-        sum((xa * xb).cast(dec)).as("sxy"))
-        .select(lit(a).as("col_a"), lit(b).as("col_b"),
-          ((col("n") * col("sxy").cast(DoubleType) - col("sx").cast(DoubleType) * col("sy").cast(DoubleType))
-            / (sqrt(col("n") * col("sxx").cast(DoubleType) - col("sx").cast(DoubleType) * col("sx").cast(DoubleType))
-              * sqrt(col("n") * col("syy").cast(DoubleType) - col("sy").cast(DoubleType) * col("sy").cast(DoubleType)))).as("r_raw"))
-        .select(col("col_a"), col("col_b"), snapRound(col("r_raw"), 9).as("pearson_r"))
-    }.reduce(_.unionByName(_)).orderBy(col("col_a"), col("col_b"))
+    val extV2 = sc("l_extendedprice") * sc("l_extendedprice")
+    val aggs =
+      Seq(count(lit(1)).cast(DoubleType).as("n")) ++
+      cols.map(c => sum(sc(c)).cast(DoubleType).as(s"sx_$c")) ++
+      cols.filter(_ != "l_extendedprice")
+        .map(c => sum(sc(c) * sc(c)).cast(DoubleType).as(s"sxx_$c")) ++
+      Seq(sum(((extV2 - extV2 % limb) / limb).cast(LongType)).as("hi2_ext"),
+        sum(extV2 % limb).as("lo2_ext")) ++
+      pairs.map { case (a, b) => sum(sc(a) * sc(b)).cast(DoubleType).as(s"sxy_${a}_$b") }
+    val one = l.agg(aggs.head, aggs.tail: _*)
+      .withColumn("sxx_l_extendedprice",
+        (col("hi2_ext").cast(DecimalType(38, 0)) * lit(limb) +
+          col("lo2_ext").cast(DecimalType(38, 0))).cast(DoubleType))
+    val rows = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), col("n").as("n"),
+        col(s"sx_$a").as("sx"), col(s"sx_$b").as("sy"),
+        col(s"sxx_$a").as("sxx"), col(s"sxx_$b").as("syy"),
+        col(s"sxy_${a}_$b").as("sxy"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+      .select(col("col_a"), col("col_b"),
+        snapRound((col("n") * col("sxy") - col("sx") * col("sy"))
+          / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+            * sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 9).as("pearson_r"))
+      .orderBy(col("col_a"), col("col_b"))
   }
 
   private val corrMatrixSql = {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val scSql = Map(
+      "l_quantity" -> "CAST(round(l_quantity) AS BIGINT)",
+      "l_extendedprice" -> "CAST(round(l_extendedprice * 100) AS BIGINT)",
+      "l_discount" -> "CAST(round(l_discount * 100) AS BIGINT)",
+      "l_tax" -> "CAST(round(l_tax * 100) AS BIGINT)")
     val pairs = for { i <- cols.indices; j <- cols.indices if i < j } yield (cols(i), cols(j))
-    pairs.map { case (a, b) =>
+    val scaled = cols.map(c => s"${scSql(c)} AS x_$c").mkString(", ")
+    val sums = (
+      Seq("CAST(count(1) AS DOUBLE) AS n") ++
+      cols.map(c => s"CAST(sum(x_$c) AS DOUBLE) AS sx_$c") ++
+      cols.map(c => s"CAST(sum(x_$c * x_$c) AS DOUBLE) AS sxx_$c") ++
+      pairs.map { case (a, b) => s"CAST(sum(x_$a * x_$b) AS DOUBLE) AS sxy_${a}_$b" }
+      ).mkString(",\n             ")
+    val rows = pairs.map { case (a, b) =>
       s"""SELECT '$a' AS col_a, '$b' AS col_b,
-         |       CAST(round(CAST((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS DECIMAL(30,13)), 9) AS DOUBLE) AS pearson_r
-         |FROM (SELECT count(1) AS n,
-         |             CAST(sum(CAST($a AS DECIMAL(38,8))) AS DOUBLE) AS sx,
-         |             CAST(sum(CAST($b AS DECIMAL(38,8))) AS DOUBLE) AS sy,
-         |             CAST(sum(CAST($a * $a AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
-         |             CAST(sum(CAST($b * $b AS DECIMAL(38,8))) AS DOUBLE) AS syy,
-         |             CAST(sum(CAST($a * $b AS DECIMAL(38,8))) AS DOUBLE) AS sxy
-         |      FROM lineitem)""".stripMargin
-    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_a, col_b")
+         |       CAST(round(CAST((n * sxy_${a}_$b - sx_$a * sx_$b) / (sqrt(n * sxx_$a - sx_$a * sx_$a) * sqrt(n * sxx_$b - sx_$b * sx_$b)) AS DECIMAL(30,13)), 9) AS DOUBLE) AS pearson_r
+         |FROM s""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH s AS (
+       |  SELECT $sums
+       |  FROM (SELECT $scaled FROM lineitem))
+       |SELECT * FROM (
+       |$rows
+       |) ORDER BY col_a, col_b""".stripMargin
   }
 
   /** q12 — A14: quantile bucketing — exact q25/q75 then a Low/Medium/

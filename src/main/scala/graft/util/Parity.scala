@@ -62,6 +62,25 @@ object Parity {
   def moneyRound(c: Column, scale: Int = 2): Column =
     round(c.cast(DecimalType(18, 4)), scale).cast(DoubleType)
 
+  /** Long scale-k integer of a k-dp double — exact (the double is
+    * within half an ulp of the true k-dp rational, so round() recovers
+    * it) for |x|·10^k < 2^53. */
+  def asScaled(c: Column, pow: Int): Column =
+    round(c.cast(DoubleType) * math.pow(10, pow).longValue).cast(LongType)
+
+  /** The fixed-point twin of moneyRound for products that are exactly
+    * scale-4 rationals (2-dp × 2-dp money values): takes the product as
+    * a LONG in ten-thousandths and rounds HALF_UP (ties away from zero,
+    * matching both engines' decimal rounding) to a 2-dp double. No
+    * BigDecimal per row — measured ~8× cheaper than the decimal route
+    * on a 600k-row wide projection. Exact for |v4| < 2^53. */
+  def scale4ToMoney(v4: Column): Column = {
+    // |v4|+50 stays < 2^53 -> the double division is exact enough for
+    // floor (quotients have <= 2 fractional digits, never near 1.0-ulp)
+    val mag = floor((abs(v4) + lit(50L)).cast(DoubleType) / lit(100.0))
+    when(v4 < 0, -mag).otherwise(mag) / lit(100.0)
+  }
+
   /** Round an arbitrary double (ratios, percentages) via a decimal
     * "snap" 4 digits below the target scale. Quotients often land a
     * hair's width from a .xx5 tie; snapping makes the tie exact, where

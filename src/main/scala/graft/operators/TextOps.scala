@@ -461,28 +461,33 @@ object TextOps extends QueryModule {
     val edges = sim.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(sim.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
-    edges.count()
     var labels = docs.select(col("doc_id"), col("doc_id").as("label")).persist()
-    labels.count()
-    var changed = 1L
+    // Convergence witness: labels are non-increasing under
+    // min-propagation (own label is in every round's min), so the
+    // label-sum is strictly decreasing until the fixed point — ONE
+    // scalar aggregate per round detects convergence, instead of a
+    // count() plus a label-compare join (2 actions + a shuffle). The
+    // sum runs in decimal so it stays exact at any doc-id magnitude.
+    var prevSum: java.math.BigDecimal = null
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < 25) {
+    while (!converged && iter < 25) {
       val neighborLabels = edges
         .join(labels.select(col("doc_id").as("dst"), col("label")), "dst")
         .select(col("src").as("doc_id"), col("label"))
       val next = labels.unionByName(neighborLabels)
         .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
         .persist()
-      next.count()
-      changed = next.as("n").join(labels.as("o"), "doc_id")
-        .filter(col("n.label") =!= col("o.label")).count()
+      val sumNow = next.agg(sum(col("label").cast(DecimalType(38, 0)))).head().getDecimal(0)
+      converged = prevSum != null && sumNow.compareTo(prevSum) == 0
+      prevSum = sumNow
       labels.unpersist()
       labels = next
       iter += 1
     }
     // unconverged labels are WRONG labels (one component, many ids) —
     // fail loudly rather than emit them; the oracle is exact closure
-    require(changed == 0,
+    require(converged,
       s"dedupClusters: min-label propagation not converged after $iter rounds")
     // edges stays persisted with labels: an evicted label partition
     // recomputes through it; both are released on the next invocation

@@ -1,0 +1,199 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between dedup and packing (BASELINE.json north star; beyond the
+  * reference's own surface):
+  *
+  *  - q61 repetition profile — the Gopher-style repetition quality
+  *    gate: fraction of duplicate word 3-grams plus the most-frequent-
+  *    token share, per document (Rae et al. 2021, "Scaling Language
+  *    Models", table A1 heuristics).
+  *  - q62 decontamination — flag training documents whose word 5-grams
+  *    overlap a held-out evaluation source, the standard n-gram
+  *    benchmark-contamination check (GPT-3 appendix C methodology).
+  *  - q63 vocabulary — corpus-wide token vocabulary with occurrence
+  *    and document frequencies, the input of any BPE/WordPiece trainer.
+  *
+  * Scale design: all three are narrow maps plus hash aggregations.
+  * q61's top-token count and q63's vocabulary run as two-level
+  * aggregations (token-keyed partial agg, no Expand); q62 joins the
+  * (small) eval-set gram list broadcast against the training grams —
+  * at 100 TB the eval side is benchmarks (thousands of docs), so the
+  * contamination check never shuffles the corpus. All fractions are
+  * single IEEE divisions of exact integer counts — correctly rounded,
+  * hence bit-identical across engines with no decimal snap needed.
+  */
+object CorpusOps extends QueryModule {
+
+  /** The held-out benchmark source for q62. */
+  private val EvalSource = "src0"
+
+  // ---- q61: repetition profile -----------------------------------
+
+  /** q61 — per-doc repetition metrics: duplicate-3-gram fraction
+    * (1 - distinct/total trigrams) and top-token share. The top-token
+    * count is a distributed two-level aggregation, not a per-row
+    * quadratic scan: (doc, token) partial counts, then max per doc. */
+  def repetitionProfile(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(s, dir, "documents")
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    // LongType casts: DuckDB len()/greatest() yield BIGINT
+    val base = docs.select(
+      col("doc_id"),
+      nTok.cast(LongType).as("n_tokens"),
+      greatest(nTok - lit(2), lit(0)).cast(LongType).as("n_grams"),
+      size(shingles(col("text"))).cast(LongType).as("n_distinct_grams"))
+    val topTok = docs
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id")).agg(max(col("cnt")).as("top_cnt"))
+    base.join(topTok, "doc_id")
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_grams"),
+        when(col("n_grams") > 0,
+          lit(1.0) - col("n_distinct_grams").cast(DoubleType) / col("n_grams").cast(DoubleType))
+          .otherwise(lit(0.0)).as("dup_gram_frac"),
+        (col("top_cnt").cast(DoubleType) / col("n_tokens").cast(DoubleType)).as("top_token_frac"))
+      .withColumn("is_repetitive",
+        col("dup_gram_frac") > lit(0.2) || col("top_token_frac") > lit(0.3))
+      .orderBy(col("doc_id"))
+  }
+
+  private val repetitionProfileSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |tc AS (SELECT doc_id, max(cnt) AS top_cnt FROM (
+      |    SELECT doc_id, tok, count(1) AS cnt
+      |    FROM (SELECT doc_id, unnest(ws) AS tok FROM t) GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |g AS (SELECT doc_id, len(ws) AS n_tokens,
+      |        greatest(len(ws) - 2, 0) AS n_grams,
+      |        CASE WHEN len(ws) >= 3 THEN len(list_distinct(
+      |          list_transform(generate_series(1, len(ws) - 2),
+      |            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])))
+      |        ELSE 0 END AS n_distinct_grams
+      |      FROM t)
+      |SELECT g.doc_id, n_tokens, n_grams,
+      |       CASE WHEN n_grams > 0
+      |            THEN 1.0 - CAST(n_distinct_grams AS DOUBLE) / CAST(n_grams AS DOUBLE)
+      |            ELSE 0.0 END AS dup_gram_frac,
+      |       CAST(top_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_token_frac,
+      |       (CASE WHEN n_grams > 0
+      |             THEN 1.0 - CAST(n_distinct_grams AS DOUBLE) / CAST(n_grams AS DOUBLE)
+      |             ELSE 0.0 END) > 0.2
+      |       OR CAST(top_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0.3 AS is_repetitive
+      |FROM g JOIN tc ON g.doc_id = tc.doc_id
+      |ORDER BY g.doc_id""".stripMargin
+
+  // ---- q62: decontamination --------------------------------------
+
+  /** q62 — n-gram contamination against the held-out eval source:
+    * for every training doc (source != eval), the count of its
+    * distinct word 5-grams that appear in any eval doc, how many eval
+    * docs it hits, and the contaminated-gram fraction. The eval gram
+    * list is broadcast — the training corpus never shuffles. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(s, dir, "documents")
+    def gramRows(df: DataFrame) =
+      df.select(col("doc_id"), explode(shingles(col("text"), 5)).as("g"))
+    val train = docs.filter(col("source") =!= EvalSource)
+    val evalGrams = gramRows(docs.filter(col("source") === EvalSource))
+      .select(col("g"), col("doc_id").as("eval_doc"))
+    val matched = gramRows(train).join(broadcast(evalGrams), "g")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("overlap_grams"),
+        countDistinct(col("eval_doc")).as("matched_eval_docs"))
+    train
+      .select(col("doc_id"), size(shingles(col("text"), 5)).cast(LongType).as("n_grams"))
+      .join(matched, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_grams"),
+        coalesce(col("overlap_grams"), lit(0L)).as("overlap_grams"),
+        coalesce(col("matched_eval_docs"), lit(0L)).as("matched_eval_docs"))
+      .withColumn("contamination_frac",
+        when(col("n_grams") > 0,
+          col("overlap_grams").cast(DoubleType) / col("n_grams").cast(DoubleType))
+          .otherwise(lit(0.0)))
+      .withColumn("is_contaminated", col("contamination_frac") >= lit(0.5))
+      .orderBy(col("doc_id"))
+  }
+
+  private val decontaminateSql =
+    s"""WITH g5 AS (
+      |  SELECT doc_id, source, CASE WHEN len(string_split(text,' ')) >= 5
+      |    THEN list_distinct(list_transform(generate_series(1, len(string_split(text,' ')) - 4),
+      |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' ||
+      |           string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3] || ' ' ||
+      |           string_split(text,' ')[i+4]))
+      |    ELSE [] END AS grams
+      |  FROM documents),
+      |ev AS (SELECT unnest(grams) AS g, doc_id AS eval_doc FROM g5 WHERE source = '$EvalSource'),
+      |tr AS (SELECT doc_id, unnest(grams) AS g FROM g5 WHERE source <> '$EvalSource'),
+      |m AS (SELECT tr.doc_id, count(DISTINCT tr.g) AS overlap_grams,
+      |             count(DISTINCT ev.eval_doc) AS matched_eval_docs
+      |      FROM tr JOIN ev ON tr.g = ev.g GROUP BY 1)
+      |SELECT t.doc_id, len(t.grams) AS n_grams,
+      |       coalesce(m.overlap_grams, 0) AS overlap_grams,
+      |       coalesce(m.matched_eval_docs, 0) AS matched_eval_docs,
+      |       CASE WHEN len(t.grams) > 0
+      |            THEN CAST(coalesce(m.overlap_grams, 0) AS DOUBLE) / CAST(len(t.grams) AS DOUBLE)
+      |            ELSE 0.0 END AS contamination_frac,
+      |       (CASE WHEN len(t.grams) > 0
+      |             THEN CAST(coalesce(m.overlap_grams, 0) AS DOUBLE) / CAST(len(t.grams) AS DOUBLE)
+      |             ELSE 0.0 END) >= 0.5 AS is_contaminated
+      |FROM g5 t LEFT JOIN m ON t.doc_id = m.doc_id
+      |WHERE t.source <> '$EvalSource'
+      |ORDER BY t.doc_id""".stripMargin
+
+  // ---- q63: vocabulary -------------------------------------------
+
+  /** q63 — corpus vocabulary, top 500 tokens by total occurrences
+    * (token ascending on ties): occurrence count + document frequency
+    * via a two-level aggregation ((token, doc) partial counts, then
+    * token rollup — no Expand, one shuffle each), ranked after the
+    * top-k cut so the window sees 500 rows, not the vocabulary. */
+  def vocabulary(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("cnt"))
+    val vocab = perDoc.groupBy(col("token"))
+      .agg(sum(col("cnt")).as("occurrences"), count(lit(1)).as("doc_freq"))
+      .orderBy(col("occurrences").desc, col("token"))
+      .limit(500)
+    vocab.withColumn("rank",
+      row_number().over(Window.orderBy(col("occurrences").desc, col("token"))))
+      .select(col("rank"), col("token"), col("occurrences"), col("doc_freq"))
+      .orderBy(col("rank"))
+  }
+
+  private val vocabularySql =
+    """WITH perdoc AS (
+      |  SELECT token, doc_id, count(1) AS cnt FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      |  GROUP BY 1, 2),
+      |vocab AS (
+      |  SELECT token, CAST(sum(cnt) AS BIGINT) AS occurrences, count(1) AS doc_freq
+      |  FROM perdoc GROUP BY 1
+      |  ORDER BY occurrences DESC, token LIMIT 500)
+      |SELECT CAST(row_number() OVER (ORDER BY occurrences DESC, token) AS INTEGER) AS rank,
+      |       token, occurrences, doc_freq
+      |FROM vocab
+      |ORDER BY rank""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_repetition_profile" -> repetitionProfile,
+    "q62_decontamination" -> decontaminate,
+    "q63_vocabulary" -> vocabulary)
+
+  override def oracles: Map[String, String] = Map(
+    "q61_repetition_profile" -> repetitionProfileSql,
+    "q62_decontamination" -> decontaminateSql,
+    "q63_vocabulary" -> vocabularySql)
+}

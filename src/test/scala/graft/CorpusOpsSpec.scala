@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.CorpusOps
+import org.apache.spark.sql.Row
+
+/** Semantic pins for the corpus-curation operators on handcrafted
+  * documents (written to a temp parquet dir so the queries run their
+  * real read path): repetition fractions, contamination overlap
+  * accounting, vocabulary ranking. */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("corpus_spec").toString
+    Seq(
+      // doc 1: one token repeated 10x -> every trigram identical
+      (1L, Seq.fill(10)("spam").mkString(" "), "en", "srcT", 49L),
+      // doc 2: 7 distinct tokens -> zero repetition
+      (2L, "a b c d e f g", "en", "srcT", 13L),
+      // doc 3: two tokens -> no trigrams at all
+      (3L, "x y", "en", "srcT", 3L),
+      // doc 4: exact copy of eval doc 100 -> fully contaminated
+      (4L, "p q r s t u v w", "en", "srcT", 15L),
+      // eval doc (the held-out source)
+      (100L, "p q r s t u v w", "en", "src0", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("repetition profile: all-same, all-distinct, and too-short docs") {
+    val rows = CorpusOps.repetitionProfile(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1: 10 tokens, 8 trigrams, 1 distinct -> dup frac 1 - 1/8
+    assert(rows(1L).getDouble(3) == 1.0 - 1.0 / 8.0)
+    assert(rows(1L).getDouble(4) == 1.0) // top token = all tokens
+    assert(rows(1L).getBoolean(5))
+    // doc 2: everything distinct -> 0 repetition, top share 1/7
+    assert(rows(2L).getDouble(3) == 0.0)
+    assert(rows(2L).getDouble(4) == 1.0 / 7.0)
+    assert(!rows(2L).getBoolean(5))
+    // doc 3: no trigrams -> frac defined as 0, not NULL/NaN
+    assert(rows(3L).getLong(2) == 0L && rows(3L).getDouble(3) == 0.0)
+  }
+
+  test("decontamination: exact eval copy is fully contaminated, rest clean") {
+    val rows = CorpusOps.decontaminate(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!rows.contains(100L)) // eval docs are not scored
+    val d4 = rows(4L) // 8 tokens -> 4 distinct 5-grams, all matched
+    assert(d4.getLong(1) == 4L && d4.getLong(2) == 4L && d4.getLong(3) == 1L)
+    assert(d4.getDouble(4) == 1.0 && d4.getBoolean(5))
+    assert(rows(1L).getLong(2) == 0L && !rows(1L).getBoolean(5))
+    assert(rows(3L).getLong(1) == 0L && rows(3L).getDouble(4) == 0.0)
+  }
+
+  test("vocabulary: occurrence-ranked with doc frequencies") {
+    val v = CorpusOps.vocabulary(spark, dir).collect()
+    assert(v.head match { case Row(1, "spam", 10L, 1L) => true; case _ => false })
+    // p..w appear twice (train doc 4 + eval doc 100), 2 docs each
+    val p = v.find(_.getString(1) == "p").get
+    assert(p.getLong(2) == 2L && p.getLong(3) == 2L)
+    // ranks are 1..n dense in order
+    assert(v.map(_.getInt(0)).toSeq == (1 to v.length))
+  }
+}

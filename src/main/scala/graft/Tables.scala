@@ -16,10 +16,35 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Fixed-cardinality dims (5 / 25 rows at every SF) — never worth a
+    * repartition exchange. */
+  private val tinyDims = Set("region", "nation")
+
   /** Lazy parquet reader — metadata-only until an action runs. */
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") events(spark, dir)
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
+    if (tinyDims(name)) df else spread(spark, df)
+  }
+
+  /** The driver-generated testdata ships each table as ONE parquet file
+    * with ONE row group, so the scan is a single task no matter how
+    * many cores the session has — and every broadcast-join / partial-
+    * aggregation / per-row text chain that Catalyst collapses into the
+    * scan stage would run single-threaded (measured: the q02 star agg
+    * at sf0.1 spent 10 s in one task on a 32-core session). Production
+    * data arrives as many multi-row-group files where the scan itself
+    * is the parallelism source; this shim restores that property for
+    * the single-file fixtures by fanning the scan out to the session's
+    * parallelism. Every query is partitioning-independent by
+    * construction (Parity rules: order-independent decimal reductions,
+    * total output orders), so this changes execution width only. */
+  private def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (target > 1 && df.rdd.getNumPartitions < math.min(target, 8))
+      df.repartition(target)
+    else df
+  }
 
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects. Read it as raw nanos and floor-divide to micros

@@ -16,15 +16,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Fixed-cardinality dims (5 / 25 rows at every SF) — never worth a
-    * repartition exchange. */
-  private val tinyDims = Set("region", "nation")
+  /** Tables never worth the spread exchange: region/nation are
+    * fixed-cardinality dims (5 / 25 rows at every SF), and embeddings
+    * is consumed almost exclusively as a broadcast build side (query
+    * batches, SRP signatures, IVF centroids) — a repartition ahead of
+    * a broadcast only inserts a shuffle stage before every broadcast
+    * materialization (measured: q51 median 1.7 s → 6 s with the
+    * spread, back under 3 s without). */
+  private val noSpread = Set("region", "nation", "embeddings")
 
   /** Lazy parquet reader — metadata-only until an action runs. */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
-    if (tinyDims(name)) df else spread(spark, df)
+    if (noSpread(name)) df else spread(spark, df)
   }
 
   /** The driver-generated testdata ships each table as ONE parquet file

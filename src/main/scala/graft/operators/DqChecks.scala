@@ -51,19 +51,29 @@ object DqChecks extends QueryModule {
     * thing, Pipeline.scala runGold; this is the standalone-query
     * analogue). Round-2 verdict: q38 recomputed both marts from
     * source. Built lazily, or eagerly by Bench's prepare phase. */
-  private val martCache =
-    collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  private val martCache = new graft.util.Memo[(SparkSession, String, String), DataFrame]
 
   private def cachedMart(s: SparkSession, dir: String, name: String,
     build: => DataFrame): DataFrame =
-    martCache.synchronized {
-      martCache.getOrElseUpdate((s, dir, name), { val m = build.persist(); m.count(); m })
-    }
+    martCache.getOrBuild((s, dir, name), { val m = build.persist(); m.count(); m })
 
-  /** Build the shared mart artifacts eagerly (Bench prepare phase). */
+  /** Build the shared mart artifacts eagerly (Bench prepare phase).
+    * The two marts are independent jobs, so they materialize
+    * CONCURRENTLY — Spark's scheduler interleaves their stages across
+    * the same cores (FIFO within the app), hiding the shorter build
+    * behind the longer one instead of paying them back to back. */
   def prepareArtifacts(s: SparkSession, dir: String): Unit = {
-    cachedMart(s, dir, "monthly_sales", GoldMarts.monthlySales(s, dir))
-    cachedMart(s, dir, "supplier_monthly", GoldMarts.supplierMonthly(s, dir))
+    val builds = Seq(
+      "monthly_sales" -> (() => GoldMarts.monthlySales(s, dir)),
+      "supplier_monthly" -> (() => GoldMarts.supplierMonthly(s, dir)))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = builds.map { case (name, b) =>
+      val t = new Thread(() => try { cachedMart(s, dir, name, b()); () }
+        catch { case e: Throwable => errs.add(e) })
+      t.setDaemon(true); t.start(); t
+    }
+    threads.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek() // a silent prep failure would fake the bench
   }
 
   /** q38 — all checks, one row each: name, violations, passed. Reads

@@ -61,14 +61,11 @@ object GoldMarts extends QueryModule {
     * join once + three cheap agg scans at sf0.1. Only the columns the
     * branches consume are persisted (~8 of 40+), so the cached footprint
     * is a skinny fraction of the joined width. */
-  private val starCache =
-    collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  private val starCache = new graft.util.Memo[(SparkSession, String, String), DataFrame]
 
   private def cachedStar(s: SparkSession, dir: String, name: String,
     build: => DataFrame): DataFrame =
-    starCache.synchronized {
-      starCache.getOrElseUpdate((s, dir, name), { val df = build.persist(); df.count(); df })
-    }
+    starCache.getOrBuild((s, dir, name), { val df = build.persist(); df.count(); df })
 
   /** q01 — A1/A2: monthly sales by region × segment × brand with
     * count-distinct measures and NULLIF-guarded post-agg ratios.

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryModule, Tables}
 import graft.util.Parity._
+import graft.plans.DotProduct.dot_product
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -22,11 +23,16 @@ import org.apache.spark.sql.expressions.Window
   *
   * Determinism: per-element products stay double (IEEE-identical in
   * both engines) and every reduction is an ORDERED left fold over the
-  * array (Spark `aggregate`, DuckDB `list_reduce`) — the same sequence
-  * of binary64 adds on both sides is bit-identical, so cosines match
-  * the oracle and rank windows can never disagree. (Unordered SUMs
-  * would need decimal accumulators; array folds don't, and the double
-  * fold is ~100× cheaper than BigDecimal per element.)
+  * array (DuckDB: `list_reduce`) — the same sequence of binary64 adds
+  * on both sides is bit-identical, so cosines match the oracle and
+  * rank windows can never disagree. (Unordered SUMs would need
+  * decimal accumulators; array folds don't, and the double fold is
+  * ~100× cheaper than BigDecimal per element.) Dot products run
+  * through the native codegen'd `graft.plans.DotProduct` expression —
+  * the identical index-order fold as `aggregate(zip_with(...))`, with
+  * no intermediate arrays; SRP projections keep the composed
+  * `aggregate(transform(...))` form (their per-index weights are
+  * generated constants, not a second array).
   */
 object VectorOps extends QueryModule {
 
@@ -45,7 +51,7 @@ object VectorOps extends QueryModule {
   private def withNorm(df: DataFrame): DataFrame = {
     val xs = transform(col("embedding"), x => x.cast(DoubleType))
     df.select(col("vec_id"), col("label"), xs.as("e"))
-      .withColumn("norm2", dSum(transform(col("e"), x => x * x)))
+      .withColumn("norm2", dot_product(col("e"), col("e")))
   }
 
   private def topk(s: SparkSession, dir: String, sameCluster: Boolean, k: Int): DataFrame = {
@@ -57,7 +63,7 @@ object VectorOps extends QueryModule {
       col("e").as("ce"), col("norm2").as("cnorm2"))
     val cond = (col("qid") !== col("cid")) &&
       (if (sameCluster) col("qlabel") === col("clabel") else lit(true))
-    val dot = dSum(zip_with(col("qe"), col("ce"), (x, y) => x * y))
+    val dot = dot_product(col("qe"), col("ce"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine_raw").desc, col("cid"))
     c.join(broadcast(q), cond) // bounded query batch broadcasts; collection streams
       .select(col("qid"), col("cid"),
@@ -108,7 +114,7 @@ object VectorOps extends QueryModule {
     val all = withNorm(Tables.t(s, dir, "embeddings"))
     val cents = all.filter(col("vec_id") < N_CELLS)
       .select(col("vec_id").as("centroid_id"), col("e").as("ce"), col("norm2").as("cnorm2"))
-    val sim = (dSum(zip_with(col("e"), col("ce"), (x, y) => x * y))
+    val sim = (dot_product(col("e"), col("ce"))
       / (sqrt(col("norm2")) * sqrt(col("cnorm2")))).as("csim")
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("centroid_id"))
     val ranked = all.crossJoin(broadcast(cents))
@@ -123,7 +129,7 @@ object VectorOps extends QueryModule {
         col("norm2").as("qnorm2"), col("centroid_id").as("qcell"))
     val c = assigned.select(col("vec_id").as("cid"), col("e").as("ce2"),
       col("norm2").as("cnorm22"), col("cell").as("ccell"))
-    val dot = dSum(zip_with(col("qe"), col("ce2"), (x, y) => x * y))
+    val dot = dot_product(col("qe"), col("ce2"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine_raw").desc, col("cid"))
     c.join(broadcast(q), (col("qcell") === col("ccell")) && (col("qid") !== col("cid")))
       .select(col("qid"), col("cid"),
@@ -260,7 +266,7 @@ object VectorOps extends QueryModule {
       .distinct()
     val ea = all.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("norm2").as("na"))
     val eb = all.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("norm2").as("nb"))
-    val dot = dSum(zip_with(col("ea"), col("eb"), (x, y) => x * y))
+    val dot = dot_product(col("ea"), col("eb"))
     pairs.join(ea, "vec_a").join(eb, "vec_b")
       .select(col("vec_a"), col("vec_b"),
         (dot / (sqrt(col("na")) * sqrt(col("nb")))).as("cosine_raw"))

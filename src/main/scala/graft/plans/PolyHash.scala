@@ -69,6 +69,7 @@ object PolyHash {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(PolyHash.fnDescriptor)
+    e.injectFunction(DotProduct.fnDescriptor)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

@@ -13,12 +13,10 @@ class QuerySmokeSpec extends SparkSpec {
     }
   }
 
-  test("every query has oracle SQL (or is a declared rows-only op)") {
-    // q29: DuckDB 1.0 has no list-fold primitive to mirror a full-text
-    // rolling hash; value-pinned against an independent impl instead
-    // (PolyHashSpec) -> driver records the weaker rows-only check.
-    val rowsOnly = Set("q29_poly_fingerprint")
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+  test("every query has oracle SQL") {
+    // no rows-only exemptions left: even the full-text rolling hash
+    // has a DuckDB twin (HUGEINT mod-2^64 fold, re-signed at the edge)
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }
 

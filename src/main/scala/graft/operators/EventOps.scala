@@ -222,6 +222,60 @@ object EventOps extends QueryModule {
       |  ON p.user_id = v.user_id AND v.ts <= p.ts
       |ORDER BY purchase_id""".stripMargin
 
+  /** q64 — bin-bucketed range join: for every event, how many OTHER
+    * events (and distinct users) land within ±2 minutes. The naive
+    * form is a full inequality self-join — quadratic, and Spark plans
+    * it as BroadcastNestedLoop/cartesian. The scale shape bins time
+    * into radius-sized buckets: the probe side fans out to its bucket
+    * and both neighbors (3 rows), the build side keys by its own
+    * bucket, and the equi-join on bucket makes it a plain hash
+    * shuffle — any |Δt| ≤ radius pair shares exactly one probe
+    * bucket (bin size = radius ⇒ bins differ by ≤ 1), so no pair
+    * dedup is needed. Work is O(pairs-in-radius), not O(N²); skewed
+    * hot windows fall out of AQE's skew-join handling like any other
+    * hash join. Oracle: DuckDB's IEJoin on the raw BETWEEN predicate
+    * — same answer, different physical strategy. */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val radiusUs = 120L * 1000000
+    val e = Tables.t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("tus"))
+    val probes = e.select(col("event_id"), col("user_id"), col("ts"), col("tus"),
+      explode(array(lit(-1L), lit(0L), lit(1L))).as("dbin"))
+      .withColumn("bin", floor(col("tus") / radiusUs).cast(LongType) + col("dbin"))
+      .drop("dbin")
+    val build = e.select(col("event_id").as("o_id"), col("user_id").as("o_user"),
+      col("tus").as("o_tus"))
+      .withColumn("bin", floor(col("o_tus") / radiusUs).cast(LongType))
+    val matched = probes.join(build,
+        probes("bin") === build("bin") &&
+          col("o_id") =!= col("event_id") &&
+          col("o_tus") >= col("tus") - radiusUs && col("o_tus") <= col("tus") + radiusUs)
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("neighbor_count"),
+        countDistinct(col("o_user")).as("neighbor_users"))
+    e.select(col("event_id"), col("ts"))
+      .join(matched, Seq("event_id"), "left")
+      .select(col("event_id"), col("ts"),
+        coalesce(col("neighbor_count"), lit(0L)).as("neighbor_count"),
+        coalesce(col("neighbor_users"), lit(0L)).as("neighbor_users"))
+      .orderBy(col("event_id"))
+  }
+
+  private val rangeJoinSql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+      |  FROM events)
+      |SELECT a.event_id, a.ts,
+      |       count(b.event_id) AS neighbor_count,
+      |       count(DISTINCT b.user_id) AS neighbor_users
+      |FROM e a
+      |LEFT JOIN e b ON b.event_id <> a.event_id
+      |  AND b.tus BETWEEN a.tus - 120000000 AND a.tus + 120000000
+      |GROUP BY 1, 2
+      |ORDER BY a.event_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_event_windows" -> eventWindows,
     "q33_sessionize" -> sessionize,
@@ -229,7 +283,8 @@ object EventOps extends QueryModule {
     "q45_rollup_sales" -> rollupSales,
     "q53_cube_orders" -> cubeOrders,
     "q46_asof_join" -> asofJoin,
-    "q57_asof_native" -> asofJoinNative)
+    "q57_asof_native" -> asofJoinNative,
+    "q64_range_join" -> rangeJoin)
 
   override def oracles: Map[String, String] = Map(
     "q32_event_windows" -> eventWindowsSql,
@@ -238,5 +293,6 @@ object EventOps extends QueryModule {
     "q45_rollup_sales" -> rollupSalesSql,
     "q53_cube_orders" -> cubeOrdersSql,
     "q46_asof_join" -> asofJoinSql,
-    "q57_asof_native" -> asofJoinSql)
+    "q57_asof_native" -> asofJoinSql,
+    "q64_range_join" -> rangeJoinSql)
 }

@@ -73,6 +73,30 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Stream-stream interval join: each purchase matches the same
+    * user's views from the preceding hour. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * Spark can expire join state — the buffered views per user are
+    * only those newer than (watermark − 1 hour), never unbounded.
+    * Works on streaming AND batch frames (withWatermark is a no-op in
+    * batch), so the same function is the batch twin. */
+  def purchaseViewJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"),
+        col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "10 minutes")
+    purchases.join(views,
+        col("p_user") === col("v_user") &&
+          col("v_ts") <= col("p_ts") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("p_ts"), col("view_id"), col("v_ts"))
+  }
+
   /** Stateful gap-based sessionization (30-min inactivity) via
     * flatMapGroupsWithState. A session closes when a later event
     * arrives past the gap; the closing event starts the next session.

@@ -105,6 +105,31 @@ class StreamingSpec extends SparkSpec {
     assert(batchCount == 4)
   }
 
+  test("stream-stream interval join == independent batch join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssjoin").toString
+    eventsDf.write.mode("overwrite").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val q = StreamingPipeline.purchaseViewJoin(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(3))
+    val streamed = spark.table("ssjoin_out").collect().map(key).sorted
+    // independently-written batch join (not the shared function)
+    val e = eventsDf
+    val batch = e.filter($"event_type" === "purchase").as("p")
+      .join(e.filter($"event_type" === "view").as("v"),
+        $"p.user_id" === $"v.user_id" && $"v.ts" <= $"p.ts" &&
+          $"v.ts" >= $"p.ts" - expr("INTERVAL 1 HOUR"))
+      .select($"p.event_id", $"v.event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(streamed.toSeq == batch.toSeq && streamed.nonEmpty)
+  }
+
   test("stateful streaming sessionization == batch sessionization") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
     val ev = eventsDf

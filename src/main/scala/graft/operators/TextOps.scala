@@ -105,30 +105,68 @@ object TextOps extends QueryModule {
     Tables.t(s, dir, "documents")
       .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
 
-  /** Per-doc MinHash signature from exploded shingle rows: one hash
-    * aggregation with K min() columns (LEFT JOIN keeps shingle-less
-    * docs as NULL signatures, mirroring the oracle). */
-  private def signatures(s: SparkSession, dir: String, sh: DataFrame): DataFrame = {
-    val mins = (0 until K).map(i =>
-      min(md5(concat(lit(s"$i|"), col("s")).cast(BinaryType))).as(s"mh$i"))
-    Tables.t(s, dir, "documents").select(col("doc_id"))
-      .join(sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*), Seq("doc_id"), "left")
+  /** One-permutation mixing constants: component i combines the two
+    * 32-bit halves of ONE md5 per shingle with fixed odd multipliers
+    * (Li & König-style — K independent hashes per shingle would cost
+    * K md5 passes over every byte of the corpus; one base hash plus K
+    * multiply-adds is 8× less hash work at identical signature
+    * quality). Multipliers are < 2^30 so the mixed sum is provably
+    * < 2^63: max 2·(2^32−1)(2^30−1) + (2^30−1) < Long.MaxValue — no
+    * ANSI overflow in Spark, no BIGINT overflow in DuckDB. */
+  private val MIX: Seq[(Long, Long, Long)] = (0 until K).map { i =>
+    def lcg(x: Long): Long = ((x * 1103515245L + 12345L) >>> 8) & 0x3fffffffL
+    (lcg(3 * i + 1) | 1L, lcg(3 * i + 2) | 1L, lcg(3 * i + 3))
   }
 
-  /** q21 — MinHash signature per document: K lexicographic-min salted
-    * md5 hashes over the shingle set. */
+  /** Per-doc MinHash signature from exploded shingle rows: one md5
+    * per shingle, split into two 32-bit halves, K multiply-add mixed
+    * components (mod 2^32), one hash aggregation with K min() columns
+    * (LEFT JOIN keeps shingle-less docs as NULL signatures, mirroring
+    * the oracle). */
+  private def signatures(s: SparkSession, dir: String, sh: DataFrame): DataFrame = {
+    val hex = md5(col("s").cast(BinaryType))
+    val based = sh.select(col("doc_id"),
+      conv(substring(hex, 1, 8), 16, 10).cast(LongType).as("b1"),
+      conv(substring(hex, 9, 8), 16, 10).cast(LongType).as("b2"))
+    val mins = MIX.zipWithIndex.map { case ((a, b, c), i) =>
+      min((col("b1") * lit(a) + col("b2") * lit(b) + lit(c))
+        .bitwiseAND(lit(0xffffffffL))).as(s"mh$i")
+    }
+    Tables.t(s, dir, "documents").select(col("doc_id"))
+      .join(based.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*), Seq("doc_id"), "left")
+  }
+
+  /** Shared oracle fragments for the signature chain (used by q21/q22/
+    * q23/q48/q54 — kept in ONE place so the two engines can never
+    * drift per-query). Composes after `shinglesCte` (binds `sh`). */
+  private val sigCtes: String = {
+    val comps = MIX.zipWithIndex.map { case ((a, b, c), i) =>
+      s"min((b1*$a + b2*$b + $c) % 4294967296) AS mh$i"
+    }.mkString(",\n       ")
+    s"""base AS (
+       |  SELECT doc_id,
+       |         ('0x' || substr(md5(s), 1, 8))::BIGINT AS b1,
+       |         ('0x' || substr(md5(s), 9, 8))::BIGINT AS b2
+       |  FROM sh),
+       |sig AS (SELECT doc_id, $comps FROM base GROUP BY doc_id)""".stripMargin
+  }
+
+  private val bandRowsSql: String = (0 until BANDS).map(b =>
+    s"SELECT doc_id, $b AS band, md5(mh${2 * b}::VARCHAR || '|' || mh${2 * b + 1}::VARCHAR) AS band_sig FROM sig")
+    .mkString("\n  UNION ALL\n  ")
+
+  /** q21 — MinHash signature per document: K min-of-mixed-hash
+    * components over the shingle set (one md5 per shingle; see MIX). */
   def minhashSignatures(s: SparkSession, dir: String): DataFrame =
     signatures(s, dir, shingleRows(s, dir)).orderBy(col("doc_id"))
 
-  private val minhashSignaturesSql = {
-    val mins = (0 until K).map(i => s"min(md5('$i|' || s)) AS mh$i").mkString(",\n       ")
+  private val minhashSignaturesSql =
     // LEFT JOIN so shingle-less docs keep a NULL-signature row, like
-    // the Spark side (array_min over an empty array is NULL).
+    // the Spark side (min over an empty group is absent -> NULL).
     s"""WITH $shinglesCte,
-       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)
+       |$sigCtes
        |SELECT d.doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7
        |FROM documents d LEFT JOIN sig USING (doc_id) ORDER BY doc_id""".stripMargin
-  }
 
   // ---- q22: LSH candidate pairs ----------------------------------
 
@@ -144,7 +182,10 @@ object TextOps extends QueryModule {
     (0 until BANDS).map { b =>
       sig.select(col("doc_id"),
         lit(b).as("band"),
-        md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).cast(BinaryType)).as("band_sig"))
+        // '|' separator: numeric components have variable width, so
+        // bare concatenation would alias e.g. (12,3) with (1,23)
+        md5(concat(col(s"mh${2 * b}").cast(StringType), lit("|"),
+          col(s"mh${2 * b + 1}").cast(StringType)).cast(BinaryType)).as("band_sig"))
     }.reduce(_.unionByName(_))
 
   /** Candidate pairs via self-join of the shared (persisted) band
@@ -160,14 +201,10 @@ object TextOps extends QueryModule {
   }
 
   private val lshCandidatesSql = {
-    val mins = (0 until K).map(i => s"min(md5('$i|' || s)) AS mh$i").mkString(", ")
-    val bandRows = (0 until BANDS).map(b =>
-      s"SELECT doc_id, $b AS band, md5(mh${2 * b} || mh${2 * b + 1}) AS band_sig FROM sig")
-      .mkString("\n  UNION ALL\n  ")
     s"""WITH $shinglesCte,
-       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |$sigCtes,
        |bands AS (
-       |  $bandRows)
+       |  $bandRowsSql)
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |FROM bands a JOIN bands b
        |  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
@@ -197,14 +234,10 @@ object TextOps extends QueryModule {
   }
 
   private val ngramJaccardSql = {
-    val mins = (0 until K).map(i => s"min(md5('$i|' || s)) AS mh$i").mkString(", ")
-    val bandRows = (0 until BANDS).map(b =>
-      s"SELECT doc_id, $b AS band, md5(mh${2 * b} || mh${2 * b + 1}) AS band_sig FROM sig")
-      .mkString("\n  UNION ALL\n  ")
     s"""WITH $shinglesCte,
-       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |$sigCtes,
        |bands AS (
-       |  $bandRows),
+       |  $bandRowsSql),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
@@ -244,14 +277,10 @@ object TextOps extends QueryModule {
   }
 
   private val editDistanceSql = {
-    val mins = (0 until K).map(i => s"min(md5('$i|' || s)) AS mh$i").mkString(", ")
-    val bandRows = (0 until BANDS).map(b =>
-      s"SELECT doc_id, $b AS band, md5(mh${2 * b} || mh${2 * b + 1}) AS band_sig FROM sig")
-      .mkString("\n  UNION ALL\n  ")
     s"""WITH $shinglesCte,
-       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |$sigCtes,
        |bands AS (
-       |  $bandRows),
+       |  $bandRowsSql),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
@@ -501,14 +530,10 @@ object TextOps extends QueryModule {
   }
 
   private val dedupClustersSql = {
-    val mins = (0 until K).map(i => s"min(md5('$i|' || s)) AS mh$i").mkString(", ")
-    val bandRows = (0 until BANDS).map(b =>
-      s"SELECT doc_id, $b AS band, md5(mh${2 * b} || mh${2 * b + 1}) AS band_sig FROM sig")
-      .mkString("\n  UNION ALL\n  ")
     s"""WITH RECURSIVE $shinglesCte,
-       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |$sigCtes,
        |bands AS (
-       |  $bandRows),
+       |  $bandRowsSql),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b

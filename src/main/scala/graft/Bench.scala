@@ -137,7 +137,10 @@ object Bench {
     // the printed line always fits the window whole.
     def shortKey(k: String): String =
       if (k.matches("q\\d+_.*")) k.substring(0, k.indexOf('_')) else k
-    println(jsonLine(shortKey, v => f"$v%.3f"))
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and
+    // a decimal-comma locale would corrupt the scraped JSON line
+    println(jsonLine(shortKey,
+      v => String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))))
     spark.stop()
   }
 }

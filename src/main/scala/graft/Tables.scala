@@ -29,7 +29,7 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
-    if (noSpread(name)) df else spread(spark, df)
+    if (noSpread(name)) df else spread(spark, df, s"$dir/$name")
   }
 
   /** The driver-generated testdata ships each table as ONE parquet file
@@ -43,12 +43,25 @@ object Tables {
     * the single-file fixtures by fanning the scan out to the session's
     * parallelism. Every query is partitioning-independent by
     * construction (Parity rules: order-independent decimal reductions,
-    * total output orders), so this changes execution width only. */
-  private def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+    * total output orders), so this changes execution width only.
+    *
+    * Known limit: the probe counts byte-range splits, which over-count
+    * actual parallelism for single-row-group files larger than
+    * maxPartitionBytes (all splits but one produce no rows). The
+    * fixtures are far below that size; a deployment facing such files
+    * should rewrite them with sane row groups rather than shim here.
+    *
+    * The probe (df.rdd forces physical planning) runs once per
+    * (dir, name); the decision is cached — Tables.t is called for
+    * every table reference of every query construction. */
+  private val spreadDecision =
+    collection.concurrent.TrieMap.empty[(String, Int), Boolean]
+
+  private def spread(spark: SparkSession, df: DataFrame, key: String): DataFrame = {
     val target = spark.sparkContext.defaultParallelism
-    if (target > 1 && df.rdd.getNumPartitions < math.min(target, 8))
-      df.repartition(target)
-    else df
+    val doSpread = spreadDecision.getOrElseUpdate((key, target),
+      target > 1 && df.rdd.getNumPartitions < math.min(target, 8))
+    if (doSpread) df.repartition(target) else df
   }
 
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized

@@ -101,17 +101,20 @@ object CorpusOps extends QueryModule {
     * list is broadcast — the training corpus never shuffles. */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.t(s, dir, "documents")
-    def gramRows(df: DataFrame) =
-      df.select(col("doc_id"), explode(shingles(col("text"), 5)).as("g"))
-    val train = docs.filter(col("source") =!= EvalSource)
-    val evalGrams = gramRows(docs.filter(col("source") === EvalSource))
-      .select(col("g"), col("doc_id").as("eval_doc"))
-    val matched = gramRows(train).join(broadcast(evalGrams), "g")
+    val evalGrams = docs.filter(col("source") === EvalSource)
+      .select(explode(shingles(col("text"), 5)).as("g"), col("doc_id").as("eval_doc"))
+    // ONE shingling pass over the training corpus: the gram list and
+    // its size come from the same projection, explode_outer keeps
+    // zero-gram docs (their null gram can never match the eval join)
+    val tg = docs.filter(col("source") =!= EvalSource)
+      .select(col("doc_id"), shingles(col("text"), 5).as("grams"))
+      .select(col("doc_id"), size(col("grams")).cast(LongType).as("n_grams"),
+        explode_outer(col("grams")).as("g"))
+    val matched = tg.join(broadcast(evalGrams), "g")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("g")).as("overlap_grams"),
         countDistinct(col("eval_doc")).as("matched_eval_docs"))
-    train
-      .select(col("doc_id"), size(shingles(col("text"), 5)).cast(LongType).as("n_grams"))
+    tg.groupBy(col("doc_id")).agg(max(col("n_grams")).as("n_grams"))
       .join(matched, Seq("doc_id"), "left")
       .select(
         col("doc_id"), col("n_grams"),

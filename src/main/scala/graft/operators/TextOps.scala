@@ -508,7 +508,10 @@ object TextOps extends QueryModule {
         .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
         .persist()
       val sumNow = next.agg(sum(col("label").cast(DecimalType(38, 0)))).head().getDecimal(0)
-      converged = prevSum != null && sumNow.compareTo(prevSum) == 0
+      // a null sum means zero docs: the empty labeling is trivially the
+      // fixed point (without this, prevSum stays null forever and the
+      // loop would spin to the round cap and throw on an empty input)
+      converged = sumNow == null || (prevSum != null && sumNow.compareTo(prevSum) == 0)
       prevSum = sumNow
       labels.unpersist()
       labels = next

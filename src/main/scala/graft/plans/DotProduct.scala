@@ -89,5 +89,9 @@ object DotProduct {
   val fnDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("dot_product"),
     new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-    (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1)))
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2,
+        s"dot_product expects exactly 2 arguments, got ${exprs.length}")
+      DotProduct(exprs.head, exprs(1))
+    })
 }

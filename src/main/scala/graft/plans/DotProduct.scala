@@ -4,7 +4,9 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, BinaryExpression, Expression, ExpressionInfo, LambdaFunction, Literal, Multiply, NamedLambdaVariable, ZipWith}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
@@ -85,6 +87,51 @@ object DotProduct {
     org.apache.spark.sql.graft.ColumnBridge.column(
       DotProduct(org.apache.spark.sql.graft.ColumnBridge.expr(a),
         org.apache.spark.sql.graft.ColumnBridge.expr(b)))
+
+  /** Optimizer rule: rewrite the idiomatic composed dot product
+    * `aggregate(zip_with(a, b, (x, y) => x * y), 0.0, (acc, v) => acc + v)`
+    * into the native DotProduct expression. Users (and our own older
+    * call sites) writing the composed form get the codegen'd primitive
+    * loop for free. The match is deliberately strict about value
+    * semantics: double-array inputs only, a bit-exact +0.0 seed (a
+    * -0.0 seed changes the empty-array result), a bare x*y multiply
+    * and acc+v merge (either operand order — IEEE multiply and add
+    * are commutative), and an identity finish lambda. Anything else
+    * is left alone. */
+  object RewriteRule extends Rule[LogicalPlan] {
+    private def isDoubleArray(t: DataType): Boolean = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    private def varIds(args: Seq[NamedLambdaVariable]): Set[Long] =
+      args.map(_.exprId.id).toSet
+    private def bothAreVars(l: Expression, r: Expression, ids: Set[Long]): Boolean =
+      (l, r) match {
+        case (lv: NamedLambdaVariable, rv: NamedLambdaVariable) =>
+          lv.exprId.id != rv.exprId.id &&
+            ids(lv.exprId.id) && ids(rv.exprId.id)
+        case _ => false
+      }
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      plan.transformAllExpressions {
+        case ArrayAggregate(
+            zw @ ZipWith(left, right,
+              LambdaFunction(m: Multiply, margs, _)),
+            Literal(zero: Double, DoubleType),
+            LambdaFunction(a: Add, aargs, _),
+            LambdaFunction(fin: NamedLambdaVariable, Seq(farg: NamedLambdaVariable), _))
+          if java.lang.Double.doubleToRawLongBits(zero) == 0L &&
+            isDoubleArray(left.dataType) && isDoubleArray(right.dataType) &&
+            margs.forall(_.isInstanceOf[NamedLambdaVariable]) &&
+            aargs.forall(_.isInstanceOf[NamedLambdaVariable]) &&
+            bothAreVars(m.left, m.right,
+              varIds(margs.map(_.asInstanceOf[NamedLambdaVariable]))) &&
+            bothAreVars(a.left, a.right,
+              varIds(aargs.map(_.asInstanceOf[NamedLambdaVariable]))) &&
+            fin.exprId == farg.exprId =>
+          DotProduct(left, right)
+      }
+  }
 
   val fnDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("dot_product"),

@@ -70,6 +70,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(PolyHash.fnDescriptor)
     e.injectFunction(DotProduct.fnDescriptor)
+    e.injectOptimizerRule(_ => DotProduct.RewriteRule)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

@@ -50,6 +50,28 @@ class DotProductSpec extends SparkSpec {
     assert(e.eval(null) == (1.5 * 2.0 + -2.0 * 0.5 + 3.0 * 4.0))
   }
 
+  test("optimizer rule rewrites the composed fold to the native expression") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.DotProduct.RewriteRule
+    try {
+      val df = Tables.t(spark, sf0001, "embeddings")
+        .select(transform(col("embedding"), x => x.cast("double")).as("e"))
+        .select(fold(col("e"), col("e")).as("d"))
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("dotproduct") || optimized.contains("DotProduct"), optimized.take(500))
+      // a -0.0 seed changes the empty-array result: must NOT rewrite
+      val negZero = Tables.t(spark, sf0001, "embeddings")
+        .select(transform(col("embedding"), x => x.cast("double")).as("e"))
+        .select(aggregate(zip_with(col("e"), col("e"), (x, y) => x * y),
+          lit(-0.0), (acc, v) => acc + v).as("d"))
+      val nzPlan = negZero.queryExecution.optimizedPlan.toString
+      assert(!(nzPlan.contains("dotproduct") || nzPlan.contains("DotProduct")), nzPlan.take(500))
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == graft.plans.DotProduct.RewriteRule)
+    }
+  }
+
   test("registered in SQL via extensions") {
     val plan = Tables.t(spark, sf0001, "embeddings")
       .select(dot_product(transform(col("embedding"), x => x.cast("double")),

@@ -129,6 +129,19 @@ class ScaleSpec extends SparkSpec {
     assert(recall2 >= recall1)
   }
 
+  test("single-file scans spread to the session parallelism; broadcast sides do not") {
+    // the fixtures are one single-row-group parquet file per table: an
+    // unspread scan is ONE task and serializes every chain Catalyst
+    // collapses into the scan stage (see Tables.spread)
+    val fact = Tables.t(spark, sf0001, "lineitem")
+    assert(fact.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism,
+      "fact scan must fan out to the session parallelism")
+    // embeddings feed broadcast build sides: a repartition ahead of a
+    // broadcast only inserts a shuffle stage (measured in round 4)
+    val emb = Tables.t(spark, sf0001, "embeddings")
+    assert(emb.rdd.getNumPartitions <= 2, "embeddings scan must stay unspread")
+  }
+
   test("bucketed co-located join plans without a shuffle") {
     // bucketed tables are managed: they live under the (gitignored)
     // default warehouse dir; the store root only hosts plain layers

@@ -237,7 +237,6 @@ object Eda extends QueryModule {
     * aggregate. Descaling runs in DECIMAL so the final double equals
     * the oracle's CAST(exact-decimal AS DOUBLE) bit for bit — a
     * long-sum divided by 10^k in binary64 would double-round. */
-  private val limb = 1000000000L // 1e9
   private def descale(c: Column, pow: Int): Column =
     if (pow == 0) c.cast(DoubleType)
     else (c.cast(DecimalType(28, 0)) *
@@ -254,16 +253,13 @@ object Eda extends QueryModule {
     if (c == "l_extendedprice") {
       val v = round(x * 100).cast(LongType) // cents <= 1e7, exact
       val v2 = v * v                        // <= 1e14, exact long
-      val aggs = shared ++ Seq(
-        sum(v).as(s"r1_$c"),
-        sum(((v2 - v2 % limb) / limb).cast(LongType)).as(s"hi2_$c"),
-        sum(v2 % limb).as(s"lo2_$c"),
+      val aggs = shared ++ Seq(sum(v).as(s"r1_$c")) ++
+        limbSquareAggs(v2, c) ++ Seq(
         sum((x * x * x).cast(dec)).as(s"d3_$c"),
         sum((x * x * x * x).cast(dec)).as(s"d4_$c"))
       val post = Seq(
         descale(col(s"r1_$c"), 2).as(s"s1_$c"),
-        ((col(s"hi2_$c").cast(DecimalType(38, 0)) * lit(limb) +
-          col(s"lo2_$c").cast(DecimalType(38, 0))) *
+        (limbSquareSum(c) *
           lit(new java.math.BigDecimal(java.math.BigInteger.ONE, 4)))
           .cast(DoubleType).as(s"s2_$c"),
         col(s"d3_$c").cast(DoubleType).as(s"s3_$c"),
@@ -395,13 +391,11 @@ object Eda extends QueryModule {
       cols.map(c => sum(sc(c)).cast(DoubleType).as(s"sx_$c")) ++
       cols.filter(_ != "l_extendedprice")
         .map(c => sum(sc(c) * sc(c)).cast(DoubleType).as(s"sxx_$c")) ++
-      Seq(sum(((extV2 - extV2 % limb) / limb).cast(LongType)).as("hi2_ext"),
-        sum(extV2 % limb).as("lo2_ext")) ++
+      limbSquareAggs(extV2, "ext") ++
       pairs.map { case (a, b) => sum(sc(a) * sc(b)).cast(DoubleType).as(s"sxy_${a}_$b") }
     val one = l.agg(aggs.head, aggs.tail: _*)
       .withColumn("sxx_l_extendedprice",
-        (col("hi2_ext").cast(DecimalType(38, 0)) * lit(limb) +
-          col("lo2_ext").cast(DecimalType(38, 0))).cast(DoubleType))
+        limbSquareSum("ext").cast(DoubleType))
     val rows = pairs.map { case (a, b) =>
       struct(lit(a).as("col_a"), lit(b).as("col_b"), col("n").as("n"),
         col(s"sx_$a").as("sx"), col(s"sx_$b").as("sy"),

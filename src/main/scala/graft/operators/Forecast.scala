@@ -25,16 +25,17 @@ object Forecast extends QueryModule {
 
   /** Session-lifetime cache of the gap-filled series — the stored
     * demand-series silver table a deployment would materialize once
-    * and share across every forecasting consumer (q34/q35/q50). */
-  private val seriesCache =
-    collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    * and share across every forecasting consumer (q34/q35/q50).
+    * Per-key memo (graft.util.Memo) so independent keys materialize
+    * concurrently. */
+  private val seriesCache = new graft.util.Memo[(SparkSession, String), DataFrame]
 
   private[operators] def dailySeries(s: SparkSession, dir: String): DataFrame =
-    seriesCache.synchronized { seriesCache.getOrElseUpdate((s, dir), {
+    seriesCache.getOrBuild((s, dir), {
       val d = buildDailySeries(s, dir).persist()
       d.count()
       d
-    }) }
+    })
 
   /** Build the shared series artifact eagerly (Bench prepare phase). */
   def prepareArtifacts(s: SparkSession, dir: String): Unit = dailySeries(s, dir)
@@ -125,17 +126,38 @@ object Forecast extends QueryModule {
        |WHERE ds >= DATE '1998-01-01' AND ds < DATE '1998-04-01'
        |ORDER BY entity, ds""".stripMargin
 
-  /** Weekly (ISO-Monday) series per entity. */
-  private[operators] def weekly(s: SparkSession, dir: String): DataFrame =
-    Tables.t(s, dir, "lineitem")
+  /** Weekly (ISO-Monday) series per entity, GAP-FILLED like the daily
+    * series: every Monday between an entity's first and last observed
+    * week appears, missing weeks as y=0. Without this, window ROW
+    * offsets are not week offsets — lag_7 could reach back half a
+    * year, seasonal replay pairs wrong weeks, and zero-demand weeks
+    * silently vanish from every fit (92% of fixture entities have at
+    * least one gap week). */
+  private[operators] def weekly(s: SparkSession, dir: String): DataFrame = {
+    val observed = Tables.t(s, dir, "lineitem")
       .groupBy(col("l_suppkey").as("entity"),
         date_trunc("week", col("l_shipdate")).cast(DateType).as("week"))
       .agg(moneySum(col("l_quantity")).as("y"))
+    val spans = observed.groupBy(col("entity"))
+      .agg(min(col("week")).as("min_w"), max(col("week")).as("max_w"))
+    val calendar = spans.select(col("entity"),
+      explode(sequence(col("min_w"), col("max_w"), expr("interval 7 day"))).as("week"))
+    calendar.join(observed, Seq("entity", "week"), "left")
+      .select(col("entity"), col("week"), coalesce(col("y"), lit(0.0)).as("y"))
+  }
 
+  // self-contained (nested WITH) so call sites can wrap it as a CTE body
   private[operators] val weeklySql =
-    """SELECT l_suppkey AS entity, CAST(date_trunc('week', l_shipdate) AS DATE) AS week,
-      |       CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS y
-      |FROM lineitem GROUP BY 1, 2""".stripMargin
+    """WITH wobs AS (
+      |  SELECT l_suppkey AS entity, CAST(date_trunc('week', l_shipdate) AS DATE) AS week,
+      |         CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS y
+      |  FROM lineitem GROUP BY 1, 2),
+      |wspans AS (SELECT entity, min(week) AS min_w, max(week) AS max_w FROM wobs GROUP BY 1),
+      |wcal AS (
+      |  SELECT entity, CAST(unnest(generate_series(min_w, max_w, INTERVAL 7 DAY)) AS DATE) AS week
+      |  FROM wspans)
+      |SELECT c.entity, c.week, coalesce(o.y, 0.0) AS y
+      |FROM wcal c LEFT JOIN wobs o ON c.entity = o.entity AND c.week = o.week""".stripMargin
 
   /** q36 — linear-trend forecast: per-entity closed-form OLS over
     * (day-index, y) from exact sums, projected 4 weeks ahead, with

@@ -142,14 +142,16 @@ object GlobalAR extends QueryModule {
     val isInt = Map("1" -> true, "2" -> true, "3" -> true, "4" -> false)
     def sInt(c: org.apache.spark.sql.Column) =
       sum(c.cast(LongType)).cast(DoubleType)
-    def s2(c: org.apache.spark.sql.Column) =
-      sum(c.cast(DecimalType(38, 2))).cast(DoubleType)
     def s8(c: org.apache.spark.sql.Column) =
       sum(c.cast(DecimalType(38, 8))).cast(DoubleType)
     val sumCols =
       Seq(count(lit(1)).cast(DoubleType).as("s00"), sInt(col("y")).as("t0")) ++
+      // roll7 accumulates at scale 8 like every other roll7-involving
+      // sum: a scale-2 cast would quantize each row by up to 0.005 in
+      // s04 only, making the Gram system inconsistent with the design
+      // matrix actually fed to the step formulas
       fs.toSeq.sortBy(_._1).map { case (i, f) =>
-        (if (isInt(i)) sInt(f) else s2(f)).as(s"s0$i") } ++
+        (if (isInt(i)) sInt(f) else s8(f)).as(s"s0$i") } ++
       (for { (i, fi) <- fs.toSeq.sortBy(_._1); (j, fj) <- fs.toSeq.sortBy(_._1)
              if i <= j } yield
         (if (isInt(i) && isInt(j)) sInt(fi * fj) else s8(fi * fj)).as(s"s$i$j")) ++
@@ -213,7 +215,9 @@ object GlobalAR extends QueryModule {
       Seq("CAST(count(1) AS DOUBLE) AS s00",
         "CAST(sum(CAST(y AS DECIMAL(38,2))) AS DOUBLE) AS t0") ++
       Seq("lag_1" -> "1", "lag_7" -> "2", "lag_14" -> "3", "roll7" -> "4").map {
-        case (f, i) => s"CAST(sum(CAST($f AS DECIMAL(38,2))) AS DOUBLE) AS s0$i" } ++
+        case (f, i) =>
+          val scale = if (f == "roll7") 8 else 2 // mirror s8 vs sInt split
+          s"CAST(sum(CAST($f AS DECIMAL(38,$scale))) AS DOUBLE) AS s0$i" } ++
       (for { (fi, i) <- Seq("lag_1" -> "1", "lag_7" -> "2", "lag_14" -> "3", "roll7" -> "4")
              (fj, j) <- Seq("lag_1" -> "1", "lag_7" -> "2", "lag_14" -> "3", "roll7" -> "4")
              if i <= j } yield

@@ -93,6 +93,27 @@ object Parity {
   def snapRoundSql(x: String, scale: Int = 2): String =
     s"CAST(round(CAST($x AS DECIMAL(30,${scale + 4})), $scale) AS DOUBLE)"
 
+  /** Exact sum of squared LONG-scaled values whose squares overflow
+    * the safe long-sum bound: split each v² into base-1e9 limbs, sum
+    * both limbs as codegen'd LONG adds, recombine ONCE per group in
+    * decimal. Shared by the stats-profile and correlation aggregates —
+    * the recombination must stay identical at both call sites or the
+    * exact-sum guarantee silently diverges between them. Bounds: v²
+    * ≤ 1e14 per row keeps hi ≤ 1e5, lo < 1e9; both limb sums stay
+    * far under 2^63 at any realistic group size. */
+  val squareLimb = 1000000000L
+
+  /** The two limb aggregate columns for Σv², named hi2_/lo2_<tag>. */
+  def limbSquareAggs(v2: Column, tag: String): Seq[Column] = Seq(
+    sum(((v2 - v2 % squareLimb) / squareLimb).cast(LongType)).as(s"hi2_$tag"),
+    sum(v2 % squareLimb).as(s"lo2_$tag"))
+
+  /** Recombine the limb sums into the exact decimal Σv² (still in the
+    * scaled-integer domain — descale at the caller if needed). */
+  def limbSquareSum(tag: String): Column =
+    col(s"hi2_$tag").cast(DecimalType(38, 0)) * lit(squareLimb) +
+      col(s"lo2_$tag").cast(DecimalType(38, 0))
+
   /** NULLIF(x, 0)-guarded division, rounded — matches the reference's
     * `ROUND(a / NULLIF(b, 0), 2)` idiom (gold/gold_builder.py:118-119). */
   def safeDiv(num: Column, den: Column, scale: Int = 2): Column =

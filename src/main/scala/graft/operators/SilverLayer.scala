@@ -375,9 +375,21 @@ object SilverLayer extends QueryModule {
             lit(", invoice:"), col("clean_invoice").cast(StringType)).as("original_value"),
           lit(null).cast(StringType).as("cleaned_value"),
           lit("flagged").as("action_taken"))
-    // one issue row per distinct violation, mirroring the per-violation
-    // deductions above (silver_builder.py:975-985)
-    val flagged = flagRows(!col("calc_ok"), "calculation", "invoice_mismatch")
+    // field-level cleaned_to_standard rows like every other builder
+    // (the class contract: one row per field fix OR flagged violation)
+    val dec = DecimalType(15, 4)
+    val cleaned = fieldIssues(staged, "supply_orders", "supply_order_id", Seq(
+      ("quantity", col("quantity"), col("quantity").try_cast(IntegerType), col("clean_qty")),
+      ("price", col("price"), col("price").try_cast(dec), col("clean_price")),
+      ("total_invoice", col("total_invoice"), col("total_invoice").try_cast(dec), col("clean_invoice")),
+      ("order_date", col("order_date"), col("order_date").try_cast(DateType), col("clean_order_date")),
+      ("shipped_date", col("shipped_date"), col("shipped_date").try_cast(DateType), col("clean_shipped_date")),
+      ("delivered_date", col("delivered_date"), col("delivered_date").try_cast(DateType), col("clean_delivered_date")),
+      ("status", col("status"), col("status"), col("clean_status"))))
+    // plus one issue row per distinct violation, mirroring the
+    // per-violation deductions above (silver_builder.py:975-985)
+    val flagged = cleaned
+      .unionByName(flagRows(!col("calc_ok"), "calculation", "invoice_mismatch"))
       .unionByName(flagRows(col("ship_late"), "dates", "date_order_invalid"))
       .unionByName(flagRows(col("deliv_late"), "dates", "delivered_before_shipped"))
     Cleaned(clean, rejected, flagged, release)
@@ -439,7 +451,11 @@ object SilverLayer extends QueryModule {
       .agg(sum(col("l_quantity").cast(IntegerType)).as("qty"),
         max(col("l_shipdate").cast(DateType)).as("last_stocked"))
       .select(
-        (col("l_partkey") * 100 + col("l_suppkey")).as("inventory_id"),
+        // collision-free at any SF: suppkey occupies the low 32 bits
+        // (a *100 encoding collides once suppkey exceeds 99 — 12% of
+        // (part, supplier) groups at sf0.1)
+        (shiftleft(col("l_partkey").cast(LongType), 32) + col("l_suppkey"))
+          .as("inventory_id"),
         col("l_partkey").cast(StringType).as("product_id"),
         col("l_suppkey").cast(StringType).as("warehouse_id"),
         col("qty").cast(StringType).as("quantity_on_hand"),

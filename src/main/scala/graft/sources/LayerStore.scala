@@ -69,14 +69,16 @@ class LayerStore(spark: SparkSession, root: String) {
     * lost. This is the table-level analogue of Spark's task-level
     * commit protocol, and the property SaveMode.Overwrite alone does
     * NOT give you (it deletes the target before writing). */
-  private def stageSwap(layer: String, name: String, df: DataFrame): Long = {
+  private def stageSwap(layer: String, name: String, df: DataFrame,
+    writeTo: String => Unit = null): Long = {
     recoverOrphanBackup(layer, name)
     val target = hadoopPath(layer, name)
     val staging = hadoopPath(layer, name, ".__staging__")
     val backup = hadoopPath(layer, name, ".__bak__")
     val fs = fsFor(target)
     if (fs.exists(staging)) fs.delete(staging, true)
-    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    if (writeTo != null) writeTo(staging.toString)
+    else df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
     if (fs.exists(backup)) fs.delete(backup, true)
     if (fs.exists(target) && !fs.rename(target, backup))
       sys.error(s"stage-swap: cannot move $target aside")
@@ -127,21 +129,29 @@ class LayerStore(spark: SparkSession, root: String) {
     } else {
       val old = table(layer, name)
       val oldCount = old.count()
+      val latestCount = latest.persist().count() // incoming batch, small
       val kept = old.join(latest.select(keys.map(col): _*).distinct(),
         keys, "left_anti")
-      val keptCount = kept.count()
+      // counts derive from totals — no separate materialization of the
+      // anti-join just to count it: inserted = growth, updated = the
+      // incoming rows that did not grow the table
       val total = write(layer, name, kept.unionByName(latest))
-      (total - oldCount, oldCount - keptCount) // (inserted, updated)
+      latest.unpersist()
+      val inserted = total - oldCount
+      (inserted, latestCount - inserted) // (inserted, updated)
     }
   }
 
   /** S9 — run-scoped overwrite: DELETE WHERE run_id = X then append
-    * (forecasting.py:86-105) as read-filter-union + stage-and-swap. */
+    * (forecasting.py:86-105) as read-filter-union + stage-and-swap.
+    * Null-safe keep predicate: `=!=` on a NULL run column evaluates
+    * to NULL and the filter would silently DELETE such rows — SQL's
+    * DELETE WHERE run_id = X keeps them. */
   def overwriteRun(layer: String, name: String, df: DataFrame,
     runCol: String, runId: String): Long = {
     val merged =
       if (!exists(layer, name)) df
-      else table(layer, name).filter(col(runCol) =!= runId).unionByName(df)
+      else table(layer, name).filter(!(col(runCol) <=> lit(runId))).unionByName(df)
     write(layer, name, merged)
   }
 
@@ -199,10 +209,12 @@ class LayerStore(spark: SparkSession, root: String) {
     * e.g. gold dashboard partitioned by order_year_month). */
   def writePartitioned(layer: String, name: String, df: DataFrame,
     partitionCols: Seq[String]): Unit = {
-    df.write.mode(SaveMode.Overwrite)
-      .partitionBy(partitionCols: _*)
-      .parquet(s"$root/$layer/$name")
-    table(layer, name).createOrReplaceTempView(viewName(layer, name))
+    // through the same stage-and-swap as every other write: a plain
+    // Overwrite deletes the target before writing, so a mid-write
+    // crash would leave neither old nor new data
+    stageSwap(layer, name, df,
+      p => df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(p))
+    ()
   }
 
   /** S6 — batched JDBC bulk push (gold/push.py:127-163: the reference
@@ -233,9 +245,12 @@ class LayerStore(spark: SparkSession, root: String) {
   /** S14 — layer teardown in reverse refinement order + emptiness
     * verification (delete_all_data.py semantics). */
   def teardown(): Boolean = {
-    import org.apache.hadoop.fs.{FileSystem, Path}
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    layers.reverse.foreach(l => fs.delete(new Path(s"$root/$l"), true))
-    layers.forall(l => !fs.exists(new Path(s"$root/$l")))
+    import org.apache.hadoop.fs.Path
+    // resolve the filesystem FROM the path (like every other method):
+    // FileSystem.get(conf) is the default FS, which silently no-ops
+    // against a root on another scheme and then "verifies" success
+    def p(l: String) = new Path(s"$root/$l")
+    layers.reverse.foreach(l => fsFor(p(l)).delete(p(l), true))
+    layers.forall(l => !fsFor(p(l)).exists(p(l)))
   }
 }

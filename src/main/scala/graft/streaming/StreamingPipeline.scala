@@ -24,7 +24,17 @@ object StreamingPipeline {
   case class SessionOut(user_id: Long, session_start: Timestamp,
     session_end: Timestamp, n_events: Long, session_value: Double)
 
-  case class SessionState(start: Long, last: Long, n: Long, total: Double)
+  case class SessionState(start: Long, last: Long, n: Long, totalCents: Long)
+
+  /** Per-event HALF_UP cents — the same value the batch twin's
+    * moneySum produces (per-row decimal(·,2) cast, exact long-cents
+    * accumulation). Accumulating raw doubles and rounding once at
+    * session close diverges from the batch answer whenever individual
+    * values carry sub-cent parts. */
+  private def cents(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(2, java.math.RoundingMode.HALF_UP)
+      .movePointRight(2).longValueExact
 
   val GapMicros: Long = 30L * 60 * 1000000
 
@@ -46,7 +56,9 @@ object StreamingPipeline {
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(30,2)")).cast("double").as("total_value"))
+        // the SAME money-sum recipe as the batch twin — a hand-rolled
+        // variant here would drift if the repo-wide rounding changes
+        graft.util.Parity.moneySum(col("value")).as("total_value"))
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
@@ -68,7 +80,9 @@ object StreamingPipeline {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        store.upsert("bronze", table, batch.toDF(), Seq("event_id"), "event_id")
+        // latest-wins orders by ts: ordering by the key itself would
+        // tie every duplicate and pick a nondeterministic winner
+        store.upsert("bronze", table, batch.toDF(), Seq("event_id"), "ts")
         ()
       }
       .start()
@@ -114,13 +128,13 @@ object StreamingPipeline {
           for (e <- sorted) {
             val tsUs = tsMicros(e.ts)
             if (st == null) {
-              st = SessionState(tsUs, tsUs, 1, e.value)
+              st = SessionState(tsUs, tsUs, 1, cents(e.value))
             } else if (tsUs - st.last > GapMicros) {
               out += SessionOut(userId, microsTs(st.start),
-                microsTs(st.last), st.n, math.round(st.total * 100.0) / 100.0)
-              st = SessionState(tsUs, tsUs, 1, e.value)
+                microsTs(st.last), st.n, st.totalCents / 100.0)
+              st = SessionState(tsUs, tsUs, 1, cents(e.value))
             } else {
-              st = SessionState(st.start, tsUs, st.n + 1, st.total + e.value)
+              st = SessionState(st.start, tsUs, st.n + 1, st.totalCents + cents(e.value))
             }
           }
           if (st != null) state.update(st) else state.remove()

@@ -95,16 +95,21 @@ class SilverLayerSpec extends SparkSpec {
     assert(r.issues.filter(col("issue_type") === "delivered_before_shipped")
       .select("record_id").as[Long].collect().toSeq.sorted == Seq(6L, 8L))
     // the double-violation rows log BOTH and their score deducts both
-    assert(r.issues.filter(col("record_id") === 5L).count() == 2)
-    assert(r.issues.filter(col("record_id") === 6L).count() == 2)
+    val flaggedOnly = r.issues.filter(col("action_taken") === "flagged")
+    assert(flaggedOnly.filter(col("record_id") === 5L).count() == 2)
+    assert(flaggedOnly.filter(col("record_id") === 6L).count() == 2)
+    // field-level fixes log too (class contract): every row's status
+    // canonicalization produces a cleaned_to_standard entry
+    assert(r.issues.filter(col("issue_type") === "cleaned_to_standard" &&
+      col("field_name") === "status").count() > 0)
     assert(byId(5L).getAs[Double]("quality_score") < byId(2L).getAs[Double]("quality_score"))
     assert(byId(6L).getAs[Double]("quality_score") == byId(5L).getAs[Double]("quality_score"))
     assert(!byId(6L).getAs[Boolean]("date_logic_valid"))
     // invoice=0: check skipped, flag true, perfect score
     assert(byId(7L).getAs[Boolean]("is_calculation_correct"))
     assert(byId(7L).getAs[Double]("quality_score") == 100.0)
-    // triple violation: 3 issue rows, 3 deductions -> (11-3)/11*100
-    assert(r.issues.filter(col("record_id") === 8L).count() == 3)
+    // triple violation: 3 flagged rows, 3 deductions -> (11-3)/11*100
+    assert(flaggedOnly.filter(col("record_id") === 8L).count() == 3)
     assert(byId(8L).getAs[Double]("quality_score") == 72.73)
     assert(!byId(8L).getAs[Boolean]("is_calculation_correct"))
     assert(!byId(8L).getAs[Boolean]("date_logic_valid"))

@@ -154,10 +154,12 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     val streamed = spark.table("sess_out")
       .orderBy("user_id", "session_start")
-      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4)))
     val batch = EventOps.sessionize(spark, sf0001)
       .orderBy("user_id", "session_seq")
-      .collect().map(r => (r.getLong(0), r.getTimestamp(2), r.getTimestamp(3), r.getLong(4)))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(2), r.getTimestamp(3),
+        r.getLong(4), r.getDouble(5)))
     assert(streamed.toSeq == batch.toSeq)
   }
 }

@@ -37,7 +37,7 @@ object Cleaning {
     * (silver/silver_builder.py:36-57). Empty result → NULL. */
   def cleanText(c: Column): Column = {
     val collapsed = trim(regexp_replace(c, "\\s+", " "))
-    val stripped = trim(regexp_replace(collapsed, "^[^\\w\\s]+|[^\\w\\s]+$", ""))
+    val stripped = trim(regexp_replace(collapsed, "^[^\\p{L}\\p{N}_\\s]+|[^\\p{L}\\p{N}_\\s]+$", ""))
     val cased = when(stripped === upper(stripped) || stripped === lower(stripped),
       initcap(stripped)).otherwise(stripped)
     when(cased === "", lit(null).cast(StringType)).otherwise(cased)

@@ -25,11 +25,20 @@ object MediaPipeline {
   /** STUB — stands in for image/audio decode (no codec libs in this
     * environment). Deterministic byte-level features: checksum of the
     * first 64 bytes + one "frame" sampled per 256-byte block (its
-    * first byte). A real implementation would decode pixels/samples
-    * here; the signature and batch shape would not change. */
-  def fakeDecode(payload: Array[Byte]): (Long, Array[Int]) = {
+    * first byte). The frame COUNT is floor(len/256)+1 — identical to
+    * the column-wise q39 twin (the final, possibly-empty partial
+    * frame counts; minimum 1) — with a 0 sample for an offset past
+    * the payload, like fakeResize's padding. A NULL payload decodes
+    * as empty media (documented deviation from the column-wise twin,
+    * which propagates NULL features). A real implementation would
+    * decode pixels/samples here; the signature and batch shape would
+    * not change. */
+  def fakeDecode(payloadOrNull: Array[Byte]): (Long, Array[Int]) = {
+    val payload = if (payloadOrNull == null) Array.emptyByteArray else payloadOrNull
     val checksum = payload.take(64).foldLeft(0L)((acc, b) => acc + (b & 0xff))
-    val frames = payload.indices.by(256).map(i => payload(i) & 0xff).toArray
+    val n = payload.length / 256 + 1
+    val frames = Array.tabulate(n)(i =>
+      if (i * 256 < payload.length) payload(i * 256) & 0xff else 0)
     (checksum, frames)
   }
 
@@ -43,8 +52,8 @@ object MediaPipeline {
       // per-partition codec init would go here (expensive, once)
       rows.map { r =>
         val (checksum, frames) = fakeDecode(r.payload)
-        MediaFeatures(r.doc_id, r.mime, r.payload.length, checksum,
-          frames.length, frames)
+        val len = if (r.payload == null) 0 else r.payload.length
+        MediaFeatures(r.doc_id, r.mime, len, checksum, frames.length, frames)
       }
     }
   }
@@ -68,7 +77,8 @@ object MediaPipeline {
     * fixed-size output schema would not change). Short payloads pad
     * with 0 — output dimensions are ALWAYS side×side, the property
     * downstream training pipelines rely on. */
-  def fakeResize(payload: Array[Byte], side: Int): Array[Int] = {
+  def fakeResize(payloadOrNull: Array[Byte], side: Int): Array[Int] = {
+    val payload = if (payloadOrNull == null) Array.emptyByteArray else payloadOrNull
     val srcSide = math.max(1, math.sqrt(payload.length.toDouble).toInt)
     Array.tabulate(side * side) { i =>
       val (r, c) = (i / side, i % side)

@@ -279,31 +279,34 @@ object Eda extends QueryModule {
   }
 
   /** Derived statistics over the unpivoted (one row per column) sums. */
-  private def deriveMoments(row: DataFrame): DataFrame =
+  private def deriveMoments(row: DataFrame): DataFrame = {
+    val m1 = col("s1").cast(DoubleType) / col("n") // population mean
+    val m2 = col("s2").cast(DoubleType) / col("n") - m1 * m1 // population variance
     row.select(
         col("column_name"), col("n"), col("nulls"),
         col("min_value"), col("max_value"), col("distinct_count"),
         col("q25"), col("median"), col("q75"),
-        snapRound(col("s1").cast(DoubleType) / col("n"), 6).as("mean"),
+        snapRound(m1, 6).as("mean"),
         snapRound(sqrt((col("s2").cast(DoubleType) - col("s1").cast(DoubleType) * col("s1").cast(DoubleType) / col("n")) / (col("n") - lit(1))), 6).as("stddev"),
-        // population moments for skew/kurtosis — fixed formula from
-        // exact sums, sqrt(m2)*m2 (not pow) keeps it IEEE-deterministic
+        // population moments for skew/kurtosis — textbook formulas over
+        // the hoisted m1/m2 subexpressions (identical trees to the
+        // previous inline spelling, so IEEE-identical values);
+        // sqrt(m2)*m2 (not pow) keeps it IEEE-deterministic
         ((col("s3").cast(DoubleType) / col("n")
-          - lit(3.0) * (col("s1").cast(DoubleType) / col("n")) * (col("s2").cast(DoubleType) / col("n"))
-          + lit(2.0) * (col("s1").cast(DoubleType) / col("n")) * (col("s1").cast(DoubleType) / col("n")) * (col("s1").cast(DoubleType) / col("n")))
-          / (sqrt(col("s2").cast(DoubleType) / col("n") - (col("s1").cast(DoubleType) / col("n")) * (col("s1").cast(DoubleType) / col("n")))
-            * (col("s2").cast(DoubleType) / col("n") - (col("s1").cast(DoubleType) / col("n")) * (col("s1").cast(DoubleType) / col("n"))))).as("skew_raw"),
+          - lit(3.0) * m1 * (col("s2").cast(DoubleType) / col("n"))
+          + lit(2.0) * m1 * m1 * m1)
+          / (sqrt(m2) * m2)).as("skew_raw"),
         // excess kurtosis m4/m2^2 - 3 from the same exact power sums
         ((col("s4").cast(DoubleType) / col("n")
-          - lit(4.0) * (col("s1").cast(DoubleType) / col("n")) * (col("s3").cast(DoubleType) / col("n"))
-          + lit(6.0) * (col("s1").cast(DoubleType) / col("n")) * (col("s1").cast(DoubleType) / col("n")) * (col("s2").cast(DoubleType) / col("n"))
-          - lit(3.0) * (col("s1").cast(DoubleType) / col("n")) * (col("s1").cast(DoubleType) / col("n")) * (col("s1").cast(DoubleType) / col("n")) * (col("s1").cast(DoubleType) / col("n")))
-          / ((col("s2").cast(DoubleType) / col("n") - (col("s1").cast(DoubleType) / col("n")) * (col("s1").cast(DoubleType) / col("n")))
-            * (col("s2").cast(DoubleType) / col("n") - (col("s1").cast(DoubleType) / col("n")) * (col("s1").cast(DoubleType) / col("n"))))
+          - lit(4.0) * m1 * (col("s3").cast(DoubleType) / col("n"))
+          + lit(6.0) * m1 * m1 * (col("s2").cast(DoubleType) / col("n"))
+          - lit(3.0) * m1 * m1 * m1 * m1)
+          / (m2 * m2)
           - lit(3.0)).as("kurt_raw"))
       .withColumn("skewness", snapRound(col("skew_raw"), 9))
       .withColumn("kurtosis", snapRound(col("kurt_raw"), 9))
       .drop("skew_raw", "kurt_raw")
+  }
 
   private def momentStatsSql(c: String): String =
     s"""SELECT '$c' AS column_name, n, nulls, min_value, max_value, distinct_count,
@@ -377,8 +380,15 @@ object Eda extends QueryModule {
     * the aggregate, exact to ~9e9 rows; every other scaled sum is
     * bounded by ~6e13 per 6e5 rows, i.e. safe past 1e10 rows. */
   def corrMatrix(s: SparkSession, dir: String): DataFrame = {
-    val l = Tables.t(s, dir, "lineitem")
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    // complete-case (listwise) deletion: the single n must describe the
+    // same rows as every sum, or a NULL in any column makes the moments
+    // inconsistent (r can even leave [-1, 1]). Documented deviation
+    // from pandas' PAIRWISE-complete .corr(): the two differ only when
+    // different columns have different null rows; the oracle applies
+    // the identical predicate.
+    val l = Tables.t(s, dir, "lineitem")
+      .filter(cols.map(col(_).isNotNull).reduce(_ && _))
     val sc: Map[String, Column] = Map(
       "l_quantity" -> asScaled(col("l_quantity"), 0),
       "l_extendedprice" -> asScaled(col("l_extendedprice"), 2),
@@ -430,9 +440,10 @@ object Eda extends QueryModule {
          |       CAST(round(CAST((n * sxy_${a}_$b - sx_$a * sx_$b) / (sqrt(n * sxx_$a - sx_$a * sx_$a) * sqrt(n * sxx_$b - sx_$b * sx_$b)) AS DECIMAL(30,13)), 9) AS DOUBLE) AS pearson_r
          |FROM s""".stripMargin
     }.mkString("\nUNION ALL\n")
+    val complete = cols.map(c => s"$c IS NOT NULL").mkString(" AND ")
     s"""WITH s AS (
        |  SELECT $sums
-       |  FROM (SELECT $scaled FROM lineitem))
+       |  FROM (SELECT $scaled FROM lineitem WHERE $complete))
        |SELECT * FROM (
        |$rows
        |) ORDER BY col_a, col_b""".stripMargin

@@ -102,7 +102,7 @@ object EventOps extends QueryModule {
       |       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
       |FROM events
       |GROUP BY 1, 2
-      |ORDER BY event_type, k_bucket""".stripMargin
+      |ORDER BY event_type NULLS FIRST, k_bucket NULLS FIRST""".stripMargin
 
   /** q45 — ROLLUP hierarchy totals (region → segment → grand total)
     * with grouping ids: subtotal semantics the reference approximates

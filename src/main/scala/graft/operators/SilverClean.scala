@@ -29,7 +29,7 @@ object SilverClean extends QueryModule {
 
   private def cleanTextSql(x: String, out: String): String =
     s"""trim(regexp_replace($x, '\\s+', ' ', 'g')) AS ${out}_c1,
-       |       trim(regexp_replace(${out}_c1, '^[^\\w\\s]+|[^\\w\\s]+$$', '', 'g')) AS ${out}_c2,
+       |       trim(regexp_replace(${out}_c1, '^[^\\p{L}\\p{N}_\\s]+|[^\\p{L}\\p{N}_\\s]+$$', '', 'g')) AS ${out}_c2,
        |       nullif(CASE WHEN ${out}_c2 = upper(${out}_c2) OR ${out}_c2 = lower(${out}_c2)
        |                   THEN ${initcapSql(s"${out}_c2")} ELSE ${out}_c2 END, '') AS $out""".stripMargin
 

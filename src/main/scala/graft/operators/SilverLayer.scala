@@ -561,7 +561,7 @@ object SilverLayer extends QueryModule {
        |  FROM (
        |    SELECT product_id, product_name, unit_cost, selling_price, status, product_category,
        |           trim(regexp_replace(product_name, '\\s+', ' ', 'g')) AS cn_c1,
-       |           trim(regexp_replace(cn_c1, '^[^\\w\\s]+|[^\\w\\s]+$$', '', 'g')) AS cn_c2,
+       |           trim(regexp_replace(cn_c1, '^[^\\p{L}\\p{N}_\\s]+|[^\\p{L}\\p{N}_\\s]+$$', '', 'g')) AS cn_c2,
        |           nullif(CASE WHEN cn_c2 = upper(cn_c2) OR cn_c2 = lower(cn_c2)
        |                       THEN ${initcap("cn_c2")} ELSE cn_c2 END, '') AS clean_name,
        |           ${cleanDec("unit_cost")} AS clean_cost,
@@ -569,7 +569,7 @@ object SilverLayer extends QueryModule {
        |           CASE WHEN upper(trim(product_category)) IN ('NULL','N/A','NOT AVAILABLE','TBD','UNKNOWN','','NONE','NIL')
        |                THEN NULL ELSE trim(product_category) END AS cat,
        |           trim(regexp_replace(cat, '\\s+', ' ', 'g')) AS cc_c1,
-       |           trim(regexp_replace(cc_c1, '^[^\\w\\s]+|[^\\w\\s]+$$', '', 'g')) AS cc_c2,
+       |           trim(regexp_replace(cc_c1, '^[^\\p{L}\\p{N}_\\s]+|[^\\p{L}\\p{N}_\\s]+$$', '', 'g')) AS cc_c2,
        |           coalesce(nullif(CASE WHEN cc_c2 = upper(cc_c2) OR cc_c2 = lower(cc_c2)
        |                                THEN ${initcap("cc_c2")} ELSE cc_c2 END, ''), 'Uncategorized') AS clean_cat
        |    FROM (

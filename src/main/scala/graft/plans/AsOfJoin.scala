@@ -177,6 +177,11 @@ object AsOf {
     // orderings built from the LEFT datatypes — a type mismatch would
     // not throw, it would compare raw representations (date days vs
     // timestamp micros) and match garbage
+    // zip would silently TRUNCATE mismatched key lists, and the exec's
+    // key ordering would then read past the end of the narrower key
+    // row (unchecked UnsafeRow ordinals -> garbage matches, no error)
+    require(leftKeys.length == rightKeys.length,
+      s"as-of key arity mismatch: ${leftKeys.length} left vs ${rightKeys.length} right")
     leftKeys.zip(rightKeys).foreach { case (l, r) =>
       val (lt, rt) = (ColumnBridge.expr(leftDf(l)).dataType,
         ColumnBridge.expr(right(r)).dataType)

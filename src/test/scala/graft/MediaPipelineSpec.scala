@@ -6,24 +6,28 @@ import graft.multimodal.MediaPipeline
   * q39 features, and the batch decode is deterministic. */
 class MediaPipelineSpec extends SparkSpec {
 
-  test("mapPartitions features match column-wise q39 on doc_id/byte_len/checksum") {
+  test("mapPartitions features match column-wise q39 incl. frame counts") {
     val docs = Tables.t(spark, sf0001, "documents")
     val viaPartitions = MediaPipeline.extractFeatures(MediaPipeline.fromDocuments(docs))
-      .select("doc_id", "byte_len", "checksum64")
+      .select("doc_id", "byte_len", "checksum64", "n_frames")
       .orderBy("doc_id").collect()
-      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2)))
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getInt(3).toLong))
     val viaColumns = graft.operators.Multimodal.binaryFeatures(spark, sf0001)
-      .select("doc_id", "byte_len", "checksum64")
+      .select("doc_id", "byte_len", "checksum64", "n_frames")
       .orderBy("doc_id").collect()
-      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2)))
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getLong(3)))
     assert(viaPartitions.toSeq == viaColumns.toSeq)
   }
 
-  test("frame sampling: one frame per 256-byte block") {
+  test("frame count is floor(len/256)+1, like the column-wise twin") {
     val bytes = Array.fill[Byte](700)(65)
     val (_, frames) = MediaPipeline.fakeDecode(bytes)
     assert(frames.length == 3) // offsets 0, 256, 512
     assert(frames.forall(_ == 65))
+    // exact multiples count the final empty partial frame (0-padded)
+    assert(MediaPipeline.fakeDecode(Array.fill[Byte](256)(1))._2.toSeq == Seq(1, 0))
+    assert(MediaPipeline.fakeDecode(Array.empty[Byte])._2.toSeq == Seq(0))
+    assert(MediaPipeline.fakeDecode(null)._2.toSeq == Seq(0)) // null = empty media
   }
 
   test("resize: fixed-size output grid regardless of payload length") {

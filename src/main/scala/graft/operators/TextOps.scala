@@ -504,9 +504,17 @@ object TextOps extends QueryModule {
       val neighborLabels = edges
         .join(labels.select(col("doc_id").as("dst"), col("label")), "dst")
         .select(col("src").as("doc_id"), col("label"))
+      // localCheckpoint (not persist): each round's plan embeds the
+      // previous round's FULL tree twice (union + join), so lineage
+      // grows exponentially with iterations — PlanSweep measured 8347
+      // Exchange nodes in the printed plan after convergence. The
+      // checkpoint truncates lineage to the materialized partitions
+      // (implicitly cached), keeping driver-side analysis O(1) per
+      // round — at a billion docs the loop still runs in diameter
+      // rounds with constant-size plans.
       val next = labels.unionByName(neighborLabels)
         .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
-        .persist()
+        .localCheckpoint(true)
       val sumNow = next.agg(sum(col("label").cast(DecimalType(38, 0)))).head().getDecimal(0)
       // a null sum means zero docs: the empty labeling is trivially the
       // fixed point (without this, prevSum stays null forever and the
@@ -521,8 +529,10 @@ object TextOps extends QueryModule {
     // fail loudly rather than emit them; the oracle is exact closure
     require(converged,
       s"dedupClusters: min-label propagation not converged after $iter rounds")
-    // edges stays persisted with labels: an evicted label partition
-    // recomputes through it; both are released on the next invocation
+    // edges stays persisted; labels is localCheckpoint-backed (NOT
+    // recomputable on executor loss — the tradeoff for truncated
+    // lineage; a cluster deployment would use reliable checkpoint()
+    // to shared storage). Both are released on the next invocation.
     lastFrames.put((s, dir), Seq(labels, edges))
     val comp = labels.select(col("doc_id"), col("label").as("cluster_id"))
     val sizes = comp.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))

@@ -81,14 +81,18 @@ object Pipeline {
       col("o_totalprice").cast(DecimalType(15, 4)).as("total_price"),
       col("o_orderdate").cast(DateType).as("order_date"),
       cleanText(col("o_orderpriority")).as("priority"))
+    // null-safe complements: a NULL total_price fails `>= 0` AND
+    // `< 0`, which would drop the row from BOTH clean and rejected —
+    // breaking the rejected + clean = input accounting contract
+    val priceOk = coalesce(col("total_price") >= 0, lit(false))
     rows += store.write("silver", "orders",
-      cleanedOrders.filter(col("order_date").isNotNull && col("total_price") >= 0))
+      cleanedOrders.filter(col("order_date").isNotNull && priceOk))
     store.write("audit", "rejected_orders",
-      cleanedOrders.filter(col("order_date").isNull || col("total_price") < 0)
+      cleanedOrders.filter(col("order_date").isNull || !priceOk)
         .withColumn("reject_reason", lit("invalid_date_or_price")))
     val l = store.table("bronze", "lineitem")
     rows += store.write("silver", "lineitem", l.filter(col("l_quantity") > 0))
-    (8L, rows)
+    (entities.size + 2L, rows)
   }
 
   def runGold(spark: SparkSession, store: LayerStore, sfDir: String, runId: String): LayerResult = timed("gold") {
@@ -115,7 +119,7 @@ object Pipeline {
     store.write("audit", "dq_results", dq)
     val failed = dq.filter(!col("passed")).count()
     if (failed > 0) System.err.println(s"[pipeline] $failed/12 gold DQ checks flagged violations (recorded in audit.dq_results)")
-    (marts.size.toLong + 1, counts.map(_._2).sum)
+    (marts.size.toLong + 1, counts.map(_._2).sum + nFc) // 5 tables, 5 tables' rows
   }
 
   private def timed(layer: String)(body: => (Long, Long)): LayerResult = {

@@ -27,11 +27,16 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        // remove any stale output from a previous run — it would mask
-        // this failure as a (wrong-looking or spuriously-passing) result
+        // remove any stale/partial output — it would mask this failure
+        // as a (wrong-looking or spuriously-passing) result. Recursive:
+        // failed writes leave nested _temporary/ trees that a flat
+        // listFiles/delete pass would silently leave in place.
         try {
-          val dir = new java.io.File(s"$outDir/$name")
-          if (dir.exists) { dir.listFiles.foreach(_.delete()); dir.delete() }
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+            f.delete(); ()
+          }
+          rm(new java.io.File(s"$outDir/$name"))
         } catch { case _: Throwable => () }
       }
       }

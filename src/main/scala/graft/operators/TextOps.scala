@@ -430,9 +430,13 @@ object TextOps extends QueryModule {
     * base-31 literal coefficients (bigint-exact in both engines). */
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.t(s, dir, "documents")
-    // char 5-grams: substring at a lambda-bound position needs expr()
-    val minGram = expr(
-      "array_min(transform(sequence(1, length(text) - 4), i -> md5(cast(substring(text, i, 5) as binary))))")
+    // char 5-grams: substring at a lambda-bound position needs expr().
+    // Guard texts under 5 chars: Spark's sequence(1, 0) DESCENDS (it
+    // is not empty like DuckDB's generate_series — the hazard
+    // TextFunctions.shingles documents), which would fingerprint a
+    // wrong gram where the oracle's list_min over empty yields NULL.
+    val minGram = when(length(col("text")) >= 5, expr(
+      "array_min(transform(sequence(1, length(text) - 4), i -> md5(cast(substring(text, i, 5) as binary))))"))
     val coefs = (0 until 8).map(i => math.pow(31, 7 - i).toLong)
     val poly = (0 until 8).map(i =>
       ascii(substring(col("text"), i + 1, 1)).cast(LongType) * lit(coefs(i))).reduce(_ + _)
@@ -482,9 +486,23 @@ object TextOps extends QueryModule {
   private val lastFrames =
     collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[DataFrame]]
 
+  /** Release a frame's storage DETERMINISTICALLY whether it is
+    * CacheManager-persisted or localCheckpoint-backed:
+    * Dataset.unpersist only uncaches CacheManager entries and is a
+    * silent no-op on a checkpoint-backed frame, whose blocks are
+    * RDD-level-persisted and otherwise linger until the JVM happens
+    * to GC the RDD reference. */
+  private def release(df: DataFrame): Unit = {
+    df.unpersist()
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false))
+    ()
+  }
+
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.t(s, dir, "documents").select(col("doc_id"))
-    lastFrames.remove((s, dir)).foreach(_.foreach(_.unpersist()))
+    lastFrames.remove((s, dir)).foreach(_.foreach(release))
     val sim = ngramJaccard(s, dir).filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"))
     val edges = sim.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -521,7 +539,7 @@ object TextOps extends QueryModule {
       // loop would spin to the round cap and throw on an empty input)
       converged = sumNow == null || (prevSum != null && sumNow.compareTo(prevSum) == 0)
       prevSum = sumNow
-      labels.unpersist()
+      release(labels)
       labels = next
       iter += 1
     }
@@ -628,19 +646,28 @@ object TextOps extends QueryModule {
   // ---- q59: deterministic stratified sampling ----------------------
 
   /** q59 — per-source stratified sample with a deterministic keyed
-    * coin: bucket = (doc_id · 2654435761) mod 1000 (Knuth
-    * multiplicative hash, exact 64-bit integer math in both engines),
-    * keep when bucket < the source's per-mille rate. Reproducible
-    * across engines, reruns, and partitionings — the property random()
-    * sampling loses — and a narrow map at any scale. */
+    * coin: the (non-negative) doc_id splits into 31-bit halves, each
+    * multiplied by a fixed constant and reduced mod 1000 BEFORE the
+    * sum — a bare doc_id·2654435761 would overflow 64-bit (ANSI error
+    * in Spark, BIGINT error in DuckDB) for ids above ~3.5e9, i.e. at
+    * exactly the corpus sizes this sampler is for. Every product here
+    * is provably < 2^63 (hi ≤ 2^32 times C1 < 2^31; lo < 2^31 times
+    * C2 < 2^32). Keep when bucket < the source's per-mille rate.
+    * Reproducible across engines, reruns, and partitionings — the
+    * property random() sampling loses — and a narrow map at any
+    * scale. */
   private val sampleRates: Seq[(String, Int)] =
     Seq(("src0", 800), ("src1", 500), ("src2", 200), ("src3", 700))
 
   def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
     val rate = sampleRates.foldLeft(lit(100)) { case (acc, (src, r)) =>
       when(col("source") === src, lit(r)).otherwise(acc) }
+    val bucket = pmod(
+      pmod(shiftrightunsigned(col("doc_id"), 31) * lit(1103515245L), lit(1000L)) +
+        pmod(col("doc_id").bitwiseAND(lit(2147483647L)) * lit(2654435761L), lit(1000L)),
+      lit(1000L))
     Tables.t(s, dir, "documents")
-      .withColumn("bucket", pmod(col("doc_id") * lit(2654435761L), lit(1000)))
+      .withColumn("bucket", bucket)
       .withColumn("rate_permille", rate)
       .filter(col("bucket") < col("rate_permille"))
       .select(col("doc_id"), col("source"), col("bucket"), col("rate_permille"))
@@ -650,11 +677,13 @@ object TextOps extends QueryModule {
   private val stratifiedSampleSql = {
     val rateSql = sampleRates.map { case (s, r) => s"WHEN source = '$s' THEN $r" }
       .mkString("CASE ", " ", " ELSE 100 END")
+    val bucketSql = "(((doc_id >> 31) * 1103515245) % 1000 + " +
+      "((doc_id & 2147483647) * 2654435761) % 1000) % 1000"
     s"""SELECT doc_id, source,
-       |       (doc_id * 2654435761) % 1000 AS bucket,
+       |       $bucketSql AS bucket,
        |       $rateSql AS rate_permille
        |FROM documents
-       |WHERE (doc_id * 2654435761) % 1000 < ($rateSql)
+       |WHERE $bucketSql < ($rateSql)
        |ORDER BY doc_id""".stripMargin
   }
 

@@ -31,6 +31,17 @@ class AsOfJoinSpec extends SparkSpec {
     assert(n("\\+- Sort ") >= 2, plan.take(800))
   }
 
+  test("mismatched key arity is rejected, not silently truncated") {
+    val l = Seq((1L, 2L, java.sql.Timestamp.valueOf("2020-01-01 10:00:00")))
+      .toDF("k1", "k2", "t")
+    val r = Seq((1L, java.sql.Timestamp.valueOf("2020-01-01 09:00:00"), 5.0))
+      .toDF("rk1", "rt", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.AsOf.join(l, r, Seq("k1", "k2"), Seq("rk1"), "t", "rt")
+    }
+    assert(e.getMessage.contains("arity"))
+  }
+
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
   test("unmatched lefts are NULL, ties are inclusive, latest tiebreak wins") {

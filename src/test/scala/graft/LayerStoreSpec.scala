@@ -52,6 +52,18 @@ class LayerStoreSpec extends SparkSpec {
     assert(vs == Seq(3, 9))
   }
 
+  test("run-scoped overwrite keeps rows whose run column is NULL") {
+    val (store, _) = freshStore()
+    val rows = Seq((Some("r1"), 1), (None, 2), (Some("r2"), 3))
+      .toDF("run_id", "v")
+    store.write("gold", "forecasts", rows)
+    store.overwriteRun("gold", "forecasts",
+      Seq((Some("r1"), 9)).toDF("run_id", "v"), "run_id", "r1")
+    // the NULL-run legacy row must survive like DELETE WHERE run_id='r1' keeps it
+    val vs = store.table("gold", "forecasts").orderBy("v").select("v").as[Int].collect().toSeq
+    assert(vs == Seq(2, 3, 9))
+  }
+
   test("write failure mid-staging leaves the stored table untouched") {
     val (store, dir) = freshStore()
     store.write("silver", "t", Seq((1L, "keep"), (2L, "keep")).toDF("id", "v"))

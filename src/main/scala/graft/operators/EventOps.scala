@@ -240,7 +240,10 @@ object EventOps extends QueryModule {
     val e = Tables.t(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("ts"),
         unix_micros(col("ts")).as("tus"))
-    val probes = e.select(col("event_id"), col("user_id"), col("ts"), col("tus"),
+    // only the join-relevant columns ride through the 3× fan-out and
+    // the bucket-join shuffle (ts re-joins from the base scan at the
+    // end; user_id is only needed on the build side)
+    val probes = e.select(col("event_id"), col("tus"),
       explode(array(lit(-1L), lit(0L), lit(1L))).as("dbin"))
       .withColumn("bin", floor(col("tus") / radiusUs).cast(LongType) + col("dbin"))
       .drop("dbin")

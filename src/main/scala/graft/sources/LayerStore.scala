@@ -130,15 +130,17 @@ class LayerStore(spark: SparkSession, root: String) {
       val old = table(layer, name)
       val oldCount = old.count()
       val latestCount = latest.persist().count() // incoming batch, small
-      val kept = old.join(latest.select(keys.map(col): _*).distinct(),
-        keys, "left_anti")
-      // counts derive from totals — no separate materialization of the
-      // anti-join just to count it: inserted = growth, updated = the
-      // incoming rows that did not grow the table
-      val total = write(layer, name, kept.unionByName(latest))
-      latest.unpersist()
-      val inserted = total - oldCount
-      (inserted, latestCount - inserted) // (inserted, updated)
+      try {
+        val kept = old.join(latest.select(keys.map(col): _*).distinct(),
+          keys, "left_anti")
+        // counts derive from totals — no separate materialization of the
+        // anti-join just to count it: inserted = growth, updated = the
+        // incoming rows that did not grow the table
+        val total = write(layer, name, kept.unionByName(latest))
+        val inserted = total - oldCount
+        (inserted, latestCount - inserted) // (inserted, updated)
+      } finally latest.unpersist() // also on write failure, or each failed
+      // streaming micro-batch would pin one more batch in the block manager
     }
   }
 

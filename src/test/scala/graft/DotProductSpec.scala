@@ -72,11 +72,25 @@ class DotProductSpec extends SparkSpec {
     }
   }
 
-  test("registered in SQL via extensions") {
+  test("stays inside whole-stage codegen") {
     val plan = Tables.t(spark, sf0001, "embeddings")
       .select(dot_product(transform(col("embedding"), x => x.cast("double")),
         transform(col("embedding"), x => x.cast("double"))).as("n2"))
-    // stays inside whole-stage codegen (no fallback to interpreted)
+    // no fallback to interpreted projection
     assert(plan.queryExecution.executedPlan.toString.contains("*(1)"))
+  }
+
+  test("SQL registration via the extension descriptor") {
+    val (id, info, builder) = graft.plans.DotProduct.fnDescriptor
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    val d = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .collect().head.getDouble(0)
+    assert(d == 11.0)
+    // the builder rejects wrong arities instead of dropping arguments
+    val e = intercept[Exception] {
+      spark.sql("SELECT dot_product(array(1.0D))").collect()
+    }
+    assert(e.getMessage.contains("2 arguments") || e.getMessage.contains("dot_product"))
   }
 }

@@ -30,7 +30,7 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[32] + persisted shared artifacts + 64 queries x 3 bench runs
+  // local[32] + persisted shared artifacts + 65 queries x 3 bench runs
   // need real heap: at 8g the bench is GC-bound (per-query times 3-15x
   // their isolated cost); the machine has 128 GiB
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",

@@ -190,13 +190,52 @@ object CorpusOps extends QueryModule {
       |FROM vocab
       |ORDER BY rank""".stripMargin
 
+  // ---- q65: language × source coverage pivot ----------------------
+
+  /** The corpus's language set — pinned so the pivot's output schema
+    * is static (a dynamic pivot would scan once just to discover
+    * columns; at 100 TB the language list is configuration, not
+    * data). */
+  private val Langs = Seq("de", "en", "es", "fr", "zh")
+
+  /** q65 — relational PIVOT: the per-source language coverage matrix
+    * every corpus report starts with (one row per source, one count
+    * column per language). Spark's groupBy.pivot with an explicit
+    * value list is ONE aggregation pass — no per-language scan;
+    * missing combinations fill 0 like the oracle's conditional
+    * counts. */
+  def langSourceMatrix(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables.t(s, dir, "documents")
+      .groupBy(col("source"))
+      .pivot("lang", Langs)
+      .agg(count(lit(1)))
+      .na.fill(0L, Langs)
+    m.select(col("source") +: Langs.map(l => col(l).as(l)) :+
+        Langs.map(l => col(l)).reduce(_ + _).as("total"): _*)
+      .orderBy(col("source"))
+  }
+
+  private val langSourceMatrixSql = {
+    val cells = Langs.map(l => s"count(CASE WHEN lang = '$l' THEN 1 END) AS $l")
+      .mkString(",\n       ")
+    val total = Langs.map(l => s"count(CASE WHEN lang = '$l' THEN 1 END)").mkString(" + ")
+    s"""SELECT source,
+       |       $cells,
+       |       $total AS total
+       |FROM documents
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_repetition_profile" -> repetitionProfile,
     "q62_decontamination" -> decontaminate,
-    "q63_vocabulary" -> vocabulary)
+    "q63_vocabulary" -> vocabulary,
+    "q65_lang_source_matrix" -> langSourceMatrix)
 
   override def oracles: Map[String, String] = Map(
     "q61_repetition_profile" -> repetitionProfileSql,
     "q62_decontamination" -> decontaminateSql,
-    "q63_vocabulary" -> vocabularySql)
+    "q63_vocabulary" -> vocabularySql,
+    "q65_lang_source_matrix" -> langSourceMatrixSql)
 }

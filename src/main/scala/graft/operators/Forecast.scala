@@ -28,17 +28,24 @@ object Forecast extends QueryModule {
     * and share across every forecasting consumer (q34/q35/q50).
     * Per-key memo (graft.util.Memo) so independent keys materialize
     * concurrently. */
-  private val seriesCache = new graft.util.Memo[(SparkSession, String), DataFrame]
+  private val seriesCache = new graft.util.Memo[(SparkSession, String, String), DataFrame]
 
   private[operators] def dailySeries(s: SparkSession, dir: String): DataFrame =
-    seriesCache.getOrBuild((s, dir), {
+    seriesCache.getOrBuild((s, "daily", dir), {
       val d = buildDailySeries(s, dir).persist()
       d.count()
       d
     })
 
-  /** Build the shared series artifact eagerly (Bench prepare phase). */
-  def prepareArtifacts(s: SparkSession, dir: String): Unit = dailySeries(s, dir)
+  /** Build the shared series artifacts eagerly (Bench prepare phase).
+    * Both granularities — q36/q37/q55 consume the weekly series, and
+    * rebuilding its groupBy + calendar join per query tripled its
+    * cost in the bench. */
+  def prepareArtifacts(s: SparkSession, dir: String): Unit = {
+    dailySeries(s, dir)
+    weekly(s, dir)
+    ()
+  }
 
   /** Daily demand per supplier with gap-filled calendar (W3):
     * sequence(min, max) + explode + left join + coalesce(0). */
@@ -133,7 +140,14 @@ object Forecast extends QueryModule {
     * year, seasonal replay pairs wrong weeks, and zero-demand weeks
     * silently vanish from every fit (92% of fixture entities have at
     * least one gap week). */
-  private[operators] def weekly(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def weekly(s: SparkSession, dir: String): DataFrame =
+    seriesCache.getOrBuild((s, "weekly", dir), {
+      val w = buildWeekly(s, dir).persist()
+      w.count()
+      w
+    })
+
+  private def buildWeekly(s: SparkSession, dir: String): DataFrame = {
     val observed = Tables.t(s, dir, "lineitem")
       .groupBy(col("l_suppkey").as("entity"),
         date_trunc("week", col("l_shipdate")).cast(DateType).as("week"))

@@ -33,10 +33,17 @@ object Bench {
   private def min3(a: Double, b: Double, c: Double): Double =
     math.min(a, math.min(b, c))
 
+  /** One spin thread per hardware core, so cal seconds stay comparable
+    * to the documented ~0.5 s clean-window value on any host (a fixed
+    * 32 would under-subscribe a 64-core box and over-subscribe 8). The
+    * count is emitted in the JSON so snapshots from different hosts
+    * are never compared blind. */
+  val calThreads: Int = Runtime.getRuntime.availableProcessors
+
   /** Fixed CPU-bound spin on every core: measures the machine's
     * effective parallel throughput at this instant. Deterministic
     * work (integer LCG folds), no allocation in the loop. */
-  def calibrationSpin(threads: Int = 32): Double = {
+  def calibrationSpin(threads: Int = calThreads): Double = {
     val t0 = System.nanoTime()
     val ts = (0 until threads).map { t =>
       val th = new Thread(() => {
@@ -85,6 +92,13 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val (spark, sfDir) = session()
+    // ERROR, not WARN, for the whole benchmarked run: the driver keeps
+    // only the last ~2000 chars of stdout+stderr, and a WARN burst
+    // (e.g. WindowExec's no-partition warning) landing between the
+    // last query and the JSON line can crowd the scraped line out of
+    // that window — r03's snapshot parsed null for exactly this
+    // reason. Diagnostics belong in bench_out.json, not the tail.
+    spark.sparkContext.setLogLevel("ERROR")
 
     // failures are RECORDED, never swallowed: a failed prepare or
     // query would otherwise report a plausible time-to-failure and the
@@ -127,7 +141,7 @@ object Bench {
       }.mkString("{", ",", "}")
       val total = all.collect { case (k, v) if !failedSet(k) => v }.sum
       val failed = failures.distinct.map("\"" + key(_) + "\"").mkString("[", ",", "]")
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$failed,"cal0":${num(cal0)},"cal1":${num(cal1)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$failed,"cal0":${num(cal0)},"cal1":${num(cal1)},"cal_threads":$calThreads,"sf":"$sfDir"}"""
     }
     // full-precision, full-name record for humans and tools
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),

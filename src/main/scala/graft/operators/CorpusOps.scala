@@ -224,7 +224,7 @@ object CorpusOps extends QueryModule {
        |       $total AS total
        |FROM documents
        |GROUP BY source
-       |ORDER BY source""".stripMargin
+       |ORDER BY source NULLS FIRST""".stripMargin
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -73,7 +73,13 @@ object DqChecks extends QueryModule {
       t.setDaemon(true); t.start(); t
     }
     threads.foreach(_.join())
-    if (!errs.isEmpty) throw errs.peek() // a silent prep failure would fake the bench
+    if (!errs.isEmpty) { // a silent prep failure would fake the bench
+      val it = errs.iterator(); val head = it.next()
+      // both builders failing for different reasons must surface both:
+      // attach the rest as suppressed so the root cause isn't discarded
+      while (it.hasNext) head.addSuppressed(it.next())
+      throw head
+    }
   }
 
   /** q38 — all checks, one row each: name, violations, passed. Reads

@@ -67,6 +67,22 @@ object GoldMarts extends QueryModule {
     build: => DataFrame): DataFrame =
     starCache.getOrBuild((s, dir, name), { val df = build.persist(); df.count(); df })
 
+  /** Left-join decomposed distinct-count rows back onto the base
+    * aggregate with null-safe key equality, coalescing each count to 0
+    * — exactly count(DISTINCT x) GROUP BY semantics: a NULL group-key
+    * group still matches its counts row (plain `===` would drop it),
+    * and a group whose distinct column is all-NULL (absent from the
+    * counts side entirely) keeps its base row with count 0 instead of
+    * vanishing from the result. Fixture data has no NULLs in these
+    * columns today, so this is contract hardening, not a parity fix. */
+  private def joinBackCounts(base: DataFrame, counts: DataFrame,
+      keys: Seq[String], countCols: Seq[String]): DataFrame = {
+    val renamed = keys.foldLeft(counts)((d, k) => d.withColumnRenamed(k, s"__jb_$k"))
+    val cond = keys.map(k => col(k) <=> col(s"__jb_$k")).reduce(_ && _)
+    val joined = keys.foldLeft(base.join(renamed, cond, "left"))((d, k) => d.drop(s"__jb_$k"))
+    countCols.foldLeft(joined)((d, c) => d.withColumn(c, coalesce(col(c), lit(0L))))
+  }
+
   /** q01 — A1/A2: monthly sales by region × segment × brand with
     * count-distinct measures and NULLIF-guarded post-agg ratios.
     *
@@ -98,9 +114,12 @@ object GoldMarts extends QueryModule {
       .distinct()
       .groupBy(salesKeyNames.map(col): _*)
       .agg(count(lit(1)).as(as))
-    base
-      .join(distinctCount(col("o_custkey"), "active_customers"), salesKeyNames)
-      .join(distinctCount(col("l_partkey"), "unique_parts"), salesKeyNames)
+    val withCounts = joinBackCounts(
+      joinBackCounts(base, distinctCount(col("o_custkey"), "active_customers"),
+        salesKeyNames, Seq("active_customers")),
+      distinctCount(col("l_partkey"), "unique_parts"),
+      salesKeyNames, Seq("unique_parts"))
+    withCounts
       .select(col("sales_month"), col("region"), col("segment"), col("brand"),
         col("total_orders"), col("total_quantity"), col("total_revenue"),
         col("avg_line_price"), col("active_customers"), col("unique_parts"))
@@ -205,7 +224,7 @@ object GoldMarts extends QueryModule {
       .distinct()
       .groupBy(gkNames.map(col): _*)
       .agg(count(lit(1)).as("total_orders"))
-    joined
+    val base = joined
       .groupBy(gkNames.map(col): _*)
       .agg(
         count(lit(1)).as("total_lines"),
@@ -215,7 +234,7 @@ object GoldMarts extends QueryModule {
         sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("fulfilled_lines"),
         sum(when(col("lead_days") <= 60, 1).otherwise(0)).as("on_time_lines"),
         sum(when(col("l_quantity") >= 25, 1).otherwise(0)).as("in_full_lines"))
-      .join(orderCounts, gkNames)
+    joinBackCounts(base, orderCounts, gkNames, Seq("total_orders"))
       .select(col("order_month"), col("s_suppkey"), col("s_name"),
         col("total_lines"), col("total_orders"), col("total_quantity"),
         col("total_value"), col("avg_lead_time_days"), col("fulfilled_lines"),

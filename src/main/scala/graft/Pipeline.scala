@@ -92,16 +92,58 @@ object Pipeline {
         .withColumn("reject_reason", lit("invalid_date_or_price")))
     val l = store.table("bronze", "lineitem")
     rows += store.write("silver", "lineitem", l.filter(col("l_quantity") > 0))
-    (entities.size + 2L, rows)
+    // conformed dim twins: cleaned, key-complete copies of each star
+    // dimension. Gold reads ONLY silver (the medallion contract —
+    // gold/gold_builder.py:101-103 reads silver.* exclusively), so
+    // every table its marts join must exist in the silver layer.
+    val dims = Seq("part" -> "p_partkey", "customer" -> "c_custkey",
+      "supplier" -> "s_suppkey", "nation" -> "n_nationkey",
+      "region" -> "r_regionkey")
+    dims.foreach { case (t, key) =>
+      rows += store.write("silver", t,
+        store.table("bronze", t).filter(col(key).isNotNull))
+    }
+    (entities.size + 2L + dims.size, rows)
+  }
+
+  /** Gold's input resolver over the WRITTEN silver tables (see
+    * GoldMarts.Resolver). silver.orders stores the cleaned reference
+    * shape (status vocabulary, typed date); this conformance view maps
+    * it back to the star contract the marts consume — the inverse of
+    * runSilver's mapStatus dictionary, NULL for vocabulary the marts
+    * never match ("unknown"). Rows silver rejected (invalid date /
+    * negative price orders, non-positive-quantity lineitems) are
+    * absent here, so they are provably absent from every gold mart. */
+  private def silverStarResolver(store: LayerStore): GoldMarts.Resolver = {
+    case "orders" =>
+      store.table("silver", "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        when(col("status") === "fulfilled", "F")
+          .when(col("status") === "open", "O")
+          .when(col("status") === "partial", "P").as("o_orderstatus"),
+        col("order_date").as("o_orderdate"))
+    case name => store.table("silver", name)
   }
 
   def runGold(spark: SparkSession, store: LayerStore, sfDir: String, runId: String): LayerResult = timed("gold") {
+    // every mart builds from the silver tables runSilver just WROTE —
+    // bronze→silver→gold lineage, never raw source (sfDir is only the
+    // forecast demand-series input until the dispatch lands)
+    val resolve = silverStarResolver(store)
+    val persisted = collection.mutable.ArrayBuffer.empty[DataFrame]
+    // pin multi-pass star projections for the duration of the gold
+    // build only (the query surface memoizes session-lifetime instead)
+    def mat(df: DataFrame): DataFrame = {
+      val p = df.persist(); p.count(); persisted += p; p
+    }
     val marts = Seq(
-      "monthly_sales" -> GoldMarts.monthlySales(spark, sfDir),
-      "inventory_health" -> GoldMarts.inventoryHealth(spark, sfDir),
-      "supplier_monthly" -> GoldMarts.supplierMonthly(spark, sfDir),
-      "dashboard" -> GoldMarts.dashboard(spark, sfDir))
-    val counts = marts.map { case (name, df) => name -> store.write("gold", name, df) }
+      "monthly_sales" -> (() => GoldMarts.monthlySalesFrom(resolve, mat)),
+      "inventory_health" -> (() => GoldMarts.inventoryHealthFrom(resolve)),
+      "supplier_monthly" -> (() => GoldMarts.supplierMonthlyFrom(resolve, mat)),
+      "dashboard" -> (() => GoldMarts.dashboardFrom(resolve)))
+    val counts =
+      try marts.map { case (name, build) => name -> store.write("gold", name, build()) }
+      finally persisted.foreach(_.unpersist())
     // gold.forecasts via run-scoped overwrite (forecasting.py:86-105):
     // the global AR model's 7-day horizon for every entity, replacing
     // only this run's rows on re-run
@@ -109,13 +151,17 @@ object Pipeline {
       .withColumn("run_id", lit(runId))
     val nFc = store.overwriteRun("gold", "forecasts", forecasts, "run_id", runId)
     store.writeMetadata(counts.map { case (name, n) =>
-      (name, s"gold mart $name", Seq("orders", "lineitem", "part", "customer", "supplier"), n)
-    } :+ ("forecasts", "global AR forecast horizon", Seq("lineitem"), nFc))
-    // the 12 DQ assertions run and are recorded; like the reference the
-    // pipeline reports failures in its summary rather than aborting
-    // (gold_builder.py:529-567). NB the lead-time check legitimately
-    // fires on this synthetic data (shipdate independent of orderdate).
-    val dq = DqChecks.dqChecks(spark, sfDir)
+      (name, s"gold mart $name", Seq("silver.orders", "silver.lineitem",
+        "silver.part", "silver.customer", "silver.supplier"), n)
+    } :+ ("forecasts", "global AR forecast horizon", Seq("silver.lineitem"), nFc))
+    // the 12 DQ assertions run over the gold tables just WRITTEN (the
+    // reference validates the stored gold layer) and are recorded;
+    // like the reference the pipeline reports failures in its summary
+    // rather than aborting (gold_builder.py:529-567). NB the lead-time
+    // check legitimately fires on this synthetic data (shipdate
+    // independent of orderdate).
+    val dq = DqChecks.checksOver(
+      store.table("gold", "monthly_sales"), store.table("gold", "supplier_monthly"))
     store.write("audit", "dq_results", dq)
     val failed = dq.filter(!col("passed")).count()
     if (failed > 0) System.err.println(s"[pipeline] $failed/12 gold DQ checks flagged violations (recorded in audit.dq_results)")

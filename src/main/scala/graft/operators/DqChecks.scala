@@ -82,14 +82,22 @@ object DqChecks extends QueryModule {
     }
   }
 
+  /** All 12 checks over caller-supplied mart frames — the product
+    * surface `Pipeline.runGold` runs over the gold tables it just
+    * WROTE (the reference validates the stored gold layer,
+    * gold_builder.py:529-567, not a recomputation from source). */
+  def checksOver(monthlySales: DataFrame, supplierMonthly: DataFrame): DataFrame =
+    checkRows(monthlySales, salesChecks)
+      .unionByName(checkRows(supplierMonthly, supChecks))
+      .withColumn("passed", col("violations") === 0)
+      .orderBy(col("check_name"))
+
   /** q38 — all checks, one row each: name, violations, passed. Reads
     * the stored-mart artifacts, not source. */
   def dqChecks(s: SparkSession, dir: String): DataFrame =
-    checkRows(cachedMart(s, dir, "monthly_sales", GoldMarts.monthlySales(s, dir)), salesChecks)
-      .unionByName(checkRows(
-        cachedMart(s, dir, "supplier_monthly", GoldMarts.supplierMonthly(s, dir)), supChecks))
-      .withColumn("passed", col("violations") === 0)
-      .orderBy(col("check_name"))
+    checksOver(
+      cachedMart(s, dir, "monthly_sales", GoldMarts.monthlySales(s, dir)),
+      cachedMart(s, dir, "supplier_monthly", GoldMarts.supplierMonthly(s, dir)))
 
   private val dqChecksSql = {
     val salesCte = GoldMarts.oracles("q01_monthly_sales")

@@ -27,15 +27,27 @@ import org.apache.spark.sql.types._
   */
 object GoldMarts extends QueryModule {
 
+  /** Gold's input contract: a resolver from conformed star-table name
+    * (lineitem/orders/part/customer/supplier/nation/region) to a
+    * DataFrame carrying the raw column names. The standalone query
+    * surface resolves straight to the sfDir parquet; `Pipeline.runGold`
+    * resolves to the WRITTEN silver tables — the medallion
+    * bronze→silver→gold lineage (the reference's gold CTAS reads
+    * silver.* exclusively, gold/gold_builder.py:101-103,150-152,211-213). */
+  type Resolver = String => DataFrame
+
+  private def rawResolver(s: SparkSession, dir: String): Resolver =
+    name => Tables.t(s, dir, name)
+
   /** Enriched fact: lineitem ⋈ orders ⋈ part ⋈ customer ⋈ nation ⋈ region.
     * Star-join backbone shared by the marts (reference J1/J3/J4). */
-  private def salesStar(s: SparkSession, dir: String): DataFrame = {
-    val l = Tables.t(s, dir, "lineitem")
-    val o = Tables.t(s, dir, "orders")
-    val p = Tables.t(s, dir, "part")
-    val c = Tables.t(s, dir, "customer")
-    val n = Tables.t(s, dir, "nation")
-    val r = Tables.t(s, dir, "region")
+  private def salesStar(resolve: Resolver): DataFrame = {
+    val l = resolve("lineitem")
+    val o = resolve("orders")
+    val p = resolve("part")
+    val c = resolve("customer")
+    val n = resolve("nation")
+    val r = resolve("region")
     // nation/region are fixed-cardinality — always broadcast regardless
     // of SF. part/customer scale with the data: let AQE decide.
     l.join(o, col("l_orderkey") === col("o_orderkey"))
@@ -95,8 +107,16 @@ object GoldMarts extends QueryModule {
     * shuffles one skinny (key, value) projection instead of 4× the
     * whole fact. The isNotNull guards reproduce count(DISTINCT x)
     * NULL-skipping exactly. */
-  def monthlySales(s: SparkSession, dir: String): DataFrame = {
-    val filtered = cachedStar(s, dir, "sales", salesStar(s, dir)
+  def monthlySales(s: SparkSession, dir: String): DataFrame =
+    monthlySalesFrom(rawResolver(s, dir), df => cachedStar(s, dir, "sales", df))
+
+  /** Resolver-parameterized build (see [[Resolver]]); `materialize`
+    * pins the shared star projection across the three aggregation
+    * passes (the query surface memoizes it session-lifetime, the
+    * Pipeline persists for the duration of the gold build). */
+  def monthlySalesFrom(resolve: Resolver,
+      materialize: DataFrame => DataFrame): DataFrame = {
+    val filtered = materialize(salesStar(resolve)
       .filter(col("o_orderstatus").isin("F", "O")) // P4 status membership
       .select(salesGroupKeys ++ Seq(col("o_orderkey"), col("o_custkey"),
         col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
@@ -156,10 +176,13 @@ object GoldMarts extends QueryModule {
 
   /** q02 — A3: inventory-health-style metrics per supplier × part type:
     * distinct counts, sum/avg/min/max, conditional counts, utilization. */
-  def inventoryHealth(s: SparkSession, dir: String): DataFrame = {
-    val l = Tables.t(s, dir, "lineitem")
-    val sup = Tables.t(s, dir, "supplier")
-    val p = Tables.t(s, dir, "part")
+  def inventoryHealth(s: SparkSession, dir: String): DataFrame =
+    inventoryHealthFrom(rawResolver(s, dir))
+
+  def inventoryHealthFrom(resolve: Resolver): DataFrame = {
+    val l = resolve("lineitem")
+    val sup = resolve("supplier")
+    val p = resolve("part")
     l.join(sup, col("l_suppkey") === col("s_suppkey"))
       .join(p, col("l_partkey") === col("p_partkey"))
       .groupBy(col("s_suppkey"), col("s_name"), col("p_type"))
@@ -201,16 +224,20 @@ object GoldMarts extends QueryModule {
 
   /** q03 — A4/A5: supplier monthly scorecard with lead time, CASE-sum
     * fulfillment counts, and OTIF-style NULLIF-guarded rates. */
-  def supplierMonthly(s: SparkSession, dir: String): DataFrame = {
-    val l = Tables.t(s, dir, "lineitem")
-    val o = Tables.t(s, dir, "orders")
-    val sup = Tables.t(s, dir, "supplier")
+  def supplierMonthly(s: SparkSession, dir: String): DataFrame =
+    supplierMonthlyFrom(rawResolver(s, dir), df => cachedStar(s, dir, "supplier", df))
+
+  def supplierMonthlyFrom(resolve: Resolver,
+      materialize: DataFrame => DataFrame): DataFrame = {
+    val l = resolve("lineitem")
+    val o = resolve("orders")
+    val sup = resolve("supplier")
     val leadDays = datediff(col("l_shipdate"), col("o_orderdate"))
     val gk = Seq(
       date_trunc("month", col("o_orderdate")).cast(DateType).as("order_month"),
       col("s_suppkey"), col("s_name"))
     val gkNames = Seq("order_month", "s_suppkey", "s_name")
-    val joined = cachedStar(s, dir, "supplier",
+    val joined = materialize(
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(sup, col("l_suppkey") === col("s_suppkey"))
         .select(gk ++ Seq(col("o_orderkey"), col("o_orderstatus"),
@@ -280,14 +307,17 @@ object GoldMarts extends QueryModule {
     * derivations (ISO dow, date keys), profit math, CASE bucketization
     * ladders, and DQ boolean flags. Anchor date replaces the
     * reference's CURRENT_DATE for determinism (SURVEY §7.4 risk 3). */
-  def dashboard(s: SparkSession, dir: String): DataFrame = {
-    val l = Tables.t(s, dir, "lineitem")
-    val o = Tables.t(s, dir, "orders")
-    val p = Tables.t(s, dir, "part")
-    val sup = Tables.t(s, dir, "supplier")
-    val c = Tables.t(s, dir, "customer")
-    val n = Tables.t(s, dir, "nation")
-    val r = Tables.t(s, dir, "region")
+  def dashboard(s: SparkSession, dir: String): DataFrame =
+    dashboardFrom(rawResolver(s, dir))
+
+  def dashboardFrom(resolve: Resolver): DataFrame = {
+    val l = resolve("lineitem")
+    val o = resolve("orders")
+    val p = resolve("part")
+    val sup = resolve("supplier")
+    val c = resolve("customer")
+    val n = resolve("nation")
+    val r = resolve("region")
     // Fixed-point money: price×(1−discount) and retail×qty/10 are
     // exactly scale-4 rationals, so compute them as LONG
     // ten-thousandths and HALF_UP to cents — value-identical to the

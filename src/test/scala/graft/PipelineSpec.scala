@@ -24,7 +24,8 @@ class PipelineSpec extends SparkSpec {
     val expect = Seq(
       "bronze" -> Seq("orders", "lineitem", "documents", "embeddings"),
       "silver" -> Seq("suppliers", "products", "warehouses", "retail_stores",
-        "inventory", "supply_orders", "orders", "lineitem", "quality_issues_log"),
+        "inventory", "supply_orders", "orders", "lineitem", "quality_issues_log",
+        "part", "customer", "supplier", "nation", "region"),
       "gold" -> Seq("monthly_sales", "inventory_health", "supplier_monthly",
         "dashboard", "forecasts", "table_metadata"),
       "audit" -> Seq("rejected_rows", "etl_steps", "dq_results", "etl_log"))
@@ -35,6 +36,48 @@ class PipelineSpec extends SparkSpec {
       if (!mayBeEmpty(s"$layer.$t"))
         assert(store.table(layer, t).count() > 0, s"$layer.$t empty")
     }
+  }
+
+  test("gold derives from silver: silver-rejected rows are absent from gold") {
+    import org.apache.spark.sql.functions._
+    val root2 = java.nio.file.Files.createTempDirectory("pipeline_lineage").toString
+    val store2 = new LayerStore(spark, root2)
+    assert(Pipeline.runBronze(spark, store2, sf0001).ok)
+    // poison bronze AFTER the load: a lineitem with non-positive
+    // quantity, an order with a negative total price (both silver
+    // reject rules), and a VALID lineitem referencing the bad order
+    val li = store2.table("bronze", "lineitem")
+    val badLi = li.limit(1)
+      .withColumn("l_orderkey", lit(999999999L))
+      .withColumn("l_quantity", lit(-5.0))
+    store2.write("bronze", "lineitem", li.unionByName(badLi))
+    val o = store2.table("bronze", "orders")
+    val badOrder = o.limit(1)
+      .withColumn("o_orderkey", lit(888888888L))
+      .withColumn("o_totalprice", lit(-10.0))
+    store2.write("bronze", "orders", o.unionByName(badOrder))
+    val orphanLi = store2.table("bronze", "lineitem").limit(1)
+      .withColumn("l_orderkey", lit(888888888L))
+      .withColumn("l_quantity", lit(7.0))
+    store2.write("bronze", "lineitem",
+      store2.table("bronze", "lineitem").unionByName(orphanLi))
+    assert(Pipeline.runSilver(spark, store2, "lineage-run").ok)
+    assert(Pipeline.runGold(spark, store2, sf0001, "lineage-run").ok)
+    // present in bronze, rejected by silver…
+    assert(store2.table("bronze", "lineitem").filter(col("l_orderkey") === 999999999L).count() == 1)
+    assert(store2.table("silver", "lineitem").filter(col("l_orderkey") === 999999999L).count() == 0)
+    assert(store2.table("silver", "orders").filter(col("o_orderkey") === 888888888L).count() == 0)
+    // …and therefore provably absent from gold built on silver
+    assert(store2.table("gold", "dashboard").filter(col("l_orderkey") === 999999999L).count() == 0)
+    // the valid lineitem of the rejected order survives the LEFT star
+    // but carries no order attributes — its order came from silver,
+    // not raw bronze
+    val orphan = store2.table("gold", "dashboard").filter(col("l_orderkey") === 888888888L)
+    assert(orphan.count() == 1)
+    assert(orphan.filter(col("order_date").isNull && col("order_status").isNull).count() == 1)
+    // the inner-join marts exclude the rejected order entirely
+    assert(store2.table("gold", "monthly_sales").count() > 0)
+    store2.teardown()
   }
 
   test("re-run is idempotent where it must be") {

@@ -125,10 +125,14 @@ object Pipeline {
     case name => store.table("silver", name)
   }
 
-  def runGold(spark: SparkSession, store: LayerStore, sfDir: String, runId: String): LayerResult = timed("gold") {
+  /** Gold layer build. `forecastModel`/`forecastGranularity` select
+    * the forecasting model per run, like the reference's CLI
+    * (forecasting.py:434-449); see operators.Forecasting.models. */
+  def runGold(spark: SparkSession, store: LayerStore, runId: String,
+      forecastModel: String = "global_ar",
+      forecastGranularity: String = "daily"): LayerResult = timed("gold") {
     // every mart builds from the silver tables runSilver just WROTE —
-    // bronze→silver→gold lineage, never raw source (sfDir is only the
-    // forecast demand-series input until the dispatch lands)
+    // bronze→silver→gold lineage, never raw source
     val resolve = silverStarResolver(store)
     val persisted = collection.mutable.ArrayBuffer.empty[DataFrame]
     // pin multi-pass star projections for the duration of the gold
@@ -145,15 +149,24 @@ object Pipeline {
       try marts.map { case (name, build) => name -> store.write("gold", name, build()) }
       finally persisted.foreach(_.unpersist())
     // gold.forecasts via run-scoped overwrite (forecasting.py:86-105):
-    // the global AR model's 7-day horizon for every entity, replacing
-    // only this run's rows on re-run
-    val forecasts = graft.operators.GlobalAR.forecastGlobalAr(spark, sfDir)
-      .withColumn("run_id", lit(runId))
-    val nFc = store.overwriteRun("gold", "forecasts", forecasts, "run_id", runId)
+    // the selected model's horizon for every entity — demand series
+    // derived from silver.lineitem like every other gold input —
+    // replacing only this run's rows on re-run
+    val fcPersisted = collection.mutable.ArrayBuffer.empty[DataFrame]
+    def fcMat(df: DataFrame): DataFrame = {
+      val p = df.persist(); p.count(); fcPersisted += p; p
+    }
+    val nFc = try {
+      val forecasts = graft.operators.Forecasting.runOver(
+        store.table("silver", "lineitem"), forecastModel, forecastGranularity, fcMat)
+        .withColumn("run_id", lit(runId))
+      store.overwriteRun("gold", "forecasts", forecasts, "run_id", runId)
+    } finally fcPersisted.foreach(_.unpersist())
     store.writeMetadata(counts.map { case (name, n) =>
       (name, s"gold mart $name", Seq("silver.orders", "silver.lineitem",
         "silver.part", "silver.customer", "silver.supplier"), n)
-    } :+ ("forecasts", "global AR forecast horizon", Seq("silver.lineitem"), nFc))
+    } :+ ("forecasts", s"$forecastModel $forecastGranularity forecast horizon",
+      Seq("silver.lineitem"), nFc))
     // the 12 DQ assertions run over the gold tables just WRITTEN (the
     // reference validates the stored gold layer) and are recorded;
     // like the reference the pipeline reports failures in its summary
@@ -189,7 +202,7 @@ object Pipeline {
     val bronze = runBronze(spark, store, sfDir)
     val silver = if (bronze.ok) runSilver(spark, store, runId)
       else LayerResult("silver", ok = false, 0, 0, 0)
-    val gold = if (silver.ok) runGold(spark, store, sfDir, runId)
+    val gold = if (silver.ok) runGold(spark, store, runId)
       else LayerResult("gold", ok = false, 0, 0, 0)
     val results = Seq(bronze, silver, gold)
     import spark.implicits._

@@ -49,8 +49,13 @@ object Forecast extends QueryModule {
 
   /** Daily demand per supplier with gap-filled calendar (W3):
     * sequence(min, max) + explode + left join + coalesce(0). */
-  private def buildDailySeries(s: SparkSession, dir: String): DataFrame = {
-    val l = Tables.t(s, dir, "lineitem")
+  private def buildDailySeries(s: SparkSession, dir: String): DataFrame =
+    dailySeriesOver(Tables.t(s, dir, "lineitem"))
+
+  /** Series build over a caller-supplied lineitem frame — the seam
+    * that lets the Pipeline derive forecasts from the WRITTEN
+    * silver.lineitem instead of raw source (medallion lineage). */
+  private[graft] def dailySeriesOver(l: DataFrame): DataFrame = {
     val daily = l.groupBy(col("l_suppkey").as("entity"),
         col("l_shipdate").cast(DateType).as("ds"))
       .agg(moneySum(col("l_quantity")).as("y"))
@@ -147,8 +152,11 @@ object Forecast extends QueryModule {
       w
     })
 
-  private def buildWeekly(s: SparkSession, dir: String): DataFrame = {
-    val observed = Tables.t(s, dir, "lineitem")
+  private def buildWeekly(s: SparkSession, dir: String): DataFrame =
+    weeklyOver(Tables.t(s, dir, "lineitem"))
+
+  private[graft] def weeklyOver(l: DataFrame): DataFrame = {
+    val observed = l
       .groupBy(col("l_suppkey").as("entity"),
         date_trunc("week", col("l_shipdate")).cast(DateType).as("week"))
       .agg(moneySum(col("l_quantity")).as("y"))
@@ -176,12 +184,15 @@ object Forecast extends QueryModule {
   /** q36 — linear-trend forecast: per-entity closed-form OLS over
     * (day-index, y) from exact sums, projected 4 weeks ahead, with
     * the reference's 0.8/1.2 default bounds. */
-  def forecastLinear(s: SparkSession, dir: String): DataFrame = {
+  def forecastLinear(s: SparkSession, dir: String): DataFrame =
+    forecastLinearOver(weekly(s, dir))
+
+  private[operators] def forecastLinearOver(weeklySeries: DataFrame): DataFrame = {
     // scale 2 keeps sums exact for 2-dp y AND keeps the scaled integer
     // below 2^53 at much larger SFs (decimal->double conversion of
     // wider sums rounds differently across engines)
     val dec = DecimalType(38, 2)
-    val wk = weekly(s, dir)
+    val wk = weeklySeries
       .withColumn("x", datediff(col("week"), lit("1995-01-02").cast(DateType)).cast(LongType))
     val fit = wk.groupBy(col("entity")).agg(
       count(lit(1)).as("n"),
@@ -209,7 +220,7 @@ object Forecast extends QueryModule {
       .orderBy(col("entity"), col("ds"))
   }
 
-  private val forecastLinearSql =
+  private[operators] val forecastLinearSql =
     s"""WITH wk AS ($weeklySql),
        |xy AS (SELECT entity, week, y,
        |              CAST(date_diff('day', DATE '1995-01-02', week) AS BIGINT) AS x FROM wk),
@@ -237,9 +248,12 @@ object Forecast extends QueryModule {
 
   /** q37 — seasonal-naive (period 4): yhat(T+h) = y(T+h-4), i.e. the
     * 4 newest observed weeks replay as the 4 forecast weeks. */
-  def forecastSeasonalNaive(s: SparkSession, dir: String): DataFrame = {
+  def forecastSeasonalNaive(s: SparkSession, dir: String): DataFrame =
+    forecastSeasonalNaiveOver(weekly(s, dir))
+
+  private[operators] def forecastSeasonalNaiveOver(weeklySeries: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("entity")).orderBy(col("week").desc)
-    val wk = weekly(s, dir)
+    val wk = weeklySeries
     val last = wk.groupBy(col("entity")).agg(max(col("week")).as("last_week"))
     wk.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 4)
@@ -252,7 +266,7 @@ object Forecast extends QueryModule {
       .orderBy(col("entity"), col("ds"))
   }
 
-  private val forecastSeasonalNaiveSql =
+  private[operators] val forecastSeasonalNaiveSql =
     s"""WITH wk AS ($weeklySql),
        |ranked AS (
        |  SELECT entity, week, y,

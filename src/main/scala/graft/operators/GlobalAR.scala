@@ -117,7 +117,7 @@ object GlobalAR extends QueryModule {
     * reference there. Spark and the DuckDB oracle share these
     * fixed-denominator semantics (q50/q55 pin them); the deviation
     * only matters for entities younger than the lag window. */
-  private def globalArCore(series: DataFrame, stepDays: Int,
+  private[operators] def globalArCore(series: DataFrame, stepDays: Int,
     granularity: String): DataFrame = {
     val w = Window.partitionBy(col("entity")).orderBy(col("ds"))
     val wPrev7 = w.rowsBetween(-7, -1)
@@ -204,7 +204,7 @@ object GlobalAR extends QueryModule {
       .orderBy(col("entity_id"), col("ds"))
   }
 
-  private def globalArSql(seriesSql: String, stepDays: Int,
+  private[operators] def globalArSql(seriesSql: String, stepDays: Int,
     granularity: String): String = {
     val solveChain = solveFormulas.foldLeft("SELECT * FROM sums") {
       case (inner, (name, f)) => s"SELECT *, $f AS $name FROM ($inner)" }

@@ -62,7 +62,7 @@ class PipelineSpec extends SparkSpec {
     store2.write("bronze", "lineitem",
       store2.table("bronze", "lineitem").unionByName(orphanLi))
     assert(Pipeline.runSilver(spark, store2, "lineage-run").ok)
-    assert(Pipeline.runGold(spark, store2, sf0001, "lineage-run").ok)
+    assert(Pipeline.runGold(spark, store2, "lineage-run").ok)
     // present in bronze, rejected by silver…
     assert(store2.table("bronze", "lineitem").filter(col("l_orderkey") === 999999999L).count() == 1)
     assert(store2.table("silver", "lineitem").filter(col("l_orderkey") === 999999999L).count() == 0)

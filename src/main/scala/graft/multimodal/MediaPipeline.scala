@@ -6,14 +6,20 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column processing: media as opaque binary payloads with
   * typed metadata, decoded/feature-extracted in partition-local
   * batches via mapPartitions (the Scala analogue of mapInPandas batch
-  * UDFs: amortize per-batch setup — a real codec would be initialized
-  * once per partition, not per row).
+  * UDFs: amortize per-batch setup — the codec is initialized once per
+  * partition, not per row).
   *
-  * The codec itself is STUBBED — this container has no image/audio
-  * libraries — with `fakeDecode`, a deterministic byte-level feature
-  * extractor, clearly marked. Everything around it (schema, batch
-  * shape, partition parallelism, output columns) is the real
-  * production plumbing and is spec-tested (MediaPipelineSpec).
+  * Two codec tiers:
+  *  - IMAGE payloads decode for REAL via the JDK's `javax.imageio`
+  *    (PNG/JPEG/GIF/BMP readers ship with every JRE — no external
+  *    library): width/height/luma-pixel extraction in `decodeImage`,
+  *    batch-distributed in `decodeAll`.
+  *  - everything else (audio/video/unknown — no codec libs in this
+  *    container) falls back to `fakeDecode`, a clearly-marked
+  *    deterministic byte-level stand-in.
+  * Everything around the codec (schema, batch shape, partition
+  * parallelism, output columns) is the real production plumbing and
+  * is spec-tested (MediaPipelineSpec).
   */
 object MediaPipeline {
 
@@ -64,6 +70,77 @@ object MediaPipeline {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id"), lit("text/plain").as("mime"),
       col("text").cast("binary").as("payload")).as[MediaRow]
+  }
+
+  /** REAL image decode via the JDK's javax.imageio. Returns
+    * (width, height, luma) — one 0..255 gray value per pixel,
+    * row-major, via the integer ITU-R BT.601 weighting — or None when
+    * no registered ImageReader recognizes the payload (or it is
+    * corrupt): callers fall back to the deterministic stub. Bulk
+    * getRGB, not per-pixel calls (one int[] copy per image). */
+  def decodeImage(payloadOrNull: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (payloadOrNull == null || payloadOrNull.isEmpty) None
+    else try {
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payloadOrNull))).map { img =>
+        val w = img.getWidth
+        val h = img.getHeight
+        val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+        val luma = new Array[Int](w * h)
+        var i = 0
+        while (i < luma.length) {
+          val v = rgb(i)
+          luma(i) = (((v >> 16) & 0xff) * 299 + ((v >> 8) & 0xff) * 587 +
+            (v & 0xff) * 114) / 1000
+          i += 1
+        }
+        (w, h, luma)
+      }
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Box-sample an arbitrary w×h pixel grid to side×side (top-left
+    * sample per box, fakeResize's policy — a production codec would
+    * average the box; the fixed output shape is the contract). */
+  def sampleGrid(px: Array[Int], w: Int, h: Int, side: Int): Array[Int] =
+    Array.tabulate(side * side) { i =>
+      val (r, c) = (i / side, i % side)
+      val idx = (r * h / side) * w + (c * w / side)
+      if (idx >= 0 && idx < px.length) px(idx) else 0
+    }
+
+  case class DecodedMedia(doc_id: Long, mime: String, byte_len: Int,
+    decoded: Boolean, width: Int, height: Int, mean_luma: Double,
+    frame_sample: Array[Int])
+
+  /** Partition-local batch decode with the REAL image codec: imageio
+    * for payloads its readers recognize (decoded=true: true
+    * dimensions, mean luma, fixed side×side luma sample), the
+    * deterministic stub otherwise (decoded=false: zero dimensions,
+    * stub frame sample) — so one pass classifies and featurizes a
+    * mixed media column without failing on the formats this
+    * environment cannot decode. */
+  def decodeAll(media: Dataset[MediaRow], side: Int = 8): Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition codec init: byte-array decodes must not spill
+      // through ImageIO's default disk-backed stream cache
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val len = if (r.payload == null) 0 else r.payload.length
+        decodeImage(r.payload) match {
+          case Some((w, h, luma)) =>
+            val mean =
+              if (luma.isEmpty) 0.0
+              else luma.foldLeft(0L)(_ + _).toDouble / luma.length
+            DecodedMedia(r.doc_id, r.mime, len, decoded = true, w, h, mean,
+              sampleGrid(luma, w, h, side))
+          case None =>
+            val (_, frames) = fakeDecode(r.payload)
+            DecodedMedia(r.doc_id, r.mime, len, decoded = false, 0, 0, 0.0, frames)
+        }
+      }
+    }
   }
 
   case class ResizedMedia(doc_id: Long, mime: String, width: Int,

@@ -46,6 +46,45 @@ class MediaPipelineSpec extends SparkSpec {
     assert(MediaPipeline.fakeResize(Array[Byte](7), 8).forall(_ == 7))
   }
 
+  test("real PNG/JPEG decode via javax.imageio inside the batch seam") {
+    import java.awt.image.BufferedImage
+    // gray ramp: r=g=b=v makes the BT.601 luma exactly v — decode is
+    // verifiable pixel-for-pixel
+    val img = new BufferedImage(16, 9, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 9; x <- 0 until 16) {
+      val v = x * 16 + y
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    def encode(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val png = encode("png")
+    // direct decode: exact dimensions and exact luma (PNG is lossless)
+    val Some((w, h, luma)) = MediaPipeline.decodeImage(png)
+    assert(w == 16 && h == 9 && luma.length == 144)
+    assert(luma(0) == 0 && luma(1) == 16 && luma(16) == 1) // (0,0) (1,0) (0,1)
+    // JPEG decodes too (lossy — dimensions only)
+    val Some((jw, jh, _)) = MediaPipeline.decodeImage(encode("jpg"))
+    assert(jw == 16 && jh == 9)
+    // through the distributed batch seam, mixed with a non-image
+    // payload that falls back to the stub
+    import spark.implicits._
+    val textBytes = "not an image".getBytes("UTF-8")
+    val ds = Seq(
+      MediaPipeline.MediaRow(1L, "image/png", png),
+      MediaPipeline.MediaRow(2L, "text/plain", textBytes)).toDS()
+    val out = MediaPipeline.decodeAll(ds).collect().sortBy(_.doc_id)
+    assert(out(0).decoded && out(0).width == 16 && out(0).height == 9)
+    assert(out(0).frame_sample.length == 64) // fixed side×side contract
+    assert(math.abs(out(0).mean_luma - luma.sum.toDouble / 144) < 1e-9)
+    assert(!out(1).decoded && out(1).width == 0 && out(1).height == 0)
+    assert(out(1).frame_sample.toSeq == MediaPipeline.fakeDecode(textBytes)._2.toSeq)
+    // corrupt-but-prefixed payload falls back, never throws
+    assert(MediaPipeline.decodeImage(png.take(20)).isEmpty)
+  }
+
   test("decode is deterministic across invocations") {
     val bytes = "hello multimodal world".getBytes("UTF-8")
     assert(MediaPipeline.fakeDecode(bytes) == MediaPipeline.fakeDecode(bytes) ||

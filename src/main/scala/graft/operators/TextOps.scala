@@ -500,7 +500,27 @@ object TextOps extends QueryModule {
     ()
   }
 
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    dedupClustersWith(s, dir, reliable = false)
+
+  /** `reliable = false` (default / bench): each round truncates
+    * lineage with `localCheckpoint` — fastest, but the materialized
+    * label blocks live only on executors and are NOT recomputable on
+    * executor loss. `reliable = true`: rounds checkpoint to the
+    * session's checkpoint directory (`sparkContext.setCheckpointDir`,
+    * shared storage on a cluster — REQUIRED before calling, else this
+    * fails fast) — one write+read of the skinny label frame per round
+    * buys survival of any executor loss, the durability a long
+    * many-round run on a 1000-executor cluster needs. Checkpoint
+    * files are left for the directory owner to reap (Spark only
+    * auto-cleans them with spark.cleaner.referenceTracking
+    * .cleanCheckpoints=true). */
+  def dedupClustersWith(s: SparkSession, dir: String, reliable: Boolean): DataFrame = {
+    if (reliable) require(s.sparkContext.getCheckpointDir.isDefined,
+      "dedupClustersWith(reliable = true) needs sparkContext.setCheckpointDir " +
+        "(shared storage) set first")
+    val checkpointRound: DataFrame => DataFrame =
+      if (reliable) _.checkpoint(true) else _.localCheckpoint(true)
     val docs = Tables.t(s, dir, "documents").select(col("doc_id"))
     lastFrames.remove((s, dir)).foreach(_.foreach(release))
     val sim = ngramJaccard(s, dir).filter(col("jaccard") >= 0.5)
@@ -530,9 +550,9 @@ object TextOps extends QueryModule {
       // (implicitly cached), keeping driver-side analysis O(1) per
       // round — at a billion docs the loop still runs in diameter
       // rounds with constant-size plans.
-      val next = labels.unionByName(neighborLabels)
-        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
+      val next = checkpointRound(
+        labels.unionByName(neighborLabels)
+          .groupBy(col("doc_id")).agg(min(col("label")).as("label")))
       val sumNow = next.agg(sum(col("label").cast(DecimalType(38, 0)))).head().getDecimal(0)
       // a null sum means zero docs: the empty labeling is trivially the
       // fixed point (without this, prevSum stays null forever and the
@@ -547,10 +567,10 @@ object TextOps extends QueryModule {
     // fail loudly rather than emit them; the oracle is exact closure
     require(converged,
       s"dedupClusters: min-label propagation not converged after $iter rounds")
-    // edges stays persisted; labels is localCheckpoint-backed (NOT
-    // recomputable on executor loss — the tradeoff for truncated
-    // lineage; a cluster deployment would use reliable checkpoint()
-    // to shared storage). Both are released on the next invocation.
+    // edges stays persisted; labels is checkpoint-backed (reliable =
+    // survives executor loss from shared storage; local = fast but
+    // not recomputable — the caller's dial). Both are released on the
+    // next invocation.
     lastFrames.put((s, dir), Seq(labels, edges))
     val comp = labels.select(col("doc_id"), col("label").as("cluster_id"))
     val sizes = comp.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))

@@ -10,6 +10,27 @@ import org.apache.spark.sql.functions._
 class ScaleSpec extends SparkSpec {
   import spark.implicits._
 
+  test("dedupClusters reliable checkpointing == local-checkpoint labels") {
+    // the cluster-durable path (checkpoint() to shared storage) must
+    // produce byte-identical labels to the fast local path q54 pins
+    // against the oracle
+    val local = graft.operators.TextOps.dedupClusters(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    // no checkpoint dir set -> the reliable path must refuse loudly
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      intercept[IllegalArgumentException] {
+        graft.operators.TextOps.dedupClustersWith(spark, sf0001, reliable = true)
+      }
+    val ckpt = java.nio.file.Files.createTempDirectory("reliable_ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt.toString)
+    val reliable = graft.operators.TextOps.dedupClustersWith(spark, sf0001, reliable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(reliable == local)
+    // the rounds really went through the reliable checkpoint dir
+    val wrote = java.nio.file.Files.walk(ckpt).filter(_.toFile.isFile).count()
+    assert(wrote > 0, "no checkpoint files written — reliable path did not engage")
+  }
+
   test("salted join == plain join on a skewed fact") {
     // 90% of fact rows hit one key — the classic hot-key shape
     val fact = (1 to 10000).map(i =>

@@ -41,6 +41,31 @@ class LayerStoreSpec extends SparkSpec {
     assert(store.sql("SELECT count(*) AS n FROM silver_demo").as[Long].head() == 1L)
   }
 
+  test("S6: pushJdbc round-trips through embedded Derby") {
+    // Derby ships on Spark's unmanaged classpath (derby-10.16 +
+    // derbytools with the java.sql.Driver service registration), so
+    // the JDBC push is integration-testable offline after all
+    System.setProperty("derby.stream.error.file",
+      java.nio.file.Files.createTempDirectory("derby-log").resolve("derby.log").toString)
+    val (store, _) = freshStore()
+    val rows = (1 to 137).map(i => (i.toLong, s"name_$i", i * 1.5))
+      .toDF("id", "name", "score")
+    store.write("gold", "push_me", rows)
+    val db = java.nio.file.Files.createTempDirectory("derby-db").resolve("graft")
+    val url = s"jdbc:derby:$db;create=true"
+    val props = new java.util.Properties()
+    store.pushJdbc("gold", "push_me", url, "PUSHED", props,
+      batchSize = 50, maxConnections = 2)
+    val back = spark.read.jdbc(url, "PUSHED", props)
+    assert(store.verifyCounts(back, "gold", "push_me"))
+    val got = back.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == (1 to 137).map(i => (i.toLong, s"name_$i", i * 1.5)))
+    // append semantics (the reference pushes in accumulating batches)
+    store.pushJdbc("gold", "push_me", url, "PUSHED", props)
+    assert(spark.read.jdbc(url, "PUSHED", props).count() == 274)
+  }
+
   test("run-scoped overwrite replaces only the run's rows") {
     val (store, _) = freshStore()
     val run1 = Seq(("r1", 1), ("r1", 2), ("r2", 3)).toDF("run_id", "v")

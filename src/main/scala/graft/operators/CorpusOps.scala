@@ -227,15 +227,136 @@ object CorpusOps extends QueryModule {
        |ORDER BY source NULLS FIRST""".stripMargin
   }
 
+  // ---- q67: PII redaction -----------------------------------------
+
+  // ASCII-only character classes on purpose: Java regex and DuckDB's
+  // RE2 disagree on unicode \w/\d semantics (cross-engine parity trap)
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\d{3}-\\d{3}-\\d{4}"
+
+  /** q67 — PII scrub, the redaction pass every shareable training
+    * corpus runs before packing: count + mask email addresses and
+    * phone numbers. The fixture text is synthetic (PII-free), so the
+    * query first INJECTS deterministic PII derived from doc_id — the
+    * redaction regexes then have real matches to find, and the oracle
+    * verifies the scrub byte-for-byte on the full redacted text.
+    * Scale: a narrow per-row map — no shuffle, no UDF (regexp_replace
+    * / regexp_extract_all are codegen'd). */
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val injected = when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or admin@data-corp.io")))
+      .when(pmod(col("doc_id"), lit(3)) === 1,
+        concat(col("text"), lit(" call 415-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast(StringType), 4, "0"),
+          lit(" now")))
+      .otherwise(col("text"))
+    Tables.t(s, dir, "documents")
+      .withColumn("dirty", injected)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("dirty"), lit(EmailRe), lit(0)))
+          .cast(LongType).as("n_emails"),
+        size(regexp_extract_all(col("dirty"), lit(PhoneRe), lit(0)))
+          .cast(LongType).as("n_phones"),
+        regexp_replace(regexp_replace(col("dirty"), EmailRe, "[EMAIL]"),
+          PhoneRe, "[PHONE]").as("redacted"))
+      .withColumn("clean_len", length(col("redacted")).cast(LongType))
+      .orderBy(col("doc_id"))
+  }
+
+  private val piiRedactSql = {
+    val injected =
+      """CASE WHEN doc_id % 3 = 0
+        |       THEN text || ' contact user' || doc_id || '@example.com or admin@data-corp.io'
+        |     WHEN doc_id % 3 = 1
+        |       THEN text || ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'
+        |     ELSE text END""".stripMargin
+    // DuckDB regexp_replace replaces only the FIRST match without 'g'
+    s"""WITH dirty AS (SELECT doc_id, $injected AS dirty FROM documents)
+       |SELECT doc_id,
+       |       CAST(len(regexp_extract_all(dirty, '$EmailRe')) AS BIGINT) AS n_emails,
+       |       CAST(len(regexp_extract_all(dirty, '$PhoneRe')) AS BIGINT) AS n_phones,
+       |       regexp_replace(regexp_replace(dirty, '$EmailRe', '[EMAIL]', 'g'),
+       |                      '$PhoneRe', '[PHONE]', 'g') AS redacted,
+       |       CAST(length(regexp_replace(regexp_replace(dirty, '$EmailRe', '[EMAIL]', 'g'),
+       |                      '$PhoneRe', '[PHONE]', 'g')) AS BIGINT) AS clean_len
+       |FROM dirty
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- q68: weighted corpus mixing --------------------------------
+
+  /** Target mixture weights (per-mille of the doc budget) — at 100 TB
+    * this is run configuration, like the pinned language list. */
+  private val MixWeights: Seq[(String, Int)] =
+    Seq(("src0", 400), ("src1", 300), ("src2", 200), ("src3", 100))
+  private val MixBudgetDocs = 60L
+
+  /** q68 — corpus mixing: hit per-source document targets
+    * (budget × weight) by computing each source's keep-rate FROM its
+    * measured size, then sampling with the q59 deterministic keyed
+    * coin. This is the op that turns "40% web, 30% code…" recipes
+    * into a physical sample. Integer math end to end (targets and
+    * per-mille rates are exact in both engines). Scale: one tiny
+    * per-source count aggregate, broadcast back onto the corpus, then
+    * a narrow filter — the corpus itself never shuffles. */
+  def corpusMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(s, dir, "documents")
+    val target = MixWeights.foldLeft(lit(0L)) { case (acc, (src, w)) =>
+      when(col("source") === src, lit(MixBudgetDocs * w / 1000)).otherwise(acc) }
+    val rates = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("source_count"))
+      .withColumn("target_docs", target)
+      // `div`, not `/`: Spark's divide on BIGINTs yields DOUBLE while
+      // DuckDB's `//` stays integral — div matches the oracle exactly
+      .withColumn("rate_permille",
+        least(lit(1000L), expr("1000 * target_docs div source_count")))
+    val bucket = pmod(
+      pmod(shiftrightunsigned(col("doc_id"), 31) * lit(1103515245L), lit(1000L)) +
+        pmod(col("doc_id").bitwiseAND(lit(2147483647L)) * lit(2654435761L), lit(1000L)),
+      lit(1000L))
+    docs.join(broadcast(rates), "source")
+      .withColumn("bucket", bucket)
+      .filter(col("bucket") < col("rate_permille"))
+      .groupBy(col("source"), col("source_count"), col("target_docs"),
+        col("rate_permille"))
+      .agg(count(lit(1)).as("kept_docs"))
+      .orderBy(col("source"))
+  }
+
+  private val corpusMixSql = {
+    val targetSql = MixWeights.map { case (src, w) =>
+      s"WHEN source = '$src' THEN ${MixBudgetDocs * w / 1000}" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+    val bucketSql = "(((doc_id >> 31) * 1103515245) % 1000 + " +
+      "((doc_id & 2147483647) * 2654435761) % 1000) % 1000"
+    s"""WITH rates AS (
+       |  SELECT source, count(1) AS source_count,
+       |         $targetSql AS target_docs,
+       |         least(1000, 1000 * ($targetSql) // count(1)) AS rate_permille
+       |  FROM documents GROUP BY source)
+       |SELECT source, source_count, target_docs, rate_permille,
+       |       count(1) AS kept_docs
+       |FROM documents JOIN rates USING (source)
+       |WHERE $bucketSql < rate_permille
+       |GROUP BY 1, 2, 3, 4
+       |ORDER BY source""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_repetition_profile" -> repetitionProfile,
     "q62_decontamination" -> decontaminate,
     "q63_vocabulary" -> vocabulary,
-    "q65_lang_source_matrix" -> langSourceMatrix)
+    "q65_lang_source_matrix" -> langSourceMatrix,
+    "q67_pii_redact" -> piiRedact,
+    "q68_corpus_mix" -> corpusMix)
 
   override def oracles: Map[String, String] = Map(
     "q61_repetition_profile" -> repetitionProfileSql,
     "q62_decontamination" -> decontaminateSql,
     "q63_vocabulary" -> vocabularySql,
-    "q65_lang_source_matrix" -> langSourceMatrixSql)
+    "q65_lang_source_matrix" -> langSourceMatrixSql,
+    "q67_pii_redact" -> piiRedactSql,
+    "q68_corpus_mix" -> corpusMixSql)
 }

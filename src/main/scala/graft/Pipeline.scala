@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.Cleaning._
-import graft.operators.{DqChecks, Eda, GoldMarts}
+import graft.operators.{DqChecks, GoldMarts}
 import graft.sources.LayerStore
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -196,13 +196,15 @@ object Pipeline {
   /** Full pipeline with layer gating; returns per-layer results and
     * appends the run to audit.etl_log (the reference's per-step
     * in/out/duration accounting, silver/silver_builder.py:497-516). */
-  def run(spark: SparkSession, sfDir: String, outRoot: String): Seq[LayerResult] = {
+  def run(spark: SparkSession, sfDir: String, outRoot: String,
+      forecastModel: String = "global_ar",
+      forecastGranularity: String = "daily"): Seq[LayerResult] = {
     val store = new LayerStore(spark, outRoot)
     val runId = java.util.UUID.randomUUID().toString
     val bronze = runBronze(spark, store, sfDir)
     val silver = if (bronze.ok) runSilver(spark, store, runId)
       else LayerResult("silver", ok = false, 0, 0, 0)
-    val gold = if (silver.ok) runGold(spark, store, runId)
+    val gold = if (silver.ok) runGold(spark, store, runId, forecastModel, forecastGranularity)
       else LayerResult("gold", ok = false, 0, 0, 0)
     val results = Seq(bronze, silver, gold)
     import spark.implicits._
@@ -213,9 +215,14 @@ object Pipeline {
     results
   }
 
+  /** CLI mirrors the reference's `etl.py` + forecasting model flags
+    * (forecasting.py:434-449): <sfDir> <outRoot> [model] [granularity]. */
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val outRoot = if (args.length > 1) args(1) else "/tmp/graft-pipeline"
+    val model = if (args.length > 2) args(2) else "global_ar"
+    val granularity = if (args.length > 3) args(3)
+      else if (model == "global_ar") "daily" else "weekly"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
@@ -223,7 +230,7 @@ object Pipeline {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = run(spark, sfDir, outRoot)
+    val results = run(spark, sfDir, outRoot, model, granularity)
     results.foreach(r => println(
       f"[pipeline] ${r.layer}%-7s ok=${r.ok} tables=${r.tables} rows=${r.rows} ${r.seconds}%.1fs"))
     spark.stop()

@@ -77,6 +77,14 @@ class PipelineSpec extends SparkSpec {
     assert(orphan.filter(col("order_date").isNull && col("order_status").isNull).count() == 1)
     // the inner-join marts exclude the rejected order entirely
     assert(store2.table("gold", "monthly_sales").count() > 0)
+    // model dispatch through the pipeline: gold built with global_ar
+    // above; re-running with another model swaps this run's forecasts
+    // through the run-scoped overwrite
+    assert(store2.table("gold", "forecasts").select("model").distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("global_ar"))
+    assert(Pipeline.runGold(spark, store2, "lineage-run", "linear", "weekly").ok)
+    assert(store2.table("gold", "forecasts").select("model").distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("linear"))
     store2.teardown()
   }
 

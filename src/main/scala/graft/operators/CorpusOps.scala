@@ -344,13 +344,71 @@ object CorpusOps extends QueryModule {
        |ORDER BY source""".stripMargin
   }
 
+  // ---- q69: inter-document span dedup -----------------------------
+
+  /** Span width in tokens — 8 catches the fixture's near-duplicate
+    * overlap (58/500 docs share at least one span); production would
+    * tune per corpus (C4 used 3-sentence spans). */
+  private val SpanTokens = 8
+
+  /** q69 — inter-document repetition removal (the C4 / MassiveText
+    * dedup pass that q61's INTRA-doc profile does not cover): chunk
+    * every document into non-overlapping `SpanTokens`-token spans; a
+    * span occurrence is kept iff its document is the span's FIRST
+    * owner (minimum doc_id) corpus-wide. Emits the per-doc keep
+    * accounting a curation run reports.
+    * Scale: spans never carry their text into the shuffle — the
+    * md5 span hash (32 chars, bounded) is the only key; the owner
+    * aggregation partial-combines map-side, and the spans frame joins
+    * it back on the same hash. Span construction is a narrow map
+    * (slice over the token array, no explode-then-regroup). */
+  def spanDedup(s: SparkSession, dir: String): DataFrame = {
+    val spanArr = expr(
+      s"""CASE WHEN size(toks) = 0 THEN CAST(array() AS ARRAY<STRING>)
+         |ELSE transform(sequence(0, CAST(ceil(size(toks) / $SpanTokens.0) AS INT) - 1),
+         |       i -> md5(array_join(slice(toks, i * $SpanTokens + 1, $SpanTokens), ' ')))
+         |END""".stripMargin)
+    val spans = Tables.t(s, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), posexplode(spanArr).as(Seq("span_idx", "h")))
+    val owners = spans.groupBy(col("h")).agg(min(col("doc_id")).as("owner"))
+    spans.join(owners, "h")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L)).as("kept_spans"))
+      .withColumn("dup_spans", col("n_spans") - col("kept_spans"))
+      // one IEEE division of exact integer counts — bit-identical
+      .withColumn("kept_fraction",
+        col("kept_spans").cast(DoubleType) / col("n_spans").cast(DoubleType))
+      .orderBy(col("doc_id"))
+  }
+
+  private val spanDedupSql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |idx AS (SELECT doc_id, toks,
+       |               unnest(generate_series(0, CAST(ceil(len(toks) / $SpanTokens.0) AS INT) - 1)) AS i
+       |        FROM t),
+       |spans AS (SELECT doc_id, i AS span_idx,
+       |                 md5(array_to_string(list_slice(toks, i * $SpanTokens + 1, i * $SpanTokens + $SpanTokens), ' ')) AS h
+       |          FROM idx),
+       |owners AS (SELECT h, min(doc_id) AS owner FROM spans GROUP BY h)
+       |SELECT doc_id, count(1) AS n_spans,
+       |       CAST(sum(CASE WHEN owner = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS kept_spans,
+       |       CAST(count(1) - sum(CASE WHEN owner = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+       |       CAST(sum(CASE WHEN owner = doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(1) AS kept_fraction
+       |FROM spans JOIN owners USING (h)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_repetition_profile" -> repetitionProfile,
     "q62_decontamination" -> decontaminate,
     "q63_vocabulary" -> vocabulary,
     "q65_lang_source_matrix" -> langSourceMatrix,
     "q67_pii_redact" -> piiRedact,
-    "q68_corpus_mix" -> corpusMix)
+    "q68_corpus_mix" -> corpusMix,
+    "q69_span_dedup" -> spanDedup)
 
   override def oracles: Map[String, String] = Map(
     "q61_repetition_profile" -> repetitionProfileSql,
@@ -358,5 +416,6 @@ object CorpusOps extends QueryModule {
     "q63_vocabulary" -> vocabularySql,
     "q65_lang_source_matrix" -> langSourceMatrixSql,
     "q67_pii_redact" -> piiRedactSql,
-    "q68_corpus_mix" -> corpusMixSql)
+    "q68_corpus_mix" -> corpusMixSql,
+    "q69_span_dedup" -> spanDedupSql)
 }

@@ -21,7 +21,7 @@ import org.apache.spark.sql.SparkSession
   *    bursty neighbor contention inflated a zero-code-change round-2
   *    snapshot 2.6×; median-of-3 still absorbs that poorly when a
   *    burst spans a query's whole 3-run window);
-  *  - a 32-thread calibration spin before and after the run ("cal0"/
+  *  - a per-core calibration spin before and after the run ("cal0"/
   *    "cal1", seconds for a fixed CPU-bound workload): if those two
   *    numbers disagree with their clean-window value (~0.5 s) the
   *    whole snapshot ran contended and should be discounted, which

@@ -125,47 +125,55 @@ object Pipeline {
     case name => store.table("silver", name)
   }
 
-  /** Gold layer build. `forecastModel`/`forecastGranularity` select
-    * the forecasting model per run, like the reference's CLI
-    * (forecasting.py:434-449); see operators.Forecasting.models. */
-  def runGold(spark: SparkSession, store: LayerStore, runId: String,
-      forecastModel: String = "global_ar",
-      forecastGranularity: String = "daily"): LayerResult = timed("gold") {
-    // every mart builds from the silver tables runSilver just WROTE —
-    // bronze→silver→gold lineage, never raw source
-    val resolve = silverStarResolver(store)
+  /** Run `body` with a materializer that persists frames for the
+    * duration of the call only (the query surface memoizes
+    * session-lifetime instead; here the pin must not outlive the
+    * layer build). */
+  private def withMaterializer[T](body: (DataFrame => DataFrame) => T): T = {
     val persisted = collection.mutable.ArrayBuffer.empty[DataFrame]
-    // pin multi-pass star projections for the duration of the gold
-    // build only (the query surface memoizes session-lifetime instead)
     def mat(df: DataFrame): DataFrame = {
       val p = df.persist(); p.count(); persisted += p; p
     }
+    try body(mat) finally persisted.foreach(_.unpersist())
+  }
+
+  /** Gold layer build. `forecastModel`/`forecastGranularity` select
+    * the forecasting model per run, like the reference's CLI
+    * (forecasting.py:434-449); see operators.Forecasting.models.
+    * Granularity "auto" = the model's default (daily for global_ar,
+    * weekly otherwise) — shared by every entry point. */
+  def runGold(spark: SparkSession, store: LayerStore, runId: String,
+      forecastModel: String = "global_ar",
+      forecastGranularity: String = "auto"): LayerResult = timed("gold") {
+    val granularity =
+      if (forecastGranularity == "auto")
+        graft.operators.Forecasting.defaultGranularity(forecastModel)
+      else forecastGranularity
+    // every mart builds from the silver tables runSilver just WROTE —
+    // bronze→silver→gold lineage, never raw source
+    val resolve = silverStarResolver(store)
     val marts = Seq(
-      "monthly_sales" -> (() => GoldMarts.monthlySalesFrom(resolve, mat)),
-      "inventory_health" -> (() => GoldMarts.inventoryHealthFrom(resolve)),
-      "supplier_monthly" -> (() => GoldMarts.supplierMonthlyFrom(resolve, mat)),
-      "dashboard" -> (() => GoldMarts.dashboardFrom(resolve)))
-    val counts =
-      try marts.map { case (name, build) => name -> store.write("gold", name, build()) }
-      finally persisted.foreach(_.unpersist())
+      "monthly_sales" -> ((mat: DataFrame => DataFrame) => GoldMarts.monthlySalesFrom(resolve, mat)),
+      "inventory_health" -> ((_: DataFrame => DataFrame) => GoldMarts.inventoryHealthFrom(resolve)),
+      "supplier_monthly" -> ((mat: DataFrame => DataFrame) => GoldMarts.supplierMonthlyFrom(resolve, mat)),
+      "dashboard" -> ((_: DataFrame => DataFrame) => GoldMarts.dashboardFrom(resolve)))
+    val counts = withMaterializer { mat =>
+      marts.map { case (name, build) => name -> store.write("gold", name, build(mat)) }
+    }
     // gold.forecasts via run-scoped overwrite (forecasting.py:86-105):
     // the selected model's horizon for every entity — demand series
     // derived from silver.lineitem like every other gold input —
     // replacing only this run's rows on re-run
-    val fcPersisted = collection.mutable.ArrayBuffer.empty[DataFrame]
-    def fcMat(df: DataFrame): DataFrame = {
-      val p = df.persist(); p.count(); fcPersisted += p; p
-    }
-    val nFc = try {
+    val nFc = withMaterializer { mat =>
       val forecasts = graft.operators.Forecasting.runOver(
-        store.table("silver", "lineitem"), forecastModel, forecastGranularity, fcMat)
+        store.table("silver", "lineitem"), forecastModel, granularity, mat)
         .withColumn("run_id", lit(runId))
       store.overwriteRun("gold", "forecasts", forecasts, "run_id", runId)
-    } finally fcPersisted.foreach(_.unpersist())
+    }
     store.writeMetadata(counts.map { case (name, n) =>
       (name, s"gold mart $name", Seq("silver.orders", "silver.lineitem",
         "silver.part", "silver.customer", "silver.supplier"), n)
-    } :+ ("forecasts", s"$forecastModel $forecastGranularity forecast horizon",
+    } :+ ("forecasts", s"$forecastModel $granularity forecast horizon",
       Seq("silver.lineitem"), nFc))
     // the 12 DQ assertions run over the gold tables just WRITTEN (the
     // reference validates the stored gold layer) and are recorded;
@@ -198,7 +206,7 @@ object Pipeline {
     * in/out/duration accounting, silver/silver_builder.py:497-516). */
   def run(spark: SparkSession, sfDir: String, outRoot: String,
       forecastModel: String = "global_ar",
-      forecastGranularity: String = "daily"): Seq[LayerResult] = {
+      forecastGranularity: String = "auto"): Seq[LayerResult] = {
     val store = new LayerStore(spark, outRoot)
     val runId = java.util.UUID.randomUUID().toString
     val bronze = runBronze(spark, store, sfDir)
@@ -221,8 +229,7 @@ object Pipeline {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val outRoot = if (args.length > 1) args(1) else "/tmp/graft-pipeline"
     val model = if (args.length > 2) args(2) else "global_ar"
-    val granularity = if (args.length > 3) args(3)
-      else if (model == "global_ar") "daily" else "weekly"
+    val granularity = if (args.length > 3) args(3) else "auto"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))

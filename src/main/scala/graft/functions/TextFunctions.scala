@@ -57,4 +57,26 @@ object TextFunctions {
     val v = s"(CASE WHEN $a >= 97 THEN $a - 87 ELSE $a - 48 END)"
     s"(2 * (($v >> ${bit % 4}) & 1) - 1)"
   }
+
+  /** Deterministic per-mille keyed coin over a non-negative BIGINT id
+    * (stratified sampling q59, corpus mixing q68): the id splits into
+    * 31-bit halves, each Knuth-multiplied and reduced mod 1000 BEFORE
+    * the sum — a bare id·2654435761 overflows 64-bit (ANSI error in
+    * Spark, BIGINT error in DuckDB) for ids above ~3.5e9, i.e. exactly
+    * the corpus sizes samplers are for. Every product here is provably
+    * < 2^63 (hi ≤ 2^32 · C1 < 2^31; lo < 2^31 · C2 < 2^32).
+    * Reproducible across engines, reruns, and partitionings — the
+    * property random() sampling loses — and a narrow map at any
+    * scale. ONE definition, with `permilleBucketSql` as its oracle
+    * twin: the constants are parity-critical, so they must never be
+    * edited in one copy only. */
+  def permilleBucket(id: Column): Column = pmod(
+    pmod(shiftrightunsigned(id, 31) * lit(1103515245L), lit(1000L)) +
+      pmod(id.bitwiseAND(lit(2147483647L)) * lit(2654435761L), lit(1000L)),
+    lit(1000L))
+
+  /** SQL twin of permilleBucket for the DuckDB oracle. */
+  def permilleBucketSql(id: String): String =
+    s"((($id >> 31) * 1103515245) % 1000 + " +
+      s"(($id & 2147483647) * 2654435761) % 1000) % 1000"
 }

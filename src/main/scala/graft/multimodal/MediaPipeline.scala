@@ -96,7 +96,14 @@ object MediaPipeline {
         }
         (w, h, luma)
       }
-    } catch { case _: java.io.IOException => None }
+    } catch {
+      // NonFatal, not just IOException: JDK ImageIO readers throw
+      // RuntimeExceptions (ArrayIndexOutOfBounds, IllegalArgument,
+      // CMMException…) on malformed-but-recognized payloads, and a
+      // crawled corpus WILL contain those — they must fall back to
+      // the stub, not kill the task
+      case scala.util.control.NonFatal(_) => None
+    }
   }
 
   /** Box-sample an arbitrary w×h pixel grid to side×side (top-left

@@ -312,12 +312,8 @@ object CorpusOps extends QueryModule {
       // DuckDB's `//` stays integral — div matches the oracle exactly
       .withColumn("rate_permille",
         least(lit(1000L), expr("1000 * target_docs div source_count")))
-    val bucket = pmod(
-      pmod(shiftrightunsigned(col("doc_id"), 31) * lit(1103515245L), lit(1000L)) +
-        pmod(col("doc_id").bitwiseAND(lit(2147483647L)) * lit(2654435761L), lit(1000L)),
-      lit(1000L))
     docs.join(broadcast(rates), "source")
-      .withColumn("bucket", bucket)
+      .withColumn("bucket", permilleBucket(col("doc_id")))
       .filter(col("bucket") < col("rate_permille"))
       .groupBy(col("source"), col("source_count"), col("target_docs"),
         col("rate_permille"))
@@ -329,8 +325,7 @@ object CorpusOps extends QueryModule {
     val targetSql = MixWeights.map { case (src, w) =>
       s"WHEN source = '$src' THEN ${MixBudgetDocs * w / 1000}" }
       .mkString("CASE ", " ", " ELSE 0 END")
-    val bucketSql = "(((doc_id >> 31) * 1103515245) % 1000 + " +
-      "((doc_id & 2147483647) * 2654435761) % 1000) % 1000"
+    val bucketSql = permilleBucketSql("doc_id")
     s"""WITH rates AS (
        |  SELECT source, count(1) AS source_count,
        |         $targetSql AS target_docs,

@@ -31,6 +31,14 @@ object Forecasting extends QueryModule {
     "seasonal_naive" -> Seq("weekly"),
     "global_ar" -> Seq("daily", "weekly"))
 
+  /** The granularity a model runs at when the caller doesn't choose:
+    * global_ar's native horizon is daily; the other models are
+    * weekly-only. Shared by every entry point (CLI and programmatic)
+    * so "linear" without a granularity never dispatches to an
+    * unsupported (linear, daily) pair. */
+  def defaultGranularity(model: String): String =
+    if (model == "global_ar") "daily" else "weekly"
+
   /** Conform a bare (entity, ds, yhat, bounds) frame to the reference
     * forecasts interface. */
   private def conform(df: DataFrame, model: String, granularity: String): DataFrame =

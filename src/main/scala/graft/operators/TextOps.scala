@@ -520,7 +520,17 @@ object TextOps extends QueryModule {
       "dedupClustersWith(reliable = true) needs sparkContext.setCheckpointDir " +
         "(shared storage) set first")
     val checkpointRound: DataFrame => DataFrame =
-      if (reliable) _.checkpoint(true) else _.localCheckpoint(true)
+      if (reliable) { df =>
+        // persist before checkpoint: the eager action computes the
+        // aggregation, then the checkpoint-file write job re-computes
+        // it unless the result is cached — persist halves per-round
+        // materialization cost on exactly the long runs this path is
+        // for. The cache is dropped as soon as the files are durable.
+        val cached = df.persist()
+        val out = cached.checkpoint(true)
+        cached.unpersist()
+        out
+      } else _.localCheckpoint(true)
     val docs = Tables.t(s, dir, "documents").select(col("doc_id"))
     lastFrames.remove((s, dir)).foreach(_.foreach(release))
     val sim = ngramJaccard(s, dir).filter(col("jaccard") >= 0.5)
@@ -665,29 +675,18 @@ object TextOps extends QueryModule {
 
   // ---- q59: deterministic stratified sampling ----------------------
 
-  /** q59 — per-source stratified sample with a deterministic keyed
-    * coin: the (non-negative) doc_id splits into 31-bit halves, each
-    * multiplied by a fixed constant and reduced mod 1000 BEFORE the
-    * sum — a bare doc_id·2654435761 would overflow 64-bit (ANSI error
-    * in Spark, BIGINT error in DuckDB) for ids above ~3.5e9, i.e. at
-    * exactly the corpus sizes this sampler is for. Every product here
-    * is provably < 2^63 (hi ≤ 2^32 times C1 < 2^31; lo < 2^31 times
-    * C2 < 2^32). Keep when bucket < the source's per-mille rate.
-    * Reproducible across engines, reruns, and partitionings — the
-    * property random() sampling loses — and a narrow map at any
-    * scale. */
+  /** q59 — per-source stratified sample with the deterministic keyed
+    * coin (TextFunctions.permilleBucket — see there for the overflow
+    * bound and parity rationale). Keep when bucket < the source's
+    * per-mille rate. */
   private val sampleRates: Seq[(String, Int)] =
     Seq(("src0", 800), ("src1", 500), ("src2", 200), ("src3", 700))
 
   def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
     val rate = sampleRates.foldLeft(lit(100)) { case (acc, (src, r)) =>
       when(col("source") === src, lit(r)).otherwise(acc) }
-    val bucket = pmod(
-      pmod(shiftrightunsigned(col("doc_id"), 31) * lit(1103515245L), lit(1000L)) +
-        pmod(col("doc_id").bitwiseAND(lit(2147483647L)) * lit(2654435761L), lit(1000L)),
-      lit(1000L))
     Tables.t(s, dir, "documents")
-      .withColumn("bucket", bucket)
+      .withColumn("bucket", permilleBucket(col("doc_id")))
       .withColumn("rate_permille", rate)
       .filter(col("bucket") < col("rate_permille"))
       .select(col("doc_id"), col("source"), col("bucket"), col("rate_permille"))
@@ -697,8 +696,7 @@ object TextOps extends QueryModule {
   private val stratifiedSampleSql = {
     val rateSql = sampleRates.map { case (s, r) => s"WHEN source = '$s' THEN $r" }
       .mkString("CASE ", " ", " ELSE 100 END")
-    val bucketSql = "(((doc_id >> 31) * 1103515245) % 1000 + " +
-      "((doc_id & 2147483647) * 2654435761) % 1000) % 1000"
+    val bucketSql = permilleBucketSql("doc_id")
     s"""SELECT doc_id, source,
        |       $bucketSql AS bucket,
        |       $rateSql AS rate_permille

@@ -16,11 +16,16 @@ class ScaleSpec extends SparkSpec {
     // against the oracle
     val local = graft.operators.TextOps.dedupClusters(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
-    // no checkpoint dir set -> the reliable path must refuse loudly
-    if (spark.sparkContext.getCheckpointDir.isEmpty)
-      intercept[IllegalArgumentException] {
-        graft.operators.TextOps.dedupClustersWith(spark, sf0001, reliable = true)
-      }
+    // no checkpoint dir set -> the reliable path must refuse loudly.
+    // Loud precondition, not a silent skip: if some earlier test ever
+    // sets a checkpoint dir on the shared context, this assert fails
+    // and the author moves this test — otherwise the fail-fast
+    // contract below would silently lose its coverage.
+    assert(spark.sparkContext.getCheckpointDir.isEmpty,
+      "precondition broken: a checkpoint dir is already set — reorder this test")
+    intercept[IllegalArgumentException] {
+      graft.operators.TextOps.dedupClustersWith(spark, sf0001, reliable = true)
+    }
     val ckpt = java.nio.file.Files.createTempDirectory("reliable_ckpt")
     spark.sparkContext.setCheckpointDir(ckpt.toString)
     val reliable = graft.operators.TextOps.dedupClustersWith(spark, sf0001, reliable = true)

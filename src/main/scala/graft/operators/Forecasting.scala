@@ -39,15 +39,27 @@ object Forecasting extends QueryModule {
   def defaultGranularity(model: String): String =
     if (model == "global_ar") "daily" else "weekly"
 
+  /** The forecasting levels — the reference iterates its
+    * product/warehouse/region levels per run (`run_parallel_forecasts`
+    * and the LGBM panel both loop `for level in levels`,
+    * forecasting.py:108-118,265); see Forecast.levelFrame for how they
+    * map onto the testdata star. */
+  val levels: Seq[String] = Seq("supplier", "product", "region")
+
+  /** The reference's MIN_SERIES_LEN=14 gate (forecasting.py:58,172):
+    * series shorter than this are skipped by every per-entity model. */
+  val minSeriesLen: Int = 14
+
   /** Conform a bare (entity, ds, yhat, bounds) frame to the reference
     * forecasts interface. */
-  private def conform(df: DataFrame, model: String, granularity: String): DataFrame =
+  private def conform(df: DataFrame, model: String, granularity: String,
+      level: String = "supplier"): DataFrame =
     df.select(
       col("entity").cast(StringType).as("entity_id"),
       col("ds"), col("yhat"), col("yhat_lower"), col("yhat_upper"),
       lit(granularity).as("granularity"),
       lit(model).as("model"),
-      lit("supplier").as("level"))
+      lit(level).as("level"))
 
   private def unsupported(model: String, granularity: String): Nothing =
     throw new IllegalArgumentException(
@@ -70,22 +82,54 @@ object Forecasting extends QueryModule {
   /** Dispatch over a caller-supplied lineitem frame — the Pipeline
     * path: forecasts derive from the WRITTEN silver.lineitem, like
     * every other gold table (medallion lineage). `materialize` pins
-    * the derived series across the model's multiple passes. */
+    * the derived series across the model's multiple passes. Supplier
+    * level only; the Pipeline's full surface is `runOverLevels`. */
   def runOver(lineitem: DataFrame, model: String, granularity: String,
-      materialize: DataFrame => DataFrame = identity): DataFrame = {
-    lazy val weekly = materialize(Forecast.weeklyOver(lineitem))
+      materialize: DataFrame => DataFrame = identity): DataFrame =
+    runLevelOver(
+      lineitem.select(col("l_suppkey").as("entity"), col("l_shipdate"), col("l_quantity")),
+      "supplier", model, granularity, materialize, minLen = 0)
+
+  /** The reference's per-run level loop (`run_parallel_forecasts`
+    * iterates product/warehouse/region and pools every level's rows
+    * into the one gold.forecasts write, forecasting.py:339-352): the
+    * chosen model over EVERY level's series, level column varying.
+    * `resolve` maps table name -> frame so the Pipeline can hand in
+    * the WRITTEN silver tables (the region level needs the dims).
+    *
+    * Per-entity models apply the reference's MIN_SERIES_LEN gate —
+    * at the product level most entities have short, sparse series and
+    * an ungated linear fit on a 1-point series is 0/0. Documented
+    * deviation for global_ar: the pooled model trains per LEVEL (three
+    * small fits) rather than the reference LGBM's single all-level
+    * panel — a level's scale is homogeneous (region sums are ~1000×
+    * product sums), so per-level pooling is the better-conditioned
+    * model and keeps the supplier-level oracle semantics (q50/q55)
+    * unchanged. */
+  def runOverLevels(resolve: String => DataFrame, model: String, granularity: String,
+      materialize: DataFrame => DataFrame = identity,
+      atLevels: Seq[String] = levels): DataFrame =
+    atLevels.map { lv =>
+      runLevelOver(Forecast.levelFrame(lv, resolve), lv, model, granularity,
+        materialize, minLen = minSeriesLen)
+    }.reduce(_ unionByName _)
+
+  private def runLevelOver(frame: DataFrame, level: String, model: String,
+      granularity: String, materialize: DataFrame => DataFrame,
+      minLen: Int): DataFrame = {
+    lazy val weekly = materialize(Forecast.weeklyOver(frame, col("entity")))
     (model, granularity) match {
       case ("linear", "weekly") =>
-        conform(Forecast.forecastLinearOver(weekly), "linear", "weekly")
+        conform(Forecast.forecastLinearOver(weekly, minLen), "linear", "weekly", level)
       case ("seasonal_naive", "weekly") =>
-        conform(Forecast.forecastSeasonalNaiveOver(weekly), "seasonal_naive", "weekly")
+        conform(Forecast.forecastSeasonalNaiveOver(weekly, minLen), "seasonal_naive", "weekly", level)
       case ("global_ar", "daily") =>
-        GlobalAR.globalArCore(materialize(Forecast.dailySeriesOver(lineitem)),
-          stepDays = 1, granularity = "daily")
+        GlobalAR.globalArCore(materialize(Forecast.dailySeriesOver(frame, col("entity"))),
+          stepDays = 1, granularity = "daily", level = level)
       case ("global_ar", "weekly") =>
         GlobalAR.globalArCore(
           weekly.select(col("entity"), col("week").as("ds"), col("y")),
-          stepDays = 7, granularity = "weekly")
+          stepDays = 7, granularity = "weekly", level = level)
       case _ => unsupported(model, granularity)
     }
   }
@@ -115,9 +159,40 @@ object Forecasting extends QueryModule {
        |ORDER BY model, entity_id, ds""".stripMargin
   }
 
+  /** q70 — the level dimension end-to-end: the linear model at every
+    * forecasting level (supplier / product / region) through the one
+    * forecasts interface, level column varying, the reference's
+    * MIN_SERIES_LEN gate applied per entity. (level, entity_id, ds)
+    * is the output's unique key.
+    *
+    * Scale: three independent fits; the product level dominates (one
+    * groupBy at l_partkey cardinality), the region level is the same
+    * fact scan with a broadcast dim chain — no new shuffle shape. */
+  def forecastLevels(s: SparkSession, dir: String): DataFrame =
+    levels.map { lv =>
+      conform(
+        Forecast.forecastLinearOver(Forecast.weeklyAt(s, dir, lv), minSeriesLen),
+        "linear", "weekly", lv)
+    }.reduce(_ unionByName _)
+      .orderBy(col("level"), col("entity_id"), col("ds"))
+
+  private val forecastLevelsSql = {
+    val parts = levels.map { lv =>
+      val (entityExpr, fromClause) = Forecast.levelSql(lv)
+      val inner = Forecast.forecastLinearSqlOver(
+        Forecast.weeklySqlAt(entityExpr, fromClause), minSeriesLen)
+      s"""SELECT CAST(entity AS VARCHAR) AS entity_id, ds, yhat, yhat_lower, yhat_upper,
+         |       'weekly' AS granularity, 'linear' AS model, '$lv' AS level
+         |FROM ($inner)""".stripMargin
+    }
+    parts.mkString("\nUNION ALL\n") + "\nORDER BY level, entity_id, ds"
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q66_forecast_dispatch" -> forecastDispatch)
+    "q66_forecast_dispatch" -> forecastDispatch,
+    "q70_forecast_levels" -> forecastLevels)
 
   override def oracles: Map[String, String] = Map(
-    "q66_forecast_dispatch" -> forecastDispatchSql)
+    "q66_forecast_dispatch" -> forecastDispatchSql,
+    "q70_forecast_levels" -> forecastLevelsSql)
 }

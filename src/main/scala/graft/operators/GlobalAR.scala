@@ -118,7 +118,7 @@ object GlobalAR extends QueryModule {
     * fixed-denominator semantics (q50/q55 pin them); the deviation
     * only matters for entities younger than the lag window. */
   private[operators] def globalArCore(series: DataFrame, stepDays: Int,
-    granularity: String): DataFrame = {
+    granularity: String, level: String = "supplier"): DataFrame = {
     val w = Window.partitionBy(col("entity")).orderBy(col("ds"))
     val wPrev7 = w.rowsBetween(-7, -1)
     val feat = series
@@ -200,12 +200,12 @@ object GlobalAR extends QueryModule {
         lit(null).cast(DoubleType).as("yhat_upper"),
         lit(granularity).as("granularity"),
         lit("global_ar").as("model"),
-        lit("supplier").as("level"))
+        lit(level).as("level"))
       .orderBy(col("entity_id"), col("ds"))
   }
 
   private[operators] def globalArSql(seriesSql: String, stepDays: Int,
-    granularity: String): String = {
+    granularity: String, level: String = "supplier"): String = {
     val solveChain = solveFormulas.foldLeft("SELECT * FROM sums") {
       case (inner, (name, f)) => s"SELECT *, $f AS $name FROM ($inner)" }
     val stepChain = stepFormulas.foldLeft(
@@ -254,7 +254,7 @@ object GlobalAR extends QueryModule {
        |SELECT entity_id, ds, yhat,
        |       CAST(NULL AS DOUBLE) AS yhat_lower,
        |       CAST(NULL AS DOUBLE) AS yhat_upper,
-       |       '$granularity' AS granularity, 'global_ar' AS model, 'supplier' AS level
+       |       '$granularity' AS granularity, 'global_ar' AS model, '$level' AS level
        |FROM ($unioned)
        |ORDER BY entity_id, ds""".stripMargin
   }

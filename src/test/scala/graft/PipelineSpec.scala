@@ -82,9 +82,16 @@ class PipelineSpec extends SparkSpec {
     // through the run-scoped overwrite
     assert(store2.table("gold", "forecasts").select("model").distinct()
       .collect().map(_.getString(0)).toSeq == Seq("global_ar"))
+    // every forecasting level in the one gold write, like the
+    // reference's run_parallel_forecasts (forecasting.py:339-352)
+    assert(store2.table("gold", "forecasts").select("level").distinct()
+      .collect().map(_.getString(0)).toSet ==
+      graft.operators.Forecasting.levels.toSet)
     assert(Pipeline.runGold(spark, store2, "lineage-run", "linear", "weekly").ok)
     assert(store2.table("gold", "forecasts").select("model").distinct()
       .collect().map(_.getString(0)).toSeq == Seq("linear"))
+    assert(store2.table("gold", "forecasts").select("level").distinct()
+      .count() == graft.operators.Forecasting.levels.size)
     store2.teardown()
   }
 

@@ -254,8 +254,14 @@ object Forecast extends QueryModule {
     * divide 0/0, and double-division-by-zero semantics (NaN vs NULL)
     * are exactly the kind of cross-engine edge the oracles must not
     * depend on. */
+  /** `stepDays`/`horizon` select the granularity: weekly steps of 7
+    * days × 4 steps (the q36 surface), or daily steps × 90 — the
+    * reference's DEFAULT_HORIZON_DAYS (forecasting.py:56,439: 90 days
+    * daily, 12 weeks weekly; the weekly-4 horizon predates this knob
+    * and is oracle-pinned). The input frame's date column is named
+    * `week` whatever the granularity (the daily wrapper renames). */
   private[operators] def forecastLinearOver(weeklySeries: DataFrame,
-      minLen: Int = 0): DataFrame = {
+      minLen: Int = 0, stepDays: Int = 7, horizon: Int = 4): DataFrame = {
     // scale 2 keeps sums exact for 2-dp y AND keeps the scaled integer
     // below 2^53 at much larger SFs (decimal->double conversion of
     // wider sums rounds differently across engines)
@@ -273,12 +279,12 @@ object Forecast extends QueryModule {
     val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
       (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
     val intercept = (col("sy") - col("slope") * col("sx").cast(DoubleType)) / col("n")
-    val horizons = explode(sequence(lit(1), lit(4))).as("h")
+    val horizons = explode(sequence(lit(1), lit(horizon))).as("h")
     fit.select(col("entity"), col("n"), col("sx"), col("sy"), col("sxx"), col("sxy"),
         col("last_week"), slope.as("slope"))
       .withColumn("intercept", intercept)
       .select(col("entity"), col("last_week"), col("slope"), col("intercept"), horizons)
-      .withColumn("ds", expr("date_add(last_week, 7 * h)"))
+      .withColumn("ds", expr(s"date_add(last_week, $stepDays * h)"))
       .withColumn("x_future",
         datediff(col("ds"), lit("1995-01-02").cast(DateType)).cast(DoubleType))
       .select(
@@ -289,7 +295,8 @@ object Forecast extends QueryModule {
       .orderBy(col("entity"), col("ds"))
   }
 
-  private[operators] def forecastLinearSqlOver(wkSql: String, minLen: Int = 0): String =
+  private[operators] def forecastLinearSqlOver(wkSql: String, minLen: Int = 0,
+      stepDays: Int = 7, horizon: Int = 4): String =
     s"""WITH wk AS ($wkSql),
        |xy AS (SELECT entity, week, y,
        |              CAST(date_diff('day', DATE '1995-01-02', week) AS BIGINT) AS x FROM wk),
@@ -306,12 +313,12 @@ object Forecast extends QueryModule {
        |         (sy - ((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / n AS intercept
        |  FROM fit),
        |fc AS (
-       |  SELECT entity, last_week, slope, intercept, unnest(generate_series(1, 4)) AS h
+       |  SELECT entity, last_week, slope, intercept, unnest(generate_series(1, $horizon)) AS h
        |  FROM params)
-       |SELECT entity, last_week + CAST(7 * h AS INTEGER) AS ds,
-       |       ${snapRoundSql("intercept + slope * CAST(date_diff('day', DATE '1995-01-02', last_week + CAST(7 * h AS INTEGER)) AS DOUBLE)", 4)} AS yhat,
-       |       ${snapRoundSql("(intercept + slope * CAST(date_diff('day', DATE '1995-01-02', last_week + CAST(7 * h AS INTEGER)) AS DOUBLE)) * 0.8", 4)} AS yhat_lower,
-       |       ${snapRoundSql("(intercept + slope * CAST(date_diff('day', DATE '1995-01-02', last_week + CAST(7 * h AS INTEGER)) AS DOUBLE)) * 1.2", 4)} AS yhat_upper
+       |SELECT entity, last_week + CAST($stepDays * h AS INTEGER) AS ds,
+       |       ${snapRoundSql(s"intercept + slope * CAST(date_diff('day', DATE '1995-01-02', last_week + CAST($stepDays * h AS INTEGER)) AS DOUBLE)", 4)} AS yhat,
+       |       ${snapRoundSql(s"(intercept + slope * CAST(date_diff('day', DATE '1995-01-02', last_week + CAST($stepDays * h AS INTEGER)) AS DOUBLE)) * 0.8", 4)} AS yhat_lower,
+       |       ${snapRoundSql(s"(intercept + slope * CAST(date_diff('day', DATE '1995-01-02', last_week + CAST($stepDays * h AS INTEGER)) AS DOUBLE)) * 1.2", 4)} AS yhat_upper
        |FROM fc
        |ORDER BY entity, ds""".stripMargin
 
@@ -322,8 +329,13 @@ object Forecast extends QueryModule {
   def forecastSeasonalNaive(s: SparkSession, dir: String): DataFrame =
     forecastSeasonalNaiveOver(weekly(s, dir))
 
+  /** `stepDays`/`period` select the granularity: weekly replays the
+    * 4 newest weeks (q37), daily replays the 7 newest days — the
+    * reference's daily seasonal period (its SARIMAX uses s=7 daily,
+    * s=52 weekly, forecasting.py:196; a naive seasonal replay is one
+    * period long by construction). */
   private[operators] def forecastSeasonalNaiveOver(weeklySeries: DataFrame,
-      minLen: Int = 0): DataFrame = {
+      minLen: Int = 0, stepDays: Int = 7, period: Int = 4): DataFrame = {
     val w = Window.partitionBy(col("entity")).orderBy(col("week").desc)
     val wk = weeklySeries
     val lastAll = wk.groupBy(col("entity"))
@@ -333,28 +345,34 @@ object Forecast extends QueryModule {
     val last = (if (minLen > 0) lastAll.filter(col("n_weeks") >= minLen) else lastAll)
       .select(col("entity"), col("last_week"))
     wk.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 4)
+      .filter(col("rn") <= period)
       .join(last, "entity")
       .select(col("entity"),
-        expr("date_add(last_week, 7 * (5 - rn))").as("ds"),
+        expr(s"date_add(last_week, $stepDays * (${period + 1} - rn))").as("ds"),
         col("y").as("yhat"),
         snapRound(col("y") * lit(0.8), 4).as("yhat_lower"),
         snapRound(col("y") * lit(1.2), 4).as("yhat_upper"))
       .orderBy(col("entity"), col("ds"))
   }
 
-  private[operators] val forecastSeasonalNaiveSql =
-    s"""WITH wk AS ($weeklySql),
+  private[operators] def forecastSeasonalNaiveSqlOver(wkSql: String,
+      minLen: Int = 0, stepDays: Int = 7, period: Int = 4): String = {
+    val gate = if (minLen > 0) s" AND n_pts >= $minLen" else ""
+    val nCol = if (minLen > 0) ",\n       |         count(1) OVER (PARTITION BY entity) AS n_pts" else ""
+    s"""WITH wk AS ($wkSql),
        |ranked AS (
        |  SELECT entity, week, y,
        |         row_number() OVER (PARTITION BY entity ORDER BY week DESC) AS rn,
-       |         max(week) OVER (PARTITION BY entity) AS last_week
+       |         max(week) OVER (PARTITION BY entity) AS last_week$nCol
        |  FROM wk)
-       |SELECT entity, last_week + CAST(7 * (5 - rn) AS INTEGER) AS ds, y AS yhat,
+       |SELECT entity, last_week + CAST($stepDays * (${period + 1} - rn) AS INTEGER) AS ds, y AS yhat,
        |       ${snapRoundSql("y * 0.8", 4)} AS yhat_lower,
        |       ${snapRoundSql("y * 1.2", 4)} AS yhat_upper
-       |FROM ranked WHERE rn <= 4
+       |FROM ranked WHERE rn <= $period$gate
        |ORDER BY entity, ds""".stripMargin
+  }
+
+  private[operators] val forecastSeasonalNaiveSql = forecastSeasonalNaiveSqlOver(weeklySql)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_gapfill_series" -> gapfillSeries,

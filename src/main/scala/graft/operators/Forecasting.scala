@@ -24,11 +24,12 @@ import org.apache.spark.sql.types._
   */
 object Forecasting extends QueryModule {
 
-  /** model -> supported granularities (the reference gates the same
-    * way: prophet/sarimax are per-granularity, forecasting.py:177). */
+  /** model -> supported granularities. Every model runs at both, like
+    * the reference (prophet/sarimax run per-granularity with daily=90
+    * days / weekly horizons, forecasting.py:177,434-449). */
   val models: Map[String, Seq[String]] = Map(
-    "linear" -> Seq("weekly"),
-    "seasonal_naive" -> Seq("weekly"),
+    "linear" -> Seq("daily", "weekly"),
+    "seasonal_naive" -> Seq("daily", "weekly"),
     "global_ar" -> Seq("daily", "weekly"))
 
   /** The granularity a model runs at when the caller doesn't choose:
@@ -74,10 +75,25 @@ object Forecasting extends QueryModule {
       conform(Forecast.forecastLinear(s, dir), "linear", "weekly")
     case ("seasonal_naive", "weekly") =>
       conform(Forecast.forecastSeasonalNaive(s, dir), "seasonal_naive", "weekly")
+    // daily per-entity models run over the shared daily artifact with
+    // the reference's daily knobs: MIN_SERIES_LEN gate, 90-day horizon
+    // (DEFAULT_HORIZON_DAYS) for the trend model, one 7-day seasonal
+    // period for the replay
+    case ("linear", "daily") =>
+      conform(Forecast.forecastLinearOver(dailyAsWeekCols(Forecast.dailySeries(s, dir)),
+        minSeriesLen, stepDays = 1, horizon = 90), "linear", "daily")
+    case ("seasonal_naive", "daily") =>
+      conform(Forecast.forecastSeasonalNaiveOver(dailyAsWeekCols(Forecast.dailySeries(s, dir)),
+        minSeriesLen, stepDays = 1, period = 7), "seasonal_naive", "daily")
     case ("global_ar", "daily") => GlobalAR.forecastGlobalAr(s, dir)
     case ("global_ar", "weekly") => GlobalAR.forecastGlobalArWeekly(s, dir)
     case _ => unsupported(model, granularity)
   }
+
+  /** The per-entity fit cores name their date column `week` at any
+    * granularity; rename a daily (entity, ds, y) series into them. */
+  private def dailyAsWeekCols(daily: DataFrame): DataFrame =
+    daily.select(col("entity"), col("ds").as("week"), col("y"))
 
   /** Dispatch over a caller-supplied lineitem frame — the Pipeline
     * path: forecasts derive from the WRITTEN silver.lineitem, like
@@ -118,14 +134,20 @@ object Forecasting extends QueryModule {
       granularity: String, materialize: DataFrame => DataFrame,
       minLen: Int): DataFrame = {
     lazy val weekly = materialize(Forecast.weeklyOver(frame, col("entity")))
+    lazy val daily = materialize(Forecast.dailySeriesOver(frame, col("entity")))
     (model, granularity) match {
       case ("linear", "weekly") =>
         conform(Forecast.forecastLinearOver(weekly, minLen), "linear", "weekly", level)
       case ("seasonal_naive", "weekly") =>
         conform(Forecast.forecastSeasonalNaiveOver(weekly, minLen), "seasonal_naive", "weekly", level)
+      case ("linear", "daily") =>
+        conform(Forecast.forecastLinearOver(dailyAsWeekCols(daily),
+          minLen, stepDays = 1, horizon = 90), "linear", "daily", level)
+      case ("seasonal_naive", "daily") =>
+        conform(Forecast.forecastSeasonalNaiveOver(dailyAsWeekCols(daily),
+          minLen, stepDays = 1, period = 7), "seasonal_naive", "daily", level)
       case ("global_ar", "daily") =>
-        GlobalAR.globalArCore(materialize(Forecast.dailySeriesOver(frame, col("entity"))),
-          stepDays = 1, granularity = "daily", level = level)
+        GlobalAR.globalArCore(daily, stepDays = 1, granularity = "daily", level = level)
       case ("global_ar", "weekly") =>
         GlobalAR.globalArCore(
           weekly.select(col("entity"), col("week").as("ds"), col("y")),
@@ -143,11 +165,13 @@ object Forecasting extends QueryModule {
       .unionByName(run(s, dir, "global_ar", "weekly"))
       .orderBy(col("model"), col("entity_id"), col("ds"))
 
+  private def conformSql(inner: String, model: String,
+      granularity: String = "weekly", level: String = "supplier") =
+    s"""SELECT CAST(entity AS VARCHAR) AS entity_id, ds, yhat, yhat_lower, yhat_upper,
+       |       '$granularity' AS granularity, '$model' AS model, '$level' AS level
+       |FROM ($inner)""".stripMargin
+
   private val forecastDispatchSql = {
-    def conformSql(inner: String, model: String) =
-      s"""SELECT CAST(entity AS VARCHAR) AS entity_id, ds, yhat, yhat_lower, yhat_upper,
-         |       'weekly' AS granularity, '$model' AS model, 'supplier' AS level
-         |FROM ($inner)""".stripMargin
     val globalWeekly = GlobalAR.globalArSql(
       s"SELECT entity, week AS ds, y FROM (${Forecast.weeklySql})",
       stepDays = 7, granularity = "weekly")
@@ -188,11 +212,30 @@ object Forecasting extends QueryModule {
     parts.mkString("\nUNION ALL\n") + "\nORDER BY level, entity_id, ds"
   }
 
+  /** q71 — the daily per-entity models through the dispatch: trend
+    * over 90 days, 7-day seasonal replay, one output interface. */
+  def forecastDailyModels(s: SparkSession, dir: String): DataFrame =
+    run(s, dir, "linear", "daily")
+      .unionByName(run(s, dir, "seasonal_naive", "daily"))
+      .orderBy(col("model"), col("entity_id"), col("ds"))
+
+  private val forecastDailyModelsSql = {
+    val dailyWk = s"SELECT entity, ds AS week, y FROM (${Forecast.dailySeriesSql})"
+    conformSql(Forecast.forecastLinearSqlOver(dailyWk, minSeriesLen, stepDays = 1, horizon = 90),
+      "linear", "daily") +
+      "\nUNION ALL\n" +
+      conformSql(Forecast.forecastSeasonalNaiveSqlOver(dailyWk, minSeriesLen, stepDays = 1, period = 7),
+        "seasonal_naive", "daily") +
+      "\nORDER BY model, entity_id, ds"
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_forecast_dispatch" -> forecastDispatch,
-    "q70_forecast_levels" -> forecastLevels)
+    "q70_forecast_levels" -> forecastLevels,
+    "q71_forecast_daily_models" -> forecastDailyModels)
 
   override def oracles: Map[String, String] = Map(
     "q66_forecast_dispatch" -> forecastDispatchSql,
-    "q70_forecast_levels" -> forecastLevelsSql)
+    "q70_forecast_levels" -> forecastLevelsSql,
+    "q71_forecast_daily_models" -> forecastDailyModelsSql)
 }

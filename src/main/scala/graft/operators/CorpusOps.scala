@@ -110,10 +110,17 @@ object CorpusOps extends QueryModule {
       .select(col("doc_id"), shingles(col("text"), 5).as("grams"))
       .select(col("doc_id"), size(col("grams")).cast(LongType).as("n_grams"),
         explode_outer(col("grams")).as("g"))
-    val matched = tg.join(broadcast(evalGrams), "g")
-      .groupBy(col("doc_id"))
-      .agg(countDistinct(col("g")).as("overlap_grams"),
-        countDistinct(col("eval_doc")).as("matched_eval_docs"))
+    // two single-distinct aggregates joined back, not two
+    // countDistincts in one agg: the multi-distinct form plans an
+    // Expand that doubles the matched-gram rows through the shuffle;
+    // separately each is a map-side-partial distinct over its own
+    // 2-column projection of the (bounded) match set
+    val hits = tg.join(broadcast(evalGrams), "g")
+    val overlap = hits.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("overlap_grams"))
+    val evalDocs = hits.select(col("doc_id"), col("eval_doc")).distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("matched_eval_docs"))
+    val matched = overlap.join(evalDocs, Seq("doc_id"))
     tg.groupBy(col("doc_id")).agg(max(col("n_grams")).as("n_grams"))
       .join(matched, Seq("doc_id"), "left")
       .select(

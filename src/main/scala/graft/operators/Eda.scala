@@ -342,10 +342,16 @@ object Eda extends QueryModule {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     val (aggSeqs, postSeqs) = cols.map(momentAggs).unzip
     val aggs = aggSeqs.flatten
-    val dcs = cols.map(c => countDistinct(col(c)).as(s"dc_$c"))
-    val one = l.agg(aggs.head, aggs.tail: _*)
-      .select(col("*") +: postSeqs.flatten: _*)
-      .crossJoin(l.agg(dcs.head, dcs.tail: _*))
+    // one single-distinct aggregate per column, not 4 countDistincts in
+    // one agg: multiple distinct aggregates plan an Expand that pushes
+    // 4× the fact through the shuffle; separately each is a partial
+    // (map-side) distinct over ONE pruned column, and the 4 one-row
+    // results cross-join for free
+    val dcs = cols.map(c =>
+      l.select(col(c)).agg(countDistinct(col(c)).as(s"dc_$c")))
+    val one = dcs.foldLeft(
+      l.agg(aggs.head, aggs.tail: _*).select(col("*") +: postSeqs.flatten: _*))(
+      _ crossJoin _)
     val rows = cols.map { c =>
       struct(
         lit(c).as("column_name"), col(s"n_$c").as("n"), col(s"nulls_$c").as("nulls"),

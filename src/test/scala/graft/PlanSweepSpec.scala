@@ -1,0 +1,110 @@
+package graft
+
+/** The §4 scale claims as ENFORCED invariants: every registered query's
+  * physical plan is swept and asserted against the anti-patterns that
+  * kill 100 TB runs. A refactor that silently turns a broadcast star
+  * join into a shuffle join, introduces a cartesian, or lets a
+  * multi-distinct aggregate plan an Expand over the fact now fails the
+  * suite instead of surfacing rounds later in a bench regression.
+  *
+  * The allow-lists below are the audited exceptions, each with the
+  * reason it is safe at scale; adding a query to one is a reviewed
+  * decision, not a default.
+  */
+class PlanSweepSpec extends SparkSpec {
+
+  /** Queries whose plan legitimately contains BroadcastNestedLoopJoin:
+    * every one is a crossJoin against a 1-row scalar aggregate or a
+    * broadcast-bounded frame (k centroids / vocabulary df counts), so
+    * the "nested loop" is O(rows × 1) — a map, not a quadratic join.
+    * (Eda.scala stats/quantile/reconciliation scalars, VectorOps IVF
+    * centroid fan-out, TextOps tf-idf df join.) */
+  private val bnljBounded = Set(
+    "q10_stats_profile", "q12_quantile_buckets", "q13_reconciliation",
+    "q30_cosine_topk", "q43_ann_ivf_sampled", "q52_ann_ivf_probe2",
+    "q58_tfidf_topk")
+
+  /** Queries whose plan legitimately contains Expand: ROLLUP/CUBE are
+    * grouping-sets operators — Expand IS their plan shape, bounded at
+    * (#grouping sets) × input, chosen deliberately for those two
+    * queries. Nothing else may Expand: a multi-distinct aggregate
+    * over the fact would multiply the shuffle by its distinct count
+    * (the round-4 prep_gold_marts regression), which is why the marts
+    * decompose distinct-counts instead. */
+  private val expandOk = Set("q45_rollup_sales", "q53_cube_orders")
+
+  /** Queries where a SortMergeJoin is the RIGHT plan: both sides are
+    * derived aggregates / range-bucketed frames of comparable, fact-
+    * proportional size (dedup cluster propagation, decontamination
+    * gram join, range/as-of buckets, per-level series calendar joins,
+    * silver dedup ranking, semi/anti over derived sets) — broadcasting
+    * either side would ship a fact-sized table. */
+  private val smjOk = Set(
+    "q41_store_performance", "q47_semi_anti_join", "q54_dedup_clusters",
+    "q62_decontamination", "q64_range_join", "q70_forecast_levels")
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  private def count(p: String, op: String): Int = op.r.findAllIn(p).size
+
+  test("no query plans a CartesianProduct") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val n = count(plan(name), "CartesianProduct")
+      if (n > 0) Some(s"$name ($n)") else None
+    }
+    assert(offenders.isEmpty,
+      s"CartesianProduct in: ${offenders.mkString(", ")} — a cartesian " +
+        "over the fact is quadratic at any scale; bound one side and broadcast it")
+  }
+
+  test("BroadcastNestedLoopJoin only against broadcast-bounded frames") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(bnljBounded)
+      .flatMap { name =>
+        val n = count(plan(name), "BroadcastNestedLoopJoin")
+        if (n > 0) Some(s"$name ($n)") else None
+      }
+    assert(offenders.isEmpty,
+      s"unaudited BroadcastNestedLoopJoin in: ${offenders.mkString(", ")}")
+  }
+
+  test("no Expand outside the grouping-sets queries") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(expandOk)
+      .flatMap { name =>
+        val n = count(plan(name), "Expand")
+        if (n > 0) Some(s"$name ($n)") else None
+      }
+    assert(offenders.isEmpty,
+      s"Expand in: ${offenders.mkString(", ")} — usually a multi-distinct " +
+        "aggregate; decompose the distincts (see GoldMarts) instead of " +
+        "multiplying the shuffle")
+  }
+
+  test("shuffle joins only where both sides are fact-proportional") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(smjOk)
+      .flatMap { name =>
+        val p = plan(name)
+        val n = count(p, "SortMergeJoin") + count(p, "ShuffledHashJoin")
+        if (n > 0) Some(s"$name ($n)") else None
+      }
+    assert(offenders.isEmpty,
+      s"shuffle join in: ${offenders.mkString(", ")} — dimension joins " +
+        "(nation/region/supplier/part) must broadcast; only derived-vs-" +
+        "derived joins of comparable size may shuffle")
+  }
+
+  test("star joins broadcast their dimensions") {
+    // the flagship marts: every join a BroadcastHashJoin, no shuffle
+    // join anywhere in the star
+    for (name <- Seq("q01_monthly_sales", "q02_inventory_health",
+        "q03_supplier_monthly", "q04_dashboard")) {
+      val p = plan(name)
+      assert(count(p, "BroadcastHashJoin") > 0, s"$name lost its broadcast joins")
+      assert(count(p, "SortMergeJoin") == 0 && count(p, "ShuffledHashJoin") == 0,
+        s"$name shuffles a dimension join")
+    }
+  }
+}

@@ -118,9 +118,15 @@ object Pipeline {
     case "orders" =>
       store.table("silver", "orders").select(
         col("o_orderkey"), col("o_custkey"),
+        // explicit 'U' sentinel for vocabulary outside the dictionary
+        // (mapStatus's "unknown"): the marts' status-membership filters
+        // drop it either way, but a NULL here would also null
+        // dashboard's order_status for a row silver ACCEPTED, which
+        // reads as a join miss rather than what it is
         when(col("status") === "fulfilled", "F")
           .when(col("status") === "open", "O")
-          .when(col("status") === "partial", "P").as("o_orderstatus"),
+          .when(col("status") === "partial", "P")
+          .otherwise("U").as("o_orderstatus"),
         col("order_date").as("o_orderdate"))
     case name => store.table("silver", name)
   }

@@ -123,7 +123,10 @@ object TextOps extends QueryModule {
     * components (mod 2^32), one hash aggregation with K min() columns
     * (LEFT JOIN keeps shingle-less docs as NULL signatures, mirroring
     * the oracle). */
-  private def signatures(s: SparkSession, dir: String, sh: DataFrame): DataFrame = {
+  private def signatures(s: SparkSession, dir: String, sh: DataFrame): DataFrame =
+    signaturesOver(Tables.t(s, dir, "documents"), sh)
+
+  private def signaturesOver(docs: DataFrame, sh: DataFrame): DataFrame = {
     val hex = md5(col("s").cast(BinaryType))
     val based = sh.select(col("doc_id"),
       conv(substring(hex, 1, 8), 16, 10).cast(LongType).as("b1"),
@@ -132,9 +135,16 @@ object TextOps extends QueryModule {
       min((col("b1") * lit(a) + col("b2") * lit(b) + lit(c))
         .bitwiseAND(lit(0xffffffffL))).as(s"mh$i")
     }
-    Tables.t(s, dir, "documents").select(col("doc_id"))
+    docs.select(col("doc_id"))
       .join(based.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*), Seq("doc_id"), "left")
   }
+
+  /** The full shingle→minhash→band chain over an arbitrary (doc_id,
+    * text) frame — the seam ScaleSpec uses to measure candidate-pair
+    * growth on synthetic corpora of controlled size. */
+  private[graft] def bandsOver(docs: DataFrame): DataFrame =
+    bandsOf(signaturesOver(docs,
+      docs.select(col("doc_id"), explode(shingles(col("text"))).as("s"))))
 
   /** Shared oracle fragments for the signature chain (used by q21/q22/
     * q23/q48/q54 — kept in ONE place so the two engines can never
@@ -190,8 +200,10 @@ object TextOps extends QueryModule {
 
   /** Candidate pairs via self-join of the shared (persisted) band
     * artifact — bucket-local, never all-pairs. */
-  private def candidatePairs(s: SparkSession, dir: String): DataFrame = {
-    val bands = sharedBands(s, dir)
+  private def candidatePairs(s: SparkSession, dir: String): DataFrame =
+    candidatePairsOver(sharedBands(s, dir))
+
+  private[graft] def candidatePairsOver(bands: DataFrame): DataFrame = {
     val a = bands.alias("a")
     val b = bands.alias("b")
     a.join(b, col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig")

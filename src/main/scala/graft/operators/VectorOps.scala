@@ -207,13 +207,27 @@ object VectorOps extends QueryModule {
   private val DIM = 64
 
   /** Deterministic ±1 hyperplane weight for (hyperplane h, dim i):
-    * one LCG step on the flattened index, bit 16 picks the sign.
-    * Pure 64-bit integer arithmetic — bit-identical in both engines
-    * (no transcendentals, which ARE allowed to differ across libm
-    * implementations). */
+    * a lowbias32-style multiply/xor-shift mix of the flattened index,
+    * bit 15 picks the sign. Pure integer arithmetic with every
+    * intermediate < 2^59 — bit-identical in both engines, no ANSI /
+    * BIGINT overflow (no transcendentals, which ARE allowed to differ
+    * across libm implementations).
+    *
+    * Why a full mixer and not one LCG step: bit 16 of `a·k+b` over a
+    * stride-64 arithmetic progression is heavily self-correlated —
+    * the 96 hyperplane rows it generated had mean |pairwise corr|
+    * 0.495 (some rows identical), collapsing distinct cluster
+    * directions onto shared band values. ScaleSpec's candidate-growth
+    * fixture exploded quadratically on exactly that; with this mixer
+    * the rows measure |corr| ≈ 0.10, matching true random signs. */
   private def srpWeight(h: Int, i: Column): Column = {
-    val v = lit(1103515245L) * (lit(h.toLong * DIM) + i.cast(LongType)) + lit(12345L)
-    when(shiftright(v, 16).bitwiseAND(lit(1L)) === 0, lit(1.0)).otherwise(lit(-1.0))
+    val mask = lit(0xffffffffL)
+    val k = lit(h.toLong * DIM) + i.cast(LongType)
+    val x0 = (k * lit(2654435761L)).bitwiseAND(mask)
+    val x1 = ((x0.bitwiseXOR(shiftright(x0, 16))) * lit(73244475L)).bitwiseAND(mask)
+    val x2 = ((x1.bitwiseXOR(shiftright(x1, 16))) * lit(73244475L)).bitwiseAND(mask)
+    val x3 = x2.bitwiseXOR(shiftright(x2, 16))
+    when(shiftright(x3, 15).bitwiseAND(lit(1L)) === 0, lit(1.0)).otherwise(lit(-1.0))
   }
 
   /** Session-lifetime SRP band artifact per data dir — the stored
@@ -224,20 +238,35 @@ object VectorOps extends QueryModule {
 
   private def srpBands(s: SparkSession, dir: String): DataFrame =
     srpBandCache.synchronized { srpBandCache.getOrElseUpdate((s, dir), {
-      val all = withNorm(Tables.t(s, dir, "embeddings"))
-      val bits = (0 until SRP_BITS).map { h =>
-        (dSum(transform(col("e"), (x, i) => x * srpWeight(h, i))) >= 0)
-          .cast(IntegerType).as(s"bit$h")
-      }
-      val sig = all.select(col("vec_id") +: col("e") +: col("norm2") +: bits: _*)
-      val bands = (0 until SRP_BITS / SRP_ROWS).map { b =>
-        val bandVal = (0 until SRP_ROWS).map(j =>
-          col(s"bit${b * SRP_ROWS + j}") * lit(1 << (SRP_ROWS - 1 - j))).reduce(_ + _)
-        sig.select(col("vec_id"), lit(b).as("band"), bandVal.as("band_val"))
-      }.reduce(_.unionByName(_)).persist()
+      val bands = srpBandsOver(Tables.t(s, dir, "embeddings")).persist()
       bands.count()
       bands
     }) }
+
+  /** The SRP banding chain over an arbitrary (vec_id, embedding)
+    * frame — the seam ScaleSpec uses to measure candidate-pair growth
+    * on synthetic embedding sets of controlled size. */
+  private[graft] def srpBandsOver(emb: DataFrame): DataFrame = {
+    val all = withNorm(emb)
+    val bits = (0 until SRP_BITS).map { h =>
+      (dSum(transform(col("e"), (x, i) => x * srpWeight(h, i))) >= 0)
+        .cast(IntegerType).as(s"bit$h")
+    }
+    val sig = all.select(col("vec_id") +: col("e") +: col("norm2") +: bits: _*)
+    (0 until SRP_BITS / SRP_ROWS).map { b =>
+      val bandVal = (0 until SRP_ROWS).map(j =>
+        col(s"bit${b * SRP_ROWS + j}") * lit(1 << (SRP_ROWS - 1 - j))).reduce(_ + _)
+      sig.select(col("vec_id"), lit(b).as("band"), bandVal.as("band_val"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Candidate pairs of a band frame (bucket join, never all-pairs). */
+  private[graft] def srpCandidatesOver(bands: DataFrame): DataFrame =
+    bands.alias("a").join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
 
   /** Build the shared artifact eagerly (Bench prepare phase). */
   def prepareArtifacts(s: SparkSession, dir: String): Unit = srpBands(s, dir)
@@ -258,12 +287,7 @@ object VectorOps extends QueryModule {
     * survives 100 TB of embeddings (never all-pairs). */
   def cosineNearDup(s: SparkSession, dir: String): DataFrame = {
     val all = withNorm(Tables.t(s, dir, "embeddings"))
-    val bands = srpBands(s, dir)
-    val pairs = bands.alias("a").join(bands.alias("b"),
-        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .distinct()
+    val pairs = srpCandidatesOver(srpBands(s, dir))
     val ea = all.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("norm2").as("na"))
     val eb = all.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("norm2").as("nb"))
     val dot = dot_product(col("ea"), col("eb"))
@@ -277,7 +301,15 @@ object VectorOps extends QueryModule {
   }
 
   private val cosineNearDupSql = {
-    val w = s"(CASE WHEN (((1103515245 * (CAST(h AS BIGINT) * $DIM + (i - 1)) + 12345) >> 16) & 1) = 0 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)"
+    // the srpWeight mixer, textually expanded (x0 appears 2×, so the
+    // final expression repeats it 8× — DuckDB folds the common
+    // subexpressions; values stay positive, so % == bitwiseAND mask)
+    val k = s"(CAST(h AS BIGINT) * $DIM + (i - 1))"
+    val x0 = s"(($k * 2654435761) % 4294967296)"
+    val x1 = s"((xor($x0, $x0 >> 16) * 73244475) % 4294967296)"
+    val x2 = s"((xor($x1, $x1 >> 16) * 73244475) % 4294967296)"
+    val x3 = s"xor($x2, $x2 >> 16)"
+    val w = s"(CASE WHEN (($x3 >> 15) & 1) = 0 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)"
     val proj = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
       s"list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * $w)), (acc, x) -> acc + x)"
     s"""WITH n AS (

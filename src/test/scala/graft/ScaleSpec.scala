@@ -28,12 +28,98 @@ class ScaleSpec extends SparkSpec {
     }
     val ckpt = java.nio.file.Files.createTempDirectory("reliable_ckpt")
     spark.sparkContext.setCheckpointDir(ckpt.toString)
-    val reliable = graft.operators.TextOps.dedupClustersWith(spark, sf0001, reliable = true)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
-    assert(reliable == local)
-    // the rounds really went through the reliable checkpoint dir
-    val wrote = java.nio.file.Files.walk(ckpt).filter(_.toFile.isFile).count()
-    assert(wrote > 0, "no checkpoint files written — reliable path did not engage")
+    try {
+      val reliable = graft.operators.TextOps.dedupClustersWith(spark, sf0001, reliable = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+      assert(reliable == local)
+      // the rounds really went through the reliable checkpoint dir
+      val wrote = java.nio.file.Files.walk(ckpt).filter(_.toFile.isFile).count()
+      assert(wrote > 0, "no checkpoint files written — reliable path did not engage")
+    } finally
+      // clear the shared session's checkpoint dir (SparkContext maps a
+      // null directory back to None) so later tests — and the
+      // precondition assert above on re-runs — see the session as this
+      // test found it
+      spark.sparkContext.setCheckpointDir(null)
+  }
+
+  test("LSH candidate pairs grow linearly, not quadratically (minhash + SRP bands)") {
+    // The empirical witness for the "survives 100 TB" claim on the
+    // banded-LSH stacks: on a CLUSTERED corpus (the adversarial shape
+    // — every doc has near-dups) candidate pairs must scale with the
+    // number of clusters, i.e. ~linearly in N. An all-pairs or
+    // constant-bucket design would grow ~quadratically (100× at 10×),
+    // which is exactly the wall q51's 2×8-bit ancestor hit.
+    val clusterSize = 5
+
+    // synthetic clustered text: docs in a cluster share most 3-gram
+    // shingles (one rotating token per member), clusters share none
+    // (the cluster id is baked into every token). Deterministic.
+    def docs(n: Int) = {
+      val rows = (0 until n).map { i =>
+        val c = i / clusterSize
+        val text = (0 until 30).map(j =>
+          s"t${c}x${if (j == (i % clusterSize) * 6) s"v$i" else j.toString}").mkString(" ")
+        (i.toLong, text)
+      }
+      rows.toDF("doc_id", "text")
+    }
+    def textPairs(n: Int): Long = graft.operators.TextOps
+      .candidatePairsOver(graft.operators.TextOps.bandsOver(docs(n))).count()
+    val (tp1, tp10) = (textPairs(400), textPairs(4000))
+    // within-cluster pairs exist at all…
+    assert(tp1 >= 400 / clusterSize, s"minhash candidates implausibly few: $tp1")
+    // …and 10× the corpus yields ~10× the pairs (2× slack), not ~100×
+    assert(tp10 <= 20 * tp1,
+      s"minhash candidate growth super-linear: $tp1 -> $tp10 at 10× data")
+
+    // synthetic clustered embeddings: cluster center on an axis-ish
+    // deterministic direction, members perturbed slightly -> high
+    // within-cluster cosine, near-orthogonal across clusters
+    def embs(n: Int) = {
+      val rows = (0 until n).map { i =>
+        val c = i / clusterSize
+        // splitmix64 finalizer: a full-avalanche mix of the JOINT
+        // (cluster, dim) index. Three earlier cuts of this fixture
+        // failed instructively, each caught by the growth assert
+        // below: `c % 13`-cyclic patterns gave 13 directions; uniform
+        // ±1 amplitudes made ~27% of 8-dim projections cancel to 0,
+        // handing those bits to a 7-pattern shared wiggle; and
+        // `bits(c*K1 ^ d*K2)` is g(c)XOR h(d) bitwise — only 8
+        // possible supports. Clustered ≠ correlated-by-construction.
+        def mix(x: Long): Long = {
+          var z = x + 0x9E3779B97F4A7C15L
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          z ^ (z >>> 31)
+        }
+        val v = (0 until 64).map { d =>
+          val m = mix(c.toLong * 64 + d)
+          // ~8-dim support per cluster; amplitudes varied so no
+          // hyperplane projection of a center is exactly zero, and
+          // SIGNED (zero-centered, like real embeddings) — an
+          // all-positive-orthant cut biased every SRP bit the same
+          // way across clusters (per-bit agreement ~0.75 ⇒ bucket
+          // pile-ups), a data property, not an LSH defect
+          val amp = (1.0f + ((m >>> 10) & 3) * 0.25f) *
+            (if (((m >>> 13) & 1) == 0) 1.0f else -1.0f)
+          val center = if (((m >>> 7) & 7) == 0) amp else 0.0f
+          // per-DOC hair: far below any nonzero center projection, so
+          // within a cluster the SRP bits agree; unique per doc so it
+          // can never correlate vectors across clusters
+          val wiggle = (mix(i.toLong * 7919 + d) % 1009) * 2e-5f
+          center + wiggle
+        }.toArray
+        (i.toLong, v, i % 4)
+      }
+      rows.toDF("vec_id", "embedding", "label")
+    }
+    def srpPairs(n: Int): Long = graft.operators.VectorOps
+      .srpCandidatesOver(graft.operators.VectorOps.srpBandsOver(embs(n))).count()
+    val (sp1, sp10) = (srpPairs(400), srpPairs(4000))
+    assert(sp1 >= 400 / clusterSize, s"SRP candidates implausibly few: $sp1")
+    assert(sp10 <= 20 * sp1,
+      s"SRP candidate growth super-linear: $sp1 -> $sp10 at 10× data")
   }
 
   test("salted join == plain join on a skewed fact") {

@@ -30,9 +30,9 @@ import org.apache.spark.sql.expressions.Window
   * ~100× cheaper than BigDecimal per element.) Dot products run
   * through the native codegen'd `graft.plans.DotProduct` expression —
   * the identical index-order fold as `aggregate(zip_with(...))`, with
-  * no intermediate arrays; SRP projections keep the composed
-  * `aggregate(transform(...))` form (their per-index weights are
-  * generated constants, not a second array).
+  * no intermediate arrays; SRP projections use it too, against
+  * plan-time-constant hyperplane arrays (srpPlane — the weight mixer
+  * runs at plan build, never per row).
   */
 object VectorOps extends QueryModule {
 
@@ -220,15 +220,26 @@ object VectorOps extends QueryModule {
     * directions onto shared band values. ScaleSpec's candidate-growth
     * fixture exploded quadratically on exactly that; with this mixer
     * the rows measure |corr| ≈ 0.10, matching true random signs. */
-  private def srpWeight(h: Int, i: Column): Column = {
-    val mask = lit(0xffffffffL)
-    val k = lit(h.toLong * DIM) + i.cast(LongType)
-    val x0 = (k * lit(2654435761L)).bitwiseAND(mask)
-    val x1 = ((x0.bitwiseXOR(shiftright(x0, 16))) * lit(73244475L)).bitwiseAND(mask)
-    val x2 = ((x1.bitwiseXOR(shiftright(x1, 16))) * lit(73244475L)).bitwiseAND(mask)
-    val x3 = x2.bitwiseXOR(shiftright(x2, 16))
-    when(shiftright(x3, 15).bitwiseAND(lit(1L)) === 0, lit(1.0)).otherwise(lit(-1.0))
+  private def srpWeight(h: Int, i: Int): Double = {
+    val mask = 0xffffffffL
+    val k = h.toLong * DIM + i
+    val x0 = (k * 2654435761L) & mask
+    val x1 = ((x0 ^ (x0 >>> 16)) * 73244475L) & mask
+    val x2 = ((x1 ^ (x1 >>> 16)) * 73244475L) & mask
+    val x3 = x2 ^ (x2 >>> 16)
+    if (((x3 >>> 15) & 1L) == 0L) 1.0 else -1.0
   }
+
+  /** Hyperplane h as a plan-time literal array: the weights depend
+    * only on (h, i), so the mixer runs 96×64 times at PLAN BUILD, not
+    * per row — each bit is then one codegen'd dot_product against a
+    * constant array instead of a per-element lambda evaluating the
+    * 4-step mixer (~10 integer ops + branch) for every row. Ordered
+    * fold semantics are identical (DotProduct IS the composed fold;
+    * weights are exact ±1.0), so signatures — and the DuckDB oracle,
+    * which keeps the mixer expanded inline — are bit-unchanged. */
+  private def srpPlane(h: Int): Column =
+    array((0 until DIM).map(i => lit(srpWeight(h, i))): _*)
 
   /** Session-lifetime SRP band artifact per data dir — the stored
     * `embedding_signatures` table a deployment writes once and shares
@@ -249,7 +260,7 @@ object VectorOps extends QueryModule {
   private[graft] def srpBandsOver(emb: DataFrame): DataFrame = {
     val all = withNorm(emb)
     val bits = (0 until SRP_BITS).map { h =>
-      (dSum(transform(col("e"), (x, i) => x * srpWeight(h, i))) >= 0)
+      (dot_product(col("e"), srpPlane(h)) >= 0)
         .cast(IntegerType).as(s"bit$h")
     }
     val sig = all.select(col("vec_id") +: col("e") +: col("norm2") +: bits: _*)

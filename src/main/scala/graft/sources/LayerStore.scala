@@ -166,6 +166,52 @@ class LayerStore(spark: SparkSession, root: String) {
   def ddl(layer: String, name: String): String =
     s"CREATE TABLE ${layer}_$name (${table(layer, name).schema.toDDL})"
 
+  /** Dialect-mapped DDL for a JDBC push target — the Spark analogue of
+    * the reference's information_schema clone (gold/push.py:75-110),
+    * which re-emits numeric(precision,scale) and text[] in the target's
+    * CREATE TABLE. Types the url's JdbcDialect maps are emitted in its
+    * own vocabulary (decimal precision/scale survive verbatim); array
+    * columns on engines without an ARRAY type (Derby) get the JSON-text
+    * encoding that pushJdbc writes for them. */
+  def jdbcDdl(layer: String, name: String, url: String,
+    targetTable: String): String = {
+    val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+    def sqlType(dt: DataType): String =
+      dialect.getJDBCType(dt)
+        .map(_.databaseTypeDefinition)
+        .getOrElse(dt match {
+          case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+          case _: ArrayType => arrayFallbackType // pushJdbc's to_json encoding
+          case LongType => "BIGINT"
+          case IntegerType => "INTEGER"
+          case DoubleType => "DOUBLE"
+          case BooleanType => "BOOLEAN"
+          case DateType => "DATE"
+          case TimestampType => "TIMESTAMP"
+          case _ => "VARCHAR(32672)"
+        })
+    val cols = table(layer, name).schema.fields
+      .map(f => s"${f.name} ${sqlType(f.dataType)}")
+    s"CREATE TABLE $targetTable (${cols.mkString(", ")})"
+  }
+
+  /** Derby's VARCHAR ceiling; wide enough for any lineage array. */
+  private val arrayFallbackType = "VARCHAR(32672)"
+
+  /** Array columns for a target whose dialect has no ARRAY mapping
+    * (Derby) are JSON-encoded; engines with native arrays (Postgres
+    * text[], matching the reference's target) keep the typed column. */
+  private def conformForJdbc(df: DataFrame, url: String): DataFrame = {
+    val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case at: ArrayType if dialect.getJDBCType(at).isEmpty =>
+          d.withColumn(f.name, to_json(col(f.name)))
+        case _ => d
+      }
+    }
+  }
+
   /** S8 — source/destination row-count equality, must be > 0. */
   def verifyCounts(src: DataFrame, dstLayer: String, dstName: String): Boolean = {
     val a = src.count(); val b = table(dstLayer, dstName).count()
@@ -232,7 +278,7 @@ class LayerStore(spark: SparkSession, root: String) {
   def pushJdbc(layer: String, name: String, url: String, targetTable: String,
     props: java.util.Properties, batchSize: Int = 1000,
     maxConnections: Int = 8): Unit =
-    table(layer, name)
+    conformForJdbc(table(layer, name), url)
       .repartition(maxConnections)
       .write.mode(SaveMode.Append)
       .option("batchsize", batchSize)

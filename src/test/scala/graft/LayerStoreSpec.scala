@@ -66,6 +66,42 @@ class LayerStoreSpec extends SparkSpec {
     assert(spark.read.jdbc(url, "PUSHED", props).count() == 274)
   }
 
+  test("S7/S6: schema clone keeps decimal precision; arrays survive the push") {
+    // the reference's clone re-emits numeric(precision,scale) and
+    // text[] into the target DDL (gold/push.py:75-110); here the
+    // target is Derby, whose dialect has no ARRAY — jdbcDdl and
+    // pushJdbc must agree on the JSON-text encoding for that column
+    import org.apache.spark.sql.types._
+    val (store, _) = freshStore()
+    val df = Seq(
+      (1L, "12.34", Seq("orders", "lineitem")),
+      (2L, "0.05", Seq.empty[String]))
+      .toDF("id", "amount", "source_tables")
+      .withColumn("amount", $"amount".cast(DecimalType(12, 2)))
+    store.write("gold", "typed", df)
+    assert(store.ddl("gold", "typed").contains("DECIMAL(12,2)"))
+    assert(store.ddl("gold", "typed").contains("ARRAY<STRING>"))
+    val db = java.nio.file.Files.createTempDirectory("derby-db2").resolve("graft")
+    val url = s"jdbc:derby:$db;create=true"
+    val jddl = store.jdbcDdl("gold", "typed", url, "TYPED")
+    assert(jddl.contains("amount DECIMAL(12,2)"), jddl)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().execute(jddl) finally conn.close()
+    val props = new java.util.Properties()
+    store.pushJdbc("gold", "typed", url, "TYPED", props)
+    // Derby uppercases unquoted identifiers; resolve case-insensitively
+    val back = spark.read.jdbc(url, "TYPED", props).toDF("id", "amount", "source_tables")
+    // precision/scale survived the engine hop, not just the value
+    assert(back.schema("amount").dataType == DecimalType(12, 2))
+    val restored = back.withColumn(
+      "source_tables", from_json($"source_tables", ArrayType(StringType)))
+    val rows = restored.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDecimal(1).toPlainString, r.getSeq[String](2)))
+    assert(rows.toSeq == Seq(
+      (1L, "12.34", Seq("orders", "lineitem")),
+      (2L, "0.05", Seq.empty[String])))
+  }
+
   test("run-scoped overwrite replaces only the run's rows") {
     val (store, _) = freshStore()
     val run1 = Seq(("r1", 1), ("r1", 2), ("r2", 3)).toDF("run_id", "v")
@@ -181,7 +217,10 @@ class LayerStoreSpec extends SparkSpec {
     // run-scoped forecast sink: 7-day horizon per entity, run_id column
     val fc = store.table("gold", "forecasts")
     assert(fc.count() > 0 && fc.columns.contains("run_id"))
-    assert(fc.select("entity_id").distinct().count() * 7 == fc.count())
+    // entity key is (level, entity_id) since the level dimension landed
+    // (supplier/product/region series can reuse id vocabulary)
+    assert(fc.select("level", "entity_id").distinct().count() * 7 == fc.count())
+    assert(fc.select("level").distinct().count() > 1)
     // all 12 checks recorded; the lead-time check legitimately fires
     // on synthetic data (shipdate independent of orderdate)
     assert(store.table("audit", "dq_results").count() == 12)

@@ -64,14 +64,27 @@ object Tables {
     if (doSpread) df.repartition(target) else df
   }
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as raw nanos and floor-divide to micros
-    * (integer div — a double division would lose precision at 1.7e18).
-    * Matches DuckDB's CAST(ts_ns AS TIMESTAMP) truncation. */
+  /** events.ts has shipped in two physical encodings across testdata
+    * generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader rejects — read as raw nanos and floor-divide to micros;
+    * integer div, a double division would lose precision at 1.7e18)
+    * and plain TIMESTAMP(MICROS, isAdjustedToUTC=false) (which Spark
+    * reads as TIMESTAMP_NTZ). Normalize both to TimestampType: every
+    * session here pins spark.sql.session.timeZone=UTC, so the
+    * NTZ→instant cast is value-identity and matches DuckDB's naive
+    * TIMESTAMP oracle reading of the same file. */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType => // legacy nanos-as-long encoding
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => raw
+      case _ => // TIMESTAMP_NTZ (micros, not UTC-adjusted)
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Register all tables as temp views so `spark.sql(...)` works —

@@ -20,17 +20,35 @@ object TextFunctions {
   /** Whitespace tokens (documents are single-space normalized). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Distinct word n-gram shingles; fewer than n tokens → empty array.
-    * (The guard matters: Spark's sequence(1, 0) DESCENDS, it is not
-    * empty like DuckDB's generate_series.) */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = tokens(text)
+  /** Distinct word n-gram shingles from a TOKEN-ARRAY column; fewer
+    * than n tokens → empty array. (The guard matters: Spark's
+    * sequence(1, 0) DESCENDS, it is not empty like DuckDB's
+    * generate_series.)
+    *
+    * PERF: pass a column that is ALREADY a projected token array
+    * (`.select(tokens(col("text")).as("toks"))` in a separate Project),
+    * not `tokens(col("text"))` inline. Higher-order functions are
+    * interpreted (no codegen) and get no common-subexpression
+    * elimination inside the lambda, so an inline `split` re-tokenizes
+    * the document once per element_at — ~5·(n_tokens−n+1) splits per
+    * row. A pre-projected array is split once per row; Catalyst's
+    * CollapseProject keeps the two projections separate exactly
+    * because the non-cheap split is referenced many times (measured
+    * 13× on the 5-gram explode at sf0.1). */
+  def shinglesOf(toks: Column, n: Int = 3): Column = {
     val count = size(toks)
     when(count >= n,
       array_distinct(transform(sequence(lit(1), count - lit(n - 1)),
         i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*))))
       .otherwise(array().cast(ArrayType(StringType)))
   }
+
+  /** Inline-from-text form — ONLY for single-use contexts where the
+    * shingle array is consumed once per row (e.g. `size(...)` in an
+    * already-token-bearing projection). Anything that explodes or
+    * repeatedly references the result must use `shinglesOf` over a
+    * pre-projected token column instead (see its PERF note). */
+  def shingles(text: Column, n: Int = 3): Column = shinglesOf(tokens(text), n)
 
   /** Salted portable hash: md5(seed || '|' || s), lowercase hex. */
   def saltedMd5(c: Column, seed: Int): Column =

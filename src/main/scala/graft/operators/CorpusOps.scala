@@ -44,13 +44,15 @@ object CorpusOps extends QueryModule {
   def repetitionProfile(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.t(s, dir, "documents")
     val toks = tokens(col("text"))
-    val nTok = size(toks)
-    // LongType casts: DuckDB len()/greatest() yield BIGINT
-    val base = docs.select(
+    val nTok = size(col("toks"))
+    // LongType casts: DuckDB len()/greatest() yield BIGINT. Tokens are
+    // projected once, then sized/shingled from the materialized array
+    // (TextFunctions.shinglesOf PERF note).
+    val base = docs.select(col("doc_id"), toks.as("toks")).select(
       col("doc_id"),
       nTok.cast(LongType).as("n_tokens"),
       greatest(nTok - lit(2), lit(0)).cast(LongType).as("n_grams"),
-      size(shingles(col("text"))).cast(LongType).as("n_distinct_grams"))
+      size(shinglesOf(col("toks"))).cast(LongType).as("n_distinct_grams"))
     val topTok = docs
       .select(col("doc_id"), explode(toks).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
@@ -101,13 +103,18 @@ object CorpusOps extends QueryModule {
     * list is broadcast — the training corpus never shuffles. */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.t(s, dir, "documents")
+    // tokens in their own projection: the gram lambda reads a
+    // materialized array instead of re-splitting the text per
+    // element_at (TextFunctions.shinglesOf PERF note)
     val evalGrams = docs.filter(col("source") === EvalSource)
-      .select(explode(shingles(col("text"), 5)).as("g"), col("doc_id").as("eval_doc"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(explode(shinglesOf(col("toks"), 5)).as("g"), col("doc_id").as("eval_doc"))
     // ONE shingling pass over the training corpus: the gram list and
     // its size come from the same projection, explode_outer keeps
     // zero-gram docs (their null gram can never match the eval join)
     val tg = docs.filter(col("source") =!= EvalSource)
-      .select(col("doc_id"), shingles(col("text"), 5).as("grams"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shinglesOf(col("toks"), 5).as("grams"))
       .select(col("doc_id"), size(col("grams")).cast(LongType).as("n_grams"),
         explode_outer(col("grams")).as("g"))
     // two single-distinct aggregates joined back, not two

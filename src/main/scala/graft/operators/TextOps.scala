@@ -488,118 +488,20 @@ object TextOps extends QueryModule {
 
   /** q54 — the final step of a production dedup pipeline: verified
     * similar pairs (exact Jaccard >= 0.5 on the LSH candidates)
-    * become CLUSTERS via connected components, one canonical doc
-    * (min id) per cluster. Iterative min-label propagation — each
-    * round is one join + min-aggregation, converging in
-    * graph-diameter rounds (the GraphX-free distributed CC; near-dup
-    * components are clique-like, so 2-3 rounds in practice). The
-    * driver loop carries only a scalar convergence count per round —
-    * the labels never leave the cluster. Oracle: DuckDB recursive-CTE
-    * transitive closure + min-reachable. */
-  /** The previous invocation's converged label frame (per dir): the
-    * returned DataFrame reads it lazily, so it must stay persisted
-    * until the NEXT invocation replaces it — without this, repeated
-    * runs (bench median-of-3) would leak one cached frame each. */
-  private val lastFrames =
-    collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[DataFrame]]
-
-  /** Release a frame's storage DETERMINISTICALLY whether it is
-    * CacheManager-persisted or localCheckpoint-backed:
-    * Dataset.unpersist only uncaches CacheManager entries and is a
-    * silent no-op on a checkpoint-backed frame, whose blocks are
-    * RDD-level-persisted and otherwise linger until the JVM happens
-    * to GC the RDD reference. */
-  private def release(df: DataFrame): Unit = {
-    df.unpersist()
-    df.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(false))
-    ()
-  }
-
+    * become CLUSTERS via connected components — the shared
+    * min-label-propagation loop in [[Components]] (durability dial
+    * documented there). Oracle: DuckDB recursive-CTE transitive
+    * closure + min-reachable. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     dedupClustersWith(s, dir, reliable = false)
 
-  /** `reliable = false` (default / bench): each round truncates
-    * lineage with `localCheckpoint` — fastest, but the materialized
-    * label blocks live only on executors and are NOT recomputable on
-    * executor loss. `reliable = true`: rounds checkpoint to the
-    * session's checkpoint directory (`sparkContext.setCheckpointDir`,
-    * shared storage on a cluster — REQUIRED before calling, else this
-    * fails fast) — one write+read of the skinny label frame per round
-    * buys survival of any executor loss, the durability a long
-    * many-round run on a 1000-executor cluster needs. Checkpoint
-    * files are left for the directory owner to reap (Spark only
-    * auto-cleans them with spark.cleaner.referenceTracking
-    * .cleanCheckpoints=true). */
   def dedupClustersWith(s: SparkSession, dir: String, reliable: Boolean): DataFrame = {
-    if (reliable) require(s.sparkContext.getCheckpointDir.isDefined,
-      "dedupClustersWith(reliable = true) needs sparkContext.setCheckpointDir " +
-        "(shared storage) set first")
-    val checkpointRound: DataFrame => DataFrame =
-      if (reliable) { df =>
-        // persist before checkpoint: the eager action computes the
-        // aggregation, then the checkpoint-file write job re-computes
-        // it unless the result is cached — persist halves per-round
-        // materialization cost on exactly the long runs this path is
-        // for. The cache is dropped as soon as the files are durable.
-        val cached = df.persist()
-        val out = cached.checkpoint(true)
-        cached.unpersist()
-        out
-      } else _.localCheckpoint(true)
-    val docs = Tables.t(s, dir, "documents").select(col("doc_id"))
-    lastFrames.remove((s, dir)).foreach(_.foreach(release))
+    val docs = Tables.t(s, dir, "documents")
+      .select(col("doc_id").as("id"))
     val sim = ngramJaccard(s, dir).filter(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"))
-    val edges = sim.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(sim.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("label")).persist()
-    // Convergence witness: labels are non-increasing under
-    // min-propagation (own label is in every round's min), so the
-    // label-sum is strictly decreasing until the fixed point — ONE
-    // scalar aggregate per round detects convergence, instead of a
-    // count() plus a label-compare join (2 actions + a shuffle). The
-    // sum runs in decimal so it stays exact at any doc-id magnitude.
-    var prevSum: java.math.BigDecimal = null
-    var converged = false
-    var iter = 0
-    while (!converged && iter < 25) {
-      val neighborLabels = edges
-        .join(labels.select(col("doc_id").as("dst"), col("label")), "dst")
-        .select(col("src").as("doc_id"), col("label"))
-      // localCheckpoint (not persist): each round's plan embeds the
-      // previous round's FULL tree twice (union + join), so lineage
-      // grows exponentially with iterations — PlanSweep measured 8347
-      // Exchange nodes in the printed plan after convergence. The
-      // checkpoint truncates lineage to the materialized partitions
-      // (implicitly cached), keeping driver-side analysis O(1) per
-      // round — at a billion docs the loop still runs in diameter
-      // rounds with constant-size plans.
-      val next = checkpointRound(
-        labels.unionByName(neighborLabels)
-          .groupBy(col("doc_id")).agg(min(col("label")).as("label")))
-      val sumNow = next.agg(sum(col("label").cast(DecimalType(38, 0)))).head().getDecimal(0)
-      // a null sum means zero docs: the empty labeling is trivially the
-      // fixed point (without this, prevSum stays null forever and the
-      // loop would spin to the round cap and throw on an empty input)
-      converged = sumNow == null || (prevSum != null && sumNow.compareTo(prevSum) == 0)
-      prevSum = sumNow
-      release(labels)
-      labels = next
-      iter += 1
-    }
-    // unconverged labels are WRONG labels (one component, many ids) —
-    // fail loudly rather than emit them; the oracle is exact closure
-    require(converged,
-      s"dedupClusters: min-label propagation not converged after $iter rounds")
-    // edges stays persisted; labels is checkpoint-backed (reliable =
-    // survives executor loss from shared storage; local = fast but
-    // not recomputable — the caller's dial). Both are released on the
-    // next invocation.
-    lastFrames.put((s, dir), Seq(labels, edges))
-    val comp = labels.select(col("doc_id"), col("label").as("cluster_id"))
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val labels = Components.connected(s, s"text:$dir", docs, sim, reliable)
+    val comp = labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
     val sizes = comp.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
     comp.join(sizes, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),

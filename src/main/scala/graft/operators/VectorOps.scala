@@ -296,7 +296,16 @@ object VectorOps extends QueryModule {
     * wall by 256× at both better recall and lower cost. The SRP-LSH
     * analogue of q22's minhash banding — the standard shape that
     * survives 100 TB of embeddings (never all-pairs). */
-  def cosineNearDup(s: SparkSession, dir: String): DataFrame = {
+  def cosineNearDup(s: SparkSession, dir: String): DataFrame =
+    cosineCandidates(s, dir)
+      .select(col("vec_a"), col("vec_b"),
+        snapRound(col("cosine_raw"), 6).as("cosine"),
+        (col("cosine_raw") >= 0.95).as("is_near_dup"))
+      .orderBy(col("vec_a"), col("vec_b"))
+
+  /** SRP candidate pairs with their exact ordered-fold cosine — the
+    * shared core of q51 (report) and q73 (clustering). */
+  private def cosineCandidates(s: SparkSession, dir: String): DataFrame = {
     val all = withNorm(Tables.t(s, dir, "embeddings"))
     val pairs = srpCandidatesOver(srpBands(s, dir))
     val ea = all.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("norm2").as("na"))
@@ -305,13 +314,34 @@ object VectorOps extends QueryModule {
     pairs.join(ea, "vec_a").join(eb, "vec_b")
       .select(col("vec_a"), col("vec_b"),
         (dot / (sqrt(col("na")) * sqrt(col("nb")))).as("cosine_raw"))
-      .select(col("vec_a"), col("vec_b"),
-        snapRound(col("cosine_raw"), 6).as("cosine"),
-        (col("cosine_raw") >= 0.95).as("is_near_dup"))
-      .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  private val cosineNearDupSql = {
+  /** q73 — embedding near-dup CLUSTERS: the q51 verified pairs
+    * (exact cosine >= 0.95 on SRP candidates) closed into connected
+    * components via the shared min-label propagation
+    * ([[Components]]), one canonical vector (min id) per cluster —
+    * the collection-scale "which vectors are the same content"
+    * rollup that a dedup pass consumes, the embedding analogue of
+    * q54's text clusters. Scale: edges are the (near-linear) verified
+    * candidate set; each round shuffles only (id, label). Oracle:
+    * DuckDB recursive-CTE transitive closure + min-reachable. */
+  def embeddingClusters(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.t(s, dir, "embeddings").select(col("vec_id").as("id"))
+    val sim = cosineCandidates(s, dir).filter(col("cosine_raw") >= 0.95)
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+    val labels = Components.connected(s, s"vec:$dir", vecs, sim, reliable = false)
+    val comp = labels.select(col("id").as("vec_id"), col("label").as("cluster_id"))
+    val sizes = comp.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, "cluster_id")
+      .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
+        (col("vec_id") === col("cluster_id")).as("is_canonical"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The SRP chain (norms → bits → bands → candidate pairs → exact
+    * dots) as shared CTE text — composed by both the q51 and q73
+    * oracles so the two can never drift. */
+  private val srpDotsCtes = {
     // the srpWeight mixer, textually expanded (x0 appears 2×, so the
     // final expression repeats it 8× — DuckDB folds the common
     // subexpressions; values stay positive, so % == bitwiseAND mask)
@@ -323,7 +353,7 @@ object VectorOps extends QueryModule {
     val w = s"(CASE WHEN (($x3 >> 15) & 1) = 0 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)"
     val proj = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
       s"list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * $w)), (acc, x) -> acc + x)"
-    s"""WITH n AS (
+    s"""n AS (
        |  SELECT vec_id, ${dotSql("embedding", "embedding")} AS norm2 FROM embeddings),
        |bits AS (
        |  SELECT vec_id, h, CASE WHEN $proj >= 0 THEN 1 ELSE 0 END AS bit
@@ -340,7 +370,11 @@ object VectorOps extends QueryModule {
        |  SELECT vec_a, vec_b, ${dotSql("qa.embedding", "qb.embedding")} AS dot
        |  FROM pairs
        |  JOIN embeddings qa ON qa.vec_id = vec_a
-       |  JOIN embeddings qb ON qb.vec_id = vec_b)
+       |  JOIN embeddings qb ON qb.vec_id = vec_b)""".stripMargin
+  }
+
+  private val cosineNearDupSql =
+    s"""WITH $srpDotsCtes
        |SELECT vec_a, vec_b,
        |       ${snapRoundSql("dot / (sqrt(na.norm2) * sqrt(nb.norm2))", 6)} AS cosine,
        |       dot / (sqrt(na.norm2) * sqrt(nb.norm2)) >= 0.95 AS is_near_dup
@@ -348,19 +382,42 @@ object VectorOps extends QueryModule {
        |JOIN n na ON vec_a = na.vec_id
        |JOIN n nb ON vec_b = nb.vec_id
        |ORDER BY vec_a, vec_b""".stripMargin
-  }
+
+  private val embeddingClustersSql =
+    s"""WITH RECURSIVE $srpDotsCtes,
+       |sim AS (
+       |  SELECT vec_a, vec_b
+       |  FROM dots
+       |  JOIN n na ON vec_a = na.vec_id
+       |  JOIN n nb ON vec_b = nb.vec_id
+       |  WHERE dot / (sqrt(na.norm2) * sqrt(nb.norm2)) >= 0.95),
+       |edges AS (
+       |  SELECT vec_a AS src, vec_b AS dst FROM sim
+       |  UNION ALL
+       |  SELECT vec_b, vec_a FROM sim),
+       |reach AS (
+       |  SELECT vec_id AS node, vec_id AS reachable FROM embeddings
+       |  UNION
+       |  SELECT r.node, e.dst FROM reach r JOIN edges e ON r.reachable = e.src),
+       |comp AS (SELECT node AS vec_id, min(reachable) AS cluster_id FROM reach GROUP BY node),
+       |csizes AS (SELECT cluster_id, count(1) AS cluster_size FROM comp GROUP BY 1)
+       |SELECT vec_id, cluster_id, cluster_size, vec_id = cluster_id AS is_canonical
+       |FROM comp JOIN csizes USING (cluster_id)
+       |ORDER BY vec_id""".stripMargin
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_cosine_topk" -> cosineTopk,
     "q31_ann_filtered" -> annFiltered,
     "q43_ann_ivf_sampled" -> annIvfSampled,
     "q51_cosine_near_dup" -> cosineNearDup,
-    "q52_ann_ivf_probe2" -> annIvfProbe2)
+    "q52_ann_ivf_probe2" -> annIvfProbe2,
+    "q73_embedding_clusters" -> embeddingClusters)
 
   override def oracles: Map[String, String] = Map(
     "q30_cosine_topk" -> topkSql(sameCluster = false, 5),
     "q31_ann_filtered" -> topkSql(sameCluster = true, 3),
     "q43_ann_ivf_sampled" -> annIvfSql(probe = 1),
     "q51_cosine_near_dup" -> cosineNearDupSql,
-    "q52_ann_ivf_probe2" -> annIvfSql(probe = 2))
+    "q52_ann_ivf_probe2" -> annIvfSql(probe = 2),
+    "q73_embedding_clusters" -> embeddingClustersSql)
 }

@@ -41,7 +41,8 @@ class PlanSweepSpec extends SparkSpec {
     * either side would ship a fact-sized table. */
   private val smjOk = Set(
     "q41_store_performance", "q47_semi_anti_join", "q54_dedup_clusters",
-    "q62_decontamination", "q64_range_join", "q70_forecast_levels")
+    "q62_decontamination", "q64_range_join", "q70_forecast_levels",
+    "q73_embedding_clusters")
 
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString

@@ -453,6 +453,55 @@ object CorpusOps extends QueryModule {
        |FROM c
        |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // ---- q75: BPE pair statistics -----------------------------------
+
+  /** q75 — adjacent-token-pair frequencies: the inner statistic of a
+    * BPE/WordPiece merge step (the highest-count adjacent pair is the
+    * next merge), over the whole corpus with document frequencies —
+    * top 200 pairs. WITH multiplicity (unlike shingles, which dedup),
+    * so the pair transform is inline — it still reads the
+    * pre-projected token array (TextFunctions.shinglesOf PERF note).
+    * Same two-level aggregation discipline as q63's vocabulary:
+    * (pair, doc) partial counts, then pair rollup — no Expand, one
+    * shuffle each, rank window AFTER the limit so it sees 200 rows,
+    * not the pair space. */
+  def bpePairs(s: SparkSession, dir: String): DataFrame = {
+    val pairArr = expr(
+      """CASE WHEN size(toks) >= 2
+        |THEN transform(sequence(1, size(toks) - 1),
+        |       i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))
+        |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)
+    val perDoc = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(pairArr).as("pair"))
+      .groupBy(col("pair"), col("doc_id")).agg(count(lit(1)).as("cnt"))
+    val top = perDoc.groupBy(col("pair"))
+      .agg(sum(col("cnt")).as("occurrences"), count(lit(1)).as("doc_freq"))
+      .orderBy(col("occurrences").desc, col("pair"))
+      .limit(200)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("occurrences").desc, col("pair"))))
+      .select(col("rank"), col("pair"), col("occurrences"), col("doc_freq"))
+      .orderBy(col("rank"))
+  }
+
+  private val bpePairsSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |p AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+      |        THEN list_transform(generate_series(1, len(toks) - 1),
+      |               i -> toks[i] || ' ' || toks[i+1])
+      |        ELSE [] END) AS pair
+      |      FROM t),
+      |perdoc AS (SELECT pair, doc_id, count(1) AS cnt FROM p GROUP BY 1, 2),
+      |top AS (
+      |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS occurrences, count(1) AS doc_freq
+      |  FROM perdoc GROUP BY 1
+      |  ORDER BY occurrences DESC, pair LIMIT 200)
+      |SELECT CAST(row_number() OVER (ORDER BY occurrences DESC, pair) AS INTEGER) AS rank,
+      |       pair, occurrences, doc_freq
+      |FROM top
+      |ORDER BY rank""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_repetition_profile" -> repetitionProfile,
     "q62_decontamination" -> decontaminate,
@@ -461,7 +510,8 @@ object CorpusOps extends QueryModule {
     "q67_pii_redact" -> piiRedact,
     "q68_corpus_mix" -> corpusMix,
     "q69_span_dedup" -> spanDedup,
-    "q72_chunk_docs" -> chunkDocs)
+    "q72_chunk_docs" -> chunkDocs,
+    "q75_bpe_pairs" -> bpePairs)
 
   override def oracles: Map[String, String] = Map(
     "q61_repetition_profile" -> repetitionProfileSql,
@@ -471,5 +521,6 @@ object CorpusOps extends QueryModule {
     "q67_pii_redact" -> piiRedactSql,
     "q68_corpus_mix" -> corpusMixSql,
     "q69_span_dedup" -> spanDedupSql,
-    "q72_chunk_docs" -> chunkDocsSql)
+    "q72_chunk_docs" -> chunkDocsSql,
+    "q75_bpe_pairs" -> bpePairsSql)
 }

@@ -279,6 +279,53 @@ object EventOps extends QueryModule {
       |GROUP BY 1, 2
       |ORDER BY a.event_id""".stripMargin
 
+  /** q74 — weekly cohort retention: each user joins the cohort of
+    * their first active ISO week; for every (cohort, week-offset)
+    * cell, how many of the cohort's users were active — the retention
+    * matrix every product-analytics stack derives from an event
+    * stream. Scale: user-week activity dedups FIRST (one narrow
+    * distinct on (user, week) — the event fan-in never reaches the
+    * cohort join), first-week is a min-aggregation on the same
+    * shuffle key, and the cells aggregate the deduped frame; all
+    * joins are derived-vs-derived on user_id. The offset uses
+    * floor(days/7) in BOTH engines (a bare int cast truncates in
+    * Spark but ROUNDS in DuckDB — cross-engine trap). */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "events")
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast(DateType).as("w"))
+      .distinct()
+    val cohorts = e.groupBy(col("user_id")).agg(min(col("w")).as("cohort_week"))
+    val cells = e.join(cohorts, "user_id")
+      .groupBy(col("cohort_week"),
+        floor(datediff(col("w"), col("cohort_week")) / lit(7.0)).cast(IntegerType).as("week_offset"))
+      .agg(count(lit(1)).as("active_users")) // (user, w) already distinct
+    val sizes = cohorts.groupBy(col("cohort_week")).agg(count(lit(1)).as("cohort_size"))
+    cells.join(sizes, "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("active_users"), col("cohort_size"),
+        (col("active_users").cast(DoubleType) / col("cohort_size").cast(DoubleType))
+          .as("retention_rate"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  private val cohortRetentionSql =
+    """WITH e AS (
+      |  SELECT DISTINCT user_id,
+      |         CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS w
+      |  FROM events),
+      |cohorts AS (SELECT user_id, min(w) AS cohort_week FROM e GROUP BY 1),
+      |cells AS (
+      |  SELECT cohort_week,
+      |         CAST(floor(date_diff('day', cohort_week, w) / 7.0) AS INTEGER) AS week_offset,
+      |         count(1) AS active_users
+      |  FROM e JOIN cohorts USING (user_id)
+      |  GROUP BY 1, 2),
+      |sizes AS (SELECT cohort_week, count(1) AS cohort_size FROM cohorts GROUP BY 1)
+      |SELECT cohort_week, week_offset, active_users, cohort_size,
+      |       CAST(active_users AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retention_rate
+      |FROM cells JOIN sizes USING (cohort_week)
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_event_windows" -> eventWindows,
     "q33_sessionize" -> sessionize,
@@ -287,7 +334,8 @@ object EventOps extends QueryModule {
     "q53_cube_orders" -> cubeOrders,
     "q46_asof_join" -> asofJoin,
     "q57_asof_native" -> asofJoinNative,
-    "q64_range_join" -> rangeJoin)
+    "q64_range_join" -> rangeJoin,
+    "q74_cohort_retention" -> cohortRetention)
 
   override def oracles: Map[String, String] = Map(
     "q32_event_windows" -> eventWindowsSql,
@@ -297,5 +345,6 @@ object EventOps extends QueryModule {
     "q53_cube_orders" -> cubeOrdersSql,
     "q46_asof_join" -> asofJoinSql,
     "q57_asof_native" -> asofJoinSql,
-    "q64_range_join" -> rangeJoinSql)
+    "q64_range_join" -> rangeJoinSql,
+    "q74_cohort_retention" -> cohortRetentionSql)
 }

@@ -326,6 +326,63 @@ object EventOps extends QueryModule {
       |FROM cells JOIN sizes USING (cohort_week)
       |ORDER BY cohort_week, week_offset""".stripMargin
 
+  /** q76 — ordered funnel conversion (view → click → purchase): a
+    * user reaches stage N only with a stage-N event STRICTLY AFTER
+    * their stage-N−1 time (first-touch semantics: min qualifying ts
+    * per stage). The classic product-analytics funnel, expressed as
+    * cascaded conditional min-aggregations — each stage is one
+    * filter + join-on-user + min-agg, all keyed on user_id, so the
+    * three stages reuse one shuffle key end to end; no window over
+    * the event fan-in. The final 3-row frame ranks with a global lag
+    * (bounded — 3 rows) for stage-over-stage conversion. */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    def stageAfter(evType: String, prev: DataFrame, prevT: String, asT: String) =
+      e.filter(col("event_type") === evType)
+        .join(prev.select(col("user_id"), col(prevT)), "user_id")
+        .filter(col("ts") > col(prevT))
+        .groupBy(col("user_id")).agg(min(col("ts")).as(asT))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = stageAfter("click", v, "t1", "t2")
+    val p = stageAfter("purchase", c, "t2", "t3")
+    val stages =
+      v.agg(count(lit(1)).as("users")).select(lit(1).as("stage"), lit("view").as("stage_name"), col("users"))
+        .unionByName(c.agg(count(lit(1)).as("users")).select(lit(2).as("stage"), lit("click").as("stage_name"), col("users")))
+        .unionByName(p.agg(count(lit(1)).as("users")).select(lit(3).as("stage"), lit("purchase").as("stage_name"), col("users")))
+    stages
+      .withColumn("conversion_rate",
+        col("users").cast(DoubleType) /
+          lag(col("users"), 1).over(Window.orderBy(col("stage"))).cast(DoubleType))
+      .orderBy(col("stage"))
+  }
+
+  private val funnelSql =
+    """WITH v AS (
+      |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1
+      |  FROM events WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t1
+      |  GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t2
+      |  GROUP BY 1),
+      |stages AS (
+      |  SELECT 1 AS stage, 'view' AS stage_name, count(1) AS users FROM v
+      |  UNION ALL
+      |  SELECT 2, 'click', count(1) FROM c
+      |  UNION ALL
+      |  SELECT 3, 'purchase', count(1) FROM p)
+      |SELECT stage, stage_name, users,
+      |       CAST(users AS DOUBLE) / CAST(lag(users) OVER (ORDER BY stage) AS DOUBLE) AS conversion_rate
+      |FROM stages
+      |ORDER BY stage""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_event_windows" -> eventWindows,
     "q33_sessionize" -> sessionize,
@@ -335,7 +392,8 @@ object EventOps extends QueryModule {
     "q46_asof_join" -> asofJoin,
     "q57_asof_native" -> asofJoinNative,
     "q64_range_join" -> rangeJoin,
-    "q74_cohort_retention" -> cohortRetention)
+    "q74_cohort_retention" -> cohortRetention,
+    "q76_funnel" -> funnel)
 
   override def oracles: Map[String, String] = Map(
     "q32_event_windows" -> eventWindowsSql,
@@ -346,5 +404,6 @@ object EventOps extends QueryModule {
     "q46_asof_join" -> asofJoinSql,
     "q57_asof_native" -> asofJoinSql,
     "q64_range_join" -> rangeJoinSql,
-    "q74_cohort_retention" -> cohortRetentionSql)
+    "q74_cohort_retention" -> cohortRetentionSql,
+    "q76_funnel" -> funnelSql)
 }

@@ -40,11 +40,31 @@ object Forecast extends QueryModule {
   /** Build the shared series artifacts eagerly (Bench prepare phase).
     * Both granularities — q36/q37/q55 consume the weekly series, and
     * rebuilding its groupBy + calendar join per query tripled its
-    * cost in the bench. */
+    * cost in the bench — and every forecasting LEVEL (q70 consumes
+    * the product/region weekly series; building them lazily inside
+    * the first timed q70 run hid ~10 s of artifact construction from
+    * the prep phase, against the bench's own "preps build, queries
+    * consume" methodology). The four series are independent jobs, so
+    * they materialize CONCURRENTLY — the scheduler interleaves their
+    * stages across the same cores, hiding the shorter builds behind
+    * the longest. */
   def prepareArtifacts(s: SparkSession, dir: String): Unit = {
-    dailySeries(s, dir)
-    weekly(s, dir)
-    ()
+    val builds: Seq[() => Any] = Seq(
+      () => dailySeries(s, dir),
+      () => weekly(s, dir),
+      () => weeklyAt(s, dir, "product"),
+      () => weeklyAt(s, dir, "region"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = builds.map { b =>
+      val t = new Thread(() => try { b(); () } catch { case e: Throwable => errs.add(e) })
+      t.setDaemon(true); t.start(); t
+    }
+    threads.foreach(_.join())
+    if (!errs.isEmpty) { // a silent prep failure would fake the bench
+      val it = errs.iterator(); val head = it.next()
+      while (it.hasNext) head.addSuppressed(it.next())
+      throw head
+    }
   }
 
   /** Daily demand per supplier with gap-filled calendar (W3):

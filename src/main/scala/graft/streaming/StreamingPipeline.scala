@@ -111,6 +111,47 @@ object StreamingPipeline {
         col("p_ts"), col("view_id"), col("v_ts"))
   }
 
+  case class FunnelOut(user_id: Long, stage: Int, stage_name: String,
+    reached_ts: Timestamp)
+  /** Per-user funnel progress; 0 = stage not reached yet. */
+  case class FunnelState(t1: Long, t2: Long, t3: Long)
+
+  /** Stateful ordered-funnel tracker — the streaming twin of the
+    * batch q76 funnel (EventOps.funnel): a per-user state machine
+    * view → click → purchase with first-touch semantics, emitting a
+    * row the first time a user reaches each stage. A stage-N event
+    * counts only STRICTLY AFTER the recorded stage-N−1 time, exactly
+    * the batch cascade's predicate, so the first qualifying event in
+    * ts order IS the batch's min-qualifying event. State is one
+    * 3-long struct per user — bounded by the user population, not the
+    * event volume. Like the sessionizer, rows sort per invocation;
+    * cross-batch order relies on event-time-ordered arrival. */
+  def funnelStages(events: Dataset[Event]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          val sorted = rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(FunnelState(0L, 0L, 0L))
+          val out = Seq.newBuilder[FunnelOut]
+          for (e <- sorted) {
+            val t = tsMicros(e.ts)
+            e.event_type match {
+              case "view" if st.t1 == 0L =>
+                st = st.copy(t1 = t); out += FunnelOut(userId, 1, "view", microsTs(t))
+              case "click" if st.t1 != 0L && st.t2 == 0L && t > st.t1 =>
+                st = st.copy(t2 = t); out += FunnelOut(userId, 2, "click", microsTs(t))
+              case "purchase" if st.t2 != 0L && st.t3 == 0L && t > st.t2 =>
+                st = st.copy(t3 = t); out += FunnelOut(userId, 3, "purchase", microsTs(t))
+              case _ =>
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Stateful gap-based sessionization (30-min inactivity) via
     * flatMapGroupsWithState. A session closes when a later event
     * arrives past the gap; the closing event starts the next session.

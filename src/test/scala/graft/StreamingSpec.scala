@@ -130,6 +130,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq && streamed.nonEmpty)
   }
 
+  test("stateful streaming funnel == batch funnel stage counts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel").toString
+    eventsDf.select("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in").as[Event]
+    val q = StreamingPipeline.funnelStages(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("funnel_out")
+      .groupBy("stage").agg(count(lit(1)).as("users"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sorted
+    val batch = EventOps.funnel(spark, sf0001)
+      .select("stage", "users")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sorted
+    assert(streamed.toSeq == batch.toSeq && streamed.nonEmpty)
+    // each user reaches each stage at most once
+    val perUser = spark.table("funnel_out")
+      .groupBy("user_id", "stage").count().filter($"count" > 1).count()
+    assert(perUser == 0)
+  }
+
   test("stateful streaming sessionization == batch sessionization") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
     val ev = eventsDf

@@ -419,6 +419,49 @@ object TextOps extends QueryModule {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q77: per-source quality quartile gate ----------------------
+
+  /** q77 — the corpus filtering step that consumes q26's score: per
+    * SOURCE quality quartiles (each source is scored against its own
+    * distribution — a web source and a code source have incomparable
+    * absolute scores) and the keep/drop verdict for the standard
+    * "drop the bottom quartile per source" gate. Quartiles come from
+    * ntile over a fully-deterministic order (quality, doc_id) — a
+    * rank-based quantile, NOT an interpolated percentile: ntile's
+    * bucket-size arithmetic is integer and identical across engines,
+    * where interpolated quantiles differ in the last ulp whenever the
+    * cut falls between two distinct values. Scale: one window
+    * partitioned by source (the corpus shuffles once on source — at
+    * heavy skew, pre-aggregate score histograms instead), then a tiny
+    * rollup. Reuses q26's exact scored frame — one definition of
+    * quality. */
+  def qualityGate(s: SparkSession, dir: String): DataFrame = {
+    val scored = qualityScore(s, dir).select(col("doc_id"), col("quality"))
+    val src = Tables.t(s, dir, "documents").select(col("doc_id"), col("source"))
+    val w = Window.partitionBy(col("source")).orderBy(col("quality"), col("doc_id"))
+    scored.join(src, "doc_id")
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("source"), col("quartile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("quality")).as("min_quality"),
+        max(col("quality")).as("max_quality"))
+      .withColumn("kept", col("quartile") >= 2)
+      .orderBy(col("source"), col("quartile"))
+  }
+
+  private def qualityGateSql: String =
+    s"""WITH scored AS (SELECT doc_id, quality FROM ($qualityScoreSql)),
+       |r AS (
+       |  SELECT d.source, s.doc_id, s.quality,
+       |         ntile(4) OVER (PARTITION BY d.source ORDER BY s.quality, s.doc_id) AS quartile
+       |  FROM scored s JOIN documents d ON s.doc_id = d.doc_id)
+       |SELECT source, quartile, count(1) AS n_docs,
+       |       min(quality) AS min_quality, max(quality) AS max_quality,
+       |       quartile >= 2 AS kept
+       |FROM r
+       |GROUP BY 1, 2
+       |ORDER BY source, quartile""".stripMargin
+
   // ---- q27: token counting ---------------------------------------
 
   /** q27 — whitespace + BPE-ish regex token counts. */
@@ -683,6 +726,7 @@ object TextOps extends QueryModule {
     "q24_simhash" -> simhash,
     "q25_langid" -> langId,
     "q26_text_quality" -> qualityScore,
+    "q77_quality_gate" -> qualityGate,
     "q27_token_count" -> tokenCount,
     "q28_fingerprint" -> fingerprint)
 
@@ -713,6 +757,7 @@ object TextOps extends QueryModule {
     "q24_simhash" -> simhashSql,
     "q25_langid" -> langIdSql,
     "q26_text_quality" -> qualityScoreSql,
+    "q77_quality_gate" -> qualityGateSql,
     "q27_token_count" -> tokenCountSql,
     "q28_fingerprint" -> fingerprintSql)
 }

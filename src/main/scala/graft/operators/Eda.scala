@@ -550,6 +550,84 @@ object Eda extends QueryModule {
       |      FROM events)
       |WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  // ---- q78: KMV distinct-count sketch -----------------------------
+
+  /** Sketch size. 256 minima give ~1/sqrt(256-2) ≈ 6% expected
+    * relative error — run configuration at scale. */
+  private val KmvK = 256
+  /** 16^15 = 2^60 — the denominator that maps a 15-hex-digit md5
+    * prefix onto [0, 1). 15 digits (not 16) keeps the BIGINT positive
+    * in both engines. */
+  private val KmvDenom = 1.152921504606846976e18
+
+  /** q78 — KMV (k-minimum-values) distinct-count sketch, the
+    * mergeable cardinality estimator for corpus-scale profiling: keep
+    * the K smallest md5 hashes of a column's value set; the K-th
+    * minimum, read as a uniform [0,1) fraction, estimates the
+    * cardinality as (K-1)/u_K. Unlike HyperLogLog (whose register
+    * layout is engine-specific), md5 + lexicographic minima are
+    * BIT-IDENTICAL across engines — so this sketch is oracle-
+    * hash-verifiable AND its per-partition top-K merges associatively
+    * (the production path: sketch per split, merge minima — no exact
+    * distinct needed). Sets smaller than K report exactly (the
+    * sketch holds every value). The exact count rides along here to
+    * expose the realized relative error per column.
+    * Scale: distinct-hash dedup is one shuffle; the K minima then
+    * come from a TakeOrdered — O(K) per partition, K-row result. */
+  def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.t(s, dir, "lineitem")
+    val rows = Seq("l_orderkey", "l_partkey", "l_suppkey").map { c =>
+      val hs = l.filter(col(c).isNotNull)
+        .select(md5(col(c).cast(StringType).cast(BinaryType)).as("h"))
+        .distinct()
+      val kth = hs.orderBy(col("h")).limit(KmvK)
+        .agg(max(col("h")).as("hk"), count(lit(1)).as("k_actual"))
+      val est = when(col("k_actual") < KmvK, col("k_actual").cast(DoubleType))
+        .otherwise(lit((KmvK - 1).toDouble) /
+          (conv(substring(col("hk"), 1, 15), 16, 10).cast(DoubleType) / lit(KmvDenom)))
+      val exact = hs.agg(count(lit(1)).as("exact_distinct"))
+      kth.crossJoin(exact).select(
+        lit(c).as("column_name"),
+        col("exact_distinct"),
+        col("k_actual").cast(IntegerType).as("kmv_k"),
+        snapRound(est, 4).as("kmv_estimate"))
+    }
+    rows.reduce(_ unionByName _)
+      .withColumn("rel_error_pct",
+        snapRound(abs(col("kmv_estimate") - col("exact_distinct").cast(DoubleType)) /
+          col("exact_distinct").cast(DoubleType) * lit(100.0), 6))
+      .orderBy(col("column_name"))
+  }
+
+  private val kmvDistinctSql = {
+    def one(c: String) =
+      s"""SELECT column_name, exact_distinct, kmv_k,
+         |       ${snapRoundSql("est_raw", 4)} AS kmv_estimate
+         |FROM (
+         |  WITH hs AS (
+         |    SELECT DISTINCT md5(CAST($c AS VARCHAR)) AS h
+         |    FROM lineitem WHERE $c IS NOT NULL),
+         |  kth AS (
+         |    SELECT max(h) AS hk, count(1) AS k_actual
+         |    FROM (SELECT h FROM hs ORDER BY h LIMIT $KmvK)),
+         |  e AS (SELECT count(1) AS exact_distinct FROM hs)
+         |  SELECT '$c' AS column_name, exact_distinct,
+         |         CAST(k_actual AS INTEGER) AS kmv_k,
+         |         CASE WHEN k_actual < $KmvK THEN CAST(k_actual AS DOUBLE)
+         |              ELSE ${(KmvK - 1).toDouble} /
+         |                   (CAST(('0x' || substr(hk, 1, 15))::BIGINT AS DOUBLE) / $KmvDenom)
+         |         END AS est_raw
+         |  FROM kth, e)""".stripMargin
+    val unioned = Seq("l_orderkey", "l_partkey", "l_suppkey").map(one)
+      .mkString("\nUNION ALL\n")
+    s"""SELECT column_name, exact_distinct, kmv_k, kmv_estimate,
+       |       ${snapRoundSql("abs(kmv_estimate - CAST(exact_distinct AS DOUBLE)) / CAST(exact_distinct AS DOUBLE) * 100.0", 6)} AS rel_error_pct
+       |FROM (
+       |$unioned
+       |)
+       |ORDER BY column_name""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q05_topk_customers" -> topkCustomers,
     "q06_pagination" -> pagination,
@@ -563,7 +641,8 @@ object Eda extends QueryModule {
     "q14_latest_wins_upsert" -> latestWinsUpsert,
     "q19_cast_join" -> castJoin,
     "q42_categorical_mode" -> categoricalMode,
-    "q47_semi_anti_join" -> semiAntiJoin)
+    "q47_semi_anti_join" -> semiAntiJoin,
+    "q78_kmv_distinct" -> kmvDistinct)
 
   override def oracles: Map[String, String] = Map(
     "q19_cast_join" -> castJoinSql,
@@ -578,5 +657,6 @@ object Eda extends QueryModule {
     "q11_corr_matrix" -> corrMatrixSql,
     "q12_quantile_buckets" -> quantileBucketsSql,
     "q13_reconciliation" -> reconciliationSql,
-    "q14_latest_wins_upsert" -> latestWinsUpsertSql)
+    "q14_latest_wins_upsert" -> latestWinsUpsertSql,
+    "q78_kmv_distinct" -> kmvDistinctSql)
 }

@@ -254,6 +254,24 @@ class ScaleSpec extends SparkSpec {
     assert(emb.rdd.getNumPartitions <= 2, "embeddings scan must stay unspread")
   }
 
+  test("KMV sketch merges associatively: per-split minima == whole-set minima") {
+    // the q78 production-path claim: sketch each split independently,
+    // merge by keeping the K smallest of the union — identical to
+    // sketching the whole set in one pass. Property of top-K minima,
+    // proven here on disjoint halves of the real fixture.
+    val k = 256
+    val hs = Tables.t(spark, sf0001, "lineitem")
+      .select(md5($"l_orderkey".cast("string").cast("binary")).as("h"), $"l_orderkey")
+    def topK(df: org.apache.spark.sql.DataFrame) =
+      df.select("h").distinct().orderBy("h").limit(k)
+    val whole = topK(hs).collect().map(_.getString(0)).toSeq
+    val merged = topK(
+      topK(hs.filter($"l_orderkey" % 2 === 0))
+        .unionByName(topK(hs.filter($"l_orderkey" % 2 === 1))))
+      .collect().map(_.getString(0)).toSeq
+    assert(merged == whole, "merged per-split KMV minima must equal the one-pass minima")
+  }
+
   test("bucketed co-located join plans without a shuffle") {
     // bucketed tables are managed: they live under the (gitignored)
     // default warehouse dir; the store root only hosts plain layers

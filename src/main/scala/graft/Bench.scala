@@ -186,12 +186,49 @@ object Bench {
     // stay flagged in "dirty". Preps cannot be re-run (their artifacts
     // are build-once memos; a second call times a cache hit) so a
     // contended prep is flagged dirty instead.
+    //
+    // Second retry rule, HISTORY-relative: any entry whose min exceeds
+    // 1.8× its own previous bench_out.json value is re-measured even
+    // when its cal bracket looks clean — the r7 snapshot had q10 run
+    // 1.8× its history behind a clean bracket (sub-threshold neighbor
+    // contention the spin can't see), which neither guard caught. The
+    // previous file is read BEFORE this run overwrites it; a missing /
+    // unparseable file disables the rule (first run, format drift).
+    val history: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("bench_out.json")), java.nio.charset.StandardCharsets.UTF_8)
+      // history is only comparable at the SAME scale factor: an ad-hoc
+      // sf0.001 run must not become the baseline that flags every
+      // entry of the next sf0.1 round (or vice versa)
+      val sameSf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
+        .exists(_.group(1) == sfDir)
+      val afterQueries = txt.split("\"queries\":\\{", 2)
+      if (!sameSf || afterQueries.length < 2) Map.empty
+      else "\"([^\"]+)\":([0-9][0-9.eE+-]*)".r
+        .findAllMatchIn(afterQueries(1).split("\\}", 2)(0))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
     val failedNow = failures.distinct.toSet
-    val retryNames = samples.toSeq.collect {
+    def minOf(ss: List[(Double, Int)]): Double = ss.map(_._1).min
+    // the driver's per-round record keeps the SHORT qNN keys, so a
+    // history file recovered from it must resolve through both forms
+    def histOf(label: String): Option[Double] =
+      history.get(label).orElse(
+        if (label.matches("q\\d+_.*"))
+          history.get(label.substring(0, label.indexOf('_')))
+        else None)
+    val dirtyRetry = samples.toSeq.collect {
       case (label, ss)
         if !label.startsWith("prep_") && !failedNow(label) &&
-           ss.forall { case (_, seg) => isDirty(seg) } => label -> ss.map(_._1).min
-    }.sortBy(-_._2).take(15).map(_._1)
+           ss.forall { case (_, seg) => isDirty(seg) } => label -> minOf(ss)
+    }
+    val histRetry = samples.toSeq.collect {
+      case (label, ss)
+        if !label.startsWith("prep_") && !failedNow(label) &&
+           histOf(label).exists(h => minOf(ss) > h * 1.8) => label -> minOf(ss)
+    }
+    val retryNames = (dirtyRetry ++ histRetry).distinct
+      .sortBy(-_._2).map(_._1).distinct.take(15)
     if (retryNames.nonEmpty) timedPass(retryNames.map(queryEntry))
 
     // merged value = min over samples; dirty = every sample contended

@@ -75,15 +75,23 @@ object Tables {
     * TIMESTAMP oracle reading of the same file. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
-    import org.apache.spark.sql.types.{LongType, TimestampType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case LongType => // legacy nanos-as-long encoding
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case TimestampType => raw
-      case _ => // TIMESTAMP_NTZ (micros, not UTC-adjusted)
+      case TimestampNTZType => // micros, not UTC-adjusted; sessions pin UTC
         raw.withColumn("ts", col("ts").cast(TimestampType))
+      // a THIRD encoding drift (string/int32/...) must fail fast here —
+      // a catch-all cast would silently null the column and take down
+      // every events query downstream (the r6 failure mode this decoder
+      // exists to defend against)
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as unexpected physical type $other — " +
+          "known encodings: TIMESTAMP(NANOS) (legacy nanos-as-long), " +
+          "TIMESTAMP(MICROS) instant, TIMESTAMP_NTZ; extend Tables.events deliberately")
     }
   }
 

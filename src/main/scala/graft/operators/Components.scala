@@ -51,9 +51,26 @@ private[operators] object Components {
   /** Min-label propagation over `nodes` ("id") and undirected `pairs`
     * ("src","dst", one direction; mirrored here). Returns ("id",
     * "label") with label = the component's minimum node id. `key`
-    * scopes the persisted-frame bookkeeping per caller+dir. */
+    * scopes the persisted-frame bookkeeping per caller+dir.
+    *
+    * `maxRounds` bounds the propagation: min-label converges in
+    * graph-DIAMETER rounds, so the default 25 is generous for the
+    * clique-like near-dup graphs this serves (diameter 2-3) but a
+    * CHAIN-shaped graph (a long similarity chain of pairwise-only
+    * neighbors) has diameter ≈ node count and will hit the cap — the
+    * loop then fails loudly (unconverged labels are wrong labels)
+    * rather than emit a partial labeling. Callers clustering
+    * potentially chain-shaped graphs must raise the cap explicitly;
+    * rounds stay O(1)-plan-size each, so a larger cap costs only the
+    * rounds actually used. */
   def connected(s: SparkSession, key: String, nodes: DataFrame,
-      pairs: DataFrame, reliable: Boolean): DataFrame = {
+      pairs: DataFrame, reliable: Boolean, maxRounds: Int = 25): DataFrame = {
+    // evict bookkeeping for sessions that have been stopped since the
+    // last call: their executors (and any cached blocks) are gone, but
+    // the map entry would otherwise strongly reference the session
+    // object forever in a long-lived multi-session process
+    lastFrames.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(lastFrames.remove)
     if (reliable) require(s.sparkContext.getCheckpointDir.isDefined,
       "Components.connected(reliable = true) needs sparkContext.setCheckpointDir " +
         "(shared storage) set first")
@@ -83,7 +100,7 @@ private[operators] object Components {
     var prevSum: java.math.BigDecimal = null
     var converged = false
     var iter = 0
-    while (!converged && iter < 25) {
+    while (!converged && iter < maxRounds) {
       val neighborLabels = edges
         .join(labels.select(col("id").as("dst"), col("label")), "dst")
         .select(col("src").as("id"), col("label"))
@@ -111,7 +128,9 @@ private[operators] object Components {
     // unconverged labels are WRONG labels (one component, many ids) —
     // fail loudly rather than emit them; the oracles are exact closure
     require(converged,
-      s"Components.connected($key): min-label propagation not converged after $iter rounds")
+      s"Components.connected($key): min-label propagation not converged after $iter rounds " +
+        s"(cap $maxRounds) — the graph's diameter exceeds the cap; raise maxRounds " +
+        "(chain-shaped graphs need ~node-count rounds, see scaladoc)")
     // edges stays persisted; labels is checkpoint-backed (reliable =
     // survives executor loss from shared storage; local = fast but
     // not recomputable — the caller's dial). Both are released on the

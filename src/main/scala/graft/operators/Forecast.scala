@@ -49,14 +49,24 @@ object Forecast extends QueryModule {
     * stages across the same cores, hiding the shorter builds behind
     * the longest. */
   def prepareArtifacts(s: SparkSession, dir: String): Unit = {
-    val builds: Seq[() => Any] = Seq(
-      () => dailySeries(s, dir),
-      () => weekly(s, dir),
-      () => weeklyAt(s, dir, "product"),
-      () => weeklyAt(s, dir, "region"))
+    val builds: Seq[(String, () => Any)] = Seq(
+      "daily-supplier" -> (() => dailySeries(s, dir)),
+      "weekly-supplier" -> (() => weekly(s, dir)),
+      "weekly-product" -> (() => weeklyAt(s, dir, "product")),
+      "weekly-region" -> (() => weeklyAt(s, dir, "region")))
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
-    val threads = builds.map { b =>
-      val t = new Thread(() => try { b(); () } catch { case e: Throwable => errs.add(e) })
+    val threads = builds.map { case (name, b) =>
+      val t = new Thread(() => try {
+        // job-group the build from INSIDE its thread (setJobGroup is a
+        // thread-local property): the four concurrent prep jobs get
+        // attributable names in the Spark UI and are cancellable as a
+        // unit via sparkContext.cancelJobGroup
+        s.sparkContext.setJobGroup(s"forecast-prep-$name",
+          s"demand-series artifact build: $name", interruptOnCancel = true)
+        b(); ()
+      } catch { case e: Throwable => errs.add(e) }
+        finally s.sparkContext.clearJobGroup(),
+        s"forecast-prep-$name")
       t.setDaemon(true); t.start(); t
     }
     threads.foreach(_.join())

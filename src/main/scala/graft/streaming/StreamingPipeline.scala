@@ -125,7 +125,23 @@ object StreamingPipeline {
     * ts order IS the batch's min-qualifying event. State is one
     * 3-long struct per user — bounded by the user population, not the
     * event volume. Like the sessionizer, rows sort per invocation;
-    * cross-batch order relies on event-time-ordered arrival. */
+    * cross-batch order relies on event-time-ordered arrival.
+    *
+    * DIVERGENCE BOUND under late data (no watermark on this path —
+    * flatMapGroupsWithState in Append mode takes no event-time guard
+    * here): events sort only WITHIN a micro-batch, so a stage event
+    * arriving in a later batch with an event time EARLIER than the
+    * recorded prior-stage time is evaluated against state already
+    * advanced past it — the batch q76 twin would have taken the
+    * global min qualifying time instead. Concretely: stream==batch is
+    * exact whenever each user's events arrive batch-monotonically in
+    * event time (the StreamingSpec replay, and any log-shipped source
+    * that preserves per-key order); under reordering the stream may
+    * record a LATER first-touch time than batch, or skip a stage a
+    * batch run would count (never the reverse — state times only
+    * move forward). Deployments with out-of-order sources should
+    * front this with dedupStream's watermarked ingest and accept the
+    * bound, or buffer-and-sort per key upstream. */
   def funnelStages(events: Dataset[Event]): Dataset[FunnelOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)

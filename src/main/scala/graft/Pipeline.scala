@@ -178,11 +178,23 @@ object Pipeline {
         .withColumn("run_id", lit(runId))
       store.overwriteRun("gold", "forecasts", forecasts, "run_id", runId)
     }
+    // gold.forecast_metrics: the held-out backtest of EVERY model ×
+    // granularity × level — the measured basis for choosing
+    // forecastModel that the reference only claims ("85%+ accuracy",
+    // README:364, computed nowhere). Full refresh: the backtest is
+    // deterministic in the silver tables, so per-run scoping would
+    // only duplicate identical rows.
+    val nMetrics = withMaterializer { mat =>
+      store.write("gold", "forecast_metrics",
+        graft.operators.Backtest.metricsOverLevels(store.table("silver", _), mat))
+    }
     store.writeMetadata(counts.map { case (name, n) =>
       (name, s"gold mart $name", Seq("silver.orders", "silver.lineitem",
         "silver.part", "silver.customer", "silver.supplier"), n)
     } :+ ("forecasts", s"$forecastModel $granularity forecast horizon",
-      Seq("silver.lineitem"), nFc))
+      Seq("silver.lineitem"), nFc)
+      :+ ("forecast_metrics", "held-out backtest: sMAPE/MAE per model x granularity x level",
+        Seq("silver.lineitem"), nMetrics))
     // the 12 DQ assertions run over the gold tables just WRITTEN (the
     // reference validates the stored gold layer) and are recorded;
     // like the reference the pipeline reports failures in its summary
@@ -194,7 +206,7 @@ object Pipeline {
     store.write("audit", "dq_results", dq)
     val failed = dq.filter(!col("passed")).count()
     if (failed > 0) System.err.println(s"[pipeline] $failed/12 gold DQ checks flagged violations (recorded in audit.dq_results)")
-    (marts.size.toLong + 1, counts.map(_._2).sum + nFc) // 5 tables, 5 tables' rows
+    (marts.size.toLong + 2, counts.map(_._2).sum + nFc + nMetrics) // 6 tables' rows
   }
 
   private def timed(layer: String)(body: => (Long, Long)): LayerResult = {

@@ -7,7 +7,7 @@ import graft.operators._
   * Aggregates every QueryModule's named queries + DuckDB oracle SQL. */
 object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
-    GoldMarts, Eda, SilverClean, SilverLayer, TextOps, CorpusOps, VectorOps, EventOps, Forecast, GlobalAR, Forecasting, DqChecks, Multimodal)
+    GoldMarts, Eda, SilverClean, SilverLayer, TextOps, CorpusOps, VectorOps, EventOps, Forecast, GlobalAR, Forecasting, Backtest, DqChecks, Multimodal)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

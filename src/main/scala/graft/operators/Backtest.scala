@@ -1,0 +1,201 @@
+package graft.operators
+
+import graft.QueryModule
+import graft.util.Parity._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Held-out backtest of the forecasting dispatch — the accuracy
+  * measurement the reference CLAIMS but never computes: its README
+  * advertises "85%+ forecast accuracy" (/root/reference/README.md:364)
+  * yet no code path ever scores a model against actuals, so a user
+  * choosing between models has nothing but the claim. Here every
+  * (model × granularity × level) combination is scored on a
+  * deterministic holdout: the final H periods of each entity's
+  * gap-filled series are withheld (weekly H=4 — the weekly horizon,
+  * daily H=7 — the AR horizon), the model refits on the truncated
+  * series only, and its forecasts are joined back to the held-out
+  * actuals. Metrics per entity: MAE and sMAPE (the 0-200 symmetric
+  * form, 0 when actual and forecast are both zero), both as exact
+  * decimal folds so the numbers are cross-engine deterministic.
+  *
+  * Scale: the split is one tiny per-entity max-aggregation broadcast
+  * back against the (already materialized) series artifact — the
+  * series itself never shuffles for the split; each refit then costs
+  * what the production fit costs. The metrics join is
+  * forecast-vs-holdout, both derived frames keyed by entity — at most
+  * H rows per entity on either side.
+  */
+object Backtest extends QueryModule {
+
+  /** Holdout lengths per granularity: the model-native horizons
+    * (weekly models emit 4 steps, the daily AR emits 7), so every
+    * forecast step has an actual to score against. */
+  val HoldoutWeekly = 4
+  val HoldoutDaily = 7
+
+  private val allModels = Seq("linear", "seasonal_naive", "global_ar")
+
+  /** Split a dense (entity, dateCol, y) series at
+    * cutoff = max(date) − stepDays·h per entity. Returns (truncated
+    * series for refitting, held-out actuals). The cutoff frame is a
+    * per-entity scalar — broadcast, so the series scan stays narrow. */
+  private def split(series: DataFrame, dateCol: String, stepDays: Int,
+      h: Int): (DataFrame, DataFrame) = {
+    val cut = series.groupBy(col("entity"))
+      .agg(date_sub(max(col(dateCol)), stepDays * h).as("cutoff"))
+    val j = series.join(broadcast(cut), "entity")
+    (j.filter(col(dateCol) <= col("cutoff"))
+        .select(col("entity"), col(dateCol).as("week"), col("y")),
+      j.filter(col(dateCol) > col("cutoff"))
+        .select(col("entity"), col(dateCol).as("ds"), col("y")))
+  }
+
+  /** Refit `model` on the truncated series and score per entity.
+    * Per-entity models keep the reference's MIN_SERIES_LEN gate (on
+    * the TRUNCATED length — an entity must still have 14 points after
+    * the holdout is withheld, like a deployment scoring on history it
+    * actually has). global_ar scores the holdout-overlapping prefix of
+    * its fixed 7-step horizon (weekly: the first 4 of 7 steps).
+    *
+    * Error folds: yhat is snapRound'd scale-4, y is an exact series
+    * value, so |yhat−y| is within 1 ulp of a 4-dp rational — summing
+    * through DECIMAL(38,8) (4 guard digits) is exact and
+    * order-independent in both engines. The per-row sMAPE quotient is
+    * IEEE-identical cross-engine, snapped at scale 6, then folded the
+    * same way. */
+  private def metricsFor(series: DataFrame, dateCol: String, stepDays: Int,
+      h: Int, model: String, granularity: String, level: String): DataFrame = {
+    val (trunc, hold) = split(series, dateCol, stepDays, h)
+    val minLen = Forecasting.minSeriesLen
+    val fc = (model match {
+      case "linear" =>
+        Forecast.forecastLinearOver(trunc, minLen, stepDays, horizon = h)
+      case "seasonal_naive" =>
+        Forecast.forecastSeasonalNaiveOver(trunc, minLen, stepDays, period = h)
+      case "global_ar" =>
+        GlobalAR.globalArCore(
+          trunc.select(col("entity").as("entity"), col("week").as("ds"), col("y")),
+          stepDays, granularity, level)
+          .select(col("entity_id").as("entity"), col("ds"), col("yhat"))
+    }).select(col("entity").cast(StringType).as("entity_id"), col("ds"), col("yhat"))
+    val j = fc.join(
+      hold.select(col("entity").cast(StringType).as("entity_id"), col("ds"), col("y")),
+      Seq("entity_id", "ds"))
+    val absErr = abs(col("yhat") - col("y"))
+    val smapeRow = when(abs(col("y")) + abs(col("yhat")) === 0.0, lit(0.0))
+      .otherwise(snapRound(absErr * lit(200.0) / (abs(col("y")) + abs(col("yhat"))), 6))
+    def fold(c: Column, scale: Int): Column =
+      snapRound(sum(c.cast(DecimalType(38, scale))).cast(DoubleType) / count(lit(1)), 4)
+    j.select(col("entity_id"), absErr.as("abs_err"), smapeRow.as("smape_row"))
+      .groupBy(col("entity_id"))
+      .agg(count(lit(1)).as("n"),
+        fold(col("abs_err"), 8).as("mae"),
+        fold(col("smape_row"), 10).as("smape"))
+      .select(lit(granularity).as("granularity"), lit(level).as("level"),
+        col("entity_id"), lit(model).as("model"), col("n"), col("mae"), col("smape"))
+  }
+
+  /** q79 — the backtest surface over the shared series artifacts:
+    * weekly × all models × all levels, daily × all models at the
+    * supplier level (the artifact granularity the daily models serve;
+    * per-level daily series are a Pipeline-side build, see
+    * metricsOverLevels). (granularity, level, model, entity_id) is
+    * the output's unique key. */
+  def forecastBacktest(s: SparkSession, dir: String): DataFrame = {
+    val weekly = for {
+      lv <- Forecasting.levels; m <- allModels
+    } yield metricsFor(Forecast.weeklyAt(s, dir, lv), "week", 7,
+      HoldoutWeekly, m, "weekly", lv)
+    val daily = allModels.map(m =>
+      metricsFor(Forecast.dailySeries(s, dir), "ds", 1,
+        HoldoutDaily, m, "daily", "supplier"))
+    (weekly ++ daily).reduce(_ unionByName _)
+      .orderBy(col("granularity"), col("level"), col("model"), col("entity_id"))
+  }
+
+  /** The Pipeline's gold.forecast_metrics build: every model × BOTH
+    * granularities × every level, series derived from the WRITTEN
+    * silver tables (medallion lineage, like gold.forecasts).
+    * `materialize` pins each level's two series across the six refits
+    * that share them. */
+  def metricsOverLevels(resolve: String => DataFrame,
+      materialize: DataFrame => DataFrame = identity,
+      atLevels: Seq[String] = Forecasting.levels): DataFrame =
+    atLevels.flatMap { lv =>
+      val frame = Forecast.levelFrame(lv, resolve)
+      val weekly = materialize(Forecast.weeklyOver(frame, col("entity")))
+      val daily = materialize(Forecast.dailySeriesOver(frame, col("entity")))
+      allModels.map(m => metricsFor(weekly, "week", 7, HoldoutWeekly, m, "weekly", lv)) ++
+        allModels.map(m => metricsFor(daily, "ds", 1, HoldoutDaily, m, "daily", lv))
+    }.reduce(_ unionByName _)
+      .orderBy(col("granularity"), col("level"), col("model"), col("entity_id"))
+
+  // ---- DuckDB oracle twins -----------------------------------------
+
+  /** Truncated / held-out twins of `split`, normalized to the model
+    * generators' (entity, week, y) / (entity, ds, y) shapes. */
+  private def truncSql(seriesSql: String, dateCol: String, back: Int): String =
+    s"""WITH btsrc AS ($seriesSql),
+       |btcut AS (SELECT entity, max($dateCol) - $back AS cutoff FROM btsrc GROUP BY 1)
+       |SELECT btsrc.entity, btsrc.$dateCol AS week, btsrc.y
+       |FROM btsrc JOIN btcut ON btsrc.entity = btcut.entity
+       |WHERE btsrc.$dateCol <= btcut.cutoff""".stripMargin
+
+  private def holdSql(seriesSql: String, dateCol: String, back: Int): String =
+    s"""WITH btsrc AS ($seriesSql),
+       |btcut AS (SELECT entity, max($dateCol) - $back AS cutoff FROM btsrc GROUP BY 1)
+       |SELECT btsrc.entity, btsrc.$dateCol AS ds, btsrc.y
+       |FROM btsrc JOIN btcut ON btsrc.entity = btcut.entity
+       |WHERE btsrc.$dateCol > btcut.cutoff""".stripMargin
+
+  private def metricsSql(seriesSql: String, dateCol: String, stepDays: Int,
+      h: Int, model: String, granularity: String, level: String): String = {
+    val back = stepDays * h
+    val minLen = Forecasting.minSeriesLen
+    val tSql = truncSql(seriesSql, dateCol, back)
+    val (fcSql, entityCol) = model match {
+      case "linear" =>
+        (Forecast.forecastLinearSqlOver(tSql, minLen, stepDays, horizon = h), "entity")
+      case "seasonal_naive" =>
+        (Forecast.forecastSeasonalNaiveSqlOver(tSql, minLen, stepDays, period = h), "entity")
+      case "global_ar" =>
+        (GlobalAR.globalArSql(s"SELECT entity, week AS ds, y FROM ($tSql)",
+          stepDays, granularity, level), "entity_id")
+    }
+    s"""SELECT '$granularity' AS granularity, '$level' AS level, entity_id,
+       |       '$model' AS model, count(1) AS n,
+       |       ${snapRoundSql("CAST(sum(CAST(abs_err AS DECIMAL(38,8))) AS DOUBLE) / count(1)", 4)} AS mae,
+       |       ${snapRoundSql("CAST(sum(CAST(smape_row AS DECIMAL(38,10))) AS DOUBLE) / count(1)", 4)} AS smape
+       |FROM (
+       |  SELECT CAST(f.$entityCol AS VARCHAR) AS entity_id,
+       |         abs(f.yhat - hh.y) AS abs_err,
+       |         CASE WHEN abs(hh.y) + abs(f.yhat) = 0 THEN 0.0
+       |              ELSE ${snapRoundSql("abs(f.yhat - hh.y) * 200.0 / (abs(hh.y) + abs(f.yhat))", 6)} END AS smape_row
+       |  FROM ($fcSql) f
+       |  JOIN (${holdSql(seriesSql, dateCol, back)}) hh
+       |    ON CAST(f.$entityCol AS VARCHAR) = CAST(hh.entity AS VARCHAR) AND f.ds = hh.ds)
+       |GROUP BY entity_id""".stripMargin
+  }
+
+  private val forecastBacktestSql = {
+    val weekly = for {
+      lv <- Forecasting.levels; m <- allModels
+    } yield {
+      val (entityExpr, fromClause) = Forecast.levelSql(lv)
+      metricsSql(Forecast.weeklySqlAt(entityExpr, fromClause), "week", 7,
+        HoldoutWeekly, m, "weekly", lv)
+    }
+    val daily = allModels.map(m =>
+      metricsSql(Forecast.dailySeriesSql, "ds", 1, HoldoutDaily, m, "daily", "supplier"))
+    (weekly ++ daily).map(q => s"($q)").mkString("\nUNION ALL\n") +
+      "\nORDER BY granularity, level, model, entity_id"
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_forecast_backtest" -> forecastBacktest)
+
+  override def oracles: Map[String, String] = Map(
+    "q79_forecast_backtest" -> forecastBacktestSql)
+}

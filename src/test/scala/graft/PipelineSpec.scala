@@ -27,7 +27,7 @@ class PipelineSpec extends SparkSpec {
         "inventory", "supply_orders", "orders", "lineitem", "quality_issues_log",
         "part", "customer", "supplier", "nation", "region"),
       "gold" -> Seq("monthly_sales", "inventory_health", "supplier_monthly",
-        "dashboard", "forecasts", "table_metadata"),
+        "dashboard", "forecasts", "forecast_metrics", "table_metadata"),
       "audit" -> Seq("rejected_rows", "etl_steps", "dq_results", "etl_log"))
     // rejected_rows may legitimately be empty: sf0.001 bronze is clean
     val mayBeEmpty = Set("audit.rejected_rows")
@@ -92,6 +92,20 @@ class PipelineSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq == Seq("linear"))
     assert(store2.table("gold", "forecasts").select("level").distinct()
       .count() == graft.operators.Forecasting.levels.size)
+    // the backtest table scores EVERY model x granularity x level —
+    // whatever single model the run selected — so a user can choose
+    // the next run's model from measured numbers
+    val metrics = store2.table("gold", "forecast_metrics")
+    assert(metrics.select("model").distinct().collect().map(_.getString(0)).toSet ==
+      Set("linear", "seasonal_naive", "global_ar"))
+    assert(metrics.select("granularity").distinct().collect().map(_.getString(0)).toSet ==
+      Set("daily", "weekly"))
+    assert(metrics.select("level").distinct().collect().map(_.getString(0)).toSet ==
+      graft.operators.Forecasting.levels.toSet)
+    // metric sanity: counts positive, sMAPE within its [0, 200] range
+    import org.apache.spark.sql.functions.col
+    assert(metrics.filter(col("n") <= 0 || col("smape") < 0 || col("smape") > 200
+      || col("mae") < 0).count() == 0)
     store2.teardown()
   }
 

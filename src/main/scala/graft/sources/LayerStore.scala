@@ -292,6 +292,21 @@ class LayerStore(spark: SparkSession, root: String) {
   /** S13 — ad-hoc SQL entry point over everything registered. */
   def sql(text: String): DataFrame = spark.sql(text)
 
+  /** S13, reference-verbatim form: accepts the Postgres-style
+    * schema-qualified SQL the reference's Query Runner ships as sample
+    * queries (app.py:1344-1356) by mapping `<layer>.<table>` onto the
+    * flattened `<layer>_<table>` temp views this store registers
+    * (SURVEY §3.2 naming), and stripping a trailing semicolon (a
+    * psql-ism Spark's single-statement parser rejects). The rewrite is
+    * textual (word-boundary `layer.` prefixes), so a string LITERAL
+    * containing e.g. "silver." would also be rewritten — acceptable
+    * for an interactive runner, documented here. */
+  def adhocSql(text: String): DataFrame = {
+    val flattened = layers.foldLeft(text)((t, l) =>
+      t.replaceAll(s"\\b$l\\.", l + "_"))
+    spark.sql(flattened.trim.stripSuffix(";"))
+  }
+
   /** S14 — layer teardown in reverse refinement order + emptiness
     * verification (delete_all_data.py semantics). */
   def teardown(): Boolean = {

@@ -106,8 +106,23 @@ object Eda extends QueryModule {
   /** q09 — A16: per-column null counts + whole-row duplicate count
     * (reference isnull().sum() / duplicated().sum(),
     * eda/supply_chain_eda.py:141-152,678-683). One pass, no collect. */
-  def nullProfile(s: SparkSession, dir: String): DataFrame = {
-    val l = Tables.t(s, dir, "lineitem")
+  def nullProfile(s: SparkSession, dir: String): DataFrame =
+    nullProfileOver(Tables.t(s, dir, "lineitem"))
+
+  /** The profiling core, with an opt-in `approx = kmv` dial for the
+    * duplicate-pair counter. Exact mode (the q09 oracle surface)
+    * shuffles every distinct (partkey, suppkey) pair for the
+    * countDistinct — correct, but at corpus scale the distinct state
+    * is the pair cardinality. KMV mode swaps it for the mergeable
+    * k-minimum-values sketch (graft.functions.Kmv): aggregation state
+    * caps at K hashes per partition, the estimate is cross-engine
+    * DETERMINISTIC (unlike approx_count_distinct's engine-specific
+    * HLL layout — ScaleSpec's documented tolerance path), exact below
+    * K distinct pairs, and within ≈1/sqrt(K−2) relative error above
+    * (bound proven in ScaleSpec on sf0.01). Same output schema; the
+    * dup count becomes (pairs − round(estimate)). */
+  def nullProfileOver(l: DataFrame, approxKmv: Boolean = false,
+      k: Int = graft.functions.Kmv.DefaultK): DataFrame = {
     val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
       "l_extendedprice", "l_returnflag", "l_shipdate")
     val nulls = cols.map(c => count(when(col(c).isNull, 1)).as(s"nulls_$c"))
@@ -115,10 +130,30 @@ object Eda extends QueryModule {
     // EITHER key is NULL while DuckDB count(DISTINCT (a,b)) counts the
     // struct — restrict both engines to rows where both keys are set.
     val bothSet = col("l_partkey").isNotNull && col("l_suppkey").isNotNull
-    val pairDups = (count(when(bothSet, 1)) -
-      countDistinct(when(bothSet, struct(col("l_partkey"), col("l_suppkey")))))
-      .as("dup_part_supp_pairs")
-    l.agg(nulls.head, (nulls.tail :+ pairDups :+ count(lit(1)).as("total_rows")): _*)
+    if (!approxKmv) {
+      val pairDups = (count(when(bothSet, 1)) -
+        countDistinct(when(bothSet, struct(col("l_partkey"), col("l_suppkey")))))
+        .as("dup_part_supp_pairs")
+      l.agg(nulls.head, (nulls.tail :+ pairDups :+ count(lit(1)).as("total_rows")): _*)
+    } else {
+      val base = l.agg(nulls.head,
+        (nulls.tail :+ count(when(bothSet, 1)).as("pairs_total")
+          :+ count(lit(1)).as("total_rows")): _*)
+      // \u0001 separator: unambiguous pair encoding (a bare concat
+      // would collide (12,3) with (1,23))
+      val est = graft.functions.Kmv.sketch(
+        l.filter(bothSet),
+        concat_ws("\u0001", col("l_partkey").cast(StringType),
+          col("l_suppkey").cast(StringType)), k)
+        .select(round(graft.functions.Kmv.estimate(col("minima"), k))
+          .cast(LongType).as("distinct_pairs_est"))
+      // 1-row × 1-row — the allow-listed scalar-frame crossJoin shape
+      base.crossJoin(est)
+        .select((cols.map(c => col(s"nulls_$c")) :+
+          greatest(col("pairs_total") - col("distinct_pairs_est"), lit(0L))
+            .as("dup_part_supp_pairs") :+
+          col("total_rows")): _*)
+    }
   }
 
   private val nullProfileSql =

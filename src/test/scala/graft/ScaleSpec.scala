@@ -272,6 +272,73 @@ class ScaleSpec extends SparkSpec {
     assert(merged == whole, "merged per-split KMV minima must equal the one-pass minima")
   }
 
+  test("Kmv API: split sketches merged via mergeMinima == one-pass sketch") {
+    // the production surface of the property above: sketch() each
+    // half, fold with the mergeMinima ARRAY expression, estimate once
+    // — identical minima and identical estimate to one pass over the
+    // whole set
+    import graft.functions.Kmv
+    val k = 64 // below l_orderkey's sf0.001 cardinality -> estimator path
+    val l = Tables.t(spark, sf0001, "lineitem")
+    val whole = Kmv.sketch(l, $"l_orderkey", k)
+    val even = Kmv.sketch(l.filter($"l_orderkey" % 2 === 0), $"l_orderkey", k)
+    val odd = Kmv.sketch(l.filter($"l_orderkey" % 2 === 1), $"l_orderkey", k)
+    val merged = even.select($"minima".as("a"))
+      .crossJoin(odd.select($"minima".as("b")))
+      .select(Kmv.mergeMinima($"a", $"b", k).as("minima"))
+    assert(merged.select($"minima").head().getSeq[String](0) ==
+      whole.select($"minima").head().getSeq[String](0))
+    assert(merged.select(Kmv.estimate($"minima", k)).head().getDouble(0) ==
+      whole.select(Kmv.estimate($"minima", k)).head().getDouble(0))
+  }
+
+  test("Kmv estimates on sf0.01 are exact below K and inside the error bound above") {
+    import graft.functions.Kmv
+    val sf001 = "/root/testdata/sf0.01"
+    val l = Tables.t(spark, sf001, "lineitem")
+    val k = Kmv.DefaultK
+    // 3-sigma of the KMV estimator's ≈1/sqrt(K−2) relative standard
+    // error (Bar-Yossef et al. 2002) — the bound the API documents
+    val bound = 3.0 / math.sqrt(k - 2.0)
+    for (c <- Seq("l_orderkey", "l_partkey", "l_suppkey")) {
+      val exact = l.select(col(c)).filter(col(c).isNotNull).distinct().count()
+      val est = Kmv.distinctEstimate(l, col(c), k).head().getDouble(0)
+      if (exact < k)
+        assert(est == exact.toDouble, s"$c: sub-K cardinality must be EXACT")
+      else
+        assert(math.abs(est - exact) / exact <= bound,
+          s"$c: |$est - $exact|/$exact above the ${bound} bound")
+    }
+    // both regimes actually exercised at this SF
+    assert(l.select($"l_suppkey").distinct().count() < k)
+    assert(l.select($"l_orderkey").distinct().count() > k)
+  }
+
+  test("nullProfile approx=kmv mode matches exact nulls and bounds the dup estimate") {
+    import graft.operators.Eda
+    val sf001 = "/root/testdata/sf0.01"
+    val l = Tables.t(spark, sf001, "lineitem")
+    val exact = Eda.nullProfileOver(l).head()
+    val approx = Eda.nullProfileOver(l, approxKmv = true).head()
+    val names = exact.schema.fieldNames
+    assert(names.toSeq == approx.schema.fieldNames.toSeq,
+      "approx mode must keep the exact schema")
+    // null counters and totals are never approximated
+    for ((n, i) <- names.zipWithIndex if n != "dup_part_supp_pairs")
+      assert(exact.getLong(i) == approx.getLong(i), s"$n must stay exact")
+    // the dup estimate: dups = pairs − distinct(pairs); the KMV error
+    // lives entirely in the distinct term, so |dup_est − dup_exact| ≤
+    // bound × distinct_pairs
+    val di = names.indexOf("dup_part_supp_pairs")
+    val pairs = exact.getLong(names.indexOf("total_rows")) // all pairs set in this fixture
+    val distinctPairs = pairs - exact.getLong(di)
+    val bound = 3.0 / math.sqrt(Kmv256 - 2.0)
+    assert(math.abs(approx.getLong(di) - exact.getLong(di)).toDouble <=
+      bound * distinctPairs,
+      s"dup estimate ${approx.getLong(di)} vs exact ${exact.getLong(di)} outside bound")
+  }
+  private val Kmv256 = graft.functions.Kmv.DefaultK
+
   test("bucketed co-located join plans without a shuffle") {
     // bucketed tables are managed: they live under the (gitignored)
     // default warehouse dir; the store root only hosts plain layers

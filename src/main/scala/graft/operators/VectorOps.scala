@@ -110,16 +110,38 @@ object VectorOps extends QueryModule {
   def annIvfProbe2(s: SparkSession, dir: String): DataFrame =
     annIvf(s, dir, probe = 2)
 
-  private def annIvf(s: SparkSession, dir: String, probe: Int): DataFrame = {
+  /** q80 — the production recall point: 32 cells × probe 4. The
+    * recall dial has TWO axes and the cell count is the stronger one —
+    * finer cells localize true neighbors better at the same scanned
+    * fraction (RecallCurve, fixture, recall@1 / scanned-fraction:
+    * 8 cells probe 1 → 0.55-0.65 / 0.13; 32 cells probe 2 →
+    * 0.95-1.00 / 0.06; 32 cells probe 4 → 0.95-1.00 / 0.125). This
+    * config holds recall@1 ≥ 0.9 at every fixture SF while scanning
+    * ~1/8 of the collection (ScaleSpec asserts both). Candidates are
+    * exact-cosine ranked (the re-rank is inherent: within probed
+    * cells the search IS exact), so precision loss comes only from
+    * cell misses. */
+  def annIvfProbe4(s: SparkSession, dir: String): DataFrame =
+    annIvf(s, dir, probe = 4, cells = 32)
+
+  /** Centroid-similarity ranking per vector: (vec_id, e, norm2,
+    * centroid_id, rn) with rn=1 the vector's own cell — the shared
+    * core of the inverted file and the query-probe fan-out. */
+  private[graft] def ivfAssign(s: SparkSession, dir: String, cells: Int): DataFrame = {
     val all = withNorm(Tables.t(s, dir, "embeddings"))
-    val cents = all.filter(col("vec_id") < N_CELLS)
+    val cents = all.filter(col("vec_id") < cells)
       .select(col("vec_id").as("centroid_id"), col("e").as("ce"), col("norm2").as("cnorm2"))
     val sim = (dot_product(col("e"), col("ce"))
       / (sqrt(col("norm2")) * sqrt(col("cnorm2")))).as("csim")
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("centroid_id"))
-    val ranked = all.crossJoin(broadcast(cents))
+    all.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("e"), col("norm2"), col("centroid_id"), sim)
       .withColumn("rn", row_number().over(wAssign))
+  }
+
+  private[graft] def annIvf(s: SparkSession, dir: String, probe: Int,
+      cells: Int = N_CELLS): DataFrame = {
+    val ranked = ivfAssign(s, dir, cells)
     // the inverted file: every vector lives in its ONE nearest cell
     val assigned = ranked.filter(col("rn") === 1)
       .select(col("vec_id"), col("e"), col("norm2"), col("centroid_id").as("cell"))
@@ -141,14 +163,14 @@ object VectorOps extends QueryModule {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  private def annIvfSql(probe: Int): String =
+  private def annIvfSql(probe: Int, cells: Int = N_CELLS): String =
     s"""WITH n AS (
        |  SELECT vec_id, ${dotSql("embedding", "embedding")} AS norm2 FROM embeddings),
        |csim AS (
        |  SELECT v.vec_id, c.vec_id AS centroid_id,
        |         ${dotSql("v.embedding", "c.embedding")}
        |           / (sqrt(vn.norm2) * sqrt(cn.norm2)) AS csim
-       |  FROM embeddings v JOIN embeddings c ON c.vec_id < $N_CELLS
+       |  FROM embeddings v JOIN embeddings c ON c.vec_id < $cells
        |  JOIN n vn ON v.vec_id = vn.vec_id
        |  JOIN n cn ON c.vec_id = cn.vec_id),
        |rankedcells AS (
@@ -411,7 +433,8 @@ object VectorOps extends QueryModule {
     "q43_ann_ivf_sampled" -> annIvfSampled,
     "q51_cosine_near_dup" -> cosineNearDup,
     "q52_ann_ivf_probe2" -> annIvfProbe2,
-    "q73_embedding_clusters" -> embeddingClusters)
+    "q73_embedding_clusters" -> embeddingClusters,
+    "q80_ann_ivf_c32_probe4" -> annIvfProbe4)
 
   override def oracles: Map[String, String] = Map(
     "q30_cosine_topk" -> topkSql(sameCluster = false, 5),
@@ -419,5 +442,6 @@ object VectorOps extends QueryModule {
     "q43_ann_ivf_sampled" -> annIvfSql(probe = 1),
     "q51_cosine_near_dup" -> cosineNearDupSql,
     "q52_ann_ivf_probe2" -> annIvfSql(probe = 2),
-    "q73_embedding_clusters" -> embeddingClustersSql)
+    "q73_embedding_clusters" -> embeddingClustersSql,
+    "q80_ann_ivf_c32_probe4" -> annIvfSql(probe = 4, cells = 32))
 }

@@ -241,6 +241,46 @@ class ScaleSpec extends SparkSpec {
     assert(recall2 >= recall1)
   }
 
+  test("IVF at 32 cells x probe 4 (q80): recall@1 >= 0.9 scanning << brute force") {
+    // the production recall point (VectorOps.annIvfProbe4): both axes
+    // of the dial measured here — cell count localizes, probe widens.
+    // RecallCurve (tools) records the full grid; this pins the
+    // recall floor AND the candidate bound so a quantizer regression
+    // can't silently trade one for the other.
+    import graft.operators.VectorOps
+    val nQueries = 20
+    val brute = VectorOps.cosineTopk(spark, sf0001)
+      .filter($"rank" === 1).select($"query_id", $"cosine").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def recallAt(probe: Int, cells: Int): Double = {
+      val got = VectorOps.annIvf(spark, sf0001, probe, cells)
+        .filter($"rank" === 1).select($"query_id", $"cosine").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      brute.count { case (q, c) =>
+        got.get(q).exists(x => math.abs(x - c) < 1e-9) }.toDouble / brute.size
+    }
+    // curve points for the record (cells axis at fixed ~1/8 scan:
+    // probe/cells constant)
+    val r8 = recallAt(probe = 1, cells = 8)
+    val r32 = recallAt(probe = 4, cells = 32)
+    info(f"recall@1 at ~1/8 scanned: 8 cells x probe1 = $r8%.2f, 32 cells x probe4 = $r32%.2f")
+    assert(r32 >= 0.9, f"q80 config recall $r32%.2f below the 0.9 floor")
+    assert(r32 >= r8, "finer cells must not lose recall at the same scanned fraction")
+    // candidate bound: the probed cells hold well under half the
+    // collection per query (measured ~12.5%; assert with headroom)
+    val ranked = VectorOps.ivfAssign(spark, sf0001, cells = 32)
+    val sizes = ranked.filter($"rn" === 1).groupBy($"centroid_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = sizes.values.sum.toDouble
+    val scanned = ranked.filter($"vec_id" < nQueries && $"rn" <= 4)
+      .select($"vec_id", $"centroid_id").collect()
+      .groupBy(_.getLong(0)).values
+      .map(_.map(r => sizes.getOrElse(r.getLong(1), 0L)).sum).sum /
+      (nQueries * total)
+    info(f"scanned fraction at 32 cells x probe 4: $scanned%.3f")
+    assert(scanned <= 0.25, f"scanned fraction $scanned%.3f not << brute force")
+  }
+
   test("single-file scans spread to the session parallelism; broadcast sides do not") {
     // the fixtures are one single-row-group parquet file per table: an
     // unspread scan is ONE task and serializes every chain Catalyst

@@ -168,6 +168,65 @@ object StreamingPipeline {
       }
   }
 
+  case class CohortOut(user_id: Long, cohort_week: java.sql.Date, week_offset: Int)
+  /** Per-user cohort progress: the cohort week (epoch days of its ISO
+    * Monday) plus the week offsets already emitted. */
+  case class CohortState(cohortDays: Long, seenOffsets: Seq[Int])
+
+  /** ISO-Monday week start in epoch days — the stateful twin of
+    * date_trunc("week", ts) under the UTC session the pipelines pin.
+    * Epoch day 0 (1970-01-01) is a Thursday, hence the −4 phase. */
+  private def weekStartDays(t: Timestamp): Long = {
+    val days = math.floorDiv(t.getTime, 86400000L)
+    days - math.floorMod(days - 4L, 7L)
+  }
+
+  /** Stateful cohort-activity tracker — the streaming twin of the
+    * batch q74 cohort retention (EventOps.cohortRetention): per user,
+    * the first active ISO week becomes the cohort, and each newly
+    * seen (user, week) emits ONE activity fact (user, cohort_week,
+    * week_offset) — the streaming face of q74's dedup-first design
+    * (the batch op dedups (user, week) before anything else; here the
+    * per-user seen-set IS that dedup). The retention matrix then
+    * derives from the emitted facts by plain aggregation: active_users
+    * = count per (cohort_week, offset), cohort_size = the offset-0
+    * count (every user emits offset 0 first, by construction). State
+    * is one long + the offsets seen — bounded by the weeks a user has
+    * been active, not event volume. Late-data bound: identical to
+    * funnelStages (see its scaladoc) — under per-user event-time-
+    * ordered arrival the cohort week is exact; an EARLIER week
+    * arriving late would have re-based the batch cohort but emits a
+    * negative offset here (floorDiv), making the divergence VISIBLE
+    * in the output rather than silent. */
+  def cohortActivity(events: Dataset[Event]): Dataset[CohortOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CohortState, CohortOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[CohortState]) =>
+          def dateOf(days: Long): java.sql.Date =
+            java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days))
+          val sorted = rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[CohortOut]
+          for (e <- sorted) {
+            val w = weekStartDays(e.ts)
+            if (st == null) {
+              st = CohortState(w, Seq(0))
+              out += CohortOut(userId, dateOf(w), 0)
+            } else {
+              val off = math.floorDiv(w - st.cohortDays, 7L).toInt
+              if (!st.seenOffsets.contains(off)) {
+                st = st.copy(seenOffsets = st.seenOffsets :+ off)
+                out += CohortOut(userId, dateOf(st.cohortDays), off)
+              }
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Stateful gap-based sessionization (30-min inactivity) via
     * flatMapGroupsWithState. A session closes when a later event
     * arrives past the gap; the closing event starts the next session.

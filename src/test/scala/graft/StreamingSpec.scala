@@ -156,6 +156,40 @@ class StreamingSpec extends SparkSpec {
     assert(perUser == 0)
   }
 
+  test("stateful streaming cohort activity == batch cohort retention (q74)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cohort").toString
+    eventsDf.select("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in").as[Event]
+    val q = StreamingPipeline.cohortActivity(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cohort_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // the retention matrix derived from the streamed activity facts:
+    // active_users per (cohort_week, offset); cohort_size = the
+    // offset-0 count (every user's first emission). Computed over the
+    // collected facts — a self-join on one memory-sink table trips
+    // conflicting-attribute resolution.
+    val facts = spark.table("cohort_out")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getInt(2)))
+    val sizes = facts.filter(_._3 == 0).groupBy(_._2).view.mapValues(_.length).toMap
+    val streamed = facts.groupBy(f => (f._2, f._3)).toSeq
+      .map { case ((cw, off), fs) =>
+        (cw, off, fs.length.toLong, sizes(cw).toLong,
+          fs.length.toDouble / sizes(cw).toDouble) }
+      .sortBy(t => (t._1, t._2))
+    val batch = EventOps.cohortRetention(spark, sf0001)
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(streamed == batch.toSeq && streamed.nonEmpty)
+    // the dedup contract: at most one fact per (user, offset)
+    assert(facts.groupBy(f => (f._1, f._3)).forall(_._2.length == 1))
+  }
+
   test("streaming restart from checkpoint resumes exactly-once") {
     val dir = java.nio.file.Files.createTempDirectory("graft-restart").toString
     val half = eventsDf.select("event_id", "ts", "user_id", "event_type", "value")

@@ -76,6 +76,7 @@ object Bench {
     "prep_text_lsh" -> ((s, d) => graft.operators.TextOps.prepareArtifacts(s, d)),
     "prep_gold_marts" -> ((s, d) => graft.operators.DqChecks.prepareArtifacts(s, d)),
     "prep_demand_series" -> ((s, d) => graft.operators.Forecast.prepareArtifacts(s, d)),
+    "prep_forecast_backtest" -> ((s, d) => graft.operators.Backtest.prepareArtifacts(s, d)),
     "prep_srp_bands" -> ((s, d) => graft.operators.VectorOps.prepareArtifacts(s, d)))
 
   /** The bench's session, shared with TimeIt. */

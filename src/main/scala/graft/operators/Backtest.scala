@@ -35,7 +35,12 @@ object Backtest extends QueryModule {
   val HoldoutWeekly = 4
   val HoldoutDaily = 7
 
-  private val allModels = Seq("linear", "seasonal_naive", "global_ar")
+  private val allModels = Seq("linear", "seasonal_naive", "seasonal_trend", "global_ar")
+
+  /** Seasonal-position period per granularity (see
+    * Forecast.forecastSeasonalTrendOver): 52 weekly, 7 daily. */
+  private def seasonPeriod(granularity: String): Int =
+    if (granularity == "daily") 7 else 52
 
   /** Split a dense (entity, dateCol, y) series at
     * cutoff = max(date) − stepDays·h per entity. Returns (truncated
@@ -79,6 +84,9 @@ object Backtest extends QueryModule {
         Forecast.forecastLinearOver(trunc, minLen, stepDays, horizon = h)
       case "seasonal_naive" =>
         Forecast.forecastSeasonalNaiveOver(trunc, minLen, stepDays, period = h)
+      case "seasonal_trend" =>
+        Forecast.forecastSeasonalTrendOver(trunc, minLen, stepDays, horizon = h,
+          period = seasonPeriod(granularity))
       case "global_ar" =>
         GlobalAR.globalArCore(
           trunc.select(col("entity").as("entity"), col("week").as("ds"), col("y")),
@@ -236,6 +244,9 @@ object Backtest extends QueryModule {
         (Forecast.forecastLinearSqlOver(tSql, minLen, stepDays, horizon = h), "entity")
       case "seasonal_naive" =>
         (Forecast.forecastSeasonalNaiveSqlOver(tSql, minLen, stepDays, period = h), "entity")
+      case "seasonal_trend" =>
+        (Forecast.forecastSeasonalTrendSqlOver(tSql, minLen, stepDays, horizon = h,
+          period = seasonPeriod(granularity)), "entity")
       case "global_ar" =>
         (GlobalAR.globalArSql(s"SELECT entity, week AS ds, y FROM ($tSql)",
           stepDays, granularity, level), "entity_id")

@@ -418,15 +418,133 @@ object Forecast extends QueryModule {
 
   private[operators] val forecastSeasonalNaiveSql = forecastSeasonalNaiveSqlOver(weeklySql)
 
+  /** q81 — seasonal-trend forecast: the closest closed-form JVM
+    * analogue of the reference's Prophet model family
+    * (forecasting.py:168-189 — Prophet is additive trend +
+    * seasonality), and the missing middle between the pure trend
+    * (q36) and the pure replay (q37): classical additive
+    * decomposition. Per entity: (1) the exact-sums OLS trend (same
+    * fit as q36); (2) seasonal indices = mean DETRENDED residual per
+    * seasonal position (position = steps-since-anchor mod period:
+    * 52 weekly, 7 daily); (3) yhat(t) = trend(t) + s(pos(t)), with
+    * the reference's 0.8/1.2 default bounds.
+    *
+    * Parity: slope/intercept come from exact decimal sums (identical
+    * doubles both engines), so each residual is one identical IEEE
+    * expression — snapped at 6 dp, folded through DECIMAL(38,10)
+    * (order-independent), mean snapped again. pmod handles pre-anchor
+    * weeks (negative x) identically to the oracle's
+    * ((x % p) + p) % p.
+    *
+    * Scale: one groupBy fit + one residual pass + one
+    * (entity × period) aggregation, all keyed on entity; the
+    * forecast join is derived-vs-derived (entity × horizon vs
+    * entity × period). */
+  def forecastSeasonalTrend(s: SparkSession, dir: String): DataFrame =
+    forecastSeasonalTrendOver(weekly(s, dir))
+
+  private[operators] def forecastSeasonalTrendOver(weeklySeries: DataFrame,
+      minLen: Int = 0, stepDays: Int = 7, horizon: Int = 4,
+      period: Int = 52): DataFrame = {
+    val dec = DecimalType(38, 2)
+    val wk = weeklySeries
+      .withColumn("x", datediff(col("week"), lit("1995-01-02").cast(DateType)).cast(LongType))
+    val fitAll = wk.groupBy(col("entity")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("y").cast(dec)).cast(DoubleType).as("sy"),
+      sum((col("x") * col("x"))).as("sxx"),
+      sum((col("x").cast(DoubleType) * col("y")).cast(dec)).cast(DoubleType).as("sxy"),
+      max(col("week")).as("last_week"))
+    val fit = if (minLen > 0) fitAll.filter(col("n") >= minLen) else fitAll
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
+    val params = fit
+      .withColumn("slope", slope)
+      .withColumn("intercept",
+        (col("sy") - col("slope") * col("sx").cast(DoubleType)) / col("n"))
+      .select(col("entity"), col("last_week"), col("slope"), col("intercept"))
+    def posOf(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      pmod((x.cast(DoubleType) / lit(stepDays)).cast(LongType), lit(period.toLong))
+    val resid = wk.join(params.select(col("entity"), col("slope"), col("intercept")), "entity")
+      .select(col("entity"), posOf(col("x")).as("pos"),
+        snapRound(col("y") - (col("intercept") + col("slope") * col("x").cast(DoubleType)), 6).as("r"))
+    val seasonal = resid.groupBy(col("entity"), col("pos"))
+      .agg(snapRound(
+        sum(col("r").cast(DecimalType(38, 10))).cast(DoubleType) / count(lit(1)), 6).as("s"))
+    val future = params
+      .select(col("entity"), col("last_week"), col("slope"), col("intercept"),
+        explode(sequence(lit(1), lit(horizon))).as("h"))
+      .withColumn("ds", expr(s"date_add(last_week, $stepDays * h)"))
+      .withColumn("x_future",
+        datediff(col("ds"), lit("1995-01-02").cast(DateType)).cast(LongType))
+      .withColumn("pos", posOf(col("x_future")))
+    val base = col("intercept") + col("slope") * col("x_future").cast(DoubleType) +
+      coalesce(col("s"), lit(0.0))
+    future.join(seasonal, Seq("entity", "pos"), "left")
+      .select(col("entity"), col("ds"),
+        snapRound(base, 4).as("yhat"),
+        snapRound(base * lit(0.8), 4).as("yhat_lower"),
+        snapRound(base * lit(1.2), 4).as("yhat_upper"))
+      .orderBy(col("entity"), col("ds"))
+  }
+
+  private[operators] def forecastSeasonalTrendSqlOver(wkSql: String, minLen: Int = 0,
+      stepDays: Int = 7, horizon: Int = 4, period: Int = 52): String = {
+    def posSql(x: String) =
+      s"((CAST(CAST($x AS DOUBLE) / $stepDays AS BIGINT) % $period) + $period) % $period"
+    s"""WITH wk AS ($wkSql),
+       |xy AS (SELECT entity, week, y,
+       |              CAST(date_diff('day', DATE '1995-01-02', week) AS BIGINT) AS x FROM wk),
+       |fit AS (
+       |  SELECT entity, count(1) AS n, sum(x) AS sx,
+       |         CAST(sum(CAST(y AS DECIMAL(38,2))) AS DOUBLE) AS sy,
+       |         sum(x * x) AS sxx,
+       |         CAST(sum(CAST(CAST(x AS DOUBLE) * y AS DECIMAL(38,2))) AS DOUBLE) AS sxy,
+       |         max(week) AS last_week
+       |  FROM xy GROUP BY 1${if (minLen > 0) s" HAVING count(1) >= $minLen" else ""}),
+       |params AS (
+       |  SELECT entity, last_week,
+       |         (n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+       |         (sy - ((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / n AS intercept
+       |  FROM fit),
+       |resid AS (
+       |  SELECT xy.entity, ${posSql("xy.x")} AS pos,
+       |         ${snapRoundSql("xy.y - (p.intercept + p.slope * CAST(xy.x AS DOUBLE))", 6)} AS r
+       |  FROM xy JOIN params p ON xy.entity = p.entity),
+       |seasonal AS (
+       |  SELECT entity, pos,
+       |         ${snapRoundSql("CAST(sum(CAST(r AS DECIMAL(38,10))) AS DOUBLE) / count(1)", 6)} AS s
+       |  FROM resid GROUP BY 1, 2),
+       |future AS (
+       |  SELECT entity, last_week, slope, intercept, unnest(generate_series(1, $horizon)) AS h
+       |  FROM params),
+       |fc AS (
+       |  SELECT entity, last_week + CAST($stepDays * h AS INTEGER) AS ds, slope, intercept,
+       |         CAST(date_diff('day', DATE '1995-01-02', last_week + CAST($stepDays * h AS INTEGER)) AS BIGINT) AS xf
+       |  FROM future)
+       |SELECT fc.entity AS entity, fc.ds AS ds,
+       |       ${snapRoundSql("fc.intercept + fc.slope * CAST(fc.xf AS DOUBLE) + coalesce(sn.s, 0.0)", 4)} AS yhat,
+       |       ${snapRoundSql("(fc.intercept + fc.slope * CAST(fc.xf AS DOUBLE) + coalesce(sn.s, 0.0)) * 0.8", 4)} AS yhat_lower,
+       |       ${snapRoundSql("(fc.intercept + fc.slope * CAST(fc.xf AS DOUBLE) + coalesce(sn.s, 0.0)) * 1.2", 4)} AS yhat_upper
+       |FROM fc LEFT JOIN seasonal sn
+       |  ON fc.entity = sn.entity AND ${posSql("fc.xf")} = sn.pos
+       |ORDER BY fc.entity, fc.ds""".stripMargin
+  }
+
+  private[operators] val forecastSeasonalTrendSql = forecastSeasonalTrendSqlOver(weeklySql)
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_gapfill_series" -> gapfillSeries,
     "q35_lag_features" -> lagFeatures,
     "q36_forecast_linear" -> forecastLinear,
-    "q37_forecast_seasonal_naive" -> forecastSeasonalNaive)
+    "q37_forecast_seasonal_naive" -> forecastSeasonalNaive,
+    "q81_forecast_seasonal_trend" -> forecastSeasonalTrend)
 
   override def oracles: Map[String, String] = Map(
     "q34_gapfill_series" -> gapfillSeriesSql,
     "q35_lag_features" -> lagFeaturesSql,
     "q36_forecast_linear" -> forecastLinearSql,
-    "q37_forecast_seasonal_naive" -> forecastSeasonalNaiveSql)
+    "q37_forecast_seasonal_naive" -> forecastSeasonalNaiveSql,
+    "q81_forecast_seasonal_trend" -> forecastSeasonalTrendSql)
 }

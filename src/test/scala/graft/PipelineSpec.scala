@@ -97,7 +97,7 @@ class PipelineSpec extends SparkSpec {
     // the next run's model from measured numbers
     val metrics = store2.table("gold", "forecast_metrics")
     assert(metrics.select("model").distinct().collect().map(_.getString(0)).toSet ==
-      Set("linear", "seasonal_naive", "global_ar"))
+      Set("linear", "seasonal_naive", "seasonal_trend", "global_ar"))
     assert(metrics.select("granularity").distinct().collect().map(_.getString(0)).toSet ==
       Set("daily", "weekly"))
     assert(metrics.select("level").distinct().collect().map(_.getString(0)).toSet ==

@@ -184,9 +184,15 @@ object Pipeline {
     // README:364, computed nowhere). Full refresh: the backtest is
     // deterministic in the silver tables, so per-run scoping would
     // only duplicate identical rows.
-    val nMetrics = withMaterializer { mat =>
-      store.write("gold", "forecast_metrics",
+    val (nMetrics, nSel) = withMaterializer { mat =>
+      val metrics = mat(
         graft.operators.Backtest.metricsOverLevels(store.table("silver", _), mat))
+      // gold.model_selection: the champion model per series (argmin
+      // held-out sMAPE) — the actionable form of the backtest a
+      // consumer reads to pick forecastModel per entity
+      (store.write("gold", "forecast_metrics", metrics),
+        store.write("gold", "model_selection",
+          graft.operators.Backtest.championOver(metrics)))
     }
     store.writeMetadata(counts.map { case (name, n) =>
       (name, s"gold mart $name", Seq("silver.orders", "silver.lineitem",
@@ -194,7 +200,9 @@ object Pipeline {
     } :+ ("forecasts", s"$forecastModel $granularity forecast horizon",
       Seq("silver.lineitem"), nFc)
       :+ ("forecast_metrics", "held-out backtest: sMAPE/MAE per model x granularity x level",
-        Seq("silver.lineitem"), nMetrics))
+        Seq("silver.lineitem"), nMetrics)
+      :+ ("model_selection", "champion model per (granularity, level, entity): argmin held-out sMAPE",
+        Seq("gold.forecast_metrics"), nSel))
     // the 12 DQ assertions run over the gold tables just WRITTEN (the
     // reference validates the stored gold layer) and are recorded;
     // like the reference the pipeline reports failures in its summary
@@ -206,7 +214,7 @@ object Pipeline {
     store.write("audit", "dq_results", dq)
     val failed = dq.filter(!col("passed")).count()
     if (failed > 0) System.err.println(s"[pipeline] $failed/12 gold DQ checks flagged violations (recorded in audit.dq_results)")
-    (marts.size.toLong + 2, counts.map(_._2).sum + nFc + nMetrics) // 6 tables' rows
+    (marts.size.toLong + 3, counts.map(_._2).sum + nFc + nMetrics + nSel) // 7 tables' rows
   }
 
   private def timed(layer: String)(body: => (Long, Long)): LayerResult = {

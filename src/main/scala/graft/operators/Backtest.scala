@@ -3,6 +3,7 @@ package graft.operators
 import graft.QueryModule
 import graft.util.Parity._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -216,6 +217,53 @@ object Backtest extends QueryModule {
     }.reduce(_ unionByName _)
       .orderBy(col("granularity"), col("level"), col("model"), col("entity_id"))
 
+  /** Champion model per series from a metrics frame: the
+    * (granularity, level, entity_id) row with minimum held-out sMAPE,
+    * ties broken by mae then model name — the measured answer to
+    * "which model should this series use?" that turns the backtest
+    * into an actionable selection table (gold.model_selection in the
+    * Pipeline). Deterministic: the tie-break order is total.
+    *
+    * Scale: one window over the metrics frame — which is
+    * entity-count-sized (at most models × levels × granularities rows
+    * per entity), never the series or the fact. */
+  def championOver(metrics: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("granularity"), col("level"), col("entity_id"))
+      .orderBy(col("smape"), col("mae"), col("model"))
+    metrics.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("granularity"), col("level"), col("entity_id"),
+        col("model").as("best_model"), col("smape"), col("mae"))
+      .orderBy(col("granularity"), col("level"), col("entity_id"))
+  }
+
+  /** q82 — the champion-model selection over the stored backtest
+    * artifact. (granularity, level, entity_id) is the unique key. */
+  def modelSelection(s: SparkSession, dir: String): DataFrame =
+    championOver(backtestMetrics(s, dir))
+
+  /** Aggregate accuracy per (granularity, level, model): mean
+    * per-entity sMAPE/MAE as exact decimal folds (the per-entity
+    * metrics are scale-4, so DECIMAL(38,8) sums are exact and
+    * order-independent), ranked within each (granularity, level) by
+    * mean sMAPE — the leaderboard the model-dispatch scaladoc cites. */
+  def leaderboardOver(metrics: DataFrame): DataFrame = {
+    def meanOf(c: Column): Column =
+      snapRound(sum(c.cast(DecimalType(38, 8))).cast(DoubleType) / count(lit(1)), 4)
+    val agg = metrics.groupBy(col("granularity"), col("level"), col("model"))
+      .agg(count(lit(1)).as("series"),
+        meanOf(col("smape")).as("mean_smape"),
+        meanOf(col("mae")).as("mean_mae"))
+    val w = Window.partitionBy(col("granularity"), col("level"))
+      .orderBy(col("mean_smape"), col("model"))
+    agg.withColumn("model_rank", row_number().over(w))
+      .orderBy(col("granularity"), col("level"), col("model_rank"))
+  }
+
+  /** q83 — the model leaderboard over the stored backtest artifact. */
+  def modelLeaderboard(s: SparkSession, dir: String): DataFrame =
+    leaderboardOver(backtestMetrics(s, dir))
+
   // ---- DuckDB oracle twins -----------------------------------------
 
   /** Truncated / held-out twins of `split`, normalized to the model
@@ -280,9 +328,36 @@ object Backtest extends QueryModule {
       "\nORDER BY granularity, level, model, entity_id"
   }
 
+  private val modelSelectionSql =
+    s"""WITH bt AS (${forecastBacktestSql})
+       |SELECT granularity, level, entity_id, model AS best_model, smape, mae
+       |FROM (SELECT *, row_number() OVER (
+       |        PARTITION BY granularity, level, entity_id
+       |        ORDER BY smape, mae, model) AS rn
+       |      FROM bt)
+       |WHERE rn = 1
+       |ORDER BY granularity, level, entity_id""".stripMargin
+
+  private val modelLeaderboardSql =
+    s"""WITH bt AS (${forecastBacktestSql}),
+       |agg AS (
+       |  SELECT granularity, level, model, count(1) AS series,
+       |         ${snapRoundSql("CAST(sum(CAST(smape AS DECIMAL(38,8))) AS DOUBLE) / count(1)", 4)} AS mean_smape,
+       |         ${snapRoundSql("CAST(sum(CAST(mae AS DECIMAL(38,8))) AS DOUBLE) / count(1)", 4)} AS mean_mae
+       |  FROM bt GROUP BY 1, 2, 3)
+       |SELECT granularity, level, model, series, mean_smape, mean_mae,
+       |       row_number() OVER (PARTITION BY granularity, level
+       |                          ORDER BY mean_smape, model) AS model_rank
+       |FROM agg
+       |ORDER BY granularity, level, model_rank""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q79_forecast_backtest" -> forecastBacktest)
+    "q79_forecast_backtest" -> forecastBacktest,
+    "q82_model_selection" -> modelSelection,
+    "q83_model_leaderboard" -> modelLeaderboard)
 
   override def oracles: Map[String, String] = Map(
-    "q79_forecast_backtest" -> forecastBacktestSql)
+    "q79_forecast_backtest" -> forecastBacktestSql,
+    "q82_model_selection" -> modelSelectionSql,
+    "q83_model_leaderboard" -> modelLeaderboardSql)
 }

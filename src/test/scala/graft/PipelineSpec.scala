@@ -27,7 +27,8 @@ class PipelineSpec extends SparkSpec {
         "inventory", "supply_orders", "orders", "lineitem", "quality_issues_log",
         "part", "customer", "supplier", "nation", "region"),
       "gold" -> Seq("monthly_sales", "inventory_health", "supplier_monthly",
-        "dashboard", "forecasts", "forecast_metrics", "table_metadata"),
+        "dashboard", "forecasts", "forecast_metrics", "model_selection",
+        "table_metadata"),
       "audit" -> Seq("rejected_rows", "etl_steps", "dq_results", "etl_log"))
     // rejected_rows may legitimately be empty: sf0.001 bronze is clean
     val mayBeEmpty = Set("audit.rejected_rows")
@@ -106,6 +107,15 @@ class PipelineSpec extends SparkSpec {
     import org.apache.spark.sql.functions.col
     assert(metrics.filter(col("n") <= 0 || col("smape") < 0 || col("smape") > 200
       || col("mae") < 0).count() == 0)
+    // the selection table picks exactly one champion per scored series,
+    // and the champion's sMAPE is the minimum the backtest measured
+    val sel = store2.table("gold", "model_selection")
+    assert(sel.count() ==
+      metrics.select("granularity", "level", "entity_id").distinct().count())
+    val worseThanChampion = sel.as("s").join(metrics.as("m"),
+      Seq("granularity", "level", "entity_id"))
+      .filter(col("m.smape") < col("s.smape"))
+    assert(worseThanChampion.count() == 0)
     store2.teardown()
   }
 

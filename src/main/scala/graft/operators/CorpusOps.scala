@@ -204,6 +204,63 @@ object CorpusOps extends QueryModule {
       |FROM vocab
       |ORDER BY rank""".stripMargin
 
+  // ---- q84: count-min heavy hitters --------------------------------
+
+  private val CmDepth = graft.functions.CountMin.DefaultDepth
+  private val CmWidth = graft.functions.CountMin.DefaultWidth
+
+  /** q84 — heavy hitters via the count-min frequency sketch
+    * (graft.functions.CountMin): the corpus token stream sketched into
+    * a depth×width counter matrix, then the top-20 tokens (by exact
+    * count, token ascending on ties) scored against it. Output shows
+    * the sketch's guarantees live: cm_estimate ≥ exact_cnt always,
+    * overcount bounded by εN. The sketch is pure hashing + addition,
+    * so — unlike order-dependent frequency summaries — the estimates
+    * are rerun-stable and the DuckDB oracle recomputes them
+    * bit-identically.
+    *
+    * Scale: the sketch pass partial-aggregates to ≤ depth×width
+    * counter rows per partition regardless of corpus size, and the
+    * estimate join broadcasts the (tiny) sketch. The exact counts here
+    * are the verification surface; a 100 TB profiler keeps only the
+    * sketch and estimates whatever keys it cares about. */
+  def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.t(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("term"))
+    val sk = graft.functions.CountMin.sketch(toks, col("term"), CmDepth, CmWidth)
+    val top = toks.groupBy(col("term")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("term")).limit(20)
+    val est = graft.functions.CountMin.estimate(sk, top, col("term"), CmDepth, CmWidth)
+    top.join(est, top("term") === est("key"))
+      .select(col("term"), col("exact_cnt"), col("cm_estimate"),
+        (col("cm_estimate") - col("exact_cnt")).as("overcount"))
+      .orderBy(col("exact_cnt").desc, col("term"))
+  }
+
+  private val cmsHeavyHittersSql = {
+    val bucket = (of: String) =>
+      s"('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || $of), 1, 15))::BIGINT % $CmWidth"
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(text, ' ')) AS term
+       |  FROM documents WHERE text IS NOT NULL),
+       |rows_j AS (SELECT unnest(generate_series(0, ${CmDepth - 1})) AS j),
+       |sketch AS (
+       |  SELECT j, ${bucket("term")} AS b, count(1) AS cnt
+       |  FROM toks, rows_j GROUP BY 1, 2),
+       |top AS (
+       |  SELECT term, count(1) AS exact_cnt FROM toks GROUP BY 1
+       |  ORDER BY exact_cnt DESC, term LIMIT 20),
+       |kb AS (
+       |  SELECT term, j, ${bucket("term")} AS b FROM top, rows_j),
+       |est AS (
+       |  SELECT kb.term, min(s.cnt) AS cm_estimate
+       |  FROM kb JOIN sketch s ON kb.j = s.j AND kb.b = s.b GROUP BY 1)
+       |SELECT t.term, t.exact_cnt, e.cm_estimate,
+       |       e.cm_estimate - t.exact_cnt AS overcount
+       |FROM top t JOIN est e ON t.term = e.term
+       |ORDER BY t.exact_cnt DESC, t.term""".stripMargin
+  }
+
   // ---- q65: language × source coverage pivot ----------------------
 
   /** The corpus's language set — pinned so the pivot's output schema
@@ -511,7 +568,8 @@ object CorpusOps extends QueryModule {
     "q68_corpus_mix" -> corpusMix,
     "q69_span_dedup" -> spanDedup,
     "q72_chunk_docs" -> chunkDocs,
-    "q75_bpe_pairs" -> bpePairs)
+    "q75_bpe_pairs" -> bpePairs,
+    "q84_cms_heavy_hitters" -> cmsHeavyHitters)
 
   override def oracles: Map[String, String] = Map(
     "q61_repetition_profile" -> repetitionProfileSql,
@@ -522,5 +580,6 @@ object CorpusOps extends QueryModule {
     "q68_corpus_mix" -> corpusMixSql,
     "q69_span_dedup" -> spanDedupSql,
     "q72_chunk_docs" -> chunkDocsSql,
-    "q75_bpe_pairs" -> bpePairsSql)
+    "q75_bpe_pairs" -> bpePairsSql,
+    "q84_cms_heavy_hitters" -> cmsHeavyHittersSql)
 }

@@ -534,17 +534,82 @@ object Forecast extends QueryModule {
 
   private[operators] val forecastSeasonalTrendSql = forecastSeasonalTrendSqlOver(weeklySql)
 
+  // ---- q85: demand anomaly detection -------------------------------
+
+  /** Spike/drop thresholds. Both directions need an `AnomalyRatio`×
+    * move against the trailing-28-day mean; each direction then has
+    * its own floor so near-zero sparse series don't flag noise —
+    * a spike must MOVE at least `SpikeMinLift` units (the baseline
+    * may legitimately be ~0), a drop must fall from a baseline of at
+    * least `DropMinBase` (a quiet day in an already-quiet series is
+    * not an anomaly). */
+  private val AnomalyRatio = 3.0
+  private val SpikeMinLift = 50.0
+  private val DropMinBase = 20.0
+
+  /** q85 — demand anomalies over the stored daily series: each day
+    * compared to its own trailing 28-day mean (at least 14 prior days
+    * required), flagged as a spike (≥3× and +50 over the mean) or a
+    * drop (≤1/3× of a ≥20 baseline). The operational twin of the
+    * forecasting stack — the same series artifact, read for monitoring
+    * instead of prediction.
+    *
+    * Parity: the trailing mean sums y through DECIMAL(18,2) (y IS a
+    * 2-dp decimal sum rendered as double), so the window fold is exact
+    * and order-independent in both engines, then one snapped division;
+    * the threshold comparisons are single IEEE ops on snapped values.
+    *
+    * Scale: one window over the per-entity daily series — partition-
+    * local after the series' own shuffle, state bounded by the 28-row
+    * frame; no new exchange. */
+  def demandAnomalies(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("entity")).orderBy(col("ds")).rowsBetween(-28, -1)
+    val base = dailySeries(s, dir).select(col("entity"), col("ds"), col("y"),
+      count(lit(1)).over(w).as("n_trailing"),
+      snapRound(sum(col("y").cast(DecimalType(18, 2))).over(w).cast(DoubleType) /
+        count(lit(1)).over(w), 4).as("trailing_mean"))
+    val spike = col("y") >= col("trailing_mean") * AnomalyRatio &&
+      col("y") - col("trailing_mean") >= SpikeMinLift
+    val drop = col("y") <= col("trailing_mean") / AnomalyRatio &&
+      col("trailing_mean") >= DropMinBase
+    base.filter(col("n_trailing") >= 14 && (spike || drop))
+      .select(col("entity"), col("ds"), col("y"), col("trailing_mean"),
+        snapRound(col("y") - col("trailing_mean"), 4).as("lift"),
+        when(spike, lit("spike")).otherwise(lit("drop")).as("direction"))
+      .orderBy(col("entity"), col("ds"))
+  }
+
+  private val demandAnomaliesSql = {
+    val spike = s"(y >= trailing_mean * $AnomalyRatio AND y - trailing_mean >= $SpikeMinLift)"
+    val drop = s"(y <= trailing_mean / $AnomalyRatio AND trailing_mean >= $DropMinBase)"
+    s"""WITH series AS ($dailySeriesSql),
+       |t AS (
+       |  SELECT entity, ds, y,
+       |         count(1) OVER w AS n_trailing,
+       |         ${snapRoundSql("CAST(sum(CAST(y AS DECIMAL(18,2))) OVER w AS DOUBLE) / count(1) OVER w", 4)} AS trailing_mean
+       |  FROM series
+       |  WINDOW w AS (PARTITION BY entity ORDER BY ds ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING))
+       |SELECT entity, ds, y, trailing_mean,
+       |       ${snapRoundSql("y - trailing_mean", 4)} AS lift,
+       |       CASE WHEN $spike THEN 'spike' ELSE 'drop' END AS direction
+       |FROM t
+       |WHERE n_trailing >= 14 AND ($spike OR $drop)
+       |ORDER BY entity, ds""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_gapfill_series" -> gapfillSeries,
     "q35_lag_features" -> lagFeatures,
     "q36_forecast_linear" -> forecastLinear,
     "q37_forecast_seasonal_naive" -> forecastSeasonalNaive,
-    "q81_forecast_seasonal_trend" -> forecastSeasonalTrend)
+    "q81_forecast_seasonal_trend" -> forecastSeasonalTrend,
+    "q85_demand_anomalies" -> demandAnomalies)
 
   override def oracles: Map[String, String] = Map(
     "q34_gapfill_series" -> gapfillSeriesSql,
     "q35_lag_features" -> lagFeaturesSql,
     "q36_forecast_linear" -> forecastLinearSql,
     "q37_forecast_seasonal_naive" -> forecastSeasonalNaiveSql,
-    "q81_forecast_seasonal_trend" -> forecastSeasonalTrendSql)
+    "q81_forecast_seasonal_trend" -> forecastSeasonalTrendSql,
+    "q85_demand_anomalies" -> demandAnomaliesSql)
 }

@@ -57,7 +57,9 @@ object CountMin {
     * rows, at most depth×width of them. NULLs contribute nothing.
     * Plan: a narrow posexplode (depth rows per input row, no shuffle)
     * into one hash aggregation whose map-side combine caps per-
-    * partition output at depth×width counters. */
+    * partition output at depth×width counters. Works on a streaming
+    * DataFrame too (complete-mode aggregation, state bounded at
+    * depth×width rows) — CountMinSpec proves stream == batch. */
   def sketch(df: DataFrame, c: Column, depth: Int = DefaultDepth,
       width: Int = DefaultWidth): DataFrame =
     df.filter(c.isNotNull)

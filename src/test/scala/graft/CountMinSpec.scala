@@ -49,6 +49,30 @@ class CountMinSpec extends SparkSpec {
     assert(rows(merged) == rows(onePass))
   }
 
+  test("streaming sketch == batch sketch (complete-mode aggregation)") {
+    // sketch() is a plain aggregation plan, so it runs unchanged as a
+    // Structured Streaming complete-mode query — counter state is
+    // bounded at depth×width rows no matter how long the stream runs
+    val depth = 3; val width = 256
+    val dir = java.nio.file.Files.createTempDirectory("graft-cms").toString
+    toks.select(col("term")).write.mode("overwrite").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val q = CountMin.sketch(stream, col("term"), depth, width)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cms_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("j"), col("b"), col("cnt").cast("long"))
+        .orderBy(col("j"), col("b")).collect().toSeq
+    assert(rows(spark.table("cms_out")) ==
+      rows(CountMin.sketch(toks, col("term"), depth, width)))
+  }
+
   test("merge is associative across three splits") {
     val depth = 2; val width = 128
     val parts = (0 until 3).map(i =>

@@ -111,6 +111,21 @@ object Backtest extends QueryModule {
         col("entity_id"), lit(model).as("model"), col("n"), col("mae"), col("smape"))
   }
 
+  /** Diagnostic hook for tools.BacktestProfile: run every refit combo
+    * serially, print wall-time each. */
+  private[graft] def profileAll(s: SparkSession, dir: String): Unit =
+    for (lv <- Forecasting.levels :+ "daily-supplier") {
+      val (series, dateCol, stepDays, h, gran, level) =
+        if (lv == "daily-supplier")
+          (Forecast.dailySeries(s, dir), "ds", 1, HoldoutDaily, "daily", "supplier")
+        else (Forecast.weeklyAt(s, dir, lv), "week", 7, HoldoutWeekly, "weekly", lv)
+      for (m <- allModels) {
+        val t = System.nanoTime()
+        val n = metricsFor(series, dateCol, stepDays, h, m, gran, level).count()
+        println(f"$gran%-7s $level%-9s $m%-15s rows=$n%-6d ${(System.nanoTime() - t) / 1e9}%.2f s")
+      }
+    }
+
   /** Session-lifetime metrics artifact — the stored
     * gold.forecast_metrics table a deployment materializes once per
     * run (Pipeline.runGold writes the real thing) and every consumer

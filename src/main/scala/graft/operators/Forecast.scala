@@ -554,10 +554,13 @@ object Forecast extends QueryModule {
     * forecasting stack — the same series artifact, read for monitoring
     * instead of prediction.
     *
-    * Parity: the trailing mean sums y through DECIMAL(18,2) (y IS a
-    * 2-dp decimal sum rendered as double), so the window fold is exact
-    * and order-independent in both engines, then one snapped division;
-    * the threshold comparisons are single IEEE ops on snapped values.
+    * Parity: y is an integer-valued series (daily sums of integer
+    * quantities — the same fact GlobalAR's sInt sums exploit), so the
+    * sliding window sums LONGs — exact, order-independent, and ~30×
+    * cheaper than a per-row BigDecimal fold over the 28-row frame;
+    * the oracle folds the same values through DECIMAL(18,2), equal on
+    * integral inputs. Then one snapped division; the threshold
+    * comparisons are single IEEE ops on snapped values.
     *
     * Scale: one window over the per-entity daily series — partition-
     * local after the series' own shuffle, state bounded by the 28-row
@@ -566,7 +569,7 @@ object Forecast extends QueryModule {
     val w = Window.partitionBy(col("entity")).orderBy(col("ds")).rowsBetween(-28, -1)
     val base = dailySeries(s, dir).select(col("entity"), col("ds"), col("y"),
       count(lit(1)).over(w).as("n_trailing"),
-      snapRound(sum(col("y").cast(DecimalType(18, 2))).over(w).cast(DoubleType) /
+      snapRound(sum(col("y").cast(LongType)).over(w).cast(DoubleType) /
         count(lit(1)).over(w), 4).as("trailing_mean"))
     val spike = col("y") >= col("trailing_mean") * AnomalyRatio &&
       col("y") - col("trailing_mean") >= SpikeMinLift

@@ -133,7 +133,7 @@ object Backtest extends QueryModule {
     * combo frames are independent fit jobs, so they materialize
     * CONCURRENTLY — the scheduler interleaves their stages and the
     * three pooled-AR driver fetches overlap instead of serializing. */
-  private val metricsCache = new graft.util.Memo[(SparkSession, String), DataFrame]
+  private val metricsCache = new graft.util.Memo[(SparkSession, String), DataFrame](_._1.sparkContext.isStopped)
 
   /** Build the backtest artifact eagerly (Bench prepare phase; runs
     * after prep_demand_series, so the series artifacts it refits are

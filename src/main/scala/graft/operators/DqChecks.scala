@@ -51,7 +51,7 @@ object DqChecks extends QueryModule {
     * thing, Pipeline.scala runGold; this is the standalone-query
     * analogue). Round-2 verdict: q38 recomputed both marts from
     * source. Built lazily, or eagerly by Bench's prepare phase. */
-  private val martCache = new graft.util.Memo[(SparkSession, String, String), DataFrame]
+  private val martCache = new graft.util.Memo[(SparkSession, String, String), DataFrame](_._1.sparkContext.isStopped)
 
   private def cachedMart(s: SparkSession, dir: String, name: String,
     build: => DataFrame): DataFrame =

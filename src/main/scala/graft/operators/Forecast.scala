@@ -28,7 +28,7 @@ object Forecast extends QueryModule {
     * and share across every forecasting consumer (q34/q35/q50).
     * Per-key memo (graft.util.Memo) so independent keys materialize
     * concurrently. */
-  private val seriesCache = new graft.util.Memo[(SparkSession, String, String), DataFrame]
+  private val seriesCache = new graft.util.Memo[(SparkSession, String, String), DataFrame](_._1.sparkContext.isStopped)
 
   private[operators] def dailySeries(s: SparkSession, dir: String): DataFrame =
     seriesCache.getOrBuild((s, "daily", dir), {

@@ -73,7 +73,7 @@ object GoldMarts extends QueryModule {
     * join once + three cheap agg scans at sf0.1. Only the columns the
     * branches consume are persisted (~8 of 40+), so the cached footprint
     * is a skinny fraction of the joined width. */
-  private val starCache = new graft.util.Memo[(SparkSession, String, String), DataFrame]
+  private val starCache = new graft.util.Memo[(SparkSession, String, String), DataFrame](_._1.sparkContext.isStopped)
 
   private def cachedStar(s: SparkSession, dir: String, name: String,
     build: => DataFrame): DataFrame =

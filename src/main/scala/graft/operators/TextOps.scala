@@ -462,6 +462,83 @@ object TextOps extends QueryModule {
        |GROUP BY 1, 2
        |ORDER BY source, quartile""".stripMargin
 
+  // ---- q86: per-source distribution drift --------------------------
+
+  /** Pearson chi-square critical value at α = 0.05 for df = 9 (10
+    * bins − 1): the flag compares the STATISTIC n_docs × distance, not
+    * the raw distance, so small sources need proportionally larger
+    * divergence before flagging — 25-doc sources don't all light up
+    * from sampling noise. */
+  private val DriftCritical = 16.919
+
+  /** q86 — per-source distribution drift: each source's quality-score
+    * distribution over FIXED 10-point bins (quality is bounded 0–100,
+    * bin = min(floor(q/10), 9)) measured against the corpus-wide
+    * distribution by chi-square distance
+    * Σ_b (p_source(b) − p_corpus(b))² / p_corpus(b). The curation
+    * question this answers at 100 TB: which ingest source's quality
+    * profile has diverged from the corpus baseline (a scraper broke, a
+    * new dump shifted register) — the monitoring twin of the q77 gate.
+    *
+    * Fixed bins, not quantiles, on purpose: global deciles need a
+    * corpus-wide sort (one-partition window — a scale killer); fixed
+    * edges make every aggregate two-level with map-side combine, and
+    * the per-(source, bin) cells are the only thing that shuffles.
+    * Missing (source, bin) cells still contribute (0 − p)²/p, via a
+    * broadcast sources × bins grid (≤ sources·10 rows). Shares are
+    * single IEEE divisions of exact longs; terms snapped then folded
+    * through decimal — deterministic cross-engine. */
+  def sourceDrift(s: SparkSession, dir: String): DataFrame = {
+    val scored = qualityScore(s, dir).select(col("doc_id"), col("quality"))
+    val src = Tables.t(s, dir, "documents").select(col("doc_id"), col("source"))
+    val binned = scored.join(src, "doc_id").select(col("source"),
+      least(floor(col("quality") / lit(10.0)), lit(9.0)).cast(IntegerType).as("bin"))
+    val cell = binned.groupBy(col("source"), col("bin")).agg(count(lit(1)).as("n_sb"))
+    val srcTot = binned.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val binTot = binned.groupBy(col("bin")).agg(count(lit(1)).as("n_b"))
+    val allTot = binTot.agg(sum(col("n_b")).as("n_all"))
+    val grid = srcTot.crossJoin(broadcast(binTot.crossJoin(allTot)))
+    val pS = coalesce(col("n_sb"), lit(0L)).cast(DoubleType) / col("n_s").cast(DoubleType)
+    val pAll = col("n_b").cast(DoubleType) / col("n_all").cast(DoubleType)
+    val term = snapRound((pS - pAll) * (pS - pAll) / pAll, 8)
+    grid.join(broadcast(cell), Seq("source", "bin"), "left")
+      .select(col("source"), col("n_s"), term.as("term"))
+      .groupBy(col("source"), col("n_s"))
+      .agg(snapRound(sum(col("term").cast(DecimalType(38, 10))).cast(DoubleType), 6).as("chi2"))
+      .select(col("source"), col("n_s").as("n_docs"), col("chi2"),
+        snapRound(col("n_s").cast(DoubleType) * col("chi2"), 4).as("chi2_stat"),
+        (snapRound(col("n_s").cast(DoubleType) * col("chi2"), 4) >= DriftCritical).as("drifted"))
+      .orderBy(col("source"))
+  }
+
+  private def sourceDriftSql: String =
+    s"""WITH scored AS (SELECT doc_id, quality FROM ($qualityScoreSql)),
+       |binned AS (
+       |  SELECT d.source,
+       |         CAST(least(floor(s.quality / 10.0), 9.0) AS INTEGER) AS bin
+       |  FROM scored s JOIN documents d ON s.doc_id = d.doc_id),
+       |cell AS (SELECT source, bin, count(1) AS n_sb FROM binned GROUP BY 1, 2),
+       |src_tot AS (SELECT source, count(1) AS n_s FROM binned GROUP BY 1),
+       |bin_tot AS (SELECT bin, count(1) AS n_b FROM binned GROUP BY 1),
+       |all_tot AS (SELECT CAST(sum(n_b) AS BIGINT) AS n_all FROM bin_tot),
+       |grid AS (SELECT * FROM src_tot CROSS JOIN bin_tot CROSS JOIN all_tot),
+       |terms AS (
+       |  SELECT g.source, g.n_s,
+       |         ${snapRoundSql(
+              "(coalesce(c.n_sb, 0) / CAST(g.n_s AS DOUBLE) - g.n_b / CAST(g.n_all AS DOUBLE)) " +
+              "* (coalesce(c.n_sb, 0) / CAST(g.n_s AS DOUBLE) - g.n_b / CAST(g.n_all AS DOUBLE)) " +
+              "/ (g.n_b / CAST(g.n_all AS DOUBLE))", 8)} AS term
+       |  FROM grid g LEFT JOIN cell c ON g.source = c.source AND g.bin = c.bin)
+       |SELECT source, n_docs, chi2,
+       |       ${snapRoundSql("CAST(n_docs AS DOUBLE) * chi2", 4)} AS chi2_stat,
+       |       ${snapRoundSql("CAST(n_docs AS DOUBLE) * chi2", 4)} >= $DriftCritical AS drifted
+       |FROM (
+       |  SELECT source, n_s AS n_docs,
+       |         ${snapRoundSql("CAST(sum(CAST(term AS DECIMAL(38,10))) AS DOUBLE)", 6)} AS chi2
+       |  FROM terms
+       |  GROUP BY 1, 2)
+       |ORDER BY source""".stripMargin
+
   // ---- q27: token counting ---------------------------------------
 
   /** q27 — whitespace + BPE-ish regex token counts. */
@@ -727,6 +804,7 @@ object TextOps extends QueryModule {
     "q25_langid" -> langId,
     "q26_text_quality" -> qualityScore,
     "q77_quality_gate" -> qualityGate,
+    "q86_source_drift" -> sourceDrift,
     "q27_token_count" -> tokenCount,
     "q28_fingerprint" -> fingerprint)
 
@@ -758,6 +836,7 @@ object TextOps extends QueryModule {
     "q25_langid" -> langIdSql,
     "q26_text_quality" -> qualityScoreSql,
     "q77_quality_gate" -> qualityGateSql,
+    "q86_source_drift" -> sourceDriftSql,
     "q27_token_count" -> tokenCountSql,
     "q28_fingerprint" -> fingerprintSql)
 }

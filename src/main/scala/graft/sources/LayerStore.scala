@@ -157,6 +157,24 @@ class LayerStore(spark: SparkSession, root: String) {
     write(layer, name, merged)
   }
 
+  /** S9b — key-scoped overwrite: DELETE WHERE keyCol IN (keys) then
+    * append, the multi-key sibling of overwriteRun and the write
+    * primitive of incremental refresh (Pipeline.refreshMonthlySales).
+    * NULL-keyed rows are kept, like SQL's DELETE WHERE k IN (...).
+    * Locally this is read-filter-union + stage-and-swap like every
+    * LayerStore write; on a partitioned lake the same semantics are a
+    * partition-level replaceWhere — the caller's contract (df holds
+    * the complete new content FOR those keys) is identical. */
+  def overwriteKeys(layer: String, name: String, df: DataFrame,
+    keyCol: String, keys: Seq[Any]): Long = {
+    val merged =
+      if (!exists(layer, name)) df
+      else table(layer, name)
+        .filter(col(keyCol).isNull || !col(keyCol).isin(keys: _*))
+        .unionByName(df)
+    write(layer, name, merged)
+  }
+
   def table(layer: String, name: String): DataFrame = {
     recoverOrphanBackup(layer, name)
     spark.read.parquet(path(layer, name))

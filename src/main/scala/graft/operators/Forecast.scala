@@ -30,7 +30,7 @@ object Forecast extends QueryModule {
     * concurrently. */
   private val seriesCache = new graft.util.Memo[(SparkSession, String, String), DataFrame](_._1.sparkContext.isStopped)
 
-  private[operators] def dailySeries(s: SparkSession, dir: String): DataFrame =
+  private[graft] def dailySeries(s: SparkSession, dir: String): DataFrame =
     seriesCache.getOrBuild((s, "daily", dir), {
       val d = buildDailySeries(s, dir).persist()
       d.count()
@@ -543,9 +543,11 @@ object Forecast extends QueryModule {
     * may legitimately be ~0), a drop must fall from a baseline of at
     * least `DropMinBase` (a quiet day in an already-quiet series is
     * not an anomaly). */
-  private val AnomalyRatio = 3.0
-  private val SpikeMinLift = 50.0
-  private val DropMinBase = 20.0
+  private[graft] val AnomalyRatio = 3.0
+  private[graft] val SpikeMinLift = 50.0
+  private[graft] val DropMinBase = 20.0
+  private[graft] val AnomalyWindow = 28
+  private[graft] val AnomalyMinTrailing = 14
 
   /** q85 — demand anomalies over the stored daily series: each day
     * compared to its own trailing 28-day mean (at least 14 prior days
@@ -566,7 +568,7 @@ object Forecast extends QueryModule {
     * local after the series' own shuffle, state bounded by the 28-row
     * frame; no new exchange. */
   def demandAnomalies(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("entity")).orderBy(col("ds")).rowsBetween(-28, -1)
+    val w = Window.partitionBy(col("entity")).orderBy(col("ds")).rowsBetween(-AnomalyWindow, -1)
     val base = dailySeries(s, dir).select(col("entity"), col("ds"), col("y"),
       count(lit(1)).over(w).as("n_trailing"),
       snapRound(sum(col("y").cast(LongType)).over(w).cast(DoubleType) /
@@ -575,7 +577,7 @@ object Forecast extends QueryModule {
       col("y") - col("trailing_mean") >= SpikeMinLift
     val drop = col("y") <= col("trailing_mean") / AnomalyRatio &&
       col("trailing_mean") >= DropMinBase
-    base.filter(col("n_trailing") >= 14 && (spike || drop))
+    base.filter(col("n_trailing") >= AnomalyMinTrailing && (spike || drop))
       .select(col("entity"), col("ds"), col("y"), col("trailing_mean"),
         snapRound(col("y") - col("trailing_mean"), 4).as("lift"),
         when(spike, lit("spike")).otherwise(lit("drop")).as("direction"))
@@ -591,12 +593,12 @@ object Forecast extends QueryModule {
        |         count(1) OVER w AS n_trailing,
        |         ${snapRoundSql("CAST(sum(CAST(y AS DECIMAL(18,2))) OVER w AS DOUBLE) / count(1) OVER w", 4)} AS trailing_mean
        |  FROM series
-       |  WINDOW w AS (PARTITION BY entity ORDER BY ds ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING))
+       |  WINDOW w AS (PARTITION BY entity ORDER BY ds ROWS BETWEEN $AnomalyWindow PRECEDING AND 1 PRECEDING))
        |SELECT entity, ds, y, trailing_mean,
        |       ${snapRoundSql("y - trailing_mean", 4)} AS lift,
        |       CASE WHEN $spike THEN 'spike' ELSE 'drop' END AS direction
        |FROM t
-       |WHERE n_trailing >= 14 AND ($spike OR $drop)
+       |WHERE n_trailing >= $AnomalyMinTrailing AND ($spike OR $drop)
        |ORDER BY entity, ds""".stripMargin
   }
 

@@ -227,6 +227,64 @@ object StreamingPipeline {
       }
   }
 
+  case class DailyPoint(entity: Long, ds: java.sql.Date, y: Double)
+  case class AnomalyOut(entity: Long, ds: java.sql.Date, y: Double,
+    trailing_mean: Double, lift: Double, direction: String)
+  /** Per-entity trailing window: the newest ≤28 daily values (newest
+    * last). y is integer-valued (daily sums of integer quantities), so
+    * the values are stored and summed as the same longs the batch
+    * window folds. */
+  case class DemandState(recent: Seq[Long])
+
+  /** The JVM twin of Parity.snapRound: double → DECIMAL(·, scale+4)
+    * HALF_UP → round(scale) HALF_UP → double. BigDecimal.valueOf is
+    * the shortest-decimal conversion both engines' double→decimal
+    * casts use. */
+  private def snap(x: Double, scale: Int): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(scale + 4, java.math.RoundingMode.HALF_UP)
+      .setScale(scale, java.math.RoundingMode.HALF_UP)
+      .doubleValue()
+
+  /** Stateful streaming demand-anomaly detector — the twin of the
+    * batch q85 (Forecast.demandAnomalies): per entity, each arriving
+    * day is compared against the trailing ≤28-day mean of the days
+    * seen BEFORE it (at least 14 required), flagged spike/drop under
+    * the shared thresholds (Forecast.AnomalyRatio/SpikeMinLift/
+    * DropMinBase), then pushed into the ring. State per entity is 28
+    * longs — bounded by the window, not stream length. Ordered-arrival
+    * assumption as for funnelStages: days arriving out of order
+    * across micro-batches would enter the ring out of sequence; a
+    * daily ingest emits days in order, and the spec proves
+    * stream == batch on the same rows. */
+  def demandAnomalies(points: Dataset[DailyPoint]): Dataset[AnomalyOut] = {
+    import points.sparkSession.implicits._
+    import graft.operators.Forecast.{AnomalyMinTrailing, AnomalyRatio, AnomalyWindow, DropMinBase, SpikeMinLift}
+    points.groupByKey(_.entity)
+      .flatMapGroupsWithState[DemandState, AnomalyOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (entity: Long, rows: Iterator[DailyPoint], state: GroupState[DemandState]) =>
+          val sorted = rows.toSeq.sortBy(_.ds.getTime)
+          var recent = state.getOption.map(_.recent).getOrElse(Seq.empty)
+          val out = Seq.newBuilder[AnomalyOut]
+          for (p <- sorted) {
+            if (recent.size >= AnomalyMinTrailing) {
+              // long sum / int count — the identical IEEE division the
+              // batch window's cast(DoubleType)/count performs
+              val mean = snap(recent.sum.toDouble / recent.size, 4)
+              val spike = p.y >= mean * AnomalyRatio && p.y - mean >= SpikeMinLift
+              val drop = p.y <= mean / AnomalyRatio && mean >= DropMinBase
+              if (spike || drop)
+                out += AnomalyOut(entity, p.ds, p.y, mean,
+                  snap(p.y - mean, 4), if (spike) "spike" else "drop")
+            }
+            recent = (recent :+ p.y.toLong).takeRight(AnomalyWindow)
+          }
+          state.update(DemandState(recent))
+          out.result().iterator
+      }
+  }
+
   /** Stateful gap-based sessionization (30-min inactivity) via
     * flatMapGroupsWithState. A session closes when a later event
     * arrives past the gap; the closing event starts the next session.

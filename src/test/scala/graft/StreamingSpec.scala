@@ -216,6 +216,29 @@ class StreamingSpec extends SparkSpec {
       "post-restart totals must equal one continuous run over all rows")
   }
 
+  test("stateful streaming demand anomalies == batch q85") {
+    import StreamingPipeline.DailyPoint
+    val dir = java.nio.file.Files.createTempDirectory("graft-anom").toString
+    graft.operators.Forecast.dailySeries(spark, sf0001)
+      .select(col("entity"), col("ds"), col("y"))
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in").as[DailyPoint]
+    val q = StreamingPipeline.demandAnomalies(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("anom_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("anom_out")
+      .orderBy("entity", "ds").collect().map(_.toSeq).toSeq
+    val batch = SparkEntry.queries("q85_demand_anomalies")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("stateful streaming sessionization == batch sessionization") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
     val ev = eventsDf

@@ -25,7 +25,9 @@ import org.apache.spark.sql.types._
   * Which model should a caller pick? The reference claims "85%+
   * forecast accuracy" (README:364) but computes no accuracy anywhere;
   * here the held-out backtest (Backtest / q79, gold.forecast_metrics)
-  * measures it. At sf0.01, mean per-entity sMAPE (0–200 scale):
+  * measures it, the q83 leaderboard ranks it live, and the q82
+  * champion table (gold.model_selection) answers per series. At
+  * sf0.01, mean per-entity sMAPE (0–200 scale):
   * dense aggregated series (region level, weekly) — global_ar 13.9,
   * linear 16.1, seasonal_trend 16.9, seasonal_naive 21.6;
   * mid-density (supplier weekly) — global_ar 79.9, linear 80.4,

@@ -213,7 +213,7 @@ class LayerStoreSpec extends SparkSpec {
       Seq(("bronze", true), ("silver", true), ("gold", true)))
     val store = new LayerStore(spark, dir)
     assert(store.table("gold", "monthly_sales").count() > 0)
-    assert(store.table("gold", "table_metadata").count() == 6) // 4 marts + forecasts + forecast_metrics
+    assert(store.table("gold", "table_metadata").count() == 7) // 4 marts + forecasts + forecast_metrics + model_selection
     // run-scoped forecast sink: 7-day horizon per entity, run_id column
     val fc = store.table("gold", "forecasts")
     assert(fc.count() > 0 && fc.columns.contains("run_id"))

@@ -388,9 +388,15 @@ object Forecast extends QueryModule {
     // the short entities)
     val last = (if (minLen > 0) lastAll.filter(col("n_weeks") >= minLen) else lastAll)
       .select(col("entity"), col("last_week"))
-    wk.withColumn("rn", row_number().over(w))
+    // tail prefilter (same dense-series argument as GlobalAR's
+    // history pass): the replayed newest `period` ROWS are the rows
+    // within period−1 steps of last_week, so the ranking window sorts
+    // ≤period rows per entity instead of the whole series; the
+    // broadcast gate join moves ahead of the window for free
+    wk.join(broadcast(last), "entity")
+      .filter(col("week") >= date_sub(col("last_week"), (period - 1) * stepDays))
+      .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= period)
-      .join(last, "entity")
       .select(col("entity"),
         expr(s"date_add(last_week, $stepDays * (${period + 1} - rn))").as("ds"),
         col("y").as("yhat"),

@@ -176,11 +176,21 @@ object GlobalAR extends QueryModule {
         "filter — every entity has fewer than 15 observations; " +
         "cannot fit the pooled model")
     val betas = (0 to 4).map(i => s"beta$i" -> betaRow.getDouble(i))
-    // per-entity history: newest 14 values + last date, one row each
+    // per-entity history: newest 14 values + last date, one row each.
+    // Tail prefilter before the ranking window: every caller's series
+    // is gap-filled DENSE (one row per step), so the newest 14 ROWS
+    // are exactly the rows within 13 steps of the entity's last date —
+    // a broadcast max-date join + filter shrinks the window's sort
+    // input from the full series to ≤14 rows per entity (the
+    // product-level refit sorts 280k rows instead of 6.6M at sf0.1).
+    val lastd = series.groupBy(col("entity"))
+      .agg(date_sub(max(col("ds")), (14 - 1) * stepDays).as("tail_from"))
     val wd = Window.partitionBy(col("entity")).orderBy(col("ds").desc)
     val histCols = (1 to 14).map(k =>
       coalesce(max(when(col("rn") === k, col("y"))), lit(0.0)).as(s"h$k"))
-    val hist = series.withColumn("rn", row_number().over(wd))
+    val hist = series.join(broadcast(lastd), "entity")
+      .filter(col("ds") >= col("tail_from"))
+      .withColumn("rn", row_number().over(wd))
       .filter(col("rn") <= 14)
       .groupBy(col("entity"))
       .agg(max(col("ds")).as("last_ds"), histCols: _*)

@@ -38,6 +38,10 @@ object VectorOps extends QueryModule {
 
   private val N_QUERIES = 20
 
+  /** Embedding dimensionality of the fixtures (declared before every
+    * val that interpolates it into oracle SQL — object-init order). */
+  private val DIM = 64
+
   /** Σ x_i as an ordered binary64 left fold — bit-identical to the
     * oracle's `list_reduce(list_prepend(0.0, …), +)`. */
   private def dSum(arr: Column): Column =
@@ -222,11 +226,112 @@ object VectorOps extends QueryModule {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---- q87: scalar-quantized (SQ8) ANN -----------------------------
+
+  /** Per-dimension quantization range: a 1-row (los, his) frame in
+    * position order from one two-level aggregation (pos-keyed partial
+    * agg — the corpus never collects). */
+  private def sq8Params(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "embeddings")
+      .select(posexplode(transform(col("embedding"), x => x.cast(DoubleType))).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .agg(
+        array_sort(collect_list(struct(col("pos"), col("lo")))).as("plo"),
+        array_sort(collect_list(struct(col("pos"), col("hi")))).as("phi"))
+      .select(
+        transform(col("plo"), t => t.getField("lo")).as("los"),
+        transform(col("phi"), t => t.getField("hi")).as("phi_hi"))
+      .withColumnRenamed("phi_hi", "his")
+
+  /** q87 — compression-aware ANN via 8-bit scalar quantization (the
+    * FAISS SQ8 design): each dimension maps to a 256-level uniform
+    * grid over its observed [lo, hi], so a collection vector stores 64
+    * BYTES instead of 64 floats (4× memory — at 100 TB the index-fits-
+    * in-RAM dial), and search scores the EXACT query against
+    * dequantized cell midpoints (asymmetric distance). Ranking matches
+    * q30's exact cosine ordering almost always — ScaleSpec measures
+    * recall@1 against the brute-force baseline.
+    *
+    * Scale: the range agg is two-level; encode/dequantize are narrow
+    * maps; search is the q30 shape (bounded query batch broadcast,
+    * collection streams — never all-pairs materialized). */
+  def annSq8(s: SparkSession, dir: String): DataFrame = {
+    val params = sq8Params(s, dir)
+    val all = withNorm(Tables.t(s, dir, "embeddings"))
+    val enc = all.crossJoin(broadcast(params))
+    // code_d = clamp(floor((x−lo)/(hi−lo) · 256)) ∈ [0, 255] — one
+    // byte; constant dimensions (hi = lo) encode as 0
+    val codes = transform(arrays_zip(col("e"), col("los"), col("his")), t => {
+      val w = t.getField("his") - t.getField("los")
+      val u = when(w === lit(0.0), lit(0.0))
+        .otherwise((t.getField("e") - t.getField("los")) / w)
+      least(greatest(floor(u * lit(256.0)), lit(0.0)), lit(255.0))
+    })
+    val coll = enc.select(col("vec_id").as("cid"), col("los"), col("his"), codes.as("codes"))
+      .withColumn("xq", transform(arrays_zip(col("codes"), col("los"), col("his")), t =>
+        t.getField("los") + (t.getField("codes") + lit(0.5)) / lit(256.0) *
+          (t.getField("his") - t.getField("los"))))
+      .select(col("cid"), col("xq"))
+      .withColumn("xqnorm2", dot_product(col("xq"), col("xq")))
+    val q = all.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("norm2").as("qnorm2"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine_raw").desc, col("cid"))
+    coll.join(broadcast(q), col("qid") !== col("cid"))
+      .select(col("qid"), col("cid"),
+        (dot_product(col("qe"), col("xq")) /
+          (sqrt(col("qnorm2")) * sqrt(col("xqnorm2")))).as("cosine_raw"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid").as("query_id"), col("rank"), col("cid").as("neighbor_id"),
+        snapRound(col("cosine_raw"), 6).as("cosine_sq8"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val annSq8Sql = {
+    // indexed lambda over the PHYSICAL embedding list, not
+    // list_transform(generate_series(...), ...): DuckDB 1.0 loses
+    // generate_series-built lists across CTE boundaries (len() = 0
+    // one CTE later), while lists derived from a stored column
+    // propagate fine
+    val dequant =
+      s"""p.los[i] + (least(greatest(floor(
+         |  CASE WHEN p.his[i] - p.los[i] = 0 THEN 0.0
+         |       ELSE (CAST(x AS DOUBLE) - p.los[i]) / (p.his[i] - p.los[i]) END
+         |  * 256.0), 0.0), 255.0) + 0.5) / 256.0 * (p.his[i] - p.los[i])""".stripMargin
+    s"""WITH binned AS (
+       |  SELECT t.pos, min(CAST(embedding[t.pos] AS DOUBLE)) AS lo,
+       |         max(CAST(embedding[t.pos] AS DOUBLE)) AS hi
+       |  FROM embeddings, (SELECT unnest(generate_series(1, $DIM)) AS pos) t
+       |  GROUP BY 1),
+       |params AS (SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his FROM binned),
+       |xq AS (
+       |  SELECT e.vec_id AS cid,
+       |         list_transform(e.embedding, (x, i) -> $dequant) AS xqe
+       |  FROM embeddings e, params p),
+       |xn AS (SELECT cid, ${dotSql("xqe", "xqe")} AS xqnorm2 FROM xq),
+       |qn AS (SELECT vec_id, ${dotSql("embedding", "embedding")} AS norm2
+       |       FROM embeddings WHERE vec_id < $N_QUERIES),
+       |dots AS (
+       |  SELECT q.vec_id AS qid, x.cid, ${dotSql("q.embedding", "x.xqe")} AS dot
+       |  FROM embeddings q JOIN xq x ON q.vec_id <> x.cid
+       |  WHERE q.vec_id < $N_QUERIES),
+       |ranked AS (
+       |  SELECT qid, dots.cid, dot / (sqrt(qn.norm2) * sqrt(xn.xqnorm2)) AS cosine_raw,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY dot / (sqrt(qn.norm2) * sqrt(xn.xqnorm2)) DESC, dots.cid) AS rank
+       |  FROM dots
+       |  JOIN qn ON qid = qn.vec_id
+       |  JOIN xn ON dots.cid = xn.cid)
+       |SELECT qid AS query_id, rank, cid AS neighbor_id,
+       |       ${snapRoundSql("cosine_raw", 6)} AS cosine_sq8
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---- q51: embedding-cosine near-dup via sign-projection LSH ------
 
   private val SRP_BITS = 96  // hyperplanes
   private val SRP_ROWS = 16  // bits per band -> 6 bands, 65536 buckets each
-  private val DIM = 64
 
   /** Deterministic ±1 hyperplane weight for (hyperplane h, dim i):
     * a lowbias32-style multiply/xor-shift mix of the flattened index,
@@ -434,7 +539,8 @@ object VectorOps extends QueryModule {
     "q51_cosine_near_dup" -> cosineNearDup,
     "q52_ann_ivf_probe2" -> annIvfProbe2,
     "q73_embedding_clusters" -> embeddingClusters,
-    "q80_ann_ivf_c32_probe4" -> annIvfProbe4)
+    "q80_ann_ivf_c32_probe4" -> annIvfProbe4,
+    "q87_ann_sq8" -> annSq8)
 
   override def oracles: Map[String, String] = Map(
     "q30_cosine_topk" -> topkSql(sameCluster = false, 5),
@@ -443,5 +549,6 @@ object VectorOps extends QueryModule {
     "q51_cosine_near_dup" -> cosineNearDupSql,
     "q52_ann_ivf_probe2" -> annIvfSql(probe = 2),
     "q73_embedding_clusters" -> embeddingClustersSql,
-    "q80_ann_ivf_c32_probe4" -> annIvfSql(probe = 4, cells = 32))
+    "q80_ann_ivf_c32_probe4" -> annIvfSql(probe = 4, cells = 32),
+    "q87_ann_sq8" -> annSq8Sql)
 }

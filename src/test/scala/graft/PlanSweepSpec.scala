@@ -24,7 +24,8 @@ class PlanSweepSpec extends SparkSpec {
     "q30_cosine_topk", "q43_ann_ivf_sampled", "q52_ann_ivf_probe2",
     "q80_ann_ivf_c32_probe4", // same centroid fan-out as q43/q52, 32 rows broadcast
     "q58_tfidf_topk", "q78_kmv_distinct",
-    "q86_source_drift") // sources × ≤10-bin grid: both cross sides broadcast-tiny
+    "q86_source_drift", // sources × ≤10-bin grid: both cross sides broadcast-tiny
+    "q87_ann_sq8") // 1-row params crossJoin + q30's bounded query-batch fan-out
 
   /** Queries whose plan legitimately contains Expand: ROLLUP/CUBE are
     * grouping-sets operators — Expand IS their plan shape, bounded at

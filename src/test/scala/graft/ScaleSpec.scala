@@ -281,6 +281,26 @@ class ScaleSpec extends SparkSpec {
     assert(scanned <= 0.25, f"scanned fraction $scanned%.3f not << brute force")
   }
 
+  test("SQ8 quantized search (q87): rank-1 neighbors match brute force") {
+    // 8-bit scalar quantization stores 64 bytes instead of 64 floats
+    // (4x memory at 100 TB); with 256 levels per dimension the
+    // dequantization error is far below typical neighbor gaps, so the
+    // approximate cosine ordering should agree with exact brute force
+    // at rank 1 for nearly every query — only genuine near-ties may
+    // swap. The floor catches any quantization-grid regression.
+    import graft.operators.VectorOps
+    val brute = VectorOps.cosineTopk(spark, sf0001)
+      .filter($"rank" === 1).select($"query_id", $"neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sq8 = VectorOps.annSq8(spark, sf0001)
+      .filter($"rank" === 1).select($"query_id", $"neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sq8.keySet == brute.keySet)
+    val recall = brute.count { case (q, n) => sq8(q) == n }.toDouble / brute.size
+    info(f"SQ8 recall@1 vs exact: $recall%.2f")
+    assert(recall >= 0.9, f"SQ8 recall@1 $recall%.2f below the 0.9 floor")
+  }
+
   test("single-file scans spread to the session parallelism; broadcast sides do not") {
     // the fixtures are one single-row-group parquet file per table: an
     // unspread scan is ONE task and serializes every chain Catalyst

@@ -663,6 +663,99 @@ object Eda extends QueryModule {
        |ORDER BY column_name""".stripMargin
   }
 
+  // ---- q88: bottom-k hash-sample quantile sketch ------------------
+
+  /** Sample size: 1024 rows ≈ ±3% rank error at 95% (DKW bound). */
+  private val HsK = 1024
+  private val HsPs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+
+  /** q88 — bottom-k hash-sample quantile sketch, the quantile member
+    * of the deterministic sketch family (q78 KMV = distincts, q84 CMS
+    * = frequencies): keep the K rows with the smallest md5(row key);
+    * md5-uniformity makes them a uniform row sample, and nearest-rank
+    * quantiles over the sample estimate the table's quantiles to
+    * ~1/sqrt(K) in rank space. Unlike `approx_percentile` (whose
+    * KLL-family sketch is engine-specific) the sample is a pure
+    * function of the data — rerun-stable, partitioning-independent,
+    * and bit-identical in any engine with md5, so the estimates are
+    * oracle-hash-verifiable. Production API: functions.HashSample
+    * (merge() folds per-split sketches associatively — the 100 TB
+    * path never sorts or shuffles the table; the plan here is one
+    * TakeOrdered with O(K) state per partition). The realized rank of
+    * each estimate rides along (one conditional-aggregation pass
+    * against the broadcast 10-row estimate frame) to expose the
+    * actual rank error vs the DKW bound — measured, not claimed.
+    * Exact-quantile twin at small scale: q12 (reference pd.quantile,
+    * eda/supply_chain_eda.py:553-558); this is what replaces it when
+    * the column no longer fits a sort. */
+  def sampleQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.t(s, dir, "lineitem")
+    // one keyed projection shared by both columns: a uniform ROW
+    // sample is simultaneously a uniform sample of every column
+    val keyed = l.select(
+      graft.functions.HashSample.hash(
+        concat(col("l_orderkey").cast(StringType), lit("|"),
+          col("l_linenumber").cast(StringType))).as("h"),
+      col("l_extendedprice").as("ep"), col("l_quantity").as("qty"))
+    val samp = keyed.orderBy(col("h")).limit(HsK)
+      .agg(sort_array(collect_list(col("ep"))).as("sep"),
+        sort_array(collect_list(col("qty"))).as("sqty"),
+        count(lit(1)).as("sample_n"))
+    // nearest-rank pick at ceil(p*n), 1-based — HashSample.quantile's
+    // arithmetic, inlined over the two shared sorted-value arrays
+    def pick(sv: Column) = element_at(sv,
+      greatest(lit(1L), ceil(col("quantile_p") * col("sample_n"))).cast(IntegerType))
+    val est = samp
+      .select(explode(array(HsPs.map(lit): _*)).as("quantile_p"),
+        col("sample_n"), col("sep"), col("sqty"))
+      .select(col("quantile_p"), col("sample_n"), explode(array(
+        struct(lit("l_extendedprice").as("column_name"), pick(col("sep")).as("estimate")),
+        struct(lit("l_quantity").as("column_name"), pick(col("sqty")).as("estimate")))).as("e"))
+      .select(col("e.column_name").as("column_name"), col("quantile_p"),
+        col("sample_n"), col("e.estimate").as("estimate"))
+    // realized rank of each estimate: integer hit-count over one scan
+    // (exact in both engines — int sum then a single double division)
+    keyed.crossJoin(broadcast(est))
+      .groupBy(col("column_name"), col("quantile_p"), col("sample_n"), col("estimate"))
+      .agg((sum(when(when(col("column_name") === "l_extendedprice", col("ep"))
+        .otherwise(col("qty")) <= col("estimate"), 1L).otherwise(0L)).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType)).as("rr"))
+      .select(col("column_name"), col("quantile_p"), col("sample_n"), col("estimate"),
+        snapRound(col("rr"), 6).as("realized_rank"),
+        snapRound(abs(col("rr") - col("quantile_p")), 6).as("rank_error"))
+      .orderBy(col("column_name"), col("quantile_p"))
+  }
+
+  private val sampleQuantilesSql =
+    s"""WITH keyed AS (
+      |  SELECT md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)) AS h,
+      |         l_extendedprice AS ep, l_quantity AS qty
+      |  FROM lineitem),
+      |samp AS (SELECT ep, qty FROM keyed ORDER BY h LIMIT $HsK),
+      |agg AS (SELECT list_sort(list(ep)) AS sep, list_sort(list(qty)) AS sqty,
+      |               count(*) AS sample_n FROM samp),
+      |ps AS (SELECT unnest([${HsPs.mkString(", ")}]) AS quantile_p),
+      |est AS (
+      |  SELECT 'l_extendedprice' AS column_name, quantile_p, sample_n,
+      |         sep[CAST(greatest(1, ceil(quantile_p * sample_n)) AS BIGINT)] AS estimate
+      |  FROM ps, agg
+      |  UNION ALL
+      |  SELECT 'l_quantity', quantile_p, sample_n,
+      |         sqty[CAST(greatest(1, ceil(quantile_p * sample_n)) AS BIGINT)]
+      |  FROM ps, agg),
+      |rk AS (
+      |  SELECT e.column_name, e.quantile_p, e.sample_n, e.estimate,
+      |         CAST(sum(CASE WHEN (CASE WHEN e.column_name = 'l_extendedprice'
+      |                                  THEN k.ep ELSE k.qty END) <= e.estimate
+      |                       THEN 1 ELSE 0 END) AS DOUBLE)
+      |           / CAST(count(*) AS DOUBLE) AS rr
+      |  FROM est e, keyed k
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT column_name, quantile_p, sample_n, estimate,
+      |       ${snapRoundSql("rr", 6)} AS realized_rank,
+      |       ${snapRoundSql("abs(rr - quantile_p)", 6)} AS rank_error
+      |FROM rk ORDER BY column_name, quantile_p""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q05_topk_customers" -> topkCustomers,
     "q06_pagination" -> pagination,
@@ -677,7 +770,8 @@ object Eda extends QueryModule {
     "q19_cast_join" -> castJoin,
     "q42_categorical_mode" -> categoricalMode,
     "q47_semi_anti_join" -> semiAntiJoin,
-    "q78_kmv_distinct" -> kmvDistinct)
+    "q78_kmv_distinct" -> kmvDistinct,
+    "q88_sample_quantiles" -> sampleQuantiles)
 
   override def oracles: Map[String, String] = Map(
     "q19_cast_join" -> castJoinSql,
@@ -693,5 +787,6 @@ object Eda extends QueryModule {
     "q12_quantile_buckets" -> quantileBucketsSql,
     "q13_reconciliation" -> reconciliationSql,
     "q14_latest_wins_upsert" -> latestWinsUpsertSql,
-    "q78_kmv_distinct" -> kmvDistinctSql)
+    "q78_kmv_distinct" -> kmvDistinctSql,
+    "q88_sample_quantiles" -> sampleQuantilesSql)
 }

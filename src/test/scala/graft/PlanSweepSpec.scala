@@ -25,7 +25,8 @@ class PlanSweepSpec extends SparkSpec {
     "q80_ann_ivf_c32_probe4", // same centroid fan-out as q43/q52, 32 rows broadcast
     "q58_tfidf_topk", "q78_kmv_distinct",
     "q86_source_drift", // sources × ≤10-bin grid: both cross sides broadcast-tiny
-    "q87_ann_sq8") // 1-row params crossJoin + q30's bounded query-batch fan-out
+    "q87_ann_sq8", // 1-row params crossJoin + q30's bounded query-batch fan-out
+    "q88_sample_quantiles") // realized-rank scan × broadcast 10-row estimate frame
 
   /** Queries whose plan legitimately contains Expand: ROLLUP/CUBE are
     * grouping-sets operators — Expand IS their plan shape, bounded at

@@ -383,7 +383,69 @@ object EventOps extends QueryModule {
       |FROM stages
       |ORDER BY stage""".stripMargin
 
+  // ---- q89: multi-touch attribution -------------------------------
+
+  /** Attribution lookback: touches within 7 days of the purchase. */
+  private val AttrWindowMicros = 7L * 24 * 3600 * 1000000
+
+  /** q89 — multi-touch attribution: for every purchase, the FIRST and
+    * LAST touch (click/view) by the same user inside a 7-day lookback,
+    * plus the touch count; purchases with no touch in window attribute
+    * to 'direct'. This is the per-user as-of join (q46/q57) fused into
+    * the event scan: instead of joining purchases against touches, one
+    * RANGE window over the unioned stream carries both answers —
+    * min/max of a (ts, event_id, type) struct, so ties at identical
+    * timestamps break on event_id deterministically (a bare
+    * first/last inside a RANGE frame would be peer-order-dependent).
+    * Scale: ONE shuffle on user_id, no self-join — at 100 TB the
+    * join formulation would shuffle the event stream twice and skew
+    * on hot users; this shape shuffles once and the window state is
+    * the lookback horizon per user. */
+  def attribution(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    val touch = col("event_type").isin("click", "view")
+    val tstruct = when(touch,
+      struct(col("ts"), col("event_id").as("eid"), col("event_type").as("et")))
+    val win = Window.partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+      .rangeBetween(-AttrWindowMicros, Window.currentRow)
+    e.withColumn("lt", max(tstruct).over(win))
+      .withColumn("ft", min(tstruct).over(win))
+      .withColumn("touches_7d", sum(when(touch, 1L).otherwise(0L)).over(win))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"),
+        col("touches_7d"),
+        coalesce(col("ft.et"), lit("direct")).as("first_touch_type"),
+        col("ft.ts").as("first_touch_ts"),
+        coalesce(col("lt.et"), lit("direct")).as("last_touch_type"),
+        col("lt.ts").as("last_touch_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  private val attributionSql =
+    s"""WITH e AS (SELECT user_id, event_id, ts, event_type FROM events),
+      |w AS (
+      |  SELECT e.*,
+      |    max(CASE WHEN event_type IN ('click','view')
+      |             THEN struct_pack(ts := ts, eid := event_id, et := event_type) END)
+      |      OVER win AS lt,
+      |    min(CASE WHEN event_type IN ('click','view')
+      |             THEN struct_pack(ts := ts, eid := event_id, et := event_type) END)
+      |      OVER win AS ft,
+      |    sum(CASE WHEN event_type IN ('click','view') THEN 1 ELSE 0 END) OVER win AS touches
+      |  FROM e
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |                 RANGE BETWEEN $AttrWindowMicros PRECEDING AND CURRENT ROW))
+      |SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS purchase_ts,
+      |  CAST(touches AS BIGINT) AS touches_7d,
+      |  coalesce(ft.et, 'direct') AS first_touch_type,
+      |  CAST(ft.ts AS TIMESTAMP) AS first_touch_ts,
+      |  coalesce(lt.et, 'direct') AS last_touch_type,
+      |  CAST(lt.ts AS TIMESTAMP) AS last_touch_ts
+      |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_attribution" -> attribution,
     "q32_event_windows" -> eventWindows,
     "q33_sessionize" -> sessionize,
     "q44_json_extract" -> jsonExtract,
@@ -396,6 +458,7 @@ object EventOps extends QueryModule {
     "q76_funnel" -> funnel)
 
   override def oracles: Map[String, String] = Map(
+    "q89_attribution" -> attributionSql,
     "q32_event_windows" -> eventWindowsSql,
     "q33_sessionize" -> sessionizeSql,
     "q44_json_extract" -> jsonExtractSql,

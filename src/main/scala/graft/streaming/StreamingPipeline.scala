@@ -285,6 +285,71 @@ object StreamingPipeline {
       }
   }
 
+  case class AttributionOut(event_id: Long, user_id: Long,
+    purchase_ts: Timestamp, touches_7d: Long,
+    first_touch_type: String, first_touch_ts: Option[Timestamp],
+    last_touch_type: String, last_touch_ts: Option[Timestamp])
+  /** The touches still inside any future purchase's lookback:
+    * (tsMicros, event_id, event_type), ascending by arrival. */
+  case class AttrState(touches: Seq[(Long, Long, String)])
+
+  private val AttrWindowMicros = 7L * 24 * 3600 * 1000000
+
+  /** Stateful multi-touch attribution — the streaming twin of the
+    * batch q89 (EventOps.attribution): per user, buffer the touches
+    * (click/view) of the trailing 7 days; each purchase emits its
+    * first/last touch inside the lookback (ties at identical
+    * timestamps break on event_id, the batch struct-ordering rule)
+    * and the touch count, or 'direct' when the window is empty.
+    * State per user is the touches inside the lookback HORIZON —
+    * bounded by event rate × 7 days, pruned on every event, never
+    * the full history. Late-data bound: identical to funnelStages
+    * (see its scaladoc) — exact under per-user batch-monotonic
+    * event-time arrival; a touch arriving after its purchase's batch
+    * is attributed only to LATER purchases (batch q89 would have
+    * counted it), and a late purchase sees every touch still inside
+    * its lookback, so divergence is at most the reordered rows.
+    * Tie caveat: a touch at the purchase's EXACT timestamp with a
+    * HIGHER event_id is a batch-RANGE peer (included by q89) but is
+    * processed after the purchase here — exact parity assumes unique
+    * (user, ts) pairs, which event streams with sub-second clocks
+    * give in practice. */
+  def attributionStream(events: Dataset[Event]): Dataset[AttributionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttrState, AttributionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[AttrState]) =>
+          val sorted = rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+          var touches = state.getOption.map(_.touches).getOrElse(Seq.empty)
+          val out = Seq.newBuilder[AttributionOut]
+          for (e <- sorted) {
+            val t = tsMicros(e.ts)
+            touches = touches.dropWhile(_._1 < t - AttrWindowMicros)
+            e.event_type match {
+              case "click" | "view" =>
+                touches = touches :+ ((t, e.event_id, e.event_type))
+              case "purchase" =>
+                // in-window touches, ordered by (ts, event_id) — the
+                // buffer is appended in that order already
+                if (touches.isEmpty)
+                  out += AttributionOut(e.event_id, userId, microsTs(t), 0L,
+                    "direct", None, "direct", None)
+                else {
+                  val ft = touches.min
+                  val lt = touches.max
+                  out += AttributionOut(e.event_id, userId, microsTs(t),
+                    touches.size.toLong,
+                    ft._3, Some(microsTs(ft._1)), lt._3, Some(microsTs(lt._1)))
+                }
+              case _ =>
+            }
+          }
+          state.update(AttrState(touches))
+          out.result().iterator
+      }
+  }
+
   /** Stateful gap-based sessionization (30-min inactivity) via
     * flatMapGroupsWithState. A session closes when a later event
     * arrives past the gap; the closing event starts the next session.

@@ -271,4 +271,31 @@ class StreamingSpec extends SparkSpec {
         r.getLong(4), r.getDouble(5)))
     assert(streamed.toSeq == batch.toSeq)
   }
+
+  test("stateful streaming attribution == batch q89 rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-attr").toString
+    eventsDf.select("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in").as[Event]
+    val q = StreamingPipeline.attributionStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getLong(3),
+        r.getString(4), Option(r.getTimestamp(5)), r.getString(6), Option(r.getTimestamp(7)))
+    val streamed = spark.table("attr_out")
+      .select("event_id", "user_id", "purchase_ts", "touches_7d",
+        "first_touch_type", "first_touch_ts", "last_touch_type", "last_touch_ts")
+      .collect().map(key).sortBy(_._1)
+    val batch = EventOps.attribution(spark, sf0001).collect().map(key).sortBy(_._1)
+    assert(streamed.toSeq == batch.toSeq && streamed.nonEmpty)
+    // attribution classes are all exercised by the replay
+    val kinds = streamed.map(_._7).toSet
+    assert(kinds.contains("direct") && (kinds.contains("click") || kinds.contains("view")))
+  }
 }

@@ -116,7 +116,7 @@ object Forecast extends QueryModule {
 
   /** Weekly series at a forecasting level, memoized like the supplier
     * artifact (the supplier level IS the existing shared artifact). */
-  private[operators] def weeklyAt(s: SparkSession, dir: String, level: String): DataFrame =
+  private[graft] def weeklyAt(s: SparkSession, dir: String, level: String): DataFrame =
     if (level == "supplier") weekly(s, dir)
     else seriesCache.getOrBuild((s, s"weekly:$level", dir), {
       val w = weeklyOver(levelFrame(level, Tables.t(s, dir, _)), col("entity")).persist()
@@ -182,7 +182,8 @@ object Forecast extends QueryModule {
       .agg(count(lit(1)).as("n_days"),
         count(when(col("y") === 0.0, 1)).as("zero_days"),
         min(col("ds")).as("min_ds"), max(col("ds")).as("max_ds"),
-        sum(col("y").cast(DecimalType(38, 8))).cast(DoubleType).as("total_y"))
+        // integer-valued y: long sum == the oracle's decimal fold
+        sum(col("y").cast(LongType)).cast(DoubleType).as("total_y"))
       .orderBy(col("entity"))
 
   private val gapfillSeriesSql =
@@ -315,9 +316,14 @@ object Forecast extends QueryModule {
     val fitAll = wk.groupBy(col("entity")).agg(
       count(lit(1)).as("n"),
       sum(col("x")).as("sx"),
-      sum(col("y").cast(dec)).cast(DoubleType).as("sy"),
+      // y and x*y are exact integers: LONG sums produce the SAME
+      // integer a DECIMAL(38,2) fold does, converted to double
+      // identically — but run as codegen'd long adds instead of the
+      // interpreted Decimal128 path (the global_ar fit's measured
+      // 12x; the oracle keeps its decimal spelling, value-identical)
+      sum(col("y").cast(LongType)).cast(DoubleType).as("sy"),
       sum((col("x") * col("x"))).as("sxx"),
-      sum((col("x").cast(DoubleType) * col("y")).cast(dec)).cast(DoubleType).as("sxy"),
+      sum(col("x") * col("y").cast(LongType)).cast(DoubleType).as("sxy"),
       max(col("week")).as("last_week"))
     val fit = if (minLen > 0) fitAll.filter(col("n") >= minLen) else fitAll
     val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
@@ -458,9 +464,14 @@ object Forecast extends QueryModule {
     val fitAll = wk.groupBy(col("entity")).agg(
       count(lit(1)).as("n"),
       sum(col("x")).as("sx"),
-      sum(col("y").cast(dec)).cast(DoubleType).as("sy"),
+      // y and x*y are exact integers: LONG sums produce the SAME
+      // integer a DECIMAL(38,2) fold does, converted to double
+      // identically — but run as codegen'd long adds instead of the
+      // interpreted Decimal128 path (the global_ar fit's measured
+      // 12x; the oracle keeps its decimal spelling, value-identical)
+      sum(col("y").cast(LongType)).cast(DoubleType).as("sy"),
       sum((col("x") * col("x"))).as("sxx"),
-      sum((col("x").cast(DoubleType) * col("y")).cast(dec)).cast(DoubleType).as("sxy"),
+      sum(col("x") * col("y").cast(LongType)).cast(DoubleType).as("sxy"),
       max(col("week")).as("last_week"))
     val fit = if (minLen > 0) fitAll.filter(col("n") >= minLen) else fitAll
     val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /

@@ -117,6 +117,11 @@ object GlobalAR extends QueryModule {
     * reference there. Spark and the DuckDB oracle share these
     * fixed-denominator semantics (q50/q55 pin them); the deviation
     * only matters for entities younger than the lag window. */
+  /** Diagnostic seam for tools.ArPhaseProfile (same as globalArCore
+    * with defaults). */
+  private[graft] def profileCore(series: DataFrame, stepDays: Int): DataFrame =
+    globalArCore(series, stepDays, if (stepDays == 1) "daily" else "weekly")
+
   private[operators] def globalArCore(series: DataFrame, stepDays: Int,
     granularity: String, level: String = "supplier"): DataFrame = {
     val w = Window.partitionBy(col("entity")).orderBy(col("ds"))
@@ -125,38 +130,46 @@ object GlobalAR extends QueryModule {
       .withColumn("lag_1", lag(col("y"), 1).over(w))
       .withColumn("lag_7", lag(col("y"), 7).over(w))
       .withColumn("lag_14", lag(col("y"), 14).over(w))
-      // integer window sum (y is an integer-valued series) — exact,
-      // value-identical to a decimal sum, no BigDecimal per frame row
-      .withColumn("roll7",
-        sum(col("y").cast(LongType)).over(wPrev7).cast(DoubleType) / lit(7.0))
+      // integer window sum (y is an integer-valued series) — the
+      // roll7 feature enters the fit as this exact integer NUMERATOR;
+      // the /7 rescaling happens once per AGGREGATE below, not per row
+      .withColumn("roll7_num", sum(col("y").cast(LongType)).over(wPrev7))
       .filter(col("lag_14").isNotNull)
     // the 20 sums of the normal equations — exact reductions, one
-    // global aggregation to a single row. y and the lags are
-    // integer-valued, so every sum touching only them runs as LONG
-    // adds (products of integers <= 2^53 are exact doubles; the long
-    // sum equals the oracle's decimal-sum bit for bit); only the six
-    // roll7-involving sums need decimal accumulation (roll7 = k/7 has
-    // a full double fraction).
+    // global aggregation to a single row. Every feature is
+    // integer-valued (roll7 via its numerator), so every Gram sum
+    // runs as codegen'd LONG adds; the six roll7 sums divide by
+    // 7 / 49 once at the end (sum(roll7·x) = sum(roll7_num·x)/7 —
+    // exact integer sum, ONE double division). The previous
+    // DecimalType(38,8) accumulation of those six sums was the
+    // dominant global_ar cost (9.2 s of a 10.2 s daily refit at
+    // sf0.1, tools.ArPhaseProfile): precision-38 decimal sums run
+    // on the interpreted Decimal128 path, ~12× the long-sum cost.
+    // Exactness bounds: factors cast to LONG before multiplying, so
+    // per-row products are exact to 2^63 (tighter than the old
+    // double-product 2^53 bound); the long SUM is exact while
+    // Σ 7·maxY² < 2^63 — the roll7 numerator tightens the old bound
+    // by 7×/49×, far above any realistic quantity series.
     val fs = Map("1" -> col("lag_1"), "2" -> col("lag_7"),
-      "3" -> col("lag_14"), "4" -> col("roll7"))
-    val isInt = Map("1" -> true, "2" -> true, "3" -> true, "4" -> false)
-    def sInt(c: org.apache.spark.sql.Column) =
+      "3" -> col("lag_14"), "4" -> col("roll7_num"))
+    def sL(c: org.apache.spark.sql.Column) =
       sum(c.cast(LongType)).cast(DoubleType)
-    def s8(c: org.apache.spark.sql.Column) =
-      sum(c.cast(DecimalType(38, 8))).cast(DoubleType)
+    def sP(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      sum(a.cast(LongType) * b.cast(LongType)).cast(DoubleType)
+    // 7^(roll7 factors in the aggregate) — the one-shot rescale
+    def descale(c: org.apache.spark.sql.Column, is: String*) =
+      math.pow(7.0, is.count(_ == "4").toDouble) match {
+        case 1.0 => c
+        case d => c / lit(d)
+      }
     val sumCols =
-      Seq(count(lit(1)).cast(DoubleType).as("s00"), sInt(col("y")).as("t0")) ++
-      // roll7 accumulates at scale 8 like every other roll7-involving
-      // sum: a scale-2 cast would quantize each row by up to 0.005 in
-      // s04 only, making the Gram system inconsistent with the design
-      // matrix actually fed to the step formulas
+      Seq(count(lit(1)).cast(DoubleType).as("s00"), sL(col("y")).as("t0")) ++
       fs.toSeq.sortBy(_._1).map { case (i, f) =>
-        (if (isInt(i)) sInt(f) else s8(f)).as(s"s0$i") } ++
+        descale(sL(f), i).as(s"s0$i") } ++
       (for { (i, fi) <- fs.toSeq.sortBy(_._1); (j, fj) <- fs.toSeq.sortBy(_._1)
-             if i <= j } yield
-        (if (isInt(i) && isInt(j)) sInt(fi * fj) else s8(fi * fj)).as(s"s$i$j")) ++
+             if i <= j } yield descale(sP(fi, fj), i, j).as(s"s$i$j")) ++
       fs.toSeq.sortBy(_._1).map { case (i, f) =>
-        (if (isInt(i)) sInt(f * col("y")) else s8(f * col("y"))).as(s"t$i") }
+        descale(sP(f, col("y")), i).as(s"t$i") }
     val fit = feat.agg(sumCols.head, sumCols.tail: _*)
     // Materialize the fitted model: the solve runs over ONE row of 20
     // exact sums, and collecting its 5 coefficients (standard model-fit
@@ -221,19 +234,27 @@ object GlobalAR extends QueryModule {
     val stepChain = stepFormulas.foldLeft(
       "SELECT h.*, s.beta0, s.beta1, s.beta2, s.beta3, s.beta4 FROM hist h CROSS JOIN solved s") {
       case (inner, (name, f)) => s"SELECT *, $f AS $name FROM ($inner)" }
+    // mirror of the Spark fit's long-sum Gram aggregation: every
+    // factor is an exact BIGINT (roll7 via its numerator), summed as
+    // integers, rescaled by 7^(roll7 factors) once per aggregate —
+    // a HUGEINT→DOUBLE cast and a long→double cast of the same
+    // integer round identically
+    val gramFs = Seq("lag_1" -> "1", "lag_7" -> "2", "lag_14" -> "3", "roll7_num" -> "4")
+    def descaleSql(x: String, is: String*) =
+      math.pow(7.0, is.count(_ == "4").toDouble) match {
+        case 1.0 => x
+        case d => s"$x / $d"
+      }
+    def bi(f: String) = if (f == "roll7_num") f else s"CAST($f AS BIGINT)"
     val sumExprs =
       Seq("CAST(count(1) AS DOUBLE) AS s00",
-        "CAST(sum(CAST(y AS DECIMAL(38,2))) AS DOUBLE) AS t0") ++
-      Seq("lag_1" -> "1", "lag_7" -> "2", "lag_14" -> "3", "roll7" -> "4").map {
-        case (f, i) =>
-          val scale = if (f == "roll7") 8 else 2 // mirror s8 vs sInt split
-          s"CAST(sum(CAST($f AS DECIMAL(38,$scale))) AS DOUBLE) AS s0$i" } ++
-      (for { (fi, i) <- Seq("lag_1" -> "1", "lag_7" -> "2", "lag_14" -> "3", "roll7" -> "4")
-             (fj, j) <- Seq("lag_1" -> "1", "lag_7" -> "2", "lag_14" -> "3", "roll7" -> "4")
-             if i <= j } yield
-        s"CAST(sum(CAST($fi * $fj AS DECIMAL(38,8))) AS DOUBLE) AS s$i$j") ++
-      Seq("lag_1" -> "1", "lag_7" -> "2", "lag_14" -> "3", "roll7" -> "4").map {
-        case (f, i) => s"CAST(sum(CAST($f * y AS DECIMAL(38,8))) AS DOUBLE) AS t$i" }
+        "CAST(sum(CAST(y AS BIGINT)) AS DOUBLE) AS t0") ++
+      gramFs.map { case (f, i) =>
+        s"${descaleSql(s"CAST(sum(${bi(f)}) AS DOUBLE)", i)} AS s0$i" } ++
+      (for { (fi, i) <- gramFs; (fj, j) <- gramFs if i <= j } yield
+        s"${descaleSql(s"CAST(sum(${bi(fi)} * ${bi(fj)}) AS DOUBLE)", i, j)} AS s$i$j") ++
+      gramFs.map { case (f, i) =>
+        s"${descaleSql(s"CAST(sum(${bi(f)} * CAST(y AS BIGINT)) AS DOUBLE)", i)} AS t$i" }
     val unioned = (1 to H).map(k =>
       s"""SELECT CAST(entity AS VARCHAR) AS entity_id, last_ds + ${stepDays * k} AS ds,
          |       ${snapRoundSql(s"greatest(p$k, 0.0)", 4)} AS yhat
@@ -245,8 +266,8 @@ object GlobalAR extends QueryModule {
        |           lag(y, 1) OVER w AS lag_1,
        |           lag(y, 7) OVER w AS lag_7,
        |           lag(y, 14) OVER w AS lag_14,
-       |           CAST(sum(CAST(y AS DECIMAL(38,2))) OVER (PARTITION BY entity ORDER BY ds
-       |                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS DOUBLE) / 7.0 AS roll7
+       |           CAST(sum(CAST(y AS BIGINT)) OVER (PARTITION BY entity ORDER BY ds
+       |                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS roll7_num
        |    FROM series
        |    WINDOW w AS (PARTITION BY entity ORDER BY ds))
        |  WHERE lag_14 IS NOT NULL),

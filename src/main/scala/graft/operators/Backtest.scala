@@ -366,13 +366,49 @@ object Backtest extends QueryModule {
        |FROM agg
        |ORDER BY granularity, level, model_rank""".stripMargin
 
+  /** q90 — champion-APPLIED forecasts, closing the measure → select →
+    * apply loop: each supplier's weekly production forecast rows
+    * (q66's dispatch surface) filtered to the model its q82 champion
+    * selection picked, with the champion's held-out sMAPE/MAE riding
+    * along — the gold.forecasts a deployment would actually serve
+    * once the backtest has spoken. Horizon varies by champion (the
+    * per-entity models emit 4 weekly steps, global_ar its 7-step
+    * native horizon) — that's the selected model's real surface, not
+    * an artifact. Scale: the champion table is entity-count-sized —
+    * broadcast against the dispatch output; no new shuffle. */
+  def championForecasts(s: SparkSession, dir: String): DataFrame = {
+    val champ = championOver(backtestMetrics(s, dir))
+      .filter(col("granularity") === "weekly" && col("level") === "supplier")
+      .select(col("entity_id").as("champ_entity"), col("best_model"),
+        col("smape"), col("mae"))
+    Forecasting.forecastDispatch(s, dir)
+      .join(broadcast(champ),
+        col("entity_id") === col("champ_entity") && col("model") === col("best_model"))
+      .select(col("entity_id"), col("ds"), col("yhat"),
+        col("yhat_lower"), col("yhat_upper"), col("model"),
+        col("smape"), col("mae"))
+      .orderBy(col("entity_id"), col("ds"))
+  }
+
+  private val championForecastsSql =
+    s"""WITH champ AS ($modelSelectionSql),
+       |fc AS (${Forecasting.forecastDispatchSql})
+       |SELECT f.entity_id, f.ds, f.yhat, f.yhat_lower, f.yhat_upper, f.model,
+       |       c.smape, c.mae
+       |FROM fc f JOIN champ c
+       |  ON f.entity_id = c.entity_id AND f.model = c.best_model
+       |WHERE c.granularity = 'weekly' AND c.level = 'supplier'
+       |ORDER BY f.entity_id, f.ds""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_forecast_backtest" -> forecastBacktest,
     "q82_model_selection" -> modelSelection,
-    "q83_model_leaderboard" -> modelLeaderboard)
+    "q83_model_leaderboard" -> modelLeaderboard,
+    "q90_champion_forecasts" -> championForecasts)
 
   override def oracles: Map[String, String] = Map(
     "q79_forecast_backtest" -> forecastBacktestSql,
     "q82_model_selection" -> modelSelectionSql,
-    "q83_model_leaderboard" -> modelLeaderboardSql)
+    "q83_model_leaderboard" -> modelLeaderboardSql,
+    "q90_champion_forecasts" -> championForecastsSql)
 }

@@ -202,7 +202,7 @@ object Forecasting extends QueryModule {
        |       '$granularity' AS granularity, '$model' AS model, '$level' AS level
        |FROM ($inner)""".stripMargin
 
-  private val forecastDispatchSql = {
+  private[operators] val forecastDispatchSql: String = {
     val globalWeekly = GlobalAR.globalArSql(
       s"SELECT entity, week AS ds, y FROM (${Forecast.weeklySql})",
       stepDays = 7, granularity = "weekly")

@@ -493,11 +493,37 @@ object Eda extends QueryModule {
   /** q12 — A14: quantile bucketing — exact q25/q75 then a Low/Medium/
     * High CASE ladder with bucket counts (reference pd.cut,
     * eda/supply_chain_eda.py:553-558). */
-  def quantileBuckets(s: SparkSession, dir: String): DataFrame = {
-    val l = Tables.t(s, dir, "lineitem")
-    val q = l.agg(
-      expr("percentile(l_quantity, 0.25)").as("q25"),
-      expr("percentile(l_quantity, 0.75)").as("q75"))
+  def quantileBuckets(s: SparkSession, dir: String): DataFrame =
+    quantileBucketsOver(Tables.t(s, dir, "lineitem"))
+
+  /** The bucketing core, with an opt-in `approx = sample` dial for
+    * the threshold computation. Exact mode (the q12 oracle surface)
+    * computes interpolated q25/q75 via `percentile` — a full sort of
+    * the column's values per aggregation state. Sample mode swaps the
+    * thresholds for nearest-rank quantiles over the mergeable
+    * bottom-k hash sample (graft.functions.HashSample, the q88
+    * sketch): threshold state caps at K rows per partition, the
+    * thresholds are cross-engine DETERMINISTIC (unlike
+    * approx_percentile's engine-specific KLL sketch), and land within
+    * ~1/sqrt(K) of the exact thresholds in rank space (DKW — bound
+    * proven in HashSampleSpec). Same output schema; the bucket COUNTS
+    * still scan every row, only the cutoffs come from the sample. */
+  def quantileBucketsOver(l: DataFrame, approxSample: Boolean = false,
+      k: Int = graft.functions.HashSample.DefaultK): DataFrame = {
+    val q =
+      if (!approxSample)
+        l.agg(
+          expr("percentile(l_quantity, 0.25)").as("q25"),
+          expr("percentile(l_quantity, 0.75)").as("q75"))
+      else {
+        val hs = graft.functions.HashSample
+        hs.sketch(l,
+          concat(col("l_orderkey").cast(StringType), lit("|"),
+            col("l_linenumber").cast(StringType)),
+          col("l_quantity"), k)
+          .select(hs.quantile(col("pairs"), lit(0.25)).as("q25"),
+            hs.quantile(col("pairs"), lit(0.75)).as("q75"))
+      }
     l.crossJoin(broadcast(q))
       .select(when(col("l_quantity") <= col("q25"), "Low")
         .when(col("l_quantity") <= col("q75"), "Medium")

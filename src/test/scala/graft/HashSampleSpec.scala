@@ -62,6 +62,23 @@ class HashSampleSpec extends SparkSpec {
     assert(n == Seq(math.min(1024, lineitem.count())))
   }
 
+  test("quantileBuckets approx=sample dial: same schema, near-exact buckets") {
+    val l = lineitem
+    val exact = graft.operators.Eda.quantileBucketsOver(l)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val approx = graft.operators.Eda.quantileBucketsOver(l, approxSample = true)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(approx.keySet == exact.keySet)
+    val total = exact.values.sum
+    // thresholds land within ~1/sqrt(K) in rank space (DKW), so each
+    // bucket's row share moves by at most that envelope (3x slack;
+    // l_quantity's heavy ties can snap a threshold one value over)
+    for ((b, n) <- exact) {
+      val d = math.abs(approx(b) - n).toDouble / total
+      assert(d <= 0.10, s"bucket $b: exact=$n approx=${approx(b)} drift=$d")
+    }
+  }
+
   test("HashSample.quantiles API matches q88's inlined estimates") {
     val ps = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
     val api = HashSample.quantiles(lineitem, key, col("l_extendedprice"), ps)

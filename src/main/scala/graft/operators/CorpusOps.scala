@@ -101,7 +101,36 @@ object CorpusOps extends QueryModule {
     * distinct word 5-grams that appear in any eval doc, how many eval
     * docs it hits, and the contaminated-gram fraction. The eval gram
     * list is broadcast — the training corpus never shuffles. */
-  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+  def decontaminate(s: SparkSession, dir: String): DataFrame =
+    // the eval side is benchmarks — small enough to broadcast its
+    // gram STRINGS outright
+    decontaminateCore(s, dir, (tg, evalGrams) => tg.join(broadcast(evalGrams), "g"))
+
+  /** q91 — TWO-PHASE decontamination, the large-blocklist scale path
+    * of q62: when the contamination side is a prior corpus release
+    * rather than a benchmark suite, its gram strings stop fitting in
+    * a broadcast. Phase 1 prefilters the training grams against a
+    * broadcast of COMPACT 60-bit gram hashes (8 bytes vs ~30-byte
+    * 5-gram strings — the dial that keeps a much larger blocklist
+    * broadcastable); phase 2 exact-verifies the survivors with a
+    * string-equality shuffle join that only moves the hash-HIT grams
+    * — the corpus-sized side never shuffles in full. The result is
+    * EXACTLY q62 (hash false positives die in the verify join; false
+    * negatives cannot exist), so the two plans share one oracle. */
+  def decontaminateTwoPhase(s: SparkSession, dir: String): DataFrame =
+    decontaminateCore(s, dir, (tg, evalGrams) => {
+      def gramHash(g: org.apache.spark.sql.Column) =
+        conv(substring(md5(g.cast(BinaryType)), 1, 15), 16, 10).cast(LongType)
+      val evalH = evalGrams.select(gramHash(col("g")).as("gh")).distinct()
+      tg.join(broadcast(evalH), gramHash(col("g")) === col("gh"), "leftsemi")
+        .join(evalGrams, "g")
+    })
+
+  /** The shared decontamination shape: build eval + training gram
+    * frames, delegate the match to `hitsOf(tg, evalGrams)` (the
+    * broadcast-vs-two-phase seam), aggregate per training doc. */
+  private def decontaminateCore(s: SparkSession, dir: String,
+      hitsOf: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val docs = Tables.t(s, dir, "documents")
     // tokens in their own projection: the gram lambda reads a
     // materialized array instead of re-splitting the text per
@@ -122,7 +151,7 @@ object CorpusOps extends QueryModule {
     // Expand that doubles the matched-gram rows through the shuffle;
     // separately each is a map-side-partial distinct over its own
     // 2-column projection of the (bounded) match set
-    val hits = tg.join(broadcast(evalGrams), "g")
+    val hits = hitsOf(tg, evalGrams)
     val overlap = hits.select(col("doc_id"), col("g")).distinct()
       .groupBy(col("doc_id")).agg(count(lit(1)).as("overlap_grams"))
     val evalDocs = hits.select(col("doc_id"), col("eval_doc")).distinct()
@@ -562,6 +591,7 @@ object CorpusOps extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_repetition_profile" -> repetitionProfile,
     "q62_decontamination" -> decontaminate,
+    "q91_decon_two_phase" -> decontaminateTwoPhase,
     "q63_vocabulary" -> vocabulary,
     "q65_lang_source_matrix" -> langSourceMatrix,
     "q67_pii_redact" -> piiRedact,
@@ -574,6 +604,7 @@ object CorpusOps extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q61_repetition_profile" -> repetitionProfileSql,
     "q62_decontamination" -> decontaminateSql,
+    "q91_decon_two_phase" -> decontaminateSql,
     "q63_vocabulary" -> vocabularySql,
     "q65_lang_source_matrix" -> langSourceMatrixSql,
     "q67_pii_redact" -> piiRedactSql,

@@ -46,7 +46,8 @@ class PlanSweepSpec extends SparkSpec {
   private val smjOk = Set(
     "q41_store_performance", "q47_semi_anti_join", "q54_dedup_clusters",
     "q62_decontamination", "q64_range_join", "q70_forecast_levels",
-    "q73_embedding_clusters")
+    "q73_embedding_clusters",
+    "q91_decon_two_phase") // exact-verify join on hash-hit grams (broadcast at small SF, SMJ at scale)
 
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString

@@ -205,19 +205,80 @@ object CorpusOps extends QueryModule {
     * via a two-level aggregation ((token, doc) partial counts, then
     * token rollup — no Expand, one shuffle each), ranked after the
     * top-k cut so the window sees 500 rows, not the vocabulary. */
-  def vocabulary(s: SparkSession, dir: String): DataFrame = {
+  /** The top-500 vocabulary frame — q63's surface, reused by q92 as
+    * the coverage reference. */
+  private def vocabFrame(s: SparkSession, dir: String): DataFrame = {
     val perDoc = Tables.t(s, dir, "documents")
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("cnt"))
-    val vocab = perDoc.groupBy(col("token"))
+    perDoc.groupBy(col("token"))
       .agg(sum(col("cnt")).as("occurrences"), count(lit(1)).as("doc_freq"))
       .orderBy(col("occurrences").desc, col("token"))
       .limit(500)
-    vocab.withColumn("rank",
+  }
+
+  def vocabulary(s: SparkSession, dir: String): DataFrame =
+    vocabFrame(s, dir).withColumn("rank",
       row_number().over(Window.orderBy(col("occurrences").desc, col("token"))))
       .select(col("rank"), col("token"), col("occurrences"), col("doc_freq"))
       .orderBy(col("rank"))
+
+  /** q92 — vocabulary coverage / OOV profile per source: what share
+    * of each source's token stream a tokenizer built from the q63
+    * top-500 vocabulary would cover, plus the distinct out-of-vocab
+    * token count — the coverage check run before committing to a
+    * vocab size (a source with a high OOV rate is either noise or a
+    * domain the vocabulary underserves). Scale: one (source, token)
+    * two-level aggregation (the q63 shape), then the 500-row vocab
+    * broadcasts against it — the token stream shuffles once, keyed
+    * by (source, token), never joined at stream size. oov_rate is a
+    * single IEEE division of exact long counts. */
+  def oovProfile(s: SparkSession, dir: String): DataFrame = {
+    val perTok = Tables.t(s, dir, "documents")
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("cnt"))
+    val vocab = vocabFrame(s, dir).select(col("token"), lit(1).as("in_vocab"))
+    perTok.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("total_tokens"),
+        sum(when(col("in_vocab").isNotNull, col("cnt")).otherwise(0L)).as("covered_tokens"),
+        count(when(col("in_vocab").isNull, 1)).as("distinct_oov_tokens"))
+      .select(col("source"), col("total_tokens"), col("covered_tokens"),
+        (col("total_tokens") - col("covered_tokens")).as("oov_tokens"),
+        ((col("total_tokens") - col("covered_tokens")).cast(DoubleType) /
+          col("total_tokens").cast(DoubleType)).as("oov_rate"),
+        col("distinct_oov_tokens"))
+      .orderBy(col("source"))
   }
+
+  private val oovProfileSql =
+    """WITH perdoc AS (
+      |  SELECT token, doc_id, count(1) AS cnt FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      |  GROUP BY 1, 2),
+      |vocab AS (
+      |  SELECT token FROM (
+      |    SELECT token, CAST(sum(cnt) AS BIGINT) AS occurrences
+      |    FROM perdoc GROUP BY 1
+      |    ORDER BY occurrences DESC, token LIMIT 500)),
+      |pertok AS (
+      |  SELECT source, token, count(1) AS cnt FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)
+      |  GROUP BY 1, 2),
+      |f AS (
+      |  SELECT p.source, p.cnt, v.token AS vt
+      |  FROM pertok p LEFT JOIN vocab v ON p.token = v.token),
+      |agg AS (
+      |  SELECT source,
+      |         CAST(sum(cnt) AS BIGINT) AS total_tokens,
+      |         CAST(sum(CASE WHEN vt IS NOT NULL THEN cnt ELSE 0 END) AS BIGINT) AS covered_tokens,
+      |         count(CASE WHEN vt IS NULL THEN 1 END) AS distinct_oov_tokens
+      |  FROM f GROUP BY 1)
+      |SELECT source, total_tokens, covered_tokens,
+      |       total_tokens - covered_tokens AS oov_tokens,
+      |       CAST(total_tokens - covered_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS oov_rate,
+      |       distinct_oov_tokens
+      |FROM agg ORDER BY source""".stripMargin
 
   private val vocabularySql =
     """WITH perdoc AS (
@@ -593,6 +654,7 @@ object CorpusOps extends QueryModule {
     "q62_decontamination" -> decontaminate,
     "q91_decon_two_phase" -> decontaminateTwoPhase,
     "q63_vocabulary" -> vocabulary,
+    "q92_oov_profile" -> oovProfile,
     "q65_lang_source_matrix" -> langSourceMatrix,
     "q67_pii_redact" -> piiRedact,
     "q68_corpus_mix" -> corpusMix,
@@ -606,6 +668,7 @@ object CorpusOps extends QueryModule {
     "q62_decontamination" -> decontaminateSql,
     "q91_decon_two_phase" -> decontaminateSql,
     "q63_vocabulary" -> vocabularySql,
+    "q92_oov_profile" -> oovProfileSql,
     "q65_lang_source_matrix" -> langSourceMatrixSql,
     "q67_pii_redact" -> piiRedactSql,
     "q68_corpus_mix" -> corpusMixSql,

@@ -186,15 +186,26 @@ object Forecasting extends QueryModule {
     }
   }
 
+  /** Session-lifetime memo of the weekly dispatch frame: q66 builds
+    * it, q90 (champion application) re-reads it — the stored
+    * gold.forecasts design, so applying the selection doesn't re-fit
+    * four models. */
+  private val dispatchCache = new graft.util.Memo[(SparkSession, String), DataFrame](_._1.sparkContext.isStopped)
+
   /** q66 — the dispatch surface end-to-end: every weekly-capable model
     * through the one forecasts interface, distinguished by the model
     * column. */
   def forecastDispatch(s: SparkSession, dir: String): DataFrame =
-    run(s, dir, "linear")
-      .unionByName(run(s, dir, "seasonal_naive"))
-      .unionByName(run(s, dir, "seasonal_trend"))
-      .unionByName(run(s, dir, "global_ar", "weekly"))
-      .orderBy(col("model"), col("entity_id"), col("ds"))
+    dispatchCache.getOrBuild((s, dir), {
+      val d = run(s, dir, "linear")
+        .unionByName(run(s, dir, "seasonal_naive"))
+        .unionByName(run(s, dir, "seasonal_trend"))
+        .unionByName(run(s, dir, "global_ar", "weekly"))
+        .orderBy(col("model"), col("entity_id"), col("ds"))
+        .persist()
+      d.count()
+      d
+    })
 
   private def conformSql(inner: String, model: String,
       granularity: String = "weekly", level: String = "supplier") =

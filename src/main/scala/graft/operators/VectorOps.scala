@@ -532,7 +532,77 @@ object VectorOps extends QueryModule {
        |FROM comp JOIN csizes USING (cluster_id)
        |ORDER BY vec_id""".stripMargin
 
+  // ---- q93: per-label centroid diagnostics -------------------------
+
+  /** q93 — labeled-embedding-set health check: per label, the centroid
+    * (per-dimension mean), its norm, and the intra-class coherence
+    * (mean and min cosine of members to their centroid) — the
+    * diagnostics run on a classification/clustering dataset before
+    * training on it (a label with low mean-cosine is incoherent; a
+    * low min flags outliers/mislabels). Scale: per-dimension means are
+    * one (label, dim) aggregation of the exploded stream (decimal
+    * folds — order-independent, so partitioning can't move them);
+    * the label-count centroid frame broadcasts back and each member's
+    * cosine is the same ordered dot_product fold every vector query
+    * uses. Nothing joins at collection size.
+    * Reference has no vector surface; methodology per standard
+    * intra-class cosine coherence checks. */
+  def labelCentroids(s: SparkSession, dir: String): DataFrame = {
+    val base = withNorm(Tables.t(s, dir, "embeddings"))
+    val cent = base.select(col("label"), posexplode(col("e")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("v").cast(DecimalType(38, 12))).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType)).as("c"))
+    val centroids = cent.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cv"))
+      .withColumn("cnorm2", dot_product(col("cv"), col("cv")))
+    // snap the per-member cosine BEFORE the mean fold: snapped values
+    // are exact 8-dp decimals, so the decimal mean is exact in both
+    // engines (the Backtest smape_row pattern)
+    val cos = base.join(broadcast(centroids), "label")
+      .select(col("label"), col("cnorm2"),
+        snapRound(dot_product(col("e"), col("cv")) /
+          (sqrt(col("norm2")) * sqrt(col("cnorm2"))), 8).as("cos"))
+    cos.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        snapRound(sqrt(max(col("cnorm2"))), 6).as("centroid_norm"),
+        snapRound(sum(col("cos").cast(DecimalType(38, 10))).cast(DoubleType) /
+          count(lit(1)), 6).as("mean_cos"),
+        snapRound(min(col("cos")), 6).as("min_cos"))
+      .orderBy(col("label"))
+  }
+
+  private val labelCentroidsSql = {
+    val dotVCv = dotSql("v", "cv")
+    val dotCvCv = dotSql("cv", "cv")
+    val dotVV = dotSql("v", "v")
+    s"""WITH e AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |d AS (
+       |  SELECT label, t.pos AS pos, v[t.pos] AS val
+       |  FROM e, unnest(generate_series(1, $DIM)) AS t(pos)),
+       |cent AS (
+       |  SELECT label, pos,
+       |         CAST(sum(CAST(val AS DECIMAL(38,12))) AS DOUBLE) / CAST(count(1) AS DOUBLE) AS c
+       |  FROM d GROUP BY 1, 2),
+       |centroid AS (
+       |  SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY 1),
+       |cn AS (SELECT label, cv, $dotCvCv AS cnorm2 FROM centroid),
+       |cosr AS (
+       |  SELECT e.label, cn.cnorm2,
+       |         ${snapRoundSql(s"$dotVCv / (sqrt($dotVV) * sqrt(cn.cnorm2))", 8)} AS cos
+       |  FROM e JOIN cn ON e.label = cn.label)
+       |SELECT label, count(1) AS n_vectors,
+       |       ${snapRoundSql("sqrt(max(cnorm2))", 6)} AS centroid_norm,
+       |       ${snapRoundSql("CAST(sum(CAST(cos AS DECIMAL(38,10))) AS DOUBLE) / count(1)", 6)} AS mean_cos,
+       |       ${snapRoundSql("min(cos)", 6)} AS min_cos
+       |FROM cosr GROUP BY 1 ORDER BY label""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_label_centroids" -> labelCentroids,
     "q30_cosine_topk" -> cosineTopk,
     "q31_ann_filtered" -> annFiltered,
     "q43_ann_ivf_sampled" -> annIvfSampled,
@@ -543,6 +613,7 @@ object VectorOps extends QueryModule {
     "q87_ann_sq8" -> annSq8)
 
   override def oracles: Map[String, String] = Map(
+    "q93_label_centroids" -> labelCentroidsSql,
     "q30_cosine_topk" -> topkSql(sameCluster = false, 5),
     "q31_ann_filtered" -> topkSql(sameCluster = true, 3),
     "q43_ann_ivf_sampled" -> annIvfSql(probe = 1),

@@ -782,7 +782,66 @@ object Eda extends QueryModule {
       |       ${snapRoundSql("abs(rr - quantile_p)", 6)} AS rank_error
       |FROM rk ORDER BY column_name, quantile_p""".stripMargin
 
+  // ---- q95: RFM customer segmentation ------------------------------
+
+  /** q95 — RFM segmentation over the order history: per customer,
+    * recency (days since last order, against the corpus max date),
+    * frequency (order count), monetary (exact money sum), each cut
+    * into quartiles (rank-based ntile with a custkey tiebreak — the
+    * q77 portability rule: interpolated percentiles differ in the
+    * last ulp across engines, ranks never do) and concatenated into
+    * the classic R-F-M segment label. Scale: the per-customer frame
+    * is a derived aggregate ≪ the fact; the three global ntile
+    * windows sort that frame once each — at extreme customer
+    * cardinality the dial is sample-based thresholds
+    * (functions.HashSample, the q12 approx mode) in place of the
+    * global rank. */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.t(s, dir, "orders")
+    val ref = o.agg(max(col("o_orderdate").cast(DateType)).as("ref_date"))
+    val per = o.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate").cast(DateType)).as("last_order"),
+        count(lit(1)).as("frequency"),
+        moneySum(col("o_totalprice")).as("monetary"))
+      .crossJoin(broadcast(ref)) // 1-row scalar — the allow-listed shape
+      .select(col("o_custkey").as("custkey"),
+        datediff(col("ref_date"), col("last_order")).cast(LongType).as("recency_days"),
+        col("frequency"), col("monetary"))
+    import org.apache.spark.sql.expressions.Window
+    val rQ = ntile(4).over(Window.orderBy(col("recency_days"), col("custkey")))
+    val fQ = ntile(4).over(Window.orderBy(col("frequency").desc, col("custkey")))
+    val mQ = ntile(4).over(Window.orderBy(col("monetary").desc, col("custkey")))
+    per.withColumn("r_quartile", rQ)
+      .withColumn("f_quartile", fQ)
+      .withColumn("m_quartile", mQ)
+      .withColumn("segment", concat_ws("-",
+        col("r_quartile"), col("f_quartile"), col("m_quartile")))
+      .orderBy(col("custkey"))
+  }
+
+  private val rfmSegmentsSql =
+    """WITH ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref_date FROM orders),
+      |per AS (
+      |  SELECT o_custkey AS custkey,
+      |         CAST(datediff('day', max(CAST(o_orderdate AS DATE)), (SELECT ref_date FROM ref)) AS BIGINT) AS recency_days,
+      |         count(1) AS frequency,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS monetary
+      |  FROM orders GROUP BY 1),
+      |q AS (
+      |  SELECT *,
+      |         ntile(4) OVER (ORDER BY recency_days, custkey) AS r_quartile,
+      |         ntile(4) OVER (ORDER BY frequency DESC, custkey) AS f_quartile,
+      |         ntile(4) OVER (ORDER BY monetary DESC, custkey) AS m_quartile
+      |  FROM per)
+      |SELECT custkey, recency_days, frequency, monetary,
+      |       CAST(r_quartile AS INTEGER) AS r_quartile,
+      |       CAST(f_quartile AS INTEGER) AS f_quartile,
+      |       CAST(m_quartile AS INTEGER) AS m_quartile,
+      |       CAST(r_quartile AS VARCHAR) || '-' || CAST(f_quartile AS VARCHAR) || '-' || CAST(m_quartile AS VARCHAR) AS segment
+      |FROM q ORDER BY custkey""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_rfm_segments" -> rfmSegments,
     "q05_topk_customers" -> topkCustomers,
     "q06_pagination" -> pagination,
     "q07_distinct_entities" -> distinctEntities,
@@ -814,5 +873,6 @@ object Eda extends QueryModule {
     "q13_reconciliation" -> reconciliationSql,
     "q14_latest_wins_upsert" -> latestWinsUpsertSql,
     "q78_kmv_distinct" -> kmvDistinctSql,
+    "q95_rfm_segments" -> rfmSegmentsSql,
     "q88_sample_quantiles" -> sampleQuantilesSql)
 }

@@ -444,7 +444,46 @@ object EventOps extends QueryModule {
       |  CAST(lt.ts AS TIMESTAMP) AS last_touch_ts
       |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
 
+  // ---- q94: DAU / WAU stickiness -----------------------------------
+
+  /** q94 — engagement stickiness over the event stream: per day, the
+    * distinct active users (DAU), the trailing-7-day distinct actives
+    * (WAU), and their ratio. The trailing distinct can't decompose
+    * into daily partials (distinct isn't additive), so WAU uses the
+    * CONTRIBUTION EXPLODE: each deduped (user, day) fans out to the 7
+    * target days it keeps the user active for, then one dedup+count
+    * per target day — a bounded 7× expansion of user-DAYS (already
+    * deduped, ≪ events), never a range self-join and never a window
+    * that holds user sets in state. Reported for days that have at
+    * least one event. */
+  def stickiness(s: SparkSession, dir: String): DataFrame = {
+    val userDays = Tables.t(s, dir, "events")
+      .select(col("user_id"), col("ts").cast(DateType).as("ds")).distinct()
+    val dau = userDays.groupBy(col("ds")).agg(count(lit(1)).as("dau"))
+    val wau = userDays
+      .select(col("user_id"), explode(sequence(col("ds"), date_add(col("ds"), 6))).as("ds"))
+      .distinct()
+      .groupBy(col("ds")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, "ds")
+      .select(col("ds"), col("dau"), col("wau"),
+        (col("dau").cast(DoubleType) / col("wau").cast(DoubleType)).as("stickiness"))
+      .orderBy(col("ds"))
+  }
+
+  private val stickinessSql =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS ds FROM events),
+      |dau AS (SELECT ds, count(1) AS dau FROM ud GROUP BY 1),
+      |contrib AS (
+      |  SELECT DISTINCT user_id, CAST(unnest(generate_series(ds, ds + 6, INTERVAL 1 DAY)) AS DATE) AS ds
+      |  FROM ud),
+      |wau AS (SELECT ds, count(1) AS wau FROM contrib GROUP BY 1)
+      |SELECT d.ds, d.dau, w.wau,
+      |       CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
+      |FROM dau d JOIN wau w ON d.ds = w.ds
+      |ORDER BY d.ds""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_stickiness" -> stickiness,
     "q89_attribution" -> attribution,
     "q32_event_windows" -> eventWindows,
     "q33_sessionize" -> sessionize,
@@ -458,6 +497,7 @@ object EventOps extends QueryModule {
     "q76_funnel" -> funnel)
 
   override def oracles: Map[String, String] = Map(
+    "q94_stickiness" -> stickinessSql,
     "q89_attribution" -> attributionSql,
     "q32_event_windows" -> eventWindowsSql,
     "q33_sessionize" -> sessionizeSql,

@@ -26,7 +26,8 @@ class PlanSweepSpec extends SparkSpec {
     "q58_tfidf_topk", "q78_kmv_distinct",
     "q86_source_drift", // sources × ≤10-bin grid: both cross sides broadcast-tiny
     "q87_ann_sq8", // 1-row params crossJoin + q30's bounded query-batch fan-out
-    "q88_sample_quantiles") // realized-rank scan × broadcast 10-row estimate frame
+    "q88_sample_quantiles", // realized-rank scan × broadcast 10-row estimate frame
+    "q95_rfm_segments") // 1-row ref-date scalar crossJoin over the per-customer aggregate
 
   /** Queries whose plan legitimately contains Expand: ROLLUP/CUBE are
     * grouping-sets operators — Expand IS their plan shape, bounded at

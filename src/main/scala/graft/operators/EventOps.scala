@@ -482,7 +482,70 @@ object EventOps extends QueryModule {
       |FROM dau d JOIN wau w ON d.ds = w.ds
       |ORDER BY d.ds""".stripMargin
 
+  // ---- q96: forward as-of with tolerance ---------------------------
+
+  /** Conversion-latency tolerance: a purchase more than 1 hour after
+    * the view doesn't count as its conversion. */
+  private val ConvTolMicros = 3600000000L
+
+  /** q96 — FORWARD as-of with a tolerance bound (the two merge_asof
+    * dials q46/q57 don't exercise): each view matched to the same
+    * user's EARLIEST purchase at-or-after it, and matches farther
+    * than 1 hour out are nulled — the view-to-purchase conversion
+    * latency surface. Same one-shuffle composed-window formulation as
+    * q46 with the traversal reversed: ORDER BY (ts DESC, tag ASC,
+    * event_id DESC) puts later timestamps first and purchases before
+    * views at equal ts, so last_value(ignoreNulls) holds the earliest
+    * at-or-after purchase (ties on ts break to the LOWEST purchase
+    * id — can't arise while (user, ts) is unique, pinned anyway).
+    * The tolerance is a post-window null-out, not a join predicate —
+    * the plan is identical to the unbounded forward as-of. Oracle:
+    * DuckDB's native ASOF LEFT JOIN with a <= condition — an
+    * independent implementation of the forward direction. */
+  def viewToPurchase(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("tag"),
+        col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("tag"),
+        lit(null).cast(LongType).as("p_id"),
+        lit(null).cast(TimestampType).as("p_ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("tag"), col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val latency = unix_micros(col("np_ts")) - unix_micros(col("ts"))
+    val ok = col("np_ts").isNotNull && latency <= lit(ConvTolMicros)
+    purchases.unionByName(views)
+      .withColumn("np_id", last(col("p_id"), ignoreNulls = true).over(w))
+      .withColumn("np_ts", last(col("p_ts"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"),
+        when(ok, col("np_id")).as("next_purchase_id"),
+        when(ok, col("np_ts")).as("next_purchase_ts"),
+        when(ok, latency).as("latency_micros"))
+      .orderBy(col("view_id"))
+  }
+
+  private val viewToPurchaseSql =
+    s"""WITH v AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'view'),
+      |p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'purchase'),
+      |m AS (
+      |  SELECT v.event_id AS view_id, v.user_id, v.ts AS view_ts,
+      |         p.event_id AS np_id, p.ts AS np_ts
+      |  FROM v ASOF LEFT JOIN p
+      |    ON v.user_id = p.user_id AND v.ts <= p.ts)
+      |SELECT view_id, user_id, view_ts,
+      |       CASE WHEN ok THEN np_id END AS next_purchase_id,
+      |       CASE WHEN ok THEN np_ts END AS next_purchase_ts,
+      |       CASE WHEN ok THEN lat END AS latency_micros
+      |FROM (SELECT *, epoch_us(np_ts) - epoch_us(view_ts) AS lat,
+      |             np_ts IS NOT NULL AND epoch_us(np_ts) - epoch_us(view_ts) <= $ConvTolMicros AS ok
+      |      FROM m)
+      |ORDER BY view_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_view_to_purchase" -> viewToPurchase,
     "q94_stickiness" -> stickiness,
     "q89_attribution" -> attribution,
     "q32_event_windows" -> eventWindows,
@@ -497,6 +560,7 @@ object EventOps extends QueryModule {
     "q76_funnel" -> funnel)
 
   override def oracles: Map[String, String] = Map(
+    "q96_view_to_purchase" -> viewToPurchaseSql,
     "q94_stickiness" -> stickinessSql,
     "q89_attribution" -> attributionSql,
     "q32_event_windows" -> eventWindowsSql,

@@ -486,7 +486,7 @@ object EventOps extends QueryModule {
 
   /** Conversion-latency tolerance: a purchase more than 1 hour after
     * the view doesn't count as its conversion. */
-  private val ConvTolMicros = 3600000000L
+  private[graft] val ConvTolMicros = 3600000000L
 
   /** q96 — FORWARD as-of with a tolerance bound (the two merge_asof
     * dials q46/q57 don't exercise): each view matched to the same
@@ -544,7 +544,49 @@ object EventOps extends QueryModule {
       |      FROM m)
       |ORDER BY view_id""".stripMargin
 
+  // ---- q97: event transition matrix --------------------------------
+
+  /** q97 — first-order event-type transition matrix: per user, each
+    * consecutive event pair (lag window, event_id tiebreak) counts a
+    * (from, to) transition; output is counts plus the row-conditional
+    * probability P(to | from) — the Markov-chain view of user
+    * behavior that surfaces broken flows (e.g. error→error loops).
+    * Scale: ONE shuffle on user_id for the lag, then a 25-cell
+    * aggregate; the probability is a single IEEE division of exact
+    * counts against a window sum over ≤5 rows per `from`. */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.t(s, dir, "events")
+      .withColumn("from_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("transitions"))
+    val perFrom = Window.partitionBy(col("from_type"))
+    pairs
+      .withColumn("p_to_given_from",
+        col("transitions").cast(DoubleType) /
+          sum(col("transitions")).over(perFrom).cast(DoubleType))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  private val eventTransitionsSql =
+    """WITH pairs AS (
+      |  SELECT from_type, event_type AS to_type, count(1) AS transitions
+      |  FROM (SELECT event_type,
+      |               lag(event_type) OVER (PARTITION BY user_id
+      |                 ORDER BY CAST(ts AS TIMESTAMP), event_id) AS from_type
+      |        FROM events)
+      |  WHERE from_type IS NOT NULL
+      |  GROUP BY 1, 2)
+      |SELECT from_type, to_type, transitions,
+      |       CAST(transitions AS DOUBLE) /
+      |         CAST(sum(transitions) OVER (PARTITION BY from_type) AS DOUBLE) AS p_to_given_from
+      |FROM pairs
+      |ORDER BY from_type, to_type""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_event_transitions" -> eventTransitions,
     "q96_view_to_purchase" -> viewToPurchase,
     "q94_stickiness" -> stickiness,
     "q89_attribution" -> attribution,
@@ -560,6 +602,7 @@ object EventOps extends QueryModule {
     "q76_funnel" -> funnel)
 
   override def oracles: Map[String, String] = Map(
+    "q97_event_transitions" -> eventTransitionsSql,
     "q96_view_to_purchase" -> viewToPurchaseSql,
     "q94_stickiness" -> stickinessSql,
     "q89_attribution" -> attributionSql,

@@ -350,6 +350,63 @@ object StreamingPipeline {
       }
   }
 
+  case class ConversionOut(view_id: Long, user_id: Long, view_ts: Timestamp,
+    next_purchase_id: Option[Long], next_purchase_ts: Option[Timestamp],
+    latency_micros: Option[Long])
+  /** Views still inside their conversion window: (tsMicros, view_id),
+    * ascending by arrival. */
+  case class ConvState(pending: Seq[(Long, Long)])
+
+  /** Stateful view-to-purchase conversion — the streaming twin of the
+    * batch q96 forward as-of with tolerance (EventOps.viewToPurchase):
+    * per user, views buffer until the next purchase arrives (every
+    * pending view at-or-before it converts to it, with latency) or
+    * their 1-hour window lapses — a later event past the tolerance
+    * expires them as explicit non-conversions (the batch null rows).
+    * State per user = the views of the trailing tolerance window,
+    * pruned on every event. Like the sessionizer, a view whose window
+    * never sees a later event drains only on a subsequent event —
+    * replays append a per-user sentinel past the horizon to flush.
+    * Late-data/tie bounds: identical to attributionStream (exact
+    * under per-user event-time-ordered arrival with unique
+    * (user, ts)). */
+  def conversionStream(events: Dataset[Event]): Dataset[ConversionOut] = {
+    import events.sparkSession.implicits._
+    val tol = graft.operators.EventOps.ConvTolMicros
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[ConvState, ConversionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[ConvState]) =>
+          val sorted = rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+          var pending = state.getOption.map(_.pending).getOrElse(Seq.empty)
+          val out = Seq.newBuilder[ConversionOut]
+          for (e <- sorted) {
+            val t = tsMicros(e.ts)
+            // windows that closed strictly before this event: emit the
+            // batch twin's null row
+            val (expired, live) = pending.partition(v => t - v._1 > tol)
+            expired.foreach(v =>
+              out += ConversionOut(v._2, userId, microsTs(v._1), None, None, None))
+            pending = live
+            e.event_type match {
+              case "purchase" =>
+                // every still-open view at-or-before the purchase
+                // converts to it (earliest-at-or-after semantics: this
+                // is the first purchase any of them has seen)
+                val (conv, stay) = pending.partition(_._1 <= t)
+                conv.foreach(v => out += ConversionOut(v._2, userId, microsTs(v._1),
+                  Some(e.event_id), Some(microsTs(t)), Some(t - v._1)))
+                pending = stay
+              case "view" =>
+                pending = pending :+ ((t, e.event_id))
+              case _ =>
+            }
+          }
+          state.update(ConvState(pending))
+          out.result().iterator
+      }
+  }
+
   /** Stateful gap-based sessionization (30-min inactivity) via
     * flatMapGroupsWithState. A session closes when a later event
     * arrives past the gap; the closing event starts the next session.

@@ -272,6 +272,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("stateful streaming conversion == batch q96 rows (sentinel-drained)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-conv").toString
+    val base = eventsDf.select("event_id", "ts", "user_id", "event_type", "value")
+    // per-user sentinel past every conversion horizon so unconverted
+    // views drain (the sessionizer's replay pattern)
+    val sentinels = base.groupBy($"user_id")
+      .agg(max($"ts").as("mx"))
+      .select((-$"user_id").as("event_id"),
+        ($"mx" + expr("INTERVAL 2 HOURS")).as("ts"),
+        $"user_id", lit("drain").as("event_type"), lit(0.0).as("value"))
+    base.unionByName(sentinels).write.mode("overwrite").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in").as[Event]
+    val q = StreamingPipeline.conversionStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("conv_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.getTimestamp(4)), Option(r.get(5)).map(_.asInstanceOf[Long]))
+    val streamed = spark.table("conv_out")
+      .select("view_id", "user_id", "view_ts", "next_purchase_id",
+        "next_purchase_ts", "latency_micros")
+      .collect().map(key).sortBy(_._1)
+    val batch = EventOps.viewToPurchase(spark, sf0001).collect().map(key).sortBy(_._1)
+    assert(streamed.toSeq == batch.toSeq && streamed.nonEmpty)
+    // both conversion outcomes exercised by the replay
+    assert(streamed.exists(_._4.isDefined) && streamed.exists(_._4.isEmpty))
+  }
+
   test("stateful streaming attribution == batch q89 rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft-attr").toString
     eventsDf.select("event_id", "ts", "user_id", "event_type", "value")

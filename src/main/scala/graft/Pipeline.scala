@@ -168,6 +168,22 @@ object Pipeline {
     }
   }
 
+  /** Incremental SILVER refresh for the lineitem fact: re-clean ONLY
+    * a bronze delta and tuple-key-swap it into silver.lineitem — the
+    * alternative to the reference's TRUNCATE+reload (S5) once the
+    * fact outgrows full reloads. Cost is sized by the delta (the
+    * delta's keys broadcast against the stored table; only delta
+    * rows re-run the cleaning predicate), and a delta row that FAILS
+    * validation deletes its stale silver row — exactly what the full
+    * reload would drop, which a bare upsert would silently keep
+    * (IncrementalSilverSpec pins the equality against a from-scratch
+    * re-clean). Returns the table size after the swap. */
+  def refreshSilverLineitem(spark: SparkSession, store: LayerStore,
+      bronzeDelta: DataFrame): Long =
+    store.overwriteMatching("silver", "lineitem",
+      bronzeDelta.filter(col("l_quantity") > 0),
+      Seq("l_orderkey", "l_linenumber"), bronzeDelta)
+
   /** The gold resolver, exposed for incremental/partial builds in
     * specs and tooling. */
   private[graft] def goldResolver(store: LayerStore): GoldMarts.Resolver =

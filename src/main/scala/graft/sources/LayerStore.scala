@@ -131,8 +131,13 @@ class LayerStore(spark: SparkSession, root: String) {
       val oldCount = old.count()
       val latestCount = latest.persist().count() // incoming batch, small
       try {
+        // re-select the stored order: a USING-style anti-join moves the
+        // key columns to the front, which for composite keys whose
+        // columns aren't leading (lineitem's l_linenumber) would
+        // silently reorder the table's schema on every re-load
         val kept = old.join(latest.select(keys.map(col): _*).distinct(),
           keys, "left_anti")
+          .select(old.columns.map(col): _*)
         // counts derive from totals — no separate materialization of the
         // anti-join just to count it: inserted = growth, updated = the
         // incoming rows that did not grow the table
@@ -172,6 +177,35 @@ class LayerStore(spark: SparkSession, root: String) {
       else table(layer, name)
         .filter(col(keyCol).isNull || !col(keyCol).isin(keys: _*))
         .unionByName(df)
+    write(layer, name, merged)
+  }
+
+  /** S9c — tuple-key-scoped overwrite: DELETE WHERE (k1,…,kn) IN
+    * (SELECT k1…kn FROM keySource) then append `df` — the
+    * composite-key sibling of overwriteKeys and the write primitive
+    * of incremental SILVER refresh (Pipeline.refreshSilverLineitem).
+    * `df` holds the complete new content for exactly the keys in
+    * `keySource` — possibly FEWER rows: a key present in keySource
+    * but absent from df is thereby deleted (what a TRUNCATE+reload
+    * would drop when its row stops validating). NULL-keyed stored
+    * rows never match the anti-join, so they are kept like SQL's
+    * DELETE WHERE (k1,k2) IN (...). At scale keySource is
+    * delta-sized: the anti-join broadcasts it against the stored
+    * table's scan. */
+  def overwriteMatching(layer: String, name: String, df: DataFrame,
+    keys: Seq[String], keySource: DataFrame): Long = {
+    val merged =
+      if (!exists(layer, name)) df
+      else {
+        val stored = table(layer, name)
+        // re-select the stored order: a USING-style anti-join moves
+        // the key columns to the front, and writing that order would
+        // silently reorder the table's schema on every refresh
+        stored.join(broadcast(keySource.select(keys.map(col): _*).distinct()),
+            keys, "left_anti")
+          .select(stored.columns.map(col): _*)
+          .unionByName(df)
+      }
     write(layer, name, merged)
   }
 

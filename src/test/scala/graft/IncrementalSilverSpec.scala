@@ -1,0 +1,69 @@
+package graft
+
+import graft.sources.LayerStore
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** The incremental-silver contract: re-cleaning only a bronze delta
+  * and tuple-key-swapping it into silver.lineitem must equal a full
+  * re-clean of the new bronze state — including DELETING rows whose
+  * delta version stops validating (the case a bare upsert gets
+  * wrong). */
+class IncrementalSilverSpec extends SparkSpec {
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSet
+
+  test("delta re-clean + tuple-key swap equals a full silver reload") {
+    val root = java.nio.file.Files.createTempDirectory("inc_silver").toString
+    val store = new LayerStore(spark, root)
+    assert(Pipeline.runBronze(spark, store, sf0001).ok)
+    assert(Pipeline.runSilver(spark, store, "inc-silver-run").ok)
+    val before = rows(store.table("silver", "lineitem"))
+
+    // pin three victim rows eagerly (the delta writes swap the files
+    // any lazy plan over bronze would re-read)
+    val schema = store.table("bronze", "lineitem").schema
+    val victims = store.table("bronze", "lineitem")
+      .orderBy("l_orderkey", "l_linenumber").limit(3).collect()
+    val qi = schema.fieldIndex("l_quantity")
+    val li = schema.fieldIndex("l_linenumber")
+    def patched(r: Row, f: Int, v: Any): Row =
+      Row.fromSeq(r.toSeq.updated(f, v))
+    val delta = spark.createDataFrame(
+      java.util.Arrays.asList(
+        patched(victims(0), qi, victims(0).getDouble(qi) + 7.0), // update, stays valid
+        patched(victims(1), li, victims(1).getInt(li) + 1000),   // brand-new key
+        patched(victims(2), qi, -1.0)),                          // key turns invalid
+      schema)
+
+    // flow the delta through bronze (latest-wins), then refresh silver
+    store.upsert("bronze", "lineitem", delta,
+      Seq("l_orderkey", "l_linenumber"), "l_orderkey")
+    val n = Pipeline.refreshSilverLineitem(spark, store, delta)
+    assert(n > 0)
+
+    // equality against a from-scratch re-clean of the NEW bronze state
+    val expected = rows(store.table("bronze", "lineitem")
+      .filter(col("l_quantity") > 0))
+    val got = rows(store.table("silver", "lineitem"))
+    assert(got == expected, "incremental silver diverged from a full re-clean")
+
+    // the invalidated key is GONE (the bare-upsert failure mode)
+    val k2 = (victims(2).getLong(schema.fieldIndex("l_orderkey")),
+      victims(2).getInt(li))
+    assert(!got.exists(r => (r(schema.fieldIndex("l_orderkey")),
+      r(li)) == (k2: (Any, Any))), "stale silver row survived its delta invalidation")
+    // untouched rows are bit-identical; only the three victim keys moved
+    val victimKeys: Set[(Any, Any)] = Set(
+      (victims(0).getLong(schema.fieldIndex("l_orderkey")), victims(0).getInt(li)),
+      (victims(1).getLong(schema.fieldIndex("l_orderkey")), victims(1).getInt(li) + 1000),
+      k2)
+    val changed = (before -- got) ++ (got -- before)
+    assert(changed.nonEmpty)
+    val offenders = changed.filterNot(r => victimKeys.contains(
+      (r(schema.fieldIndex("l_orderkey")), r(li))))
+    assert(offenders.isEmpty,
+      s"rows outside the delta changed: ${offenders.take(5).mkString("; ")} vs keys $victimKeys")
+  }
+}

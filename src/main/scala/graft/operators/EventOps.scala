@@ -585,7 +585,48 @@ object EventOps extends QueryModule {
       |FROM pairs
       |ORDER BY from_type, to_type""".stripMargin
 
+  // ---- q98: exact per-group quantiles ------------------------------
+
+  private val GroupQuantilePs = Seq(0.5, 0.9, 0.99)
+
+  /** q98 — exact per-group nearest-rank quantiles: p50/p90/p99 of
+    * event value per type, picked by RANK EQUALITY (row_number over a
+    * (value, event_id) total order == ceil(p·n)) — no interpolation
+    * mode to disagree on, so the quantile is an actual data value and
+    * bit-identical in any engine. One window shuffle on the group
+    * key; the per-group sort is the cost, which is exactly what the
+    * q88 bottom-k hash-sample sketch replaces once a group no longer
+    * fits a sort (q12 keeps the reference's interpolated-percentile
+    * semantics for its oracle surface — this is the portable exact
+    * form, that is the approximate scale form). */
+  def groupQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    Tables.t(s, dir, "events")
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .select(col("event_type"), col("rn"), col("n"), col("value"),
+        explode(array(GroupQuantilePs.map(lit): _*)).as("quantile_p"))
+      .filter(col("rn") === greatest(lit(1L), ceil(col("quantile_p") * col("n"))))
+      .select(col("event_type"), col("quantile_p"),
+        col("n").as("n_rows"), col("value").as("quantile_value"))
+      .orderBy(col("event_type"), col("quantile_p"))
+  }
+
+  private val groupQuantilesSql =
+    s"""WITH ranked AS (
+      |  SELECT event_type, value,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |         count(1) OVER (PARTITION BY event_type) AS n
+      |  FROM events),
+      |ps AS (SELECT unnest([${GroupQuantilePs.mkString(", ")}]) AS quantile_p)
+      |SELECT event_type, quantile_p, n AS n_rows, value AS quantile_value
+      |FROM ranked, ps
+      |WHERE rn = greatest(1, CAST(ceil(quantile_p * n) AS BIGINT))
+      |ORDER BY event_type, quantile_p""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_group_quantiles" -> groupQuantiles,
     "q97_event_transitions" -> eventTransitions,
     "q96_view_to_purchase" -> viewToPurchase,
     "q94_stickiness" -> stickiness,
@@ -602,6 +643,7 @@ object EventOps extends QueryModule {
     "q76_funnel" -> funnel)
 
   override def oracles: Map[String, String] = Map(
+    "q98_group_quantiles" -> groupQuantilesSql,
     "q97_event_transitions" -> eventTransitionsSql,
     "q96_view_to_purchase" -> viewToPurchaseSql,
     "q94_stickiness" -> stickinessSql,

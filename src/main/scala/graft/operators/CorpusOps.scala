@@ -126,6 +126,68 @@ object CorpusOps extends QueryModule {
         .join(evalGrams, "g")
     })
 
+  // ---- q99: end-to-end curation funnel -----------------------------
+
+  /** q99 — the WHOLE curation pipeline as one declarative plan, with
+    * the survivor funnel a curation run reports: input → quality gate
+    * (q26 score ≥ 50) → exact dedup among survivors (min doc_id per
+    * text hash) → near-dup canonicals only (q54's connected-component
+    * clusters) → decontaminated (q62 verdict). Each stage filters the
+    * previous stage's survivors; output is the 5-row
+    * (stage, survivors, dropped) funnel. This is the composition
+    * story: every stage is the already-oracle-verified operator,
+    * chained by doc_id semi/anti joins of id-projections — Catalyst
+    * fuses the chain into one DAG, nothing materializes between
+    * stages, and the whole funnel costs a handful of id-column
+    * shuffles beyond the operators themselves. */
+  def curationFunnel(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(s, dir, "documents")
+    val s1 = docs.select(col("doc_id"))
+    val s2 = TextOps.qualityScore(s, dir)
+      .filter(col("quality") >= 50.0).select(col("doc_id"))
+    val s3 = docs.select(col("doc_id"), md5(col("text").cast(BinaryType)).as("th"))
+      .join(s2, "doc_id")
+      .groupBy(col("th")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val s4 = s3.join(
+      TextOps.dedupClusters(s, dir).filter(col("is_canonical")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val s5 = s4.join(
+      decontaminate(s, dir).filter(col("is_contaminated")).select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+    val stages = Seq(("input", s1), ("quality_gate", s2), ("exact_dedup", s3),
+      ("near_dedup_canonical", s4), ("decontaminated", s5))
+    val counts = stages.zipWithIndex.map { case ((name, df), i) =>
+      df.agg(count(lit(1)).as("survivors"))
+        .select(lit(i + 1).as("stage_idx"), lit(name).as("stage"), col("survivors"))
+    }.reduce(_ unionByName _)
+    counts
+      .withColumn("dropped", coalesce(
+        lag(col("survivors"), 1).over(Window.orderBy(col("stage_idx"))) - col("survivors"),
+        lit(0L)))
+      .orderBy(col("stage_idx"))
+  }
+
+  private def curationFunnelSql =
+    s"""WITH s2 AS (SELECT doc_id FROM (${TextOps.qualityScoreSql}) WHERE quality >= 50.0),
+      |s3 AS (SELECT min(doc_id) AS doc_id FROM (
+      |         SELECT d.doc_id, md5(d.text) AS th FROM documents d JOIN s2 USING (doc_id))
+      |       GROUP BY th),
+      |s4 AS (SELECT s3.doc_id FROM s3 JOIN (${TextOps.dedupClustersSql}) cl
+      |         ON s3.doc_id = cl.doc_id WHERE cl.is_canonical),
+      |s5 AS (SELECT s4.doc_id FROM s4 LEFT JOIN
+      |         (SELECT doc_id FROM ($decontaminateSql) WHERE is_contaminated) dc
+      |         ON s4.doc_id = dc.doc_id WHERE dc.doc_id IS NULL),
+      |counts AS (
+      |  SELECT 1 AS stage_idx, 'input' AS stage, (SELECT count(1) FROM documents) AS survivors
+      |  UNION ALL SELECT 2, 'quality_gate', (SELECT count(1) FROM s2)
+      |  UNION ALL SELECT 3, 'exact_dedup', (SELECT count(1) FROM s3)
+      |  UNION ALL SELECT 4, 'near_dedup_canonical', (SELECT count(1) FROM s4)
+      |  UNION ALL SELECT 5, 'decontaminated', (SELECT count(1) FROM s5))
+      |SELECT CAST(stage_idx AS INTEGER) AS stage_idx, stage, survivors,
+      |       coalesce(lag(survivors) OVER (ORDER BY stage_idx) - survivors, 0) AS dropped
+      |FROM counts ORDER BY stage_idx""".stripMargin
+
   /** The shared decontamination shape: build eval + training gram
     * frames, delegate the match to `hitsOf(tg, evalGrams)` (the
     * broadcast-vs-two-phase seam), aggregate per training doc. */
@@ -653,6 +715,7 @@ object CorpusOps extends QueryModule {
     "q61_repetition_profile" -> repetitionProfile,
     "q62_decontamination" -> decontaminate,
     "q91_decon_two_phase" -> decontaminateTwoPhase,
+    "q99_curation_funnel" -> curationFunnel,
     "q63_vocabulary" -> vocabulary,
     "q92_oov_profile" -> oovProfile,
     "q65_lang_source_matrix" -> langSourceMatrix,
@@ -667,6 +730,7 @@ object CorpusOps extends QueryModule {
     "q61_repetition_profile" -> repetitionProfileSql,
     "q62_decontamination" -> decontaminateSql,
     "q91_decon_two_phase" -> decontaminateSql,
+    "q99_curation_funnel" -> curationFunnelSql,
     "q63_vocabulary" -> vocabularySql,
     "q92_oov_profile" -> oovProfileSql,
     "q65_lang_source_matrix" -> langSourceMatrixSql,

@@ -404,7 +404,7 @@ object TextOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
-  private val qualityScoreSql = {
+  private[operators] val qualityScoreSql: String = {
     val nTok = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
     val nChars = "CAST(length(text) AS DOUBLE)"
     val punct = "CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)"
@@ -629,7 +629,7 @@ object TextOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
-  private val dedupClustersSql = {
+  private[operators] val dedupClustersSql: String = {
     s"""WITH RECURSIVE $shinglesCte,
        |$sigCtes,
        |bands AS (

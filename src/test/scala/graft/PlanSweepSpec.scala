@@ -48,7 +48,8 @@ class PlanSweepSpec extends SparkSpec {
     "q41_store_performance", "q47_semi_anti_join", "q54_dedup_clusters",
     "q62_decontamination", "q64_range_join", "q70_forecast_levels",
     "q73_embedding_clusters",
-    "q91_decon_two_phase") // exact-verify join on hash-hit grams (broadcast at small SF, SMJ at scale)
+    "q91_decon_two_phase", // exact-verify join on hash-hit grams (broadcast at small SF, SMJ at scale)
+    "q99_curation_funnel") // stage chains: doc-id-projection semi/anti joins of comparable derived sets
 
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString

@@ -625,7 +625,39 @@ object EventOps extends QueryModule {
       |WHERE rn = greatest(1, CAST(ceil(quantile_p * n) AS BIGINT))
       |ORDER BY event_type, quantile_p""".stripMargin
 
+  // ---- q100: sliding windows ---------------------------------------
+
+  /** q100 — SLIDING (hopping) window aggregation: 10-minute windows
+    * every 5 minutes per event type — the smoothed-rate view q32's
+    * tumbling windows can't give. Spark's `window(ts, 10m, 5m)` plans
+    * a deliberate Expand: each event replicates into exactly
+    * window/slide = 2 windows — a bounded constant factor, which is
+    * precisely the allow-list criterion (vs the unbounded
+    * multi-distinct Expand the sweep bans). Oracle: explicit unnest
+    * of the two epoch-aligned bucket starts. */
+  def slidingWindows(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "events")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  private val slidingWindowsSql =
+    """SELECT ws AS window_start, ws + INTERVAL 10 MINUTE AS window_end,
+      |       event_type, count(1) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
+      |FROM (
+      |  SELECT event_type, value,
+      |         unnest([time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)),
+      |                 time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) - INTERVAL 5 MINUTE]) AS ws
+      |  FROM events)
+      |GROUP BY 1, 2, 3
+      |ORDER BY window_start, event_type""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_sliding_windows" -> slidingWindows,
     "q98_group_quantiles" -> groupQuantiles,
     "q97_event_transitions" -> eventTransitions,
     "q96_view_to_purchase" -> viewToPurchase,
@@ -643,6 +675,7 @@ object EventOps extends QueryModule {
     "q76_funnel" -> funnel)
 
   override def oracles: Map[String, String] = Map(
+    "q100_sliding_windows" -> slidingWindowsSql,
     "q98_group_quantiles" -> groupQuantilesSql,
     "q97_event_transitions" -> eventTransitionsSql,
     "q96_view_to_purchase" -> viewToPurchaseSql,

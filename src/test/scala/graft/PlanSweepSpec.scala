@@ -36,7 +36,8 @@ class PlanSweepSpec extends SparkSpec {
     * over the fact would multiply the shuffle by its distinct count
     * (the round-4 prep_gold_marts regression), which is why the marts
     * decompose distinct-counts instead. */
-  private val expandOk = Set("q45_rollup_sales", "q53_cube_orders")
+  private val expandOk = Set("q45_rollup_sales", "q53_cube_orders",
+    "q100_sliding_windows") // window/slide = 2: a bounded constant replication, chosen deliberately
 
   /** Queries where a SortMergeJoin is the RIGHT plan: both sides are
     * derived aggregates / range-bucketed frames of comparable, fact-

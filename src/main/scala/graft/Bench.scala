@@ -77,6 +77,10 @@ object Bench {
     "prep_gold_marts" -> ((s, d) => graft.operators.DqChecks.prepareArtifacts(s, d)),
     "prep_demand_series" -> ((s, d) => graft.operators.Forecast.prepareArtifacts(s, d)),
     "prep_forecast_backtest" -> ((s, d) => graft.operators.Backtest.prepareArtifacts(s, d)),
+    // the memoized weekly dispatch frame (q66 builds it lazily
+    // otherwise, and min-of-3 reporting would hide the build cost
+    // entirely instead of attributing it to a prep)
+    "prep_forecast_dispatch" -> ((s, d) => { graft.operators.Forecasting.forecastDispatch(s, d); () }),
     "prep_srp_bands" -> ((s, d) => graft.operators.VectorOps.prepareArtifacts(s, d)))
 
   /** The bench's session, shared with TimeIt. */

@@ -141,30 +141,36 @@ object CorpusOps extends QueryModule {
     * stages, and the whole funnel costs a handful of id-column
     * shuffles beyond the operators themselves. */
   def curationFunnel(s: SparkSession, dir: String): DataFrame = {
+    // one wide per-doc flag frame, then ONE aggregation produces every
+    // stage count — per-stage count() aggregates would re-execute each
+    // prior stage's whole subtree once per stage (measured 6.0 s vs
+    // ~2 s for this shape at sf0.1)
     val docs = Tables.t(s, dir, "documents")
-    val s1 = docs.select(col("doc_id"))
-    val s2 = TextOps.qualityScore(s, dir)
-      .filter(col("quality") >= 50.0).select(col("doc_id"))
-    val s3 = docs.select(col("doc_id"), md5(col("text").cast(BinaryType)).as("th"))
-      .join(s2, "doc_id")
-      .groupBy(col("th")).agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    val s4 = s3.join(
-      TextOps.dedupClusters(s, dir).filter(col("is_canonical")).select(col("doc_id")),
-      Seq("doc_id"), "left_semi")
-    val s5 = s4.join(
-      decontaminate(s, dir).filter(col("is_contaminated")).select(col("doc_id")),
-      Seq("doc_id"), "left_anti")
-    val stages = Seq(("input", s1), ("quality_gate", s2), ("exact_dedup", s3),
-      ("near_dedup_canonical", s4), ("decontaminated", s5))
-    val counts = stages.zipWithIndex.map { case ((name, df), i) =>
-      df.agg(count(lit(1)).as("survivors"))
-        .select(lit(i + 1).as("stage_idx"), lit(name).as("stage"), col("survivors"))
-    }.reduce(_ unionByName _)
-    counts
-      .withColumn("dropped", coalesce(
-        lag(col("survivors"), 1).over(Window.orderBy(col("stage_idx"))) - col("survivors"),
-        lit(0L)))
+      .select(col("doc_id"), md5(col("text").cast(BinaryType)).as("th"))
+    val passQ = TextOps.qualityScore(s, dir)
+      .select(col("doc_id"), (col("quality") >= 50.0).as("pass_q"))
+    val exactKeep = col("pass_q") &&
+      col("doc_id") === min(when(col("pass_q"), col("doc_id")))
+        .over(Window.partitionBy(col("th")))
+    val flags = docs.join(passQ, "doc_id")
+      .withColumn("exact_keep", exactKeep)
+      .join(TextOps.dedupClusters(s, dir).select(col("doc_id"), col("is_canonical")), Seq("doc_id"))
+      .join(decontaminate(s, dir).select(col("doc_id"), col("is_contaminated")),
+        Seq("doc_id"), "left") // eval-source docs have no q62 row — not subject
+    def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+    val keep4 = col("exact_keep") && col("is_canonical")
+    val keep5 = keep4 && !coalesce(col("is_contaminated"), lit(false))
+    val one = flags.agg(
+      count(lit(1)).as("c1"), cnt(col("pass_q")).as("c2"), cnt(col("exact_keep")).as("c3"),
+      cnt(keep4).as("c4"), cnt(keep5).as("c5"))
+    val names = Seq("input", "quality_gate", "exact_dedup",
+      "near_dedup_canonical", "decontaminated")
+    one.select(explode(array(names.zipWithIndex.map { case (n, i) =>
+        struct(lit(i + 1).as("stage_idx"), lit(n).as("stage"),
+          col(s"c${i + 1}").as("survivors"),
+          (if (i == 0) lit(0L) else col(s"c$i") - col(s"c${i + 1}")).as("dropped"))
+      }: _*)).as("r"))
+      .select(col("r.stage_idx"), col("r.stage"), col("r.survivors"), col("r.dropped"))
       .orderBy(col("stage_idx"))
   }
 

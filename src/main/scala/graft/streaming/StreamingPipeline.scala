@@ -62,6 +62,20 @@ object StreamingPipeline {
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** SLIDING windows on the stream — the q100 batch twin: 10-minute
+    * windows every 5 minutes. Structured Streaming keys state by
+    * (window, event_type); the slide multiplies live state by
+    * window/slide = 2, bounded like the batch Expand, and the
+    * watermark still closes windows at the same horizon. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.util.Parity.moneySum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
   /** Streaming exact dedup: drop events already seen within the
     * watermark horizon (state = seen keys, bounded by the watermark —
     * the streaming face of the LLM-pipeline dedup family). */

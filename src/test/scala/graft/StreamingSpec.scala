@@ -34,6 +34,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming sliding windows == batch q100 sliding windows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-slide").toString
+    eventsDf.write.mode("overwrite").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val q = StreamingPipeline.slidingCounts(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("slide_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0), r.getTimestamp(1), r.getString(2), r.getLong(3), r.getDouble(4))
+    val streamed = spark.table("slide_out").collect().map(key).sorted
+    val batch = EventOps.slidingWindows(spark, sf0001)
+      .select("window_start", "window_end", "event_type", "n_events", "total_value")
+      .collect().map(key).sorted
+    assert(streamed.toSeq == batch.toSeq && streamed.nonEmpty)
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dedup").toString
     val base = eventsDf.select("event_id", "ts", "user_id", "event_type", "value").limit(50)

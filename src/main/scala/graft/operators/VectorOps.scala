@@ -532,6 +532,161 @@ object VectorOps extends QueryModule {
        |FROM comp JOIN csizes USING (cluster_id)
        |ORDER BY vec_id""".stripMargin
 
+  // ---- q101: product-quantization ANN ------------------------------
+
+  private val PQ_M = 8 // subspaces
+  private val PQ_SUB = DIM / PQ_M // dims per subspace
+  private val PQ_K = 32 // codewords per subspace
+  private val PQ_SHORTLIST = 64 // ADC candidates per query, exact re-ranked
+
+  /** Σ (a_i − b_i)² as the same ordered binary64 left fold as dSum —
+    * bit-identical to the oracle's list_reduce mirror. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  /** q101 — product-quantization ANN (Jégou et al. 2011), completing
+    * the FAISS-family trio: IVF (q43/q52/q80) is the PARTITION axis,
+    * SQ8 (q87) the scalar-compression axis, PQ the SUBSPACE-
+    * compression axis — 64 floats become 8 4-bit codes (64×), the
+    * regime where a trillion-vector index fits in RAM. Codebooks are
+    * sampled like IVF's centroids (subvector m of sample vector j =
+    * codeword (m, j), j < 16); every vector encodes as its per-
+    * subspace argmin-L2 codeword (deterministic code tiebreak);
+    * search is asymmetric ADC — the query precomputes dot(q_m, cw)
+    * for all (m, cw) (an M×K table, 128 doubles per query) and an
+    * approximate cosine assembles from table lookups alone, never
+    * touching original vectors. Per-subspace partial sums come back
+    * as M conditional aggregates added in FIXED order (a bare
+    * sum(double) over the M rows would be partial-agg-order-
+    * dependent). Scale: codebooks and ADC tables are broadcast-tiny;
+    * the collection streams once through encode (M×K broadcast
+    * compare) and once through search (M-row lookup per vector) —
+    * recall floor vs exact is measured in ScaleSpec. */
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    val all = withNorm(Tables.t(s, dir, "embeddings"))
+    val mIdx = explode(sequence(lit(0), lit(PQ_M - 1))).as("m")
+    val books = all.filter(col("vec_id") < PQ_K)
+      .select(col("vec_id").cast(IntegerType).as("code"), col("e"))
+      .select(col("code"), mIdx, col("e"))
+      .select(col("m"), col("code"),
+        slice(col("e"), col("m") * PQ_SUB + 1, lit(PQ_SUB)).as("cw"))
+      .withColumn("cwnorm2", dot_product(col("cw"), col("cw")))
+    val codes = all.select(col("vec_id"), mIdx, col("e"))
+      .select(col("vec_id"), col("m"),
+        slice(col("e"), col("m") * PQ_SUB + 1, lit(PQ_SUB)).as("sv"))
+      .join(broadcast(books), "m")
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(l2sq(col("sv"), col("cw")).as("d"), col("code"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.code").as("code"))
+    val tables = all.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("qid"), col("norm2").as("qnorm2"), mIdx, col("e"))
+      .select(col("qid"), col("qnorm2"), col("m"),
+        slice(col("e"), col("m") * PQ_SUB + 1, lit(PQ_SUB)).as("qsv"))
+      .join(broadcast(books), "m")
+      .select(col("qid"), col("qnorm2"), col("m"), col("code"),
+        dot_product(col("qsv"), col("cw")).as("pdot"), col("cwnorm2"))
+    val partials = codes.join(broadcast(tables), Seq("m", "code"))
+      .filter(col("vec_id") !== col("qid"))
+      .groupBy(col("qid"), col("qnorm2"), col("vec_id"))
+      .agg(
+        sum(when(col("m") === 0, col("pdot"))).as("d0"),
+        (1 until PQ_M).flatMap(i => Seq(
+          sum(when(col("m") === i, col("pdot"))).as(s"d$i"),
+          sum(when(col("m") === i, col("cwnorm2"))).as(s"n$i"))) :+
+          sum(when(col("m") === 0, col("cwnorm2"))).as("n0"): _*)
+    val adot = (1 until PQ_M).foldLeft(col("d0"))((acc, i) => acc + col(s"d$i"))
+    val anorm2 = (1 until PQ_M).foldLeft(col("n0"))((acc, i) => acc + col(s"n$i"))
+    val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc_cos").desc, col("cid"))
+    // ADC shortlist: the codes-only approximate ranking keeps the top
+    // PQ_SHORTLIST per query — the only stage that touches the whole
+    // collection, and it reads 8 codes per vector, not 64 floats
+    val shortlist = partials
+      .select(col("qid"), col("vec_id").as("cid"),
+        (adot / (sqrt(col("qnorm2")) * sqrt(anorm2))).as("adc_cos"))
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= PQ_SHORTLIST)
+      .select(col("qid"), col("cid"))
+    // exact re-rank of the shortlist (the standard ADC+re-rank
+    // pipeline): only PQ_SHORTLIST original vectors per query are
+    // ever re-read
+    val qv = all.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("norm2").as("qnorm2"))
+    val cv = all.select(col("vec_id").as("cid"), col("e").as("ce"), col("norm2").as("cnorm2"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine_raw").desc, col("cid"))
+    shortlist.join(broadcast(qv), "qid").join(cv, "cid")
+      .select(col("qid"), col("cid"),
+        (dot_product(col("qe"), col("ce")) /
+          (sqrt(col("qnorm2")) * sqrt(col("cnorm2")))).as("cosine_raw"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("cid").as("neighbor_id"), snapRound(col("cosine_raw"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val annPqSql = {
+    def dbl(x: String) = s"list_transform($x, v -> CAST(v AS DOUBLE))"
+    def l2Sql(a: String, b: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip($a, $b), " +
+        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), (acc, x) -> acc + x)"
+    val dParts = (1 until PQ_M).foldLeft("d0")((acc, i) => s"($acc + d$i)")
+    val nParts = (1 until PQ_M).foldLeft("n0")((acc, i) => s"($acc + n$i)")
+    val condSumsQ = (0 until PQ_M).map(i =>
+      s"sum(CASE WHEN t.m = $i THEN t.pdot END) AS d$i, sum(CASE WHEN t.m = $i THEN t.cwnorm2 END) AS n$i")
+      .mkString(",\n       ")
+    s"""WITH ms AS (SELECT unnest(generate_series(0, ${PQ_M - 1})) AS m),
+       |ev AS (SELECT vec_id, ${dbl("embedding")} AS e FROM embeddings),
+       |en AS (SELECT vec_id, e, ${dotSql("e", "e")} AS norm2 FROM ev),
+       |books AS (
+       |  SELECT ms.m, CAST(en.vec_id AS INTEGER) AS code,
+       |         en.e[ms.m * $PQ_SUB + 1 : ms.m * $PQ_SUB + $PQ_SUB] AS cw
+       |  FROM en, ms WHERE en.vec_id < $PQ_K),
+       |booksn AS (SELECT m, code, cw, ${dotSql("cw", "cw")} AS cwnorm2 FROM books),
+       |subs AS (
+       |  SELECT en.vec_id, ms.m,
+       |         en.e[ms.m * $PQ_SUB + 1 : ms.m * $PQ_SUB + $PQ_SUB] AS sv
+       |  FROM en, ms),
+       |cand AS (
+       |  SELECT s.vec_id, s.m, b.code,
+       |         row_number() OVER (PARTITION BY s.vec_id, s.m
+       |           ORDER BY ${l2Sql("s.sv", "b.cw")}, b.code) AS rn
+       |  FROM subs s JOIN booksn b ON s.m = b.m),
+       |codes AS (SELECT vec_id, m, code FROM cand WHERE rn = 1),
+       |tables_ AS (
+       |  SELECT en.vec_id AS qid, en.norm2 AS qnorm2, b.m, b.code,
+       |         ${dotSql(s"en.e[b.m * $PQ_SUB + 1 : b.m * $PQ_SUB + $PQ_SUB]", "b.cw")} AS pdot,
+       |         b.cwnorm2
+       |  FROM en, booksn b WHERE en.vec_id < $N_QUERIES),
+       |partials AS (
+       |  SELECT t.qid, t.qnorm2, c.vec_id AS cid,
+       |       $condSumsQ
+       |  FROM codes c JOIN tables_ t ON c.m = t.m AND c.code = t.code
+       |  WHERE c.vec_id <> t.qid
+       |  GROUP BY 1, 2, 3),
+       |adc AS (
+       |  SELECT qid, cid, ($dParts) / (sqrt(qnorm2) * sqrt($nParts)) AS adc_cos
+       |  FROM partials),
+       |shortlist AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY adc_cos DESC, cid) AS adc_rank
+       |    FROM adc)
+       |  WHERE adc_rank <= $PQ_SHORTLIST),
+       |rer AS (
+       |  SELECT s.qid, s.cid,
+       |         ${dotSql("eq.e", "ec.e")} / (sqrt(eq.norm2) * sqrt(ec.norm2)) AS cosine_raw
+       |  FROM shortlist s
+       |  JOIN en eq ON s.qid = eq.vec_id
+       |  JOIN en ec ON s.cid = ec.vec_id)
+       |SELECT qid AS query_id,
+       |       CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine_raw DESC, cid) AS INTEGER) AS rank,
+       |       cid AS neighbor_id,
+       |       ${snapRoundSql("cosine_raw", 6)} AS cosine
+       |FROM rer
+       |QUALIFY rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---- q93: per-label centroid diagnostics -------------------------
 
   /** q93 — labeled-embedding-set health check: per label, the centroid
@@ -603,6 +758,7 @@ object VectorOps extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q93_label_centroids" -> labelCentroids,
+    "q101_ann_pq" -> annPq,
     "q30_cosine_topk" -> cosineTopk,
     "q31_ann_filtered" -> annFiltered,
     "q43_ann_ivf_sampled" -> annIvfSampled,
@@ -614,6 +770,7 @@ object VectorOps extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q93_label_centroids" -> labelCentroidsSql,
+    "q101_ann_pq" -> annPqSql,
     "q30_cosine_topk" -> topkSql(sameCluster = false, 5),
     "q31_ann_filtered" -> topkSql(sameCluster = true, 3),
     "q43_ann_ivf_sampled" -> annIvfSql(probe = 1),

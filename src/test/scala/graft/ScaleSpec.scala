@@ -301,6 +301,26 @@ class ScaleSpec extends SparkSpec {
     assert(recall >= 0.9, f"SQ8 recall@1 $recall%.2f below the 0.9 floor")
   }
 
+  test("PQ ADC + exact re-rank (q101): recall@1 >= 0.85 reading codes, not vectors") {
+    // product quantization stores 8 codes/vector (vs 64 floats); the
+    // ADC stage ranks by code-table lookups alone and only the
+    // 64-deep shortlist ever re-reads original vectors. Sampled
+    // 32-codeword books are crude (recall@1 0.15 codes-only at
+    // sf0.01); the exact re-rank recovers 0.95 there. The floor
+    // catches codebook/encode regressions; near-ties may still swap.
+    import graft.operators.VectorOps
+    val brute = VectorOps.cosineTopk(spark, sf0001)
+      .filter($"rank" === 1).select($"query_id", $"neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pq = VectorOps.annPq(spark, sf0001)
+      .filter($"rank" === 1).select($"query_id", $"neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pq.keySet == brute.keySet)
+    val recall = brute.count { case (q, n) => pq(q) == n }.toDouble / brute.size
+    info(f"PQ recall@1 vs exact: $recall%.2f")
+    assert(recall >= 0.85, f"PQ recall@1 $recall%.2f below the 0.85 floor")
+  }
+
   test("single-file scans spread to the session parallelism; broadcast sides do not") {
     // the fixtures are one single-row-group parquet file per table: an
     // unspread scan is ONE task and serializes every chain Catalyst

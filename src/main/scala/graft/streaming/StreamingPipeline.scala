@@ -84,6 +84,27 @@ object StreamingPipeline {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** CHAINED stateful operators in one append-mode query — the
+    * streaming DAU face of q94: a watermarked (user_id, day) dedup
+    * feeds a daily distinct-actives count. The dedup's state is
+    * bounded by the 1-day watermark horizon (a user's same-day
+    * duplicates all arrive inside it under event-time-ordered
+    * replay), the count's by the open day windows, and Spark
+    * propagates the watermark THROUGH the dedup so the downstream
+    * windows still close exactly — the multi-stateful-operator
+    * pipeline shape (dedup → aggregate) a one-operator query can't
+    * express. Day windows are epoch-aligned UTC, identical to the
+    * batch twin's CAST(ts AS DATE) under the pinned UTC session. */
+  def dauStream(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), col("ts"),
+        date_trunc("DAY", col("ts")).as("day"))
+      .withWatermark("ts", "1 day")
+      .dropDuplicatesWithinWatermark("user_id", "day")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("dau"))
+      .select(col("w.start").cast(org.apache.spark.sql.types.DateType).as("ds"), col("dau"))
+
   /** Streaming bronze ingest: micro-batches land in the medallion
     * store through the same latest-wins upsert the batch loader uses
     * (S2) — one code path for batch and streaming writes. Returns the

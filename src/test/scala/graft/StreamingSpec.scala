@@ -34,6 +34,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("chained stateful ops: watermarked dedup -> DAU windows == batch q94 dau") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dau").toString
+    val base = eventsDf.select("event_id", "ts", "user_id", "event_type", "value")
+    base.write.parquet(s"$dir/in/b1")
+    // sentinel batch past every horizon: advances the watermark so all
+    // real day windows close (its own window never does)
+    base.agg(max($"ts").as("mx"))
+      .select(lit(-1L).as("event_id"), ($"mx" + expr("INTERVAL 5 DAYS")).as("ts"),
+        lit(-1L).as("user_id"), lit("drain").as("event_type"), lit(0.0).as("value"))
+      .write.parquet(s"$dir/in/b2")
+    val schema = spark.read.parquet(s"$dir/in/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*")
+    val q = StreamingPipeline.dauStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dau_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("dau_out")
+      .collect().map(r => (r.getDate(0), r.getLong(1))).sortBy(_._1.toString)
+    val batch = EventOps.stickiness(spark, sf0001)
+      .select("ds", "dau")
+      .collect().map(r => (r.getDate(0), r.getLong(1))).sortBy(_._1.toString)
+    assert(streamed.toSeq == batch.toSeq && streamed.nonEmpty)
+  }
+
   test("streaming sliding windows == batch q100 sliding windows") {
     val dir = java.nio.file.Files.createTempDirectory("graft-slide").toString
     eventsDf.write.mode("overwrite").parquet(s"$dir/in")

@@ -91,7 +91,7 @@ object Pipeline {
       cleanedOrders.filter(col("order_date").isNull || !priceOk)
         .withColumn("reject_reason", lit("invalid_date_or_price")))
     val l = store.table("bronze", "lineitem")
-    rows += store.write("silver", "lineitem", l.filter(col("l_quantity") > 0))
+    rows += store.write("silver", "lineitem", cleanLineitem(l))
     // conformed dim twins: cleaned, key-complete copies of each star
     // dimension. Gold reads ONLY silver (the medallion contract —
     // gold/gold_builder.py:101-103 reads silver.* exclusively), so
@@ -180,9 +180,14 @@ object Pipeline {
     * re-clean). Returns the table size after the swap. */
   def refreshSilverLineitem(spark: SparkSession, store: LayerStore,
       bronzeDelta: DataFrame): Long =
-    store.overwriteMatching("silver", "lineitem",
-      bronzeDelta.filter(col("l_quantity") > 0),
+    store.overwriteMatching("silver", "lineitem", cleanLineitem(bronzeDelta),
       Seq("l_orderkey", "l_linenumber"), bronzeDelta)
+
+  /** THE silver.lineitem cleaning rule — one definition shared by the
+    * full reload (runSilver) and the incremental refresh, so the two
+    * paths cannot silently apply different predicates. */
+  private def cleanLineitem(l: DataFrame): DataFrame =
+    l.filter(col("l_quantity") > 0)
 
   /** The gold resolver, exposed for incremental/partial builds in
     * specs and tooling. */

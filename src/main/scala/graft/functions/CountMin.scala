@@ -73,17 +73,21 @@ object CountMin {
       .groupBy(col("j"), col("b")).agg(sum(col("cnt")).as("cnt"))
 
   /** Per-key estimates: min over the depth rows of the key's bucket
-    * counters. `keys` is a frame with the key in column `c` (e.g. the
-    * candidate heavy hitters); the sketch side is ≤ depth×width rows,
-    * so Spark broadcasts it and the keys frame never shuffles. Keys
-    * the sketch never saw get no row (inner join) — a key present in
-    * the stream always has all depth counters. */
+    * counters — INCLUDING empty buckets, which the sketch stores
+    * implicitly as absent rows (a LEFT join reads them back as 0).
+    * This matters for keys the stream never saw: their true count-min
+    * estimate is 0 whenever ANY of their depth buckets is empty; an
+    * inner join would take the min over only the colliding non-empty
+    * buckets and report a false positive count. `keys` is a frame
+    * with the key in column `c` (e.g. candidate heavy hitters); the
+    * sketch side is ≤ depth×width rows, so Spark broadcasts it and
+    * the keys frame never shuffles. */
   def estimate(sketchDf: DataFrame, keys: DataFrame, c: Column,
       depth: Int = DefaultDepth, width: Int = DefaultWidth): DataFrame = {
     val kb = keys.select(c.cast(StringType).as("key"))
       .select(col("key"),
         posexplode(array((0 until depth).map(j => bucket(col("key"), j, width)): _*)).as(Seq("j", "b")))
-    kb.join(broadcast(sketchDf), Seq("j", "b"))
-      .groupBy(col("key")).agg(min(col("cnt")).as("cm_estimate"))
+    kb.join(broadcast(sketchDf), Seq("j", "b"), "left")
+      .groupBy(col("key")).agg(min(coalesce(col("cnt"), lit(0L))).as("cm_estimate"))
   }
 }

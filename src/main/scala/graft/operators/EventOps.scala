@@ -386,7 +386,7 @@ object EventOps extends QueryModule {
   // ---- q89: multi-touch attribution -------------------------------
 
   /** Attribution lookback: touches within 7 days of the purchase. */
-  private val AttrWindowMicros = 7L * 24 * 3600 * 1000000
+  private[graft] val AttrWindowMicros = 7L * 24 * 3600 * 1000000
 
   /** q89 — multi-touch attribution: for every purchase, the FIRST and
     * LAST touch (click/view) by the same user inside a 7-day lookback,

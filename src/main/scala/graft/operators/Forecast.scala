@@ -305,22 +305,24 @@ object Forecast extends QueryModule {
     * daily, 12 weeks weekly; the weekly-4 horizon predates this knob
     * and is oracle-pinned). The input frame's date column is named
     * `week` whatever the granularity (the daily wrapper renames). */
-  private[operators] def forecastLinearOver(weeklySeries: DataFrame,
-      minLen: Int = 0, stepDays: Int = 7, horizon: Int = 4): DataFrame = {
-    // scale 2 keeps sums exact for 2-dp y AND keeps the scaled integer
-    // below 2^53 at much larger SFs (decimal->double conversion of
-    // wider sums rounds differently across engines)
-    val dec = DecimalType(38, 2)
+  /** Shared closed-form OLS trend fit over a (entity, week, y) series:
+    * (entity, last_week, slope, intercept). ONE definition of the
+    * parity-critical fit arithmetic — the linear model and the
+    * seasonal_trend decomposition both consume it (the long-sum
+    * optimization previously had to be applied to two hand-kept
+    * copies; a divergence here would make q36 and q81 fit different
+    * models with no test catching it).
+    * y and x·y are exact integers: LONG sums produce the SAME integer
+    * a DECIMAL(38,2) fold does, converted to double identically — but
+    * run as codegen'd long adds instead of the interpreted Decimal128
+    * path (the global_ar fit's measured 12×; the oracle keeps its
+    * decimal spelling, value-identical). */
+  private def olsFit(weeklySeries: DataFrame, minLen: Int): DataFrame = {
     val wk = weeklySeries
       .withColumn("x", datediff(col("week"), lit("1995-01-02").cast(DateType)).cast(LongType))
     val fitAll = wk.groupBy(col("entity")).agg(
       count(lit(1)).as("n"),
       sum(col("x")).as("sx"),
-      // y and x*y are exact integers: LONG sums produce the SAME
-      // integer a DECIMAL(38,2) fold does, converted to double
-      // identically — but run as codegen'd long adds instead of the
-      // interpreted Decimal128 path (the global_ar fit's measured
-      // 12x; the oracle keeps its decimal spelling, value-identical)
       sum(col("y").cast(LongType)).cast(DoubleType).as("sy"),
       sum((col("x") * col("x"))).as("sxx"),
       sum(col("x") * col("y").cast(LongType)).cast(DoubleType).as("sxy"),
@@ -328,11 +330,35 @@ object Forecast extends QueryModule {
     val fit = if (minLen > 0) fitAll.filter(col("n") >= minLen) else fitAll
     val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
       (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
-    val intercept = (col("sy") - col("slope") * col("sx").cast(DoubleType)) / col("n")
+    fit.withColumn("slope", slope)
+      .withColumn("intercept",
+        (col("sy") - col("slope") * col("sx").cast(DoubleType)) / col("n"))
+      .select(col("entity"), col("last_week"), col("slope"), col("intercept"))
+  }
+
+  /** SQL twin of olsFit: the shared wk/xy/fit/params CTE chain both
+    * model oracles open with. */
+  private def olsCtesSql(wkSql: String, minLen: Int): String =
+    s"""wk AS ($wkSql),
+       |xy AS (SELECT entity, week, y,
+       |              CAST(date_diff('day', DATE '1995-01-02', week) AS BIGINT) AS x FROM wk),
+       |fit AS (
+       |  SELECT entity, count(1) AS n, sum(x) AS sx,
+       |         CAST(sum(CAST(y AS DECIMAL(38,2))) AS DOUBLE) AS sy,
+       |         sum(x * x) AS sxx,
+       |         CAST(sum(CAST(CAST(x AS DOUBLE) * y AS DECIMAL(38,2))) AS DOUBLE) AS sxy,
+       |         max(week) AS last_week
+       |  FROM xy GROUP BY 1${if (minLen > 0) s" HAVING count(1) >= $minLen" else ""}),
+       |params AS (
+       |  SELECT entity, last_week,
+       |         (n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+       |         (sy - ((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / n AS intercept
+       |  FROM fit)""".stripMargin
+
+  private[operators] def forecastLinearOver(weeklySeries: DataFrame,
+      minLen: Int = 0, stepDays: Int = 7, horizon: Int = 4): DataFrame = {
     val horizons = explode(sequence(lit(1), lit(horizon))).as("h")
-    fit.select(col("entity"), col("n"), col("sx"), col("sy"), col("sxx"), col("sxy"),
-        col("last_week"), slope.as("slope"))
-      .withColumn("intercept", intercept)
+    olsFit(weeklySeries, minLen)
       .select(col("entity"), col("last_week"), col("slope"), col("intercept"), horizons)
       .withColumn("ds", expr(s"date_add(last_week, $stepDays * h)"))
       .withColumn("x_future",
@@ -347,21 +373,7 @@ object Forecast extends QueryModule {
 
   private[operators] def forecastLinearSqlOver(wkSql: String, minLen: Int = 0,
       stepDays: Int = 7, horizon: Int = 4): String =
-    s"""WITH wk AS ($wkSql),
-       |xy AS (SELECT entity, week, y,
-       |              CAST(date_diff('day', DATE '1995-01-02', week) AS BIGINT) AS x FROM wk),
-       |fit AS (
-       |  SELECT entity, count(1) AS n, sum(x) AS sx,
-       |         CAST(sum(CAST(y AS DECIMAL(38,2))) AS DOUBLE) AS sy,
-       |         sum(x * x) AS sxx,
-       |         CAST(sum(CAST(CAST(x AS DOUBLE) * y AS DECIMAL(38,2))) AS DOUBLE) AS sxy,
-       |         max(week) AS last_week
-       |  FROM xy GROUP BY 1${if (minLen > 0) s" HAVING count(1) >= $minLen" else ""}),
-       |params AS (
-       |  SELECT entity, last_week,
-       |         (n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
-       |         (sy - ((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / n AS intercept
-       |  FROM fit),
+    s"""WITH ${olsCtesSql(wkSql, minLen)},
        |fc AS (
        |  SELECT entity, last_week, slope, intercept, unnest(generate_series(1, $horizon)) AS h
        |  FROM params)
@@ -458,29 +470,9 @@ object Forecast extends QueryModule {
   private[operators] def forecastSeasonalTrendOver(weeklySeries: DataFrame,
       minLen: Int = 0, stepDays: Int = 7, horizon: Int = 4,
       period: Int = 52): DataFrame = {
-    val dec = DecimalType(38, 2)
     val wk = weeklySeries
       .withColumn("x", datediff(col("week"), lit("1995-01-02").cast(DateType)).cast(LongType))
-    val fitAll = wk.groupBy(col("entity")).agg(
-      count(lit(1)).as("n"),
-      sum(col("x")).as("sx"),
-      // y and x*y are exact integers: LONG sums produce the SAME
-      // integer a DECIMAL(38,2) fold does, converted to double
-      // identically — but run as codegen'd long adds instead of the
-      // interpreted Decimal128 path (the global_ar fit's measured
-      // 12x; the oracle keeps its decimal spelling, value-identical)
-      sum(col("y").cast(LongType)).cast(DoubleType).as("sy"),
-      sum((col("x") * col("x"))).as("sxx"),
-      sum(col("x") * col("y").cast(LongType)).cast(DoubleType).as("sxy"),
-      max(col("week")).as("last_week"))
-    val fit = if (minLen > 0) fitAll.filter(col("n") >= minLen) else fitAll
-    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
-      (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
-    val params = fit
-      .withColumn("slope", slope)
-      .withColumn("intercept",
-        (col("sy") - col("slope") * col("sx").cast(DoubleType)) / col("n"))
-      .select(col("entity"), col("last_week"), col("slope"), col("intercept"))
+    val params = olsFit(weeklySeries, minLen)
     def posOf(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       pmod((x.cast(DoubleType) / lit(stepDays)).cast(LongType), lit(period.toLong))
     val resid = wk.join(params.select(col("entity"), col("slope"), col("intercept")), "entity")
@@ -510,21 +502,7 @@ object Forecast extends QueryModule {
       stepDays: Int = 7, horizon: Int = 4, period: Int = 52): String = {
     def posSql(x: String) =
       s"((CAST(CAST($x AS DOUBLE) / $stepDays AS BIGINT) % $period) + $period) % $period"
-    s"""WITH wk AS ($wkSql),
-       |xy AS (SELECT entity, week, y,
-       |              CAST(date_diff('day', DATE '1995-01-02', week) AS BIGINT) AS x FROM wk),
-       |fit AS (
-       |  SELECT entity, count(1) AS n, sum(x) AS sx,
-       |         CAST(sum(CAST(y AS DECIMAL(38,2))) AS DOUBLE) AS sy,
-       |         sum(x * x) AS sxx,
-       |         CAST(sum(CAST(CAST(x AS DOUBLE) * y AS DECIMAL(38,2))) AS DOUBLE) AS sxy,
-       |         max(week) AS last_week
-       |  FROM xy GROUP BY 1${if (minLen > 0) s" HAVING count(1) >= $minLen" else ""}),
-       |params AS (
-       |  SELECT entity, last_week,
-       |         (n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
-       |         (sy - ((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / n AS intercept
-       |  FROM fit),
+    s"""WITH ${olsCtesSql(wkSql, minLen)},
        |resid AS (
        |  SELECT xy.entity, ${posSql("xy.x")} AS pos,
        |         ${snapRoundSql("xy.y - (p.intercept + p.slope * CAST(xy.x AS DOUBLE))", 6)} AS r

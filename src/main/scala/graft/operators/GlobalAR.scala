@@ -149,7 +149,11 @@ object GlobalAR extends QueryModule {
     // per-row products are exact to 2^63 (tighter than the old
     // double-product 2^53 bound); the long SUM is exact while
     // Σ 7·maxY² < 2^63 — the roll7 numerator tightens the old bound
-    // by 7×/49×, far above any realistic quantity series.
+    // by 7×/49×, far above any realistic quantity series. Beyond the
+    // bound the failure is LOUD, not silent: the session runs Spark's
+    // default ANSI mode, where long multiply/sum overflow throws (the
+    // Parity.scaledSum contract); a series that genuinely exceeds it
+    // should fit through a DecimalType accumulation variant instead.
     val fs = Map("1" -> col("lag_1"), "2" -> col("lag_7"),
       "3" -> col("lag_14"), "4" -> col("roll7_num"))
     def sL(c: org.apache.spark.sql.Column) =

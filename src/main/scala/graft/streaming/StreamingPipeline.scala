@@ -328,7 +328,6 @@ object StreamingPipeline {
     * (tsMicros, event_id, event_type), ascending by arrival. */
   case class AttrState(touches: Seq[(Long, Long, String)])
 
-  private val AttrWindowMicros = 7L * 24 * 3600 * 1000000
 
   /** Stateful multi-touch attribution — the streaming twin of the
     * batch q89 (EventOps.attribution): per user, buffer the touches
@@ -351,6 +350,9 @@ object StreamingPipeline {
     * give in practice. */
   def attributionStream(events: Dataset[Event]): Dataset[AttributionOut] = {
     import events.sparkSession.implicits._
+    // the ONE lookback constant, shared with the batch q89 twin — a
+    // second copy here could silently diverge from the batch semantics
+    val AttrWindowMicros = graft.operators.EventOps.AttrWindowMicros
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[AttrState, AttributionOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {

@@ -35,6 +35,27 @@ class CountMinSpec extends SparkSpec {
     sk.unpersist(); ()
   }
 
+  test("absent keys estimate through their EMPTY buckets, not only collisions") {
+    import spark.implicits._
+    val depth = 4; val width = 512
+    val sk = CountMin.sketch(toks, col("term"), depth, width).persist()
+    // probe keys the stream cannot contain (tokens are split on space)
+    val absent = (0 until 200).map(i => s"__absent token ${i}__").toDF("term")
+    val est = CountMin.estimate(sk, absent, col("term"), depth, width)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every probed key gets a row (the old inner join dropped keys
+    // whose every bucket was empty, and INFLATED keys with partial
+    // collisions by ignoring their empty buckets)
+    assert(est.size == 200)
+    // with 512x4 mostly-sparse counters, virtually every absent key
+    // has at least one empty bucket -> estimate 0; allow the rare
+    // all-four-collide key its legitimate epsN overcount
+    val zeros = est.values.count(_ == 0L)
+    assert(zeros >= 190, s"only $zeros/200 absent keys estimated 0 — " +
+      "empty buckets are not reaching the min")
+    sk.unpersist(); ()
+  }
+
   test("merged per-split sketches equal the one-pass sketch") {
     val depth = 3; val width = 256
     val a = toks.filter(col("doc_id") % 2 === 0)

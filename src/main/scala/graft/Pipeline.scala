@@ -169,19 +169,31 @@ object Pipeline {
   }
 
   /** Incremental SILVER refresh for the lineitem fact: re-clean ONLY
-    * a bronze delta and tuple-key-swap it into silver.lineitem — the
-    * alternative to the reference's TRUNCATE+reload (S5) once the
-    * fact outgrows full reloads. Cost is sized by the delta (the
-    * delta's keys broadcast against the stored table; only delta
-    * rows re-run the cleaning predicate), and a delta row that FAILS
-    * validation deletes its stale silver row — exactly what the full
-    * reload would drop, which a bare upsert would silently keep
-    * (IncrementalSilverSpec pins the equality against a from-scratch
-    * re-clean). Returns the table size after the swap. */
+    * a bronze delta's keys and tuple-key-swap them into
+    * silver.lineitem — the alternative to the reference's
+    * TRUNCATE+reload (S5) once the fact outgrows full reloads. The
+    * delta names WHICH keys changed; their CONTENT is re-read from
+    * the post-upsert bronze table (the caller lands the delta via
+    * store.upsert first, per IncrementalSilverSpec) — feeding the raw
+    * delta to the swap instead would append BOTH versions of a key
+    * the delta holds twice, where bronze's latest-wins keeps one.
+    * Cost is sized by the delta (its keys broadcast against the
+    * stored scans; only delta keys re-run the cleaning predicate),
+    * and a delta row that FAILS validation deletes its stale silver
+    * row — exactly what the full reload would drop, which a bare
+    * upsert would silently keep (IncrementalSilverSpec pins the
+    * equality against a from-scratch re-clean). Returns the table
+    * size after the swap. */
   def refreshSilverLineitem(spark: SparkSession, store: LayerStore,
-      bronzeDelta: DataFrame): Long =
-    store.overwriteMatching("silver", "lineitem", cleanLineitem(bronzeDelta),
-      Seq("l_orderkey", "l_linenumber"), bronzeDelta)
+      bronzeDelta: DataFrame): Long = {
+    val keys = Seq("l_orderkey", "l_linenumber")
+    val bron = store.table("bronze", "lineitem")
+    val fresh = bron
+      .join(broadcast(bronzeDelta.select(keys.map(col): _*).distinct()), keys, "left_semi")
+      .select(bron.columns.map(col): _*) // USING-join reorders keys to the front
+    store.overwriteMatching("silver", "lineitem", cleanLineitem(fresh),
+      keys, bronzeDelta)
+  }
 
   /** THE silver.lineitem cleaning rule — one definition shared by the
     * full reload (runSilver) and the incremental refresh, so the two

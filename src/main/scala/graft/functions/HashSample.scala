@@ -63,12 +63,15 @@ object HashSample {
     array_sort(transform(pairs, x => x.getField("v")))
 
   /** Nearest-rank quantile estimate from a sketch: the value at rank
-    * ceil(p·n) of the sorted sample (1-based, clamped to ≥ 1). The
-    * same arithmetic runs verbatim in any SQL engine — no
+    * ceil(p·n) of the sorted sample (1-based, clamped to ≥ 1); NULL
+    * for an empty sketch (rank 1 of an empty array is an ANSI
+    * INVALID_ARRAY_INDEX error, not a null, under Spark 4 defaults).
+    * The same arithmetic runs verbatim in any SQL engine — no
     * interpolation-mode ambiguity. */
   def quantile(pairs: Column, p: Column): Column = {
     val sv = values(pairs)
-    element_at(sv, greatest(lit(1L), ceil(p * size(sv))).cast(IntegerType))
+    when(size(sv) > 0,
+      element_at(sv, greatest(lit(1L), ceil(p * size(sv))).cast(IntegerType)))
   }
 
   /** Convenience: 1-row frame of nearest-rank estimates for the given

@@ -169,7 +169,15 @@ object Backtest extends QueryModule {
         while (it.hasNext) head.addSuppressed(it.next())
         throw head
       }
-      parts.flatten.reduce(_ unionByName _)
+      // persist the UNIONED artifact, not just the 16 parts: every
+      // consumer (q79/q82/q83/q90) re-pays a 16-branch union per job
+      // otherwise — at sf0.1 that stage-launch overhead alone was
+      // 4.3–4.9 s per query (BENCH_r08) on entity-count-sized data
+      val flat = parts.flatten
+      val unioned = flat.reduce(_ unionByName _).persist()
+      unioned.count()
+      flat.foreach(_.unpersist())
+      unioned
     })
 
   private def groupParts(series: DataFrame, dateCol: String, stepDays: Int,

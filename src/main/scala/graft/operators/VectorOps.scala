@@ -547,10 +547,11 @@ object VectorOps extends QueryModule {
   /** q101 — product-quantization ANN (Jégou et al. 2011), completing
     * the FAISS-family trio: IVF (q43/q52/q80) is the PARTITION axis,
     * SQ8 (q87) the scalar-compression axis, PQ the SUBSPACE-
-    * compression axis — 64 floats become 8 4-bit codes (64×), the
-    * regime where a trillion-vector index fits in RAM. Codebooks are
-    * sampled like IVF's centroids (subvector m of sample vector j =
-    * codeword (m, j), j < 16); every vector encodes as its per-
+    * compression axis — 64 floats become 8 5-bit codes (5 bytes,
+    * ~50× vs float32), the regime where a trillion-vector index fits
+    * in RAM. Codebooks are sampled like IVF's centroids (subvector m
+    * of sample vector j = codeword (m, j), j < PQ_K = 32); every
+    * vector encodes as its per-
     * subspace argmin-L2 codeword (deterministic code tiebreak);
     * search is asymmetric ADC — the query precomputes dot(q_m, cw)
     * for all (m, cw) (an M×K table, 128 doubles per query) and an

@@ -66,4 +66,37 @@ class IncrementalSilverSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"rows outside the delta changed: ${offenders.take(5).mkString("; ")} vs keys $victimKeys")
   }
+
+  test("a delta holding two versions of one key refreshes to ONE silver row") {
+    val root = java.nio.file.Files.createTempDirectory("inc_silver_dup").toString
+    val store = new LayerStore(spark, root)
+    assert(Pipeline.runBronze(spark, store, sf0001).ok)
+    assert(Pipeline.runSilver(spark, store, "inc-silver-dup").ok)
+
+    val schema = store.table("bronze", "lineitem").schema
+    val victim = store.table("bronze", "lineitem")
+      .orderBy("l_orderkey", "l_linenumber").limit(1).collect()(0)
+    val qi = schema.fieldIndex("l_quantity")
+    def patched(f: Int, v: Any): Row = Row.fromSeq(victim.toSeq.updated(f, v))
+    // two VALID versions of the SAME composite key in one delta —
+    // exactly the case bronze's latest-wins upsert collapses; a swap
+    // fed the raw delta would append both and duplicate the fact row
+    val delta = spark.createDataFrame(
+      java.util.Arrays.asList(
+        patched(qi, victim.getDouble(qi) + 1.0),
+        patched(qi, victim.getDouble(qi) + 2.0)),
+      schema)
+    store.upsert("bronze", "lineitem", delta,
+      Seq("l_orderkey", "l_linenumber"), "l_orderkey")
+    Pipeline.refreshSilverLineitem(spark, store, delta)
+
+    val expected = rows(store.table("bronze", "lineitem")
+      .filter(col("l_quantity") > 0))
+    val got = rows(store.table("silver", "lineitem"))
+    assert(got == expected, "incremental silver diverged on a duplicate-key delta")
+    val ki = (schema.fieldIndex("l_orderkey"), schema.fieldIndex("l_linenumber"))
+    val nVictim = got.count(r =>
+      r(ki._1) == victim.getLong(ki._1) && r(ki._2) == victim.getInt(ki._2))
+    assert(nVictim == 1, s"expected exactly one row for the duplicated key, got $nVictim")
+  }
 }

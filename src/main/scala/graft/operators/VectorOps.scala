@@ -688,6 +688,214 @@ object VectorOps extends QueryModule {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---- q102: IVFPQ — the composed at-scale index --------------------
+
+  private val IVFPQ_CELLS = 32
+  private val IVFPQ_PROBE = 4
+
+  /** q102 — IVFPQ (Jégou et al. 2011 §V; the FAISS IndexIVFPQ
+    * design): the COMPOSITION of the two verified axes — IVF's
+    * partition axis (q80: 32 cells × probe 4 scans ~1/8 of the
+    * collection at recall ≥ 0.9) and PQ's compression axis (q101:
+    * 8 codes/vector, ADC + exact re-rank) — multiplied, which is what
+    * a trillion-vector deployment actually runs: the index reads
+    * ~1/8 × 8 codes ≈ 1/64th of the float bytes brute force touches.
+    *
+    * Residual encoding, the part that makes the composition more than
+    * a filter: each vector PQ-encodes r = x − c(cell), not x itself —
+    * residuals concentrate near 0, so the same 32-codeword budget
+    * quantizes them far better than raw vectors (the core IVFPQ
+    * insight). Codebooks are sampled from the first PQ_K residuals
+    * and SHARED across cells (the FAISS default). ADC then
+    * reconstructs per candidate from lookup tables alone:
+    *   dot(q, x̂)  = dot(q, c) + Σₘ dot(qₘ, cwₘ)
+    *   ‖x̂‖²      = ‖c‖² + Σₘ (2·dot(cₘ, cwₘ) + ‖cwₘ‖²)
+    * where dot(q, c) is per (query, probed cell) — probe × queries
+    * rows — dot(qₘ, cw) is the query's M×K ADC table, and the
+    * (cell, m, code) table of centroid·codeword dots is index
+    * metadata (32×8×32 rows, broadcast). Per-subspace partials come
+    * back as M conditional aggregates added in FIXED order (the q101
+    * rule), so the approximate cosine is cross-engine deterministic.
+    * The exact re-rank of the PQ_SHORTLIST survivors uses the same
+    * tiebreak rules as q101.
+    *
+    * Scale: the collection streams once through assignment (32
+    * centroids broadcast), once through encode (M×K residual books
+    * broadcast), and search touches only probed cells' codes — every
+    * join side that isn't the collection is broadcast-tiny. ScaleSpec
+    * asserts recall@1 ≥ 0.9 AND that the scanned fraction is ≤ both
+    * parents'. */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val ranked = ivfAssign(s, dir, IVFPQ_CELLS)
+    val all = withNorm(Tables.t(s, dir, "embeddings"))
+    val cents = all.filter(col("vec_id") < IVFPQ_CELLS)
+      .select(col("vec_id").as("cell"), col("e").as("ce"), col("norm2").as("cnorm2c"))
+    val mIdx = explode(sequence(lit(0), lit(PQ_M - 1))).as("m")
+    // residuals r = x − c(cell) over the inverted file
+    val resid = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("e"), col("centroid_id").as("cell"))
+      .join(broadcast(cents), "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("e"), col("ce"), (x, y) => x - y).as("r"))
+    val books = resid.filter(col("vec_id") < PQ_K)
+      .select(col("vec_id").cast(IntegerType).as("code"), mIdx, col("r"))
+      .select(col("m"), col("code"),
+        slice(col("r"), col("m") * PQ_SUB + 1, lit(PQ_SUB)).as("cw"))
+      .withColumn("cwnorm2", dot_product(col("cw"), col("cw")))
+    val codes = resid.select(col("vec_id"), col("cell"), mIdx, col("r"))
+      .select(col("vec_id"), col("cell"), col("m"),
+        slice(col("r"), col("m") * PQ_SUB + 1, lit(PQ_SUB)).as("sv"))
+      .join(broadcast(books), "m")
+      .groupBy(col("vec_id"), col("cell"), col("m"))
+      .agg(min(struct(l2sq(col("sv"), col("cw")).as("d"), col("code"))).as("best"))
+      .select(col("vec_id"), col("cell"), col("m"), col("best.code").as("code"))
+    // index metadata: centroid·codeword dots per (cell, m, code)
+    val ccw = cents.select(col("cell"), mIdx, col("ce"))
+      .select(col("cell"), col("m"),
+        slice(col("ce"), col("m") * PQ_SUB + 1, lit(PQ_SUB)).as("cm"))
+      .join(broadcast(books), "m")
+      .select(col("cell"), col("m"), col("code"),
+        dot_product(col("cm"), col("cw")).as("cdot"), col("cwnorm2"))
+    // query side: probed cells with exact dot(q, centroid)
+    val qp = ranked.filter(col("vec_id") < N_QUERIES && col("rn") <= IVFPQ_PROBE)
+      .select(col("vec_id").as("qid"), col("e").as("qe"),
+        col("norm2").as("qnorm2"), col("centroid_id").as("qcell"))
+      .join(broadcast(cents.withColumnRenamed("cell", "qcell")), "qcell")
+      .select(col("qid"), col("qnorm2"), col("qcell"),
+        dot_product(col("qe"), col("ce")).as("qcdot"), col("cnorm2c"))
+    // the query's M×K ADC table of residual-codeword dots
+    val adctab = all.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("qid"), mIdx, col("e"))
+      .select(col("qid"), col("m"),
+        slice(col("e"), col("m") * PQ_SUB + 1, lit(PQ_SUB)).as("qsv"))
+      .join(broadcast(books.select(col("m"), col("code"), col("cw"))), "m")
+      .select(col("qid"), col("m"), col("code"),
+        dot_product(col("qsv"), col("cw")).as("pdot"))
+    val partials = codes
+      .join(broadcast(qp), (col("cell") === col("qcell")) && (col("vec_id") !== col("qid")))
+      .join(broadcast(adctab), Seq("qid", "m", "code"))
+      .join(broadcast(ccw), Seq("cell", "m", "code"))
+      .groupBy(col("qid"), col("qnorm2"), col("qcdot"), col("cnorm2c"), col("vec_id"))
+      .agg(
+        sum(when(col("m") === 0, col("pdot"))).as("d0"),
+        (1 until PQ_M).flatMap(i => Seq(
+          sum(when(col("m") === i, col("pdot"))).as(s"d$i"),
+          sum(when(col("m") === i, col("cdot"))).as(s"c$i"),
+          sum(when(col("m") === i, col("cwnorm2"))).as(s"n$i"))) ++ Seq(
+          sum(when(col("m") === 0, col("cdot"))).as("c0"),
+          sum(when(col("m") === 0, col("cwnorm2"))).as("n0")): _*)
+    val adot = (0 until PQ_M).foldLeft(col("qcdot"))((acc, i) => acc + col(s"d$i"))
+    val anorm2 = (0 until PQ_M).foldLeft(col("cnorm2c"))((acc, i) =>
+      acc + col(s"c$i") * lit(2.0) + col(s"n$i"))
+    val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc_cos").desc, col("cid"))
+    val shortlist = partials
+      .select(col("qid"), col("vec_id").as("cid"),
+        (adot / (sqrt(col("qnorm2")) * sqrt(anorm2))).as("adc_cos"))
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= PQ_SHORTLIST)
+      .select(col("qid"), col("cid"))
+    val qv = all.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("norm2").as("qnorm2"))
+    val cv = all.select(col("vec_id").as("cid"), col("e").as("ce"), col("norm2").as("cnorm2"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine_raw").desc, col("cid"))
+    shortlist.join(broadcast(qv), "qid").join(cv, "cid")
+      .select(col("qid"), col("cid"),
+        (dot_product(col("qe"), col("ce")) /
+          (sqrt(col("qnorm2")) * sqrt(col("cnorm2")))).as("cosine_raw"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("cid").as("neighbor_id"), snapRound(col("cosine_raw"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val annIvfPqSql = {
+    def dbl(x: String) = s"list_transform($x, v -> CAST(v AS DOUBLE))"
+    def l2Sql(a: String, b: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip($a, $b), " +
+        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), (acc, x) -> acc + x)"
+    def sub(x: String) = s"$x[b.m * $PQ_SUB + 1 : b.m * $PQ_SUB + $PQ_SUB]"
+    val adot = (0 until PQ_M).foldLeft("qcdot")((acc, i) => s"$acc + d$i")
+    val anorm2 = (0 until PQ_M).foldLeft("cnorm2c")((acc, i) => s"$acc + c$i * 2.0 + n$i")
+    val condSums = (0 until PQ_M).map(i =>
+      s"sum(CASE WHEN c.m = $i THEN t.pdot END) AS d$i, " +
+        s"sum(CASE WHEN c.m = $i THEN w.cdot END) AS c$i, " +
+        s"sum(CASE WHEN c.m = $i THEN w.cwnorm2 END) AS n$i")
+      .mkString(",\n       ")
+    s"""WITH ms AS (SELECT unnest(generate_series(0, ${PQ_M - 1})) AS m),
+       |ev AS (SELECT vec_id, ${dbl("embedding")} AS e FROM embeddings),
+       |en AS (SELECT vec_id, e, ${dotSql("e", "e")} AS norm2 FROM ev),
+       |cents AS (SELECT vec_id AS cell, e AS ce, norm2 AS cnorm2c FROM en WHERE vec_id < $IVFPQ_CELLS),
+       |csim AS (
+       |  SELECT v.vec_id, c.cell AS centroid_id,
+       |         ${dotSql("v.e", "c.ce")} / (sqrt(v.norm2) * sqrt(c.cnorm2c)) AS csim
+       |  FROM en v, cents c),
+       |rankedcells AS (
+       |  SELECT vec_id, centroid_id,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id) AS rn
+       |  FROM csim),
+       |resid AS (
+       |  SELECT en.vec_id, rc.centroid_id AS cell,
+       |         list_transform(list_zip(en.e, c.ce),
+       |           p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) AS r
+       |  FROM en
+       |  JOIN rankedcells rc ON en.vec_id = rc.vec_id AND rc.rn = 1
+       |  JOIN cents c ON rc.centroid_id = c.cell),
+       |books AS (
+       |  SELECT b.m, CAST(r.vec_id AS INTEGER) AS code,
+       |         ${sub("r.r")} AS cw
+       |  FROM resid r, ms b WHERE r.vec_id < $PQ_K),
+       |booksn AS (SELECT m, code, cw, ${dotSql("cw", "cw")} AS cwnorm2 FROM books),
+       |subs AS (SELECT r.vec_id, r.cell, b.m, ${sub("r.r")} AS sv FROM resid r, ms b),
+       |cand AS (
+       |  SELECT s.vec_id, s.cell, s.m, b.code,
+       |         row_number() OVER (PARTITION BY s.vec_id, s.m
+       |           ORDER BY ${l2Sql("s.sv", "b.cw")}, b.code) AS rn
+       |  FROM subs s JOIN booksn b ON s.m = b.m),
+       |codes AS (SELECT vec_id, cell, m, code FROM cand WHERE rn = 1),
+       |ccw AS (
+       |  SELECT c.cell, b.m, b.code, ${dotSql(sub("c.ce"), "b.cw")} AS cdot, b.cwnorm2
+       |  FROM cents c, booksn b),
+       |qp AS (
+       |  SELECT rc.vec_id AS qid, en.norm2 AS qnorm2, rc.centroid_id AS qcell,
+       |         ${dotSql("en.e", "c.ce")} AS qcdot, c.cnorm2c
+       |  FROM rankedcells rc
+       |  JOIN en ON rc.vec_id = en.vec_id
+       |  JOIN cents c ON rc.centroid_id = c.cell
+       |  WHERE rc.vec_id < $N_QUERIES AND rc.rn <= $IVFPQ_PROBE),
+       |adctab AS (
+       |  SELECT en.vec_id AS qid, b.m, b.code,
+       |         ${dotSql(sub("en.e"), "b.cw")} AS pdot
+       |  FROM en, booksn b WHERE en.vec_id < $N_QUERIES),
+       |partials AS (
+       |  SELECT qp.qid, qp.qnorm2, qp.qcdot, qp.cnorm2c, c.vec_id AS cid,
+       |       $condSums
+       |  FROM codes c
+       |  JOIN qp ON c.cell = qp.qcell AND c.vec_id <> qp.qid
+       |  JOIN adctab t ON t.qid = qp.qid AND t.m = c.m AND t.code = c.code
+       |  JOIN ccw w ON w.cell = c.cell AND w.m = c.m AND w.code = c.code
+       |  GROUP BY 1, 2, 3, 4, 5),
+       |shortlist AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+       |             ORDER BY ($adot) / (sqrt(qnorm2) * sqrt($anorm2)) DESC, cid) AS adc_rank
+       |    FROM partials)
+       |  WHERE adc_rank <= $PQ_SHORTLIST),
+       |rer AS (
+       |  SELECT s.qid, s.cid,
+       |         ${dotSql("eq.e", "ec.e")} / (sqrt(eq.norm2) * sqrt(ec.norm2)) AS cosine_raw
+       |  FROM shortlist s
+       |  JOIN en eq ON s.qid = eq.vec_id
+       |  JOIN en ec ON s.cid = ec.vec_id)
+       |SELECT qid AS query_id,
+       |       CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine_raw DESC, cid) AS INTEGER) AS rank,
+       |       cid AS neighbor_id,
+       |       ${snapRoundSql("cosine_raw", 6)} AS cosine
+       |FROM rer
+       |QUALIFY rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---- q93: per-label centroid diagnostics -------------------------
 
   /** q93 — labeled-embedding-set health check: per label, the centroid
@@ -760,6 +968,7 @@ object VectorOps extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q93_label_centroids" -> labelCentroids,
     "q101_ann_pq" -> annPq,
+    "q102_ann_ivfpq" -> annIvfPq,
     "q30_cosine_topk" -> cosineTopk,
     "q31_ann_filtered" -> annFiltered,
     "q43_ann_ivf_sampled" -> annIvfSampled,
@@ -772,6 +981,7 @@ object VectorOps extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q93_label_centroids" -> labelCentroidsSql,
     "q101_ann_pq" -> annPqSql,
+    "q102_ann_ivfpq" -> annIvfPqSql,
     "q30_cosine_topk" -> topkSql(sameCluster = false, 5),
     "q31_ann_filtered" -> topkSql(sameCluster = true, 3),
     "q43_ann_ivf_sampled" -> annIvfSql(probe = 1),

@@ -26,6 +26,8 @@ class PlanSweepSpec extends SparkSpec {
     "q58_tfidf_topk", "q78_kmv_distinct",
     "q86_source_drift", // sources × ≤10-bin grid: both cross sides broadcast-tiny
     "q87_ann_sq8", // 1-row params crossJoin + q30's bounded query-batch fan-out
+    "q102_ann_ivfpq", // q80's 32-row centroid fan-out, appearing once per ivfAssign reuse
+
     "q88_sample_quantiles", // realized-rank scan × broadcast 10-row estimate frame
     "q95_rfm_segments") // 1-row ref-date scalar crossJoin over the per-customer aggregate
 

@@ -321,6 +321,43 @@ class ScaleSpec extends SparkSpec {
     assert(recall >= 0.85, f"PQ recall@1 $recall%.2f below the 0.85 floor")
   }
 
+  test("IVFPQ (q102): recall@1 >= 0.9 at a scanned fraction <= both parents'") {
+    // the composed index must not lose what either axis delivers:
+    // recall at least the 0.9 floor (q80's bar), while the ADC stage
+    // reads codes of probed cells only — strictly fewer float-bytes
+    // than q80 (full vectors of probed cells) AND than q101 (codes of
+    // ALL vectors)
+    import graft.operators.VectorOps
+    val brute = VectorOps.cosineTopk(spark, sf0001)
+      .filter($"rank" === 1).select($"query_id", $"neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivfpq = VectorOps.annIvfPq(spark, sf0001)
+      .filter($"rank" === 1).select($"query_id", $"neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ivfpq.keySet == brute.keySet)
+    val recall = brute.count { case (q, n) => ivfpq(q) == n }.toDouble / brute.size
+    info(f"IVFPQ recall@1 vs exact: $recall%.2f")
+    assert(recall >= 0.9, f"IVFPQ recall@1 $recall%.2f below the 0.9 floor")
+
+    // scanned fraction: probed-cell population share (the q80
+    // measurement) × the PQ code-vs-float read ratio
+    val nQueries = 20
+    val ranked = VectorOps.ivfAssign(spark, sf0001, cells = 32)
+    val sizes = ranked.filter($"rn" === 1).groupBy($"centroid_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = sizes.values.sum.toDouble
+    val cellFraction = ranked.filter($"vec_id" < nQueries && $"rn" <= 4)
+      .select($"vec_id", $"centroid_id").collect()
+      .groupBy(_.getLong(0)).values
+      .map(_.map(r => sizes.getOrElse(r.getLong(1), 0L)).sum).sum /
+      (nQueries * total)
+    val codeRatio = 8.0 / 64.0 // 8 one-byte-ish codes vs 64 float dims
+    val byteFraction = cellFraction * codeRatio
+    info(f"IVFPQ byte fraction: $byteFraction%.4f (q80 reads $cellFraction%.3f, q101 reads $codeRatio%.3f)")
+    assert(byteFraction <= cellFraction, "IVFPQ must read no more than IVF alone")
+    assert(byteFraction <= codeRatio, "IVFPQ must read no more than PQ alone")
+  }
+
   test("single-file scans spread to the session parallelism; broadcast sides do not") {
     // the fixtures are one single-row-group parquet file per table: an
     // unspread scan is ONE task and serializes every chain Catalyst

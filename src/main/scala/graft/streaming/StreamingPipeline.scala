@@ -146,6 +146,64 @@ object StreamingPipeline {
         col("p_ts"), col("view_id"), col("v_ts"))
   }
 
+  /** Per-user buffer of a watermark-ordered stateful operator: the
+    * events newer than the watermark (not yet final) plus the
+    * operator's own state. */
+  case class OrderedBuf[S](held: Seq[Event], inner: Option[S])
+
+  /** Watermark-ordered stateful execution — the harness that makes a
+    * per-key event-order-sensitive state machine EXACT under
+    * out-of-order arrival (the late-data caveat the NoTimeout twins
+    * used to carry): events buffer per key until the watermark passes
+    * them, then replay through `machine` in (event-time, event_id)
+    * order. Any event still in flight must carry ts > watermark (the
+    * stream drops older rows), so nothing can arrive event-time-
+    * earlier than an already-finalized event — stream == batch for
+    * every arrival order within the watermark delay, not just
+    * monotonic replays.
+    *
+    * `machine(key, ready, wmUs, state)` consumes the newly-final
+    * events (sorted) plus the watermark and returns (new state,
+    * outputs, optional next event-time deadline in micros). The
+    * deadline lets time-based semantics fire WITHOUT a later event
+    * (conversion-window expiry, idle-state retirement) — the
+    * EventTimeTimeout wakes the key when the watermark passes the
+    * earliest of {held events, deadline}. A key whose machine returns
+    * None with nothing held is REMOVED from the store, so idle keys
+    * do not accumulate state forever.
+    *
+    * Scale: state per key = the out-of-order horizon's events plus
+    * the machine's own state — bounded by delay × per-key rate, not
+    * stream length; keyed state survives shuffle repartitioning. */
+  private def watermarkOrdered[S <: Product : scala.reflect.runtime.universe.TypeTag, O](
+      events: Dataset[Event], delay: String)(
+      machine: (Long, Seq[Event], Long, Option[S]) => (Option[S], Seq[O], Option[Long]))(
+      implicit oEnc: org.apache.spark.sql.Encoder[O]): Dataset[O] = {
+    val bufEnc: org.apache.spark.sql.Encoder[OrderedBuf[S]] =
+      org.apache.spark.sql.Encoders.product[OrderedBuf[S]]
+    events.withWatermark("ts", delay)
+      .groupByKey((e: Event) => e.user_id)(org.apache.spark.sql.Encoders.scalaLong)
+      .flatMapGroupsWithState[OrderedBuf[S], O](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[OrderedBuf[S]]) =>
+          val prev = state.getOption.getOrElse(OrderedBuf[S](Seq.empty, None))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, held) = (prev.held ++ rows).partition(e => tsMicros(e.ts) <= wmUs)
+          val sorted = ready.sortBy(e => (tsMicros(e.ts), e.event_id))
+          val (inner, out, deadlineUs) = machine(userId, sorted, wmUs, prev.inner)
+          if (held.isEmpty && inner.isEmpty) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(OrderedBuf(held, inner))
+            // wake when the watermark passes the earliest pending work
+            (held.map(e => tsMicros(e.ts)) ++ deadlineUs).reduceOption(_ min _)
+              .foreach(us => state.setTimeoutTimestamp(
+                math.max(math.floorDiv(us, 1000L), state.getCurrentWatermarkMs() + 1L)))
+          }
+          out.iterator
+      }(bufEnc, oEnc)
+  }
+
   case class FunnelOut(user_id: Long, stage: Int, stage_name: String,
     reached_ts: Timestamp)
   /** Per-user funnel progress; 0 = stage not reached yet. */
@@ -157,50 +215,33 @@ object StreamingPipeline {
     * row the first time a user reaches each stage. A stage-N event
     * counts only STRICTLY AFTER the recorded stage-N−1 time, exactly
     * the batch cascade's predicate, so the first qualifying event in
-    * ts order IS the batch's min-qualifying event. State is one
-    * 3-long struct per user — bounded by the user population, not the
-    * event volume. Like the sessionizer, rows sort per invocation;
-    * cross-batch order relies on event-time-ordered arrival.
-    *
-    * DIVERGENCE BOUND under late data (no watermark on this path —
-    * flatMapGroupsWithState in Append mode takes no event-time guard
-    * here): events sort only WITHIN a micro-batch, so a stage event
-    * arriving in a later batch with an event time EARLIER than the
-    * recorded prior-stage time is evaluated against state already
-    * advanced past it — the batch q76 twin would have taken the
-    * global min qualifying time instead. Concretely: stream==batch is
-    * exact whenever each user's events arrive batch-monotonically in
-    * event time (the StreamingSpec replay, and any log-shipped source
-    * that preserves per-key order); under reordering the stream may
-    * record a LATER first-touch time than batch, or skip a stage a
-    * batch run would count (never the reverse — state times only
-    * move forward). Deployments with out-of-order sources should
-    * front this with dedupStream's watermarked ingest and accept the
-    * bound, or buffer-and-sort per key upstream. */
-  def funnelStages(events: Dataset[Event]): Dataset[FunnelOut] = {
+    * ts order IS the batch's min-qualifying event. Runs under
+    * [[watermarkOrdered]]: stream == batch EXACTLY for any arrival
+    * order within `delay` (StreamingSpec replays a cross-batch
+    * out-of-order stream), later events are dropped like every
+    * watermarked surface. Inner state is one 3-long struct per user —
+    * bounded by the user population, the same cardinality the batch
+    * groupBy holds. */
+  def funnelStages(events: Dataset[Event], delay: String = "10 minutes"): Dataset[FunnelOut] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[FunnelState, FunnelOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
-          val sorted = rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
-          var st = state.getOption.getOrElse(FunnelState(0L, 0L, 0L))
-          val out = Seq.newBuilder[FunnelOut]
-          for (e <- sorted) {
-            val t = tsMicros(e.ts)
-            e.event_type match {
-              case "view" if st.t1 == 0L =>
-                st = st.copy(t1 = t); out += FunnelOut(userId, 1, "view", microsTs(t))
-              case "click" if st.t1 != 0L && st.t2 == 0L && t > st.t1 =>
-                st = st.copy(t2 = t); out += FunnelOut(userId, 2, "click", microsTs(t))
-              case "purchase" if st.t2 != 0L && st.t3 == 0L && t > st.t2 =>
-                st = st.copy(t3 = t); out += FunnelOut(userId, 3, "purchase", microsTs(t))
-              case _ =>
-            }
+    watermarkOrdered[FunnelState, FunnelOut](events, delay) {
+      (userId, sorted, _, st0) =>
+        var st = st0.getOrElse(FunnelState(0L, 0L, 0L))
+        val out = Seq.newBuilder[FunnelOut]
+        for (e <- sorted) {
+          val t = tsMicros(e.ts)
+          e.event_type match {
+            case "view" if st.t1 == 0L =>
+              st = st.copy(t1 = t); out += FunnelOut(userId, 1, "view", microsTs(t))
+            case "click" if st.t1 != 0L && st.t2 == 0L && t > st.t1 =>
+              st = st.copy(t2 = t); out += FunnelOut(userId, 2, "click", microsTs(t))
+            case "purchase" if st.t2 != 0L && st.t3 == 0L && t > st.t2 =>
+              st = st.copy(t3 = t); out += FunnelOut(userId, 3, "purchase", microsTs(t))
+            case _ =>
           }
-          state.update(st)
-          out.result().iterator
-      }
+        }
+        (Some(st).filter(s => s.t1 != 0L), out.result(), None)
+    }
   }
 
   case class CohortOut(user_id: Long, cohort_week: java.sql.Date, week_offset: Int)
@@ -227,39 +268,35 @@ object StreamingPipeline {
     * = count per (cohort_week, offset), cohort_size = the offset-0
     * count (every user emits offset 0 first, by construction). State
     * is one long + the offsets seen — bounded by the weeks a user has
-    * been active, not event volume. Late-data bound: identical to
-    * funnelStages (see its scaladoc) — under per-user event-time-
-    * ordered arrival the cohort week is exact; an EARLIER week
-    * arriving late would have re-based the batch cohort but emits a
-    * negative offset here (floorDiv), making the divergence VISIBLE
-    * in the output rather than silent. */
-  def cohortActivity(events: Dataset[Event]): Dataset[CohortOut] = {
+    * been active, not event volume. Runs under [[watermarkOrdered]]:
+    * the user's event-time-EARLIEST event inside the delay defines
+    * the cohort regardless of arrival order — the old NoTimeout
+    * version could base the cohort on a later week and emit negative
+    * offsets when the true first week arrived late (StreamingSpec
+    * replays exactly that reordering). */
+  def cohortActivity(events: Dataset[Event], delay: String = "10 minutes"): Dataset[CohortOut] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[CohortState, CohortOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (userId: Long, rows: Iterator[Event], state: GroupState[CohortState]) =>
-          def dateOf(days: Long): java.sql.Date =
-            java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days))
-          val sorted = rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
-          var st = state.getOption.orNull
-          val out = Seq.newBuilder[CohortOut]
-          for (e <- sorted) {
-            val w = weekStartDays(e.ts)
-            if (st == null) {
-              st = CohortState(w, Seq(0))
-              out += CohortOut(userId, dateOf(w), 0)
-            } else {
-              val off = math.floorDiv(w - st.cohortDays, 7L).toInt
-              if (!st.seenOffsets.contains(off)) {
-                st = st.copy(seenOffsets = st.seenOffsets :+ off)
-                out += CohortOut(userId, dateOf(st.cohortDays), off)
-              }
+    watermarkOrdered[CohortState, CohortOut](events, delay) {
+      (userId, sorted, _, st0) =>
+        def dateOf(days: Long): java.sql.Date =
+          java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days))
+        var st = st0.orNull
+        val out = Seq.newBuilder[CohortOut]
+        for (e <- sorted) {
+          val w = weekStartDays(e.ts)
+          if (st == null) {
+            st = CohortState(w, Seq(0))
+            out += CohortOut(userId, dateOf(w), 0)
+          } else {
+            val off = math.floorDiv(w - st.cohortDays, 7L).toInt
+            if (!st.seenOffsets.contains(off)) {
+              st = st.copy(seenOffsets = st.seenOffsets :+ off)
+              out += CohortOut(userId, dateOf(st.cohortDays), off)
             }
           }
-          if (st != null) state.update(st)
-          out.result().iterator
-      }
+        }
+        (Option(st), out.result(), None)
+    }
   }
 
   case class DailyPoint(entity: Long, ds: java.sql.Date, y: Double)
@@ -336,55 +373,59 @@ object StreamingPipeline {
     * timestamps break on event_id, the batch struct-ordering rule)
     * and the touch count, or 'direct' when the window is empty.
     * State per user is the touches inside the lookback HORIZON —
-    * bounded by event rate × 7 days, pruned on every event, never
-    * the full history. Late-data bound: identical to funnelStages
-    * (see its scaladoc) — exact under per-user batch-monotonic
-    * event-time arrival; a touch arriving after its purchase's batch
-    * is attributed only to LATER purchases (batch q89 would have
-    * counted it), and a late purchase sees every touch still inside
-    * its lookback, so divergence is at most the reordered rows.
+    * bounded by event rate × 7 days — and runs under
+    * [[watermarkOrdered]]: purchases and touches finalize in
+    * event-time order, so a touch arriving in a later micro-batch
+    * than its purchase (but within `delay`) still attributes exactly
+    * as the batch q89 would (StreamingSpec replays that reordering).
+    * The watermark also PRUNES: touches no future purchase can reach
+    * (ts ≤ watermark − 7 d) drop even when the user never purchases
+    * again, and a fully-idle user's state is removed — no unbounded
+    * key-count growth.
     * Tie caveat: a touch at the purchase's EXACT timestamp with a
     * HIGHER event_id is a batch-RANGE peer (included by q89) but is
     * processed after the purchase here — exact parity assumes unique
     * (user, ts) pairs, which event streams with sub-second clocks
     * give in practice. */
-  def attributionStream(events: Dataset[Event]): Dataset[AttributionOut] = {
+  def attributionStream(events: Dataset[Event], delay: String = "10 minutes"): Dataset[AttributionOut] = {
     import events.sparkSession.implicits._
     // the ONE lookback constant, shared with the batch q89 twin — a
     // second copy here could silently diverge from the batch semantics
     val AttrWindowMicros = graft.operators.EventOps.AttrWindowMicros
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[AttrState, AttributionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (userId: Long, rows: Iterator[Event], state: GroupState[AttrState]) =>
-          val sorted = rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
-          var touches = state.getOption.map(_.touches).getOrElse(Seq.empty)
-          val out = Seq.newBuilder[AttributionOut]
-          for (e <- sorted) {
-            val t = tsMicros(e.ts)
-            touches = touches.dropWhile(_._1 < t - AttrWindowMicros)
-            e.event_type match {
-              case "click" | "view" =>
-                touches = touches :+ ((t, e.event_id, e.event_type))
-              case "purchase" =>
-                // in-window touches, ordered by (ts, event_id) — the
-                // buffer is appended in that order already
-                if (touches.isEmpty)
-                  out += AttributionOut(e.event_id, userId, microsTs(t), 0L,
-                    "direct", None, "direct", None)
-                else {
-                  val ft = touches.min
-                  val lt = touches.max
-                  out += AttributionOut(e.event_id, userId, microsTs(t),
-                    touches.size.toLong,
-                    ft._3, Some(microsTs(ft._1)), lt._3, Some(microsTs(lt._1)))
-                }
-              case _ =>
-            }
+    watermarkOrdered[AttrState, AttributionOut](events, delay) {
+      (userId, sorted, wmUs, st0) =>
+        var touches = st0.map(_.touches).getOrElse(Seq.empty)
+        val out = Seq.newBuilder[AttributionOut]
+        for (e <- sorted) {
+          val t = tsMicros(e.ts)
+          touches = touches.dropWhile(_._1 < t - AttrWindowMicros)
+          e.event_type match {
+            case "click" | "view" =>
+              touches = touches :+ ((t, e.event_id, e.event_type))
+            case "purchase" =>
+              // in-window touches, ordered by (ts, event_id) — the
+              // buffer is appended in that order already
+              if (touches.isEmpty)
+                out += AttributionOut(e.event_id, userId, microsTs(t), 0L,
+                  "direct", None, "direct", None)
+              else {
+                val ft = touches.min
+                val lt = touches.max
+                out += AttributionOut(e.event_id, userId, microsTs(t),
+                  touches.size.toLong,
+                  ft._3, Some(microsTs(ft._1)), lt._3, Some(microsTs(lt._1)))
+              }
+            case _ =>
           }
-          state.update(AttrState(touches))
-          out.result().iterator
-      }
+        }
+        // any future purchase has ts > watermark, so its lookback
+        // keeps only touches with ts > watermark − window: older ones
+        // are dead and drop NOW, not at the user's next event
+        touches = touches.dropWhile(_._1 <= wmUs - AttrWindowMicros)
+        (Some(AttrState(touches)).filter(_.touches.nonEmpty),
+          out.result(),
+          touches.headOption.map(_._1 + AttrWindowMicros))
+    }
   }
 
   case class ConversionOut(view_id: Long, user_id: Long, view_ts: Timestamp,
@@ -398,50 +439,55 @@ object StreamingPipeline {
     * batch q96 forward as-of with tolerance (EventOps.viewToPurchase):
     * per user, views buffer until the next purchase arrives (every
     * pending view at-or-before it converts to it, with latency) or
-    * their 1-hour window lapses — a later event past the tolerance
-    * expires them as explicit non-conversions (the batch null rows).
-    * State per user = the views of the trailing tolerance window,
-    * pruned on every event. Like the sessionizer, a view whose window
-    * never sees a later event drains only on a subsequent event —
-    * replays append a per-user sentinel past the horizon to flush.
-    * Late-data/tie bounds: identical to attributionStream (exact
-    * under per-user event-time-ordered arrival with unique
-    * (user, ts)). */
-  def conversionStream(events: Dataset[Event]): Dataset[ConversionOut] = {
+    * their 1-hour window lapses as explicit non-conversions (the
+    * batch null rows). State per user = the views of the trailing
+    * tolerance window, and runs under [[watermarkOrdered]]: events
+    * finalize in event-time order (exact under any arrival order
+    * within `delay`), and the watermark ITSELF expires windows — a
+    * view whose tolerance lapses with no further traffic emits its
+    * null row when the watermark passes view_ts + tol, with no
+    * sentinel needed, after which the idle user's state is removed.
+    * Tie caveat as attributionStream (unique (user, ts) assumed). */
+  def conversionStream(events: Dataset[Event], delay: String = "10 minutes"): Dataset[ConversionOut] = {
     import events.sparkSession.implicits._
     val tol = graft.operators.EventOps.ConvTolMicros
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[ConvState, ConversionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (userId: Long, rows: Iterator[Event], state: GroupState[ConvState]) =>
-          val sorted = rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
-          var pending = state.getOption.map(_.pending).getOrElse(Seq.empty)
-          val out = Seq.newBuilder[ConversionOut]
-          for (e <- sorted) {
-            val t = tsMicros(e.ts)
-            // windows that closed strictly before this event: emit the
-            // batch twin's null row
-            val (expired, live) = pending.partition(v => t - v._1 > tol)
-            expired.foreach(v =>
-              out += ConversionOut(v._2, userId, microsTs(v._1), None, None, None))
-            pending = live
-            e.event_type match {
-              case "purchase" =>
-                // every still-open view at-or-before the purchase
-                // converts to it (earliest-at-or-after semantics: this
-                // is the first purchase any of them has seen)
-                val (conv, stay) = pending.partition(_._1 <= t)
-                conv.foreach(v => out += ConversionOut(v._2, userId, microsTs(v._1),
-                  Some(e.event_id), Some(microsTs(t)), Some(t - v._1)))
-                pending = stay
-              case "view" =>
-                pending = pending :+ ((t, e.event_id))
-              case _ =>
-            }
+    watermarkOrdered[ConvState, ConversionOut](events, delay) {
+      (userId, sorted, wmUs, st0) =>
+        var pending = st0.map(_.pending).getOrElse(Seq.empty)
+        val out = Seq.newBuilder[ConversionOut]
+        for (e <- sorted) {
+          val t = tsMicros(e.ts)
+          // windows that closed strictly before this event: emit the
+          // batch twin's null row
+          val (expired, live) = pending.partition(v => t - v._1 > tol)
+          expired.foreach(v =>
+            out += ConversionOut(v._2, userId, microsTs(v._1), None, None, None))
+          pending = live
+          e.event_type match {
+            case "purchase" =>
+              // every still-open view at-or-before the purchase
+              // converts to it (earliest-at-or-after semantics: this
+              // is the first purchase any of them has seen)
+              val (conv, stay) = pending.partition(_._1 <= t)
+              conv.foreach(v => out += ConversionOut(v._2, userId, microsTs(v._1),
+                Some(e.event_id), Some(microsTs(t)), Some(t - v._1)))
+              pending = stay
+            case "view" =>
+              pending = pending :+ ((t, e.event_id))
+            case _ =>
           }
-          state.update(ConvState(pending))
-          out.result().iterator
-      }
+        }
+        // watermark expiry: any future purchase has ts > watermark, so
+        // a view with watermark − view_ts ≥ tol can never convert —
+        // its non-conversion is FINAL now (would-have-expired-first)
+        val (dead, open) = pending.partition(v => wmUs - v._1 >= tol)
+        dead.foreach(v =>
+          out += ConversionOut(v._2, userId, microsTs(v._1), None, None, None))
+        pending = open
+        (Some(ConvState(pending)).filter(_.pending.nonEmpty),
+          out.result(),
+          pending.headOption.map(_._1 + tol))
+    }
   }
 
   /** Stateful gap-based sessionization (30-min inactivity) via

@@ -179,9 +179,18 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq && streamed.nonEmpty)
   }
 
+  /** A 1-row far-future batch: advances the global watermark so every
+    * buffered event in the watermark-ordered twins finalizes (the
+    * no-data micro-batch then fires the event-time timeouts). */
+  private def withSentinel(base: org.apache.spark.sql.DataFrame, pastHorizon: String) =
+    base.unionByName(base.agg(max($"ts").as("mx"))
+      .select(lit(-1L).as("event_id"), ($"mx" + expr(pastHorizon)).as("ts"),
+        lit(-99L).as("user_id"), lit("drain").as("event_type"), lit(0.0).as("value")))
+
   test("stateful streaming funnel == batch funnel stage counts") {
     val dir = java.nio.file.Files.createTempDirectory("graft-funnel").toString
-    eventsDf.select("event_id", "ts", "user_id", "event_type", "value")
+    withSentinel(eventsDf.select("event_id", "ts", "user_id", "event_type", "value"),
+        "INTERVAL 1 DAY")
       .write.mode("overwrite").parquet(s"$dir/in")
     val schema = spark.read.parquet(s"$dir/in").schema
     val stream = spark.readStream.schema(schema).parquet(s"$dir/in").as[Event]
@@ -207,7 +216,8 @@ class StreamingSpec extends SparkSpec {
 
   test("stateful streaming cohort activity == batch cohort retention (q74)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cohort").toString
-    eventsDf.select("event_id", "ts", "user_id", "event_type", "value")
+    withSentinel(eventsDf.select("event_id", "ts", "user_id", "event_type", "value"),
+        "INTERVAL 1 DAY")
       .write.mode("overwrite").parquet(s"$dir/in")
     val schema = spark.read.parquet(s"$dir/in").schema
     val stream = spark.readStream.schema(schema).parquet(s"$dir/in").as[Event]
@@ -224,6 +234,7 @@ class StreamingSpec extends SparkSpec {
     // collected facts — a self-join on one memory-sink table trips
     // conflicting-attribute resolution.
     val facts = spark.table("cohort_out")
+      .filter($"user_id" >= 0) // the drain sentinel starts a cohort of its own
       .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getInt(2)))
     val sizes = facts.filter(_._3 == 0).groupBy(_._2).view.mapValues(_.length).toMap
     val streamed = facts.groupBy(f => (f._2, f._3)).toSeq
@@ -321,17 +332,12 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
-  test("stateful streaming conversion == batch q96 rows (sentinel-drained)") {
+  test("stateful streaming conversion == batch q96 rows (watermark-drained)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-conv").toString
     val base = eventsDf.select("event_id", "ts", "user_id", "event_type", "value")
-    // per-user sentinel past every conversion horizon so unconverted
-    // views drain (the sessionizer's replay pattern)
-    val sentinels = base.groupBy($"user_id")
-      .agg(max($"ts").as("mx"))
-      .select((-$"user_id").as("event_id"),
-        ($"mx" + expr("INTERVAL 2 HOURS")).as("ts"),
-        $"user_id", lit("drain").as("event_type"), lit(0.0).as("value"))
-    base.unionByName(sentinels).write.mode("overwrite").parquet(s"$dir/in")
+    // ONE global sentinel — the watermark itself expires unconverted
+    // views now (no per-user drain events needed)
+    withSentinel(base, "INTERVAL 2 HOURS").write.mode("overwrite").parquet(s"$dir/in")
     val schema = spark.read.parquet(s"$dir/in").schema
     val stream = spark.readStream.schema(schema).parquet(s"$dir/in").as[Event]
     val q = StreamingPipeline.conversionStream(stream)
@@ -357,7 +363,8 @@ class StreamingSpec extends SparkSpec {
 
   test("stateful streaming attribution == batch q89 rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft-attr").toString
-    eventsDf.select("event_id", "ts", "user_id", "event_type", "value")
+    withSentinel(eventsDf.select("event_id", "ts", "user_id", "event_type", "value"),
+        "INTERVAL 8 DAYS")
       .write.mode("overwrite").parquet(s"$dir/in")
     val schema = spark.read.parquet(s"$dir/in").schema
     val stream = spark.readStream.schema(schema).parquet(s"$dir/in").as[Event]
@@ -380,5 +387,93 @@ class StreamingSpec extends SparkSpec {
     // attribution classes are all exercised by the replay
     val kinds = streamed.map(_._7).toSet
     assert(kinds.contains("direct") && (kinds.contains("click") || kinds.contains("view")))
+  }
+
+  test("cross-batch OUT-OF-ORDER replay: funnel/attribution/conversion stay event-time exact") {
+    // arrival order deliberately contradicts event-time order ACROSS
+    // micro-batches — the divergence the old NoTimeout twins
+    // documented as a caveat; watermarkOrdered must make it exact.
+    //   user 1: click(00:02) arrives a batch BEFORE view(00:01) —
+    //     event-time semantics still count stages 1→2→3
+    //   user 2: purchase(00:05) arrives a batch before its view(00:04)
+    //     — the purchase must still attribute to the view
+    //   user 3: a lone view no later event ever follows — the
+    //     WATERMARK must flush its null conversion row, no sentinel
+    //     for user 3
+    val dir = java.nio.file.Files.createTempDirectory("graft-ooo").toString
+    def ts(m: Int): Timestamp = Timestamp.valueOf(f"2024-03-01 00:$m%02d:00")
+    def writeBatch(n: Int, rows: Seq[Event]): Unit =
+      rows.toDF().write.parquet(s"$dir/in/b$n")
+    writeBatch(1, Seq(
+      Event(102, ts(2), 1, "click", 1.0),
+      Event(205, ts(5), 2, "purchase", 5.0),
+      Event(301, ts(1), 3, "view", 1.0)))
+    val schema = spark.read.parquet(s"$dir/in/b1").schema
+    def run[T](name: String, build: org.apache.spark.sql.Dataset[Event] => org.apache.spark.sql.Dataset[T]): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*").as[Event]
+      val q = build(stream).writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", s"$dir/ckpt-$name").start()
+      q.processAllAvailable(); q.stop()
+    }
+    // batch 2 lands the EARLIER events after batch 1 already arrived
+    writeBatch(2, Seq(
+      Event(101, ts(1), 1, "view", 1.0),
+      Event(204, ts(4), 2, "view", 1.0),
+      Event(103, ts(3), 1, "purchase", 3.0)))
+    // batch 3: global sentinel 2 h out — watermark passes every real
+    // event AND every 1-h conversion window
+    writeBatch(3, Seq(Event(-1, Timestamp.valueOf("2024-03-01 02:00:00"), 99, "drain", 0.0)))
+
+    run("ooo_funnel", StreamingPipeline.funnelStages(_))
+    val funnel = spark.table("ooo_funnel")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getTimestamp(3))).sorted
+    assert(funnel.toSeq == Seq(
+      (1L, 1, ts(1)), (1L, 2, ts(2)), (1L, 3, ts(3)), // full funnel despite reordering
+      (2L, 1, ts(4)), (3L, 1, ts(1))),
+      s"funnel diverged under out-of-order arrival: ${funnel.mkString(", ")}")
+
+    run("ooo_attr", StreamingPipeline.attributionStream(_))
+    val attr = spark.table("ooo_attr")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getString(4), r.getString(6))).sorted
+    assert(attr.toSeq == Seq(
+      (103L, 2L, "view", "click"), // u1: view+click precede in event time
+      (205L, 1L, "view", "view")), // u2: the late-arriving view still attributes
+      s"attribution diverged: ${attr.mkString(", ")}")
+
+    run("ooo_conv", StreamingPipeline.conversionStream(_))
+    val conv = spark.table("ooo_conv")
+      .collect().map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long]))).sorted
+    assert(conv.toSeq == Seq(
+      (101L, Some(103L)), // u1 view converts to the purchase behind it
+      (204L, Some(205L)), // u2 view arrived after its purchase, still converts
+      (301L, None)),      // u3: watermark-flushed non-conversion, NO sentinel
+      s"conversion diverged: ${conv.mkString(", ")}")
+  }
+
+  test("cohort re-bases on the true first week when it arrives a batch late") {
+    // week-2 activity arrives BEFORE the week-1 first touch; the old
+    // NoTimeout tracker based the cohort on week 2 and emitted a
+    // NEGATIVE offset — watermark ordering must yield cohort week 1
+    // with offsets {0, 1}
+    val dir = java.nio.file.Files.createTempDirectory("graft-ooo-cohort").toString
+    def writeBatch(n: Int, rows: Seq[Event]): Unit =
+      rows.toDF().write.parquet(s"$dir/in/b$n")
+    writeBatch(1, Seq(Event(2, Timestamp.valueOf("2024-03-12 00:00:00"), 7, "view", 1.0)))
+    val schema = spark.read.parquet(s"$dir/in/b1").schema
+    writeBatch(2, Seq(Event(1, Timestamp.valueOf("2024-03-05 00:00:00"), 7, "view", 1.0)))
+    writeBatch(3, Seq(Event(-1, Timestamp.valueOf("2024-05-01 00:00:00"), 99, "drain", 0.0)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*").as[Event]
+    val q = StreamingPipeline.cohortActivity(stream, delay = "15 days")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ooo_cohort")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    q.processAllAvailable(); q.stop()
+    val facts = spark.table("ooo_cohort").filter($"user_id" === 7L)
+      .collect().map(r => (r.getDate(1).toString, r.getInt(2))).sorted
+    assert(facts.toSeq == Seq(("2024-03-04", 0), ("2024-03-04", 1)),
+      s"cohort re-basing failed: ${facts.mkString(", ")}")
   }
 }

@@ -168,6 +168,69 @@ object Pipeline {
     }
   }
 
+  /** Incremental refresh of the supplier-keyed marts: inventory_health
+    * (grain s_suppkey × s_name × p_type) and supplier_monthly (grain
+    * order_month × s_suppkey × s_name). Every group key carries
+    * s_suppkey, so a supplier-sliced rebuild over the filtered fact
+    * equals the full rebuild's slice exactly — the month-slicing
+    * argument of refreshMonthlySales, on the supplier axis. The delta
+    * names WHICH lineitem rows changed (for a row that MOVED
+    * suppliers, the caller includes both versions — the standard
+    * incremental-delta contract); content comes from the CURRENT
+    * silver tables, so run refreshSilverLineitem first. No driver
+    * collect anywhere: the delta's supplier set broadcasts as a frame
+    * into both the fact filter (semi-join) and the key-scoped swap
+    * (overwriteMatching) — at scale a supplier-clustered fact layout
+    * would prune at the scan. Returns rows written per mart. */
+  def refreshSupplierMarts(spark: SparkSession, store: LayerStore,
+      deltaLineitem: DataFrame): (Long, Long) = {
+    if (deltaLineitem.isEmpty) (0L, 0L)
+    else {
+      val supKeys = deltaLineitem.select(col("l_suppkey")).distinct()
+      val base = silverStarResolver(store)
+      val resolve: GoldMarts.Resolver = {
+        case "lineitem" =>
+          val li = base("lineitem")
+          li.join(broadcast(supKeys), Seq("l_suppkey"), "left_semi")
+            .select(li.columns.map(col): _*) // USING-join reorders keys to the front
+        case t => base(t)
+      }
+      val asSupp = broadcast(supKeys.select(col("l_suppkey").as("s_suppkey")))
+      withMaterializer { mat =>
+        (store.overwriteMatching("gold", "inventory_health",
+          GoldMarts.inventoryHealthFrom(resolve), Seq("s_suppkey"), asSupp),
+          store.overwriteMatching("gold", "supplier_monthly",
+            GoldMarts.supplierMonthlyFrom(resolve, mat), Seq("s_suppkey"), asSupp))
+      }
+    }
+  }
+
+  /** Incremental DASHBOARD refresh: the mart is one row per fact line
+    * — its grain IS the lineitem key, so the delta's keys rebuild
+    * through the same 4-way LEFT star (dimension sides broadcast;
+    * only delta rows re-project) and tuple-key-swap into the stored
+    * mart. A delta key deleted from silver deletes its dashboard row,
+    * like the full rebuild would drop it. Content comes from the
+    * CURRENT silver tables — run refreshSilverLineitem first. */
+  def refreshDashboard(spark: SparkSession, store: LayerStore,
+      deltaLineitem: DataFrame): Long = {
+    if (deltaLineitem.isEmpty) 0L
+    else {
+      val keys = Seq("l_orderkey", "l_linenumber")
+      val keyFrame = deltaLineitem.select(keys.map(col): _*).distinct()
+      val base = silverStarResolver(store)
+      val resolve: GoldMarts.Resolver = {
+        case "lineitem" =>
+          val li = base("lineitem")
+          li.join(broadcast(keyFrame), keys, "left_semi")
+            .select(li.columns.map(col): _*)
+        case t => base(t)
+      }
+      store.overwriteMatching("gold", "dashboard",
+        GoldMarts.dashboardFrom(resolve), keys, keyFrame)
+    }
+  }
+
   /** Incremental SILVER refresh for the lineitem fact: re-clean ONLY
     * a bronze delta's keys and tuple-key-swap them into
     * silver.lineitem — the alternative to the reference's

@@ -65,4 +65,76 @@ class IncrementalMartSpec extends SparkSpec {
     assert(rows(store.table("gold", "monthly_sales")) == rows(expected))
     store.teardown()
   }
+
+  test("supplier marts and dashboard refresh incrementally == full rebuilds") {
+    val root = java.nio.file.Files.createTempDirectory("inc_mart3").toString
+    val store = new LayerStore(spark, root)
+    assert(Pipeline.runBronze(spark, store, sf0001).ok)
+    assert(Pipeline.runSilver(spark, store, "inc-run3").ok)
+    val resolve = Pipeline.goldResolver(store)
+    store.write("gold", "inventory_health", GoldMarts.inventoryHealthFrom(resolve))
+    store.write("gold", "supplier_monthly", GoldMarts.supplierMonthlyFrom(resolve, identity))
+    store.write("gold", "dashboard", GoldMarts.dashboardFrom(resolve))
+    val invBefore = rows(store.table("gold", "inventory_health"))
+    val supBefore = rows(store.table("gold", "supplier_monthly"))
+
+    // pin four victims eagerly (writes below swap the files lazy
+    // plans would re-read): three become modified INSERTS under new
+    // line numbers, the fourth is DELETED from silver
+    val li = store.table("silver", "lineitem")
+    val schema = li.schema
+    val victims = li.orderBy("l_orderkey", "l_linenumber").limit(4).collect()
+    val qi = schema.fieldIndex("l_quantity")
+    val lni = schema.fieldIndex("l_linenumber")
+    val oki = schema.fieldIndex("l_orderkey")
+    val inserts = victims.take(3).map(r => org.apache.spark.sql.Row.fromSeq(
+      r.toSeq.updated(qi, r.getDouble(qi) + 5.0).updated(lni, r.getInt(lni) + 100)))
+    val delKey = (victims(3).getLong(oki), victims(3).getInt(lni))
+    store.write("silver", "lineitem",
+      li.filter(!(col("l_orderkey") === delKey._1 && col("l_linenumber") === delKey._2))
+        .unionByName(spark.createDataFrame(
+          java.util.Arrays.asList(inserts: _*), schema)))
+    // the delta: the three new-key rows plus the deleted row's old
+    // version (the caller's moved/removed-row contract)
+    val delta = spark.createDataFrame(
+      java.util.Arrays.asList(inserts :+ victims(3): _*), schema)
+
+    val (nInv, nSup) = Pipeline.refreshSupplierMarts(spark, store, delta)
+    val nDash = Pipeline.refreshDashboard(spark, store, delta)
+    assert(nInv > 0 && nSup > 0 && nDash > 0)
+
+    val freshResolve = Pipeline.goldResolver(store)
+    assert(rows(store.table("gold", "inventory_health")) ==
+      rows(GoldMarts.inventoryHealthFrom(freshResolve)),
+      "incremental inventory_health diverged from the full rebuild")
+    assert(rows(store.table("gold", "supplier_monthly")) ==
+      rows(GoldMarts.supplierMonthlyFrom(freshResolve, identity)),
+      "incremental supplier_monthly diverged from the full rebuild")
+    assert(rows(store.table("gold", "dashboard")) ==
+      rows(GoldMarts.dashboardFrom(freshResolve)),
+      "incremental dashboard diverged from the full rebuild")
+
+    // the deleted key's dashboard row is GONE
+    assert(store.table("gold", "dashboard")
+      .filter(col("l_orderkey") === delKey._1 && col("l_linenumber") === delKey._2)
+      .isEmpty, "stale dashboard row survived its silver deletion")
+    // only the delta's suppliers changed in the supplier-keyed marts
+    val deltaSups = delta.select("l_suppkey").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val invChanged = (rows(store.table("gold", "inventory_health")) -- invBefore) ++
+      (invBefore -- rows(store.table("gold", "inventory_health")))
+    assert(invChanged.nonEmpty &&
+      invChanged.forall(r => deltaSups.contains(r.head.asInstanceOf[Long])),
+      "an inventory_health supplier outside the delta changed")
+    val supChanged = (rows(store.table("gold", "supplier_monthly")) -- supBefore) ++
+      (supBefore -- rows(store.table("gold", "supplier_monthly")))
+    assert(supChanged.nonEmpty &&
+      supChanged.forall(r => deltaSups.contains(r(1).asInstanceOf[Long])),
+      "a supplier_monthly supplier outside the delta changed")
+
+    // empty deltas are no-ops
+    assert(Pipeline.refreshSupplierMarts(spark, store, delta.limit(0)) == ((0L, 0L)))
+    assert(Pipeline.refreshDashboard(spark, store, delta.limit(0)) == 0L)
+    store.teardown()
+  }
 }

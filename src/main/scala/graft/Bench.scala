@@ -81,6 +81,9 @@ object Bench {
     // otherwise, and min-of-3 reporting would hide the build cost
     // entirely instead of attributing it to a prep)
     "prep_forecast_dispatch" -> ((s, d) => { graft.operators.Forecasting.forecastDispatch(s, d); () }),
+    // the FULL dispatch artifact (all levels + daily) q103 filters —
+    // includes the q66 frame, so it runs after prep_forecast_dispatch
+    "prep_full_dispatch" -> ((s, d) => { graft.operators.Forecasting.fullDispatch(s, d); () }),
     "prep_srp_bands" -> ((s, d) => graft.operators.VectorOps.prepareArtifacts(s, d)))
 
   /** The bench's session, shared with TimeIt. */

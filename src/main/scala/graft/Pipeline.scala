@@ -231,6 +231,94 @@ object Pipeline {
     }
   }
 
+  /** Incremental BACKTEST refresh: re-score ONLY what the delta can
+    * have moved, instead of runGold's full 24-combo re-fit. A changed
+    * lineitem moves exactly three series — its supplier's, its part's,
+    * and its supplier's region's — and the PER-ENTITY models' metrics
+    * depend only on their own series, so those fits run over the fact
+    * filtered to the delta's entities (semi-join against a broadcast
+    * entity frame; at scale an entity-clustered layout prunes at the
+    * scan) and tuple-key-swap into gold.forecast_metrics. The POOLED
+    * global_ar model is different by nature: its coefficients couple
+    * every series, so ANY delta shifts every entity's global_ar
+    * metrics — it re-fits over the full fact (one map-side-combined
+    * regression plus an entity-sized forecast unroll, not a per-entity
+    * fit explosion) and swaps by model. Selection then re-runs over
+    * the stored metrics artifact — entity-count-sized, one window —
+    * because a pooled-coefficient shift can flip any entity's
+    * champion, not just the delta's. Equality with a full re-score is
+    * exact (the spec pins it); an entity whose rows all disappeared
+    * loses its per-entity metrics and selection, as a full rebuild
+    * would drop them. Content comes from CURRENT silver — run
+    * refreshSilverLineitem first. Returns (metrics, selection) rows
+    * written. */
+  def refreshModelSelection(spark: SparkSession, store: LayerStore,
+      deltaLineitem: DataFrame): (Long, Long) = {
+    if (deltaLineitem.isEmpty) (0L, 0L)
+    else {
+      import graft.operators.{Backtest, Forecasting}
+      val resolve: String => DataFrame = store.table("silver", _)
+      // supplier → region dim chain, as the region level frame builds it
+      val supRegion = broadcast(
+        resolve("supplier").select(col("s_suppkey"), col("s_nationkey"))
+          .join(resolve("nation").select(col("n_nationkey"), col("n_regionkey")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(resolve("region").select(col("r_regionkey"), col("r_name")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("s_suppkey"), col("r_name")))
+      val deltaSups = deltaLineitem.select(col("l_suppkey")).distinct()
+      val deltaRegions = deltaSups
+        .join(supRegion, col("l_suppkey") === col("s_suppkey"))
+        .select(col("r_name")).distinct()
+      withMaterializer { mat =>
+        val byLevel = Forecasting.levels.map { lv =>
+          // (fact filter key, delta entity frame, swap-key frame)
+          val (keyCol, factKeys, entityIds) = lv match {
+            case "supplier" => ("l_suppkey", deltaSups,
+              deltaSups.select(col("l_suppkey").cast(StringType).as("entity_id")))
+            case "product" =>
+              val parts = deltaLineitem.select(col("l_partkey")).distinct()
+              ("l_partkey", parts,
+                parts.select(col("l_partkey").cast(StringType).as("entity_id")))
+            case "region" =>
+              // a changed supplier changes its whole REGION's series:
+              // the fact filter is every supplier of the delta's regions
+              val sups = deltaRegions
+                .join(supRegion, Seq("r_name"))
+                .select(col("s_suppkey").as("l_suppkey"))
+              ("l_suppkey", sups,
+                deltaRegions.select(col("r_name").as("entity_id")))
+          }
+          val resolveL: String => DataFrame = {
+            case "lineitem" =>
+              val li = resolve("lineitem")
+              li.join(broadcast(factKeys), Seq(keyCol), "left_semi")
+                .select(li.columns.map(col): _*)
+            case t => resolve(t)
+          }
+          (Backtest.metricsOverLevels(resolveL, mat, atLevels = Seq(lv),
+            atModels = Backtest.perEntityModels),
+            entityIds.select(lit(lv).as("level"), col("entity_id")))
+        }
+        val perEntityDelta = mat(byLevel.map(_._1).reduce(_ unionByName _))
+        val modelsDf = spark.createDataset(Backtest.perEntityModels)(
+          org.apache.spark.sql.Encoders.STRING).toDF("model")
+        val perEntityKeys = byLevel.map(_._2).reduce(_ unionByName _)
+          .crossJoin(broadcast(modelsDf))
+        // the pooled model: full-fact refit, all entities, swap by model
+        val pooledAll = mat(Backtest.metricsOverLevels(resolve, mat,
+          atModels = Seq("global_ar")))
+        store.overwriteMatching("gold", "forecast_metrics", perEntityDelta,
+          Seq("level", "entity_id", "model"), perEntityKeys)
+        val nM = store.overwriteMatching("gold", "forecast_metrics", pooledAll,
+          Seq("model"), pooledAll.select(col("model")).distinct())
+        val nS = store.write("gold", "model_selection",
+          Backtest.championOver(store.table("gold", "forecast_metrics")))
+        (nM, nS)
+      }
+    }
+  }
+
   /** Incremental SILVER refresh for the lineitem fact: re-clean ONLY
     * a bronze delta's keys and tuple-key-swap them into
     * silver.lineitem — the alternative to the reference's

@@ -38,6 +38,13 @@ object Backtest extends QueryModule {
 
   private val allModels = Seq("linear", "seasonal_naive", "seasonal_trend", "global_ar")
 
+  /** The models whose fits are PER-ENTITY — an entity's metrics depend
+    * only on its own series, so incremental re-scoring can restrict
+    * the fact to the delta's entities. global_ar is excluded: its
+    * pooled coefficients couple every series (Pipeline.
+    * refreshModelSelection re-fits it over the full fact instead). */
+  private[graft] val perEntityModels: Seq[String] = allModels.filterNot(_ == "global_ar")
+
   /** Seasonal-position period per granularity (see
     * Forecast.forecastSeasonalTrendOver): 52 weekly, 7 daily. */
   private def seasonPeriod(granularity: String): Int =
@@ -230,13 +237,14 @@ object Backtest extends QueryModule {
     * that share them. */
   def metricsOverLevels(resolve: String => DataFrame,
       materialize: DataFrame => DataFrame = identity,
-      atLevels: Seq[String] = Forecasting.levels): DataFrame =
+      atLevels: Seq[String] = Forecasting.levels,
+      atModels: Seq[String] = allModels): DataFrame =
     atLevels.flatMap { lv =>
       val frame = Forecast.levelFrame(lv, resolve)
       val weekly = materialize(Forecast.weeklyOver(frame, col("entity")))
       val daily = materialize(Forecast.dailySeriesOver(frame, col("entity")))
-      allModels.map(m => metricsFor(weekly, "week", 7, HoldoutWeekly, m, "weekly", lv)) ++
-        allModels.map(m => metricsFor(daily, "ds", 1, HoldoutDaily, m, "daily", lv))
+      atModels.map(m => metricsFor(weekly, "week", 7, HoldoutWeekly, m, "weekly", lv)) ++
+        atModels.map(m => metricsFor(daily, "ds", 1, HoldoutDaily, m, "daily", lv))
     }.reduce(_ unionByName _)
       .orderBy(col("granularity"), col("level"), col("model"), col("entity_id"))
 
@@ -408,15 +416,53 @@ object Backtest extends QueryModule {
        |WHERE c.granularity = 'weekly' AND c.level = 'supplier'
        |ORDER BY f.entity_id, f.ds""".stripMargin
 
+  /** q103 — champion-applied forecasts at EVERY backtested
+    * (granularity, level): the q90 loop closed across the whole
+    * dispatch. Each series at each of the four scored surfaces
+    * (weekly × supplier/product/region, daily × supplier) serves the
+    * forecast rows of the model its backtest champion picked, with
+    * the champion's held-out sMAPE/MAE riding along — the complete
+    * gold.forecasts a deployment serves once the backtest has spoken
+    * at all levels. Horizons vary by champion (per-entity weekly
+    * models emit 4 steps, daily trend models 90, global_ar its
+    * native 7) — the selected model's real surface. Scale: the
+    * champion table is entity-count-sized and broadcasts against the
+    * stored full-dispatch artifact; no refit, no new shuffle. */
+  def championForecastsAll(s: SparkSession, dir: String): DataFrame = {
+    val champ = championOver(backtestMetrics(s, dir))
+      .select(col("granularity").as("c_g"), col("level").as("c_l"),
+        col("entity_id").as("c_e"), col("best_model"), col("smape"), col("mae"))
+    Forecasting.fullDispatch(s, dir)
+      .join(broadcast(champ),
+        (col("granularity") === col("c_g")) && (col("level") === col("c_l")) &&
+          (col("entity_id") === col("c_e")) && (col("model") === col("best_model")))
+      .select(col("granularity"), col("level"), col("entity_id"), col("ds"),
+        col("yhat"), col("yhat_lower"), col("yhat_upper"), col("model"),
+        col("smape"), col("mae"))
+      .orderBy(col("granularity"), col("level"), col("entity_id"), col("ds"))
+  }
+
+  private val championForecastsAllSql =
+    s"""WITH champ AS ($modelSelectionSql),
+       |fc AS (${Forecasting.fullDispatchSql})
+       |SELECT f.granularity, f.level, f.entity_id, f.ds, f.yhat,
+       |       f.yhat_lower, f.yhat_upper, f.model, c.smape, c.mae
+       |FROM fc f JOIN champ c
+       |  ON f.granularity = c.granularity AND f.level = c.level
+       | AND f.entity_id = c.entity_id AND f.model = c.best_model
+       |ORDER BY f.granularity, f.level, f.entity_id, f.ds""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_forecast_backtest" -> forecastBacktest,
     "q82_model_selection" -> modelSelection,
     "q83_model_leaderboard" -> modelLeaderboard,
-    "q90_champion_forecasts" -> championForecasts)
+    "q90_champion_forecasts" -> championForecasts,
+    "q103_champion_all_levels" -> championForecastsAll)
 
   override def oracles: Map[String, String] = Map(
     "q79_forecast_backtest" -> forecastBacktestSql,
     "q82_model_selection" -> modelSelectionSql,
     "q83_model_leaderboard" -> modelLeaderboardSql,
-    "q90_champion_forecasts" -> championForecastsSql)
+    "q90_champion_forecasts" -> championForecastsSql,
+    "q103_champion_all_levels" -> championForecastsAllSql)
 }

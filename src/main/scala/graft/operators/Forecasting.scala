@@ -227,6 +227,86 @@ object Forecasting extends QueryModule {
        |ORDER BY model, entity_id, ds""".stripMargin
   }
 
+  /** Session-lifetime FULL dispatch artifact: every (model ×
+    * granularity × level) combination the backtest scores — the four
+    * models weekly at all three levels plus daily at the artifact
+    * level (supplier) — in the one forecasts interface. The champion
+    * application (q103) filters THIS frame by the q82 selection, so
+    * serving the measured-best model per series costs a broadcast
+    * join, not a refit. Reuses the q66 weekly-supplier artifact and
+    * the memoized series; the remaining 12 fits materialize once in
+    * the Bench prep phase. */
+  private val fullDispatchCache = new graft.util.Memo[(SparkSession, String), DataFrame](_._1.sparkContext.isStopped)
+
+  def fullDispatch(s: SparkSession, dir: String): DataFrame =
+    fullDispatchCache.getOrBuild((s, dir), {
+      val weeklyOther = for {
+        lv <- levels.filterNot(_ == "supplier")
+        m <- models.keys.toSeq.sorted
+      } yield weeklyFitAt(s, dir, lv, m)
+      val daily = models.keys.toSeq.sorted.map(m => run(s, dir, m, "daily"))
+      val d = (forecastDispatch(s, dir) +: (weeklyOther ++ daily))
+        .reduce(_ unionByName _)
+        .persist()
+      d.count()
+      d
+    })
+
+  /** Full-series weekly fits at a non-default level, over the
+    * memoized per-level series artifact — the q103 surface's
+    * product/region arm (the supplier arm IS forecastDispatch). */
+  private def weeklyFitAt(s: SparkSession, dir: String, lv: String,
+      model: String): DataFrame = {
+    val series = Forecast.weeklyAt(s, dir, lv)
+    model match {
+      case "linear" =>
+        conform(Forecast.forecastLinearOver(series, minSeriesLen), "linear", "weekly", lv)
+      case "seasonal_naive" =>
+        conform(Forecast.forecastSeasonalNaiveOver(series, minSeriesLen), "seasonal_naive", "weekly", lv)
+      case "seasonal_trend" =>
+        conform(Forecast.forecastSeasonalTrendOver(series, minSeriesLen), "seasonal_trend", "weekly", lv)
+      case "global_ar" =>
+        GlobalAR.globalArCore(
+          series.select(col("entity"), col("week").as("ds"), col("y")),
+          stepDays = 7, granularity = "weekly", level = lv)
+    }
+  }
+
+  private[operators] val fullDispatchSql: String = {
+    val globalWeeklySup = GlobalAR.globalArSql(
+      s"SELECT entity, week AS ds, y FROM (${Forecast.weeklySql})",
+      stepDays = 7, granularity = "weekly")
+    val weeklySupplier = Seq(
+      conformSql(Forecast.forecastLinearSql, "linear"),
+      conformSql(Forecast.forecastSeasonalNaiveSql, "seasonal_naive"),
+      conformSql(Forecast.forecastSeasonalTrendSql, "seasonal_trend"),
+      s"SELECT * FROM ($globalWeeklySup)")
+    val weeklyOther = for {
+      lv <- levels.filterNot(_ == "supplier")
+      m <- models.keys.toSeq.sorted
+    } yield {
+      val (entityExpr, fromClause) = Forecast.levelSql(lv)
+      val series = Forecast.weeklySqlAt(entityExpr, fromClause)
+      m match {
+        case "linear" =>
+          conformSql(Forecast.forecastLinearSqlOver(series, minSeriesLen), "linear", "weekly", lv)
+        case "seasonal_naive" =>
+          conformSql(Forecast.forecastSeasonalNaiveSqlOver(series, minSeriesLen), "seasonal_naive", "weekly", lv)
+        case "seasonal_trend" =>
+          conformSql(Forecast.forecastSeasonalTrendSqlOver(series, minSeriesLen), "seasonal_trend", "weekly", lv)
+        case "global_ar" =>
+          s"SELECT * FROM (${GlobalAR.globalArSql(s"SELECT entity, week AS ds, y FROM ($series)", stepDays = 7, granularity = "weekly", level = lv)})"
+      }
+    }
+    val dailyWk = s"SELECT entity, ds AS week, y FROM (${Forecast.dailySeriesSql})"
+    val daily = Seq(
+      conformSql(Forecast.forecastLinearSqlOver(dailyWk, minSeriesLen, stepDays = 1, horizon = 90), "linear", "daily"),
+      conformSql(Forecast.forecastSeasonalNaiveSqlOver(dailyWk, minSeriesLen, stepDays = 1, period = 7), "seasonal_naive", "daily"),
+      conformSql(Forecast.forecastSeasonalTrendSqlOver(dailyWk, minSeriesLen, stepDays = 1, horizon = 90, period = 7), "seasonal_trend", "daily"),
+      s"SELECT * FROM (${GlobalAR.globalArSql(Forecast.dailySeriesSql, stepDays = 1, granularity = "daily")})")
+    (weeklySupplier ++ weeklyOther ++ daily).map(q => s"($q)").mkString("\nUNION ALL\n")
+  }
+
   /** q70 — the level dimension end-to-end: the linear model at every
     * forecasting level (supplier / product / region) through the one
     * forecasts interface, level column varying, the reference's

@@ -137,4 +137,58 @@ class IncrementalMartSpec extends SparkSpec {
     assert(Pipeline.refreshDashboard(spark, store, delta.limit(0)) == 0L)
     store.teardown()
   }
+
+  test("delta backtest re-scoring + re-selection == full re-score") {
+    val root = java.nio.file.Files.createTempDirectory("inc_bt").toString
+    val store = new LayerStore(spark, root)
+    assert(Pipeline.runBronze(spark, store, sf0001).ok)
+    assert(Pipeline.runSilver(spark, store, "inc-bt").ok)
+    import graft.operators.Backtest
+    val metrics0 = Backtest.metricsOverLevels(store.table("silver", _))
+    store.write("gold", "forecast_metrics", metrics0)
+    store.write("gold", "model_selection", Backtest.championOver(
+      store.table("gold", "forecast_metrics")))
+    // collect eagerly: refreshes below swap the files lazy plans read
+    val metricsBefore = rows(store.table("gold", "forecast_metrics"))
+    val selBefore = rows(store.table("gold", "model_selection"))
+
+    // delta: shift ONE supplier's quantities — its supplier series,
+    // its parts' series, and its region's series all move
+    val li = store.table("silver", "lineitem")
+    val sup = li.select("l_suppkey").orderBy("l_suppkey").limit(1)
+      .collect()(0).getLong(0)
+    store.write("silver", "lineitem",
+      li.withColumn("l_quantity",
+        when(col("l_suppkey") === sup, col("l_quantity") + lit(3.0))
+          .otherwise(col("l_quantity"))))
+    val delta = store.table("silver", "lineitem").filter(col("l_suppkey") === sup)
+
+    val (nM, nS) = Pipeline.refreshModelSelection(spark, store, delta)
+    assert(nM > 0 && nS > 0)
+    val expectedMetrics = Backtest.metricsOverLevels(store.table("silver", _))
+    assert(rows(store.table("gold", "forecast_metrics")) == rows(expectedMetrics),
+      "delta re-score diverged from the full re-score")
+    assert(rows(store.table("gold", "model_selection")) ==
+      rows(Backtest.championOver(expectedMetrics)),
+      "delta re-selection diverged from the full re-selection")
+    // per-entity model metrics outside the delta must not have moved
+    // (global_ar legitimately moves everywhere — pooled coefficients)
+    val deltaParts = delta.select("l_partkey").distinct()
+      .collect().map(_.getLong(0).toString).toSet
+    val metChanged = (rows(store.table("gold", "forecast_metrics")) -- metricsBefore) ++
+      (metricsBefore -- rows(store.table("gold", "forecast_metrics")))
+    val allowed = (lvl: String, e: String, m: String) => m == "global_ar" || (lvl match {
+      case "supplier" => e == sup.toString
+      case "product" => deltaParts.contains(e)
+      case "region" => true // the supplier's whole region legitimately re-scores
+    })
+    assert(metChanged.forall(r => allowed(r(1).asInstanceOf[String],
+      r(2).asInstanceOf[String], r(3).asInstanceOf[String])),
+      s"per-entity metrics outside the delta changed: ${metChanged.take(3)}")
+    assert(selBefore.nonEmpty) // sanity: the initial selection existed
+
+    // empty delta is a no-op
+    assert(Pipeline.refreshModelSelection(spark, store, delta.limit(0)) == ((0L, 0L)))
+    store.teardown()
+  }
 }

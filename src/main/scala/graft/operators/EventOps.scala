@@ -656,7 +656,42 @@ object EventOps extends QueryModule {
       |GROUP BY 1, 2, 3
       |ORDER BY window_start, event_type""".stripMargin
 
+  /** q104 — skew-resilient top-k per HOT key: the highest-value
+    * events per event_type, a key with single-digit cardinality —
+    * every row of a type lands in ONE window task under the naive
+    * `Window.partitionBy(event_type)` (the classic hot-partition
+    * bottleneck; ranking is not decomposable, so neither map-side
+    * combine nor AQE's join-skew splitting helps). Runs through
+    * [[graft.util.SkewJoin.saltedTopK]]: rank within (type, salt-of-8)
+    * — the hot type spreads over 8 tasks — then re-rank the ≤ 40
+    * survivors per type. Provably identical to the naive window
+    * (the total (value DESC, event_id) order makes the per-salt top-k
+    * union a superset of the global top-k; ScaleSpec pins equality on
+    * a deliberately Zipfian fixture and that the plan's first Window
+    * partitions by (key, salt)). The DuckDB oracle IS the naive
+    * window — oracle-green means the salted rewrite changed nothing
+    * but the plan. */
+  def hotKeyTopEvents(s: SparkSession, dir: String): DataFrame =
+    graft.util.SkewJoin.saltedTopK(
+      Tables.t(s, dir, "events")
+        .select(col("event_type"), col("event_id"), col("user_id"), col("value")),
+      "event_type", Seq(col("value").desc, col("event_id")), k = 5, salts = 8)
+      .select(col("event_type"), col("rank"), col("event_id"),
+        col("user_id"), col("value"))
+      .orderBy(col("event_type"), col("rank"))
+
+  private val hotKeyTopEventsSql =
+    """SELECT event_type, CAST(rank AS INTEGER) AS rank, event_id, user_id, value
+      |FROM (
+      |  SELECT event_type, event_id, user_id, value,
+      |         row_number() OVER (PARTITION BY event_type
+      |                            ORDER BY value DESC, event_id) AS rank
+      |  FROM events)
+      |WHERE rank <= 5
+      |ORDER BY event_type, rank""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_hot_key_topk" -> hotKeyTopEvents,
     "q100_sliding_windows" -> slidingWindows,
     "q98_group_quantiles" -> groupQuantiles,
     "q97_event_transitions" -> eventTransitions,
@@ -675,6 +710,7 @@ object EventOps extends QueryModule {
     "q76_funnel" -> funnel)
 
   override def oracles: Map[String, String] = Map(
+    "q104_hot_key_topk" -> hotKeyTopEventsSql,
     "q100_sliding_windows" -> slidingWindowsSql,
     "q98_group_quantiles" -> groupQuantilesSql,
     "q97_event_transitions" -> eventTransitionsSql,

@@ -35,6 +35,36 @@ object SkewJoin {
         sum(col("__partial_n")).as("count"))
   }
 
+  /** Skew-resilient top-k per hot key — the window-skew case neither
+    * Catalyst's partial aggregation nor AQE can re-plan: a bare
+    * `Window.partitionBy(key)` serializes EVERY row of a hot key
+    * through one task (ranking is not decomposable the way sums are,
+    * and AQE's skew handling splits joins, not windows). Two phases:
+    * rank within (key, salt) — the hot key's rows spread over `salts`
+    * tasks — keep k per salt, then rank the ≤ salts×k survivors per
+    * key (a bounded frame, not fact-proportional). Identical to the
+    * naive window for any TOTAL order: a key's global top k is
+    * contained in the union of its per-salt top k, and the final
+    * ranking applies the same total order to that superset. The salt
+    * is a deterministic hash of the non-key columns (rerun-stable,
+    * unlike rand()). Output: the input columns plus `rank` 1..k. */
+  def saltedTopK(df: DataFrame, key: String, order: Seq[Column],
+    k: Int, salts: Int): DataFrame = {
+    require(k > 0 && salts > 0)
+    val spreadCols = df.columns.filterNot(_ == key).map(col)
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key), col("__salt")).orderBy(order: _*)
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(order: _*)
+    df.withColumn("__salt", pmod(hash(spreadCols: _*), lit(salts)))
+      .withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= k)
+      .drop("__r1")
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .drop("__salt")
+  }
+
   /** Join types that preserve semantics under salting. The dim side is
     * replicated across every salt, so any type that can EMIT unmatched
     * dim rows ("right", "full_outer") would emit them once per salt —

@@ -180,6 +180,35 @@ class ScaleSpec extends SparkSpec {
     assert(salted.toSeq == direct.toSeq)
   }
 
+  test("salted top-k (q104) == naive hot-key window on a Zipfian fixture") {
+    import org.apache.spark.sql.expressions.Window
+    // deliberately Zipfian: 90% of rows share one key — the naive
+    // Window.partitionBy(key) would serialize them through one task
+    val df = spark.range(20000).select(
+      when($"id" % 10 < 9, lit("hot"))
+        .otherwise(concat(lit("k"), ($"id" % 97).cast("string"))).as("k"),
+      $"id".as("event_id"),
+      (($"id" * 2654435761L) % 10007).cast("double").as("v"))
+    val order = Seq($"v".desc, $"event_id")
+    val naive = df
+      .withColumn("rank", row_number().over(Window.partitionBy($"k").orderBy(order: _*)))
+      .filter($"rank" <= 7)
+    val salted = SkewJoin.saltedTopK(df, "k", order, k = 7, salts = 8)
+    val cols = salted.columns.map(col)
+    assert(salted.collect().map(_.toSeq).toSet ==
+      naive.select(cols: _*).collect().map(_.toSeq).toSet,
+      "salted top-k diverged from the naive window")
+    // the plan spreads phase 1 over (key, salt) — the skew handling
+    // is IN the plan, not an implementation hope
+    val plan = salted.queryExecution.executedPlan.toString
+    assert("Window".r.findAllIn(plan).size >= 2 && plan.contains("__salt"),
+      s"expected a two-phase salted window plan:\n$plan")
+    // and the registered q104 runs through the same machinery
+    val qplan = SparkEntry.queries("q104_hot_key_topk")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(qplan.contains("__salt"), "q104 lost its salt spreading")
+  }
+
   test("approx distinct/percentile stay within tolerance of exact (opt-in scale path)") {
     val l = Tables.t(spark, sf0001, "lineitem")
     val row = l.agg(

@@ -179,9 +179,13 @@ object Backtest extends QueryModule {
       // persist the UNIONED artifact, not just the 16 parts: every
       // consumer (q79/q82/q83/q90) re-pays a 16-branch union per job
       // otherwise — at sf0.1 that stage-launch overhead alone was
-      // 4.3–4.9 s per query (BENCH_r08) on entity-count-sized data
+      // 4.3–4.9 s per query (BENCH_r08) on entity-count-sized data.
+      // coalesce(8): the bare union inherits 16 × shuffle.partitions
+      // cached partitions, and consumers then pay ~500 task launches
+      // per job over entity-count-sized data (parts are already
+      // persisted here, so the collapse costs one cheap pass)
       val flat = parts.flatten
-      val unioned = flat.reduce(_ unionByName _).persist()
+      val unioned = flat.reduce(_ unionByName _).coalesce(8).persist()
       unioned.count()
       flat.foreach(_.unpersist())
       unioned

@@ -245,8 +245,12 @@ object Forecasting extends QueryModule {
         m <- models.keys.toSeq.sorted
       } yield weeklyFitAt(s, dir, lv, m)
       val daily = models.keys.toSeq.sorted.map(m => run(s, dir, m, "daily"))
+      // repartition(16), not coalesce: the 17 branches' fits keep
+      // their own shuffle parallelism while the CACHED frame collapses
+      // from 17 × shuffle.partitions task-launch units to 16
       val d = (forecastDispatch(s, dir) +: (weeklyOther ++ daily))
         .reduce(_ unionByName _)
+        .repartition(16)
         .persist()
       d.count()
       d

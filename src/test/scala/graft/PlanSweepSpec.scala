@@ -52,6 +52,7 @@ class PlanSweepSpec extends SparkSpec {
     "q62_decontamination", "q64_range_join", "q70_forecast_levels",
     "q73_embedding_clusters",
     "q91_decon_two_phase", // exact-verify join on hash-hit grams (broadcast at small SF, SMJ at scale)
+    "q105_incremental_dedup", // delta bands vs stored index + shingle verify: derived-vs-derived, delta side bounded
     "q99_curation_funnel") // stage chains: doc-id-projection semi/anti joins of comparable derived sets
 
   private def plan(name: String): String =

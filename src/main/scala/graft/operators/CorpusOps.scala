@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryModule, Tables}
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
@@ -568,6 +568,65 @@ object CorpusOps extends QueryModule {
        |ORDER BY source""".stripMargin
   }
 
+  // ---- q106: temperature-scaled source sampling --------------------
+
+  /** Doc budget for the temperature mix (run configuration at scale,
+    * like MixBudgetDocs). */
+  private val TempBudgetDocs = 200L
+
+  /** q106 — temperature-scaled source sampling (the multilingual-
+    * training mix rule, mBERT/XLM/mT5 family): sample source i with
+    * probability q_i ∝ p_i^α, α = 1/2 — upweighting low-resource
+    * sources relative to their natural share, the standard correction
+    * for head-heavy corpora (α = 1 is q68's proportional mix; α → 0
+    * approaches uniform). α is FIXED at 1/2 deliberately: the weight
+    * is then sqrt(n), the one power IEEE 754 requires to be correctly
+    * rounded — a general pow() is libm-implementation-varying and
+    * could not be hash-verified cross-engine. Weights snap to 8 dp and
+    * sum through decimal (order-independent), keep-rates derive in
+    * per-mille like q68, and the sample is the same deterministic
+    * keyed coin. Scale: one tiny per-source aggregate broadcast back;
+    * the corpus never shuffles. */
+  def temperatureMix(s: SparkSession, dir: String): DataFrame = {
+    import graft.util.Parity.snapRound
+    val docs = Tables.t(s, dir, "documents")
+    val counts = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("source_count"))
+      .withColumn("w", snapRound(sqrt(col("source_count").cast(DoubleType)), 8))
+    val wsum = counts.agg(
+      sum(col("w").cast(DecimalType(38, 8))).cast(DoubleType).as("wsum"))
+    val rates = counts.crossJoin(broadcast(wsum))
+      .withColumn("rate_permille",
+        least(lit(1000L), floor(lit(1000.0) * lit(TempBudgetDocs.toDouble) *
+          col("w") / col("wsum") / col("source_count").cast(DoubleType))))
+      .select(col("source"), col("source_count"), col("w"), col("rate_permille"))
+    docs.join(broadcast(rates), "source")
+      .withColumn("bucket", permilleBucket(col("doc_id")))
+      .filter(col("bucket") < col("rate_permille"))
+      .groupBy(col("source"), col("source_count"), col("w"), col("rate_permille"))
+      .agg(count(lit(1)).as("kept_docs"))
+      .orderBy(col("source"))
+  }
+
+  private val temperatureMixSql = {
+    import graft.util.Parity.snapRoundSql
+    s"""WITH counts AS (
+       |  SELECT source, count(1) AS source_count,
+       |         ${snapRoundSql("sqrt(CAST(count(1) AS DOUBLE))", 8)} AS w
+       |  FROM documents GROUP BY 1),
+       |wsum AS (SELECT CAST(sum(CAST(w AS DECIMAL(38,8))) AS DOUBLE) AS wsum FROM counts),
+       |rates AS (
+       |  SELECT source, source_count, w,
+       |         least(1000, CAST(floor(1000.0 * ${TempBudgetDocs.toDouble} * w
+       |           / wsum / CAST(source_count AS DOUBLE)) AS BIGINT)) AS rate_permille
+       |  FROM counts, wsum)
+       |SELECT source, source_count, w, rate_permille, count(1) AS kept_docs
+       |FROM documents JOIN rates USING (source)
+       |WHERE ${permilleBucketSql("doc_id")} < rate_permille
+       |GROUP BY 1, 2, 3, 4
+       |ORDER BY source""".stripMargin
+  }
+
   // ---- q69: inter-document span dedup -----------------------------
 
   /** Span width in tokens — 8 catches the fixture's near-duplicate
@@ -680,6 +739,120 @@ object CorpusOps extends QueryModule {
     * (pair, doc) partial counts, then pair rollup — no Expand, one
     * shuffle each, rank window AFTER the limit so it sees 200 rows,
     * not the pair space. */
+  // ---- q107: BPE merge training (iterative) ------------------------
+
+  /** Number of BPE merge rounds the trainer runs. */
+  private val BpeMerges = 5
+
+  /** Greedy left-to-right non-overlapping merge of adjacent (a, b)
+    * symbol pairs — the BPE apply step. An ordered array fold with a
+    * (out, just-merged) struct accumulator: element x merges into the
+    * accumulator's last symbol iff that symbol equals `a`, x equals
+    * `b`, and the last symbol was not itself produced by this round's
+    * merge (the i += 2 of the classic scan — "a a a" under rule (a,a)
+    * yields [aa, a], not [aa, aa]). Identical fold in the DuckDB twin
+    * (list_reduce with the same struct), so merged vocabularies are
+    * bit-identical cross-engine. */
+  private def bpeMerge(syms: Column, a: Column, b: Column): Column = {
+    val init = struct(
+      array().cast("array<string>").as("out"), lit(false).as("lm"))
+    aggregate(syms, init, (acc, x) => {
+      val out = acc.getField("out")
+      val last = when(size(out) > 0, element_at(out, -1))
+      when(!acc.getField("lm") && size(out) > 0 && (last === a) && (x === b),
+        struct(
+          concat(slice(out, lit(1), size(out) - 1), array(concat(a, b))).as("out"),
+          lit(true).as("lm")))
+        .otherwise(struct(concat(out, array(x)).as("out"), lit(false).as("lm")))
+    }).getField("out")
+  }
+
+  /** q107 — BPE merge TRAINING, the iterative tokenizer-fit loop (q75
+    * counts pairs once; this actually learns merges, Sennrich et al.
+    * 2016): word types + frequencies from one corpus pass, words split
+    * to characters plus a '</w>' end marker, then BpeMerges rounds of
+    * [count adjacent symbol pairs weighted by word freq → argmax pair
+    * (total tiebreak: count DESC, then lexicographic) → greedy-merge
+    * it into every word]. Output is the learned merge table. The whole
+    * loop is ONE lazy plan: each round's argmax is a 1-row TakeOrdered
+    * frame crossJoined back (broadcast), so the merge rule reaches the
+    * fold as a column — no driver collect, no literal re-planning, and
+    * identical exchanges are reused across rounds. Scale: after the
+    * initial corpus tokenize+count, every round operates on the WORD-
+    * TYPE vocabulary (bounded, freq-weighted) — the corpus is never
+    * touched again, which is how a trainer survives 100 TB input. */
+  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.t(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    var cur = words.select(col("freq"),
+      concat(
+        transform(sequence(lit(1), length(col("w"))), i => col("w").substr(i, lit(1))),
+        array(lit("</w>"))).as("syms"))
+    val merges = (1 to BpeMerges).map { r =>
+      val n = size(col("syms"))
+      val pairCounts = cur
+        .select(col("freq"), explode(arrays_zip(
+          slice(col("syms"), lit(1), n - 1), slice(col("syms"), lit(2), n - 1))).as("p"))
+        .groupBy(col("p.0").as("a"), col("p.1").as("b"))
+        .agg(sum(col("freq")).as("pair_count"))
+      val best = pairCounts
+        .orderBy(col("pair_count").desc, col("a"), col("b")).limit(1)
+      cur = cur
+        .crossJoin(broadcast(best.select(col("a").as("ma"), col("b").as("mb"))))
+        .select(col("freq"), bpeMerge(col("syms"), col("ma"), col("mb")).as("syms"))
+      best.select(lit(r).as("merge_rank"), col("a").as("left_sym"),
+        col("b").as("right_sym"), col("pair_count"))
+    }
+    merges.reduce(_ unionByName _).orderBy(col("merge_rank"))
+  }
+
+  private val bpeTrainSql = {
+    // DuckDB 1.0 list_reduce drops LIST-typed struct fields across
+    // steps (a {out: [...], lm: bool} accumulator resets out every
+    // element — measured), so the just-merged flag rides as a chr(1)
+    // sentinel ELEMENT on a bare VARCHAR[] accumulator instead: a
+    // sentinel on top means "the symbol under me was produced by this
+    // round's merge — pop me and append without the merge check",
+    // which is exactly the Spark fold's lm=true branch.
+    val foldSql = (a: String, b: String) =>
+      s"""list_filter(
+         |  list_reduce(list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, x -> [x])),
+         |    (acc, e) -> CASE
+         |      WHEN len(acc) > 0 AND acc[-1] = chr(1) THEN list_append(acc[1:-2], e[1])
+         |      WHEN len(acc) > 0 AND acc[-1] = $a AND e[1] = $b
+         |        THEN list_append(list_append(acc[1:-2], $a || $b), chr(1))
+         |      ELSE list_append(acc, e[1]) END),
+         |  s -> s <> chr(1))""".stripMargin
+    val rounds = (1 to BpeMerges).map { r =>
+      s"""pc$r AS (
+         |  SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(freq) AS BIGINT) AS pair_count
+         |  FROM w${r - 1}, unnest(generate_series(1, len(syms) - 1)) AS t(i)
+         |  GROUP BY 1, 2),
+         |best$r AS (
+         |  SELECT a, b, pair_count FROM pc$r
+         |  ORDER BY pair_count DESC, a, b LIMIT 1),
+         |w$r AS (
+         |  SELECT freq, ${foldSql(s"best$r.a", s"best$r.b")} AS syms
+         |  FROM w${r - 1}, best$r)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to BpeMerges).map(r =>
+      s"SELECT $r AS merge_rank, a AS left_sym, b AS right_sym, pair_count FROM best$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH words AS (
+       |  SELECT w, count(1) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY 1),
+       |w0 AS (
+       |  SELECT freq,
+       |         list_append(list_transform(generate_series(1, len(w)), i -> w[i:i]), '</w>') AS syms
+       |  FROM words),
+       |$rounds
+       |$out
+       |ORDER BY merge_rank""".stripMargin
+  }
+
   def bpePairs(s: SparkSession, dir: String): DataFrame = {
     val pairArr = expr(
       """CASE WHEN size(toks) >= 2
@@ -727,6 +900,8 @@ object CorpusOps extends QueryModule {
     "q65_lang_source_matrix" -> langSourceMatrix,
     "q67_pii_redact" -> piiRedact,
     "q68_corpus_mix" -> corpusMix,
+    "q106_temperature_mix" -> temperatureMix,
+    "q107_bpe_train" -> bpeTrain,
     "q69_span_dedup" -> spanDedup,
     "q72_chunk_docs" -> chunkDocs,
     "q75_bpe_pairs" -> bpePairs,
@@ -742,6 +917,8 @@ object CorpusOps extends QueryModule {
     "q65_lang_source_matrix" -> langSourceMatrixSql,
     "q67_pii_redact" -> piiRedactSql,
     "q68_corpus_mix" -> corpusMixSql,
+    "q106_temperature_mix" -> temperatureMixSql,
+    "q107_bpe_train" -> bpeTrainSql,
     "q69_span_dedup" -> spanDedupSql,
     "q72_chunk_docs" -> chunkDocsSql,
     "q75_bpe_pairs" -> bpePairsSql,

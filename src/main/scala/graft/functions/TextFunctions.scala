@@ -97,4 +97,39 @@ object TextFunctions {
   def permilleBucketSql(id: String): String =
     s"((($id >> 31) * 1103515245) % 1000 + " +
       s"(($id & 2147483647) * 2654435761) % 1000) % 1000"
+
+  /** Hex-digit value of a single lowercase md5 hex char (the simhash
+    * decode rule, factored for reuse). */
+  private def hexDigit(c: Column): Column = {
+    val a = ascii(c)
+    when(a >= 97, a - lit(87)).otherwise(a - lit(48)).cast(IntegerType)
+  }
+
+  private def hexDigitSql(c: String): String =
+    s"(CASE WHEN ascii($c) >= 97 THEN ascii($c) - 87 ELSE ascii($c) - 48 END)"
+
+  /** Feature-hashing (the hashing trick, Weinberger et al. 2009)
+    * dimension for a token: first two md5 hex chars -> 0..255, mod
+    * `dims`. md5-based like every portable hash here — bit-identical
+    * cross-engine. */
+  def featureDim(tok: Column, dims: Int): Column =
+    (hexDigit(substring(md5(tok.cast(BinaryType)), 1, 1)) * lit(16) +
+      hexDigit(substring(md5(tok.cast(BinaryType)), 2, 1))) % lit(dims)
+
+  /** SQL twin of featureDim. Parity-critical pair — never edit one
+    * copy only. */
+  def featureDimSql(tok: String, dims: Int): String =
+    s"((${hexDigitSql(s"substr(md5($tok), 1, 1)")} * 16 + " +
+      s"${hexDigitSql(s"substr(md5($tok), 2, 1)")}) % $dims)"
+
+  /** Feature-hashing sign (+1/-1 from md5 hex char 3) — the unbiased
+    * signed update of the hashing trick. */
+  def featureSign(tok: Column): Column =
+    when(hexDigit(substring(md5(tok.cast(BinaryType)), 3, 1)) % 2 === 0,
+      lit(1.0)).otherwise(lit(-1.0))
+
+  /** SQL twin of featureSign. Parity-critical pair. */
+  def featureSignSql(tok: String): String =
+    s"(CASE WHEN ${hexDigitSql(s"substr(md5($tok), 3, 1)")} % 2 = 0 " +
+      "THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)"
 }

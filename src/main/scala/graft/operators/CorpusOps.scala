@@ -94,6 +94,81 @@ object CorpusOps extends QueryModule {
       |FROM g JOIN tc ON g.doc_id = tc.doc_id
       |ORDER BY g.doc_id""".stripMargin
 
+  // ---- q110: quality-signal agreement (Spearman) -------------------
+
+  /** q110 — do the corpus's quality signals agree? Spearman rank
+    * correlation, per source, between the q26 quality score and the
+    * q61 repetition metrics (dup-trigram fraction and top-token
+    * share) — the calibration check run before trusting any single
+    * signal as a filter gate (a source where quality and repetition
+    * rank-agree is being filtered twice; one where they diverge needs
+    * both gates). Ranks are total-order row_numbers with a doc_id
+    * tiebreak (the q77 portability rule — NOT average-rank ties, and
+    * exactly reproducible), so Spearman reduces to the classic
+    * 1 − 6·Σd²/(n(n²−1)) over integer rank differences: everything is
+    * exact integer/decimal arithmetic until two final IEEE ops,
+    * identical cross-engine. Scale: one window shuffle on source
+    * (Σd² ≤ n³ needs n < ~2e5 per source for the exact decimal→double
+    * step; beyond that, rank from per-source score histograms). */
+  def signalAgreement(s: SparkSession, dir: String): DataFrame = {
+    import graft.util.Parity.snapRound
+    val q = graft.operators.TextOps.qualityScore(s, dir)
+      .select(col("doc_id"), col("quality"))
+    val rp = repetitionProfile(s, dir)
+      .select(col("doc_id"), col("dup_gram_frac"), col("top_token_frac"))
+    val src = Tables.t(s, dir, "documents").select(col("doc_id"), col("source"))
+    def rk(c: Column) = row_number()
+      .over(Window.partitionBy(col("source")).orderBy(c, col("doc_id")))
+      .cast(LongType)
+    val ranked = q.join(rp, "doc_id").join(src, "doc_id")
+      .select(col("source"), rk(col("quality")).as("rq"),
+        rk(col("dup_gram_frac")).as("rd"), rk(col("top_token_frac")).as("rt"))
+    def d2(a: Column, b: Column) = ((a - b) * (a - b)).cast(DecimalType(38, 0))
+    def rho(sd2: Column): Column = {
+      val nd = col("n_docs").cast(DoubleType)
+      when(col("n_docs") > 1,
+        snapRound(lit(1.0) - lit(6.0) * sd2.cast(DoubleType) /
+          (nd * (nd * nd - lit(1.0))), 6))
+    }
+    ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(d2(col("rq"), col("rd"))).as("sd2_rep"),
+        sum(d2(col("rq"), col("rt"))).as("sd2_top"))
+      .select(col("source"), col("n_docs"),
+        rho(col("sd2_rep")).as("rho_quality_dupgram"),
+        rho(col("sd2_top")).as("rho_quality_toptoken"))
+      .orderBy(col("source"))
+  }
+
+  private val signalAgreementSql = {
+    import graft.operators.TextOps.qualityScoreSql
+    import graft.util.Parity.snapRoundSql
+    def rhoSql(sd2: String) =
+      s"""CASE WHEN n_docs > 1 THEN ${snapRoundSql(
+        s"1.0 - 6.0 * $sd2 / (CAST(n_docs AS DOUBLE) * " +
+          "(CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE) - 1.0))", 6)} END"""
+    s"""WITH q AS (SELECT doc_id, quality FROM ($qualityScoreSql)),
+       |rp AS (SELECT doc_id, dup_gram_frac, top_token_frac FROM ($repetitionProfileSql)),
+       |j AS (
+       |  SELECT d.source, q.doc_id, q.quality, rp.dup_gram_frac, rp.top_token_frac
+       |  FROM q JOIN rp USING (doc_id) JOIN documents d ON q.doc_id = d.doc_id),
+       |rk AS (
+       |  SELECT source,
+       |         row_number() OVER (PARTITION BY source ORDER BY quality, doc_id) AS rq,
+       |         row_number() OVER (PARTITION BY source ORDER BY dup_gram_frac, doc_id) AS rd,
+       |         row_number() OVER (PARTITION BY source ORDER BY top_token_frac, doc_id) AS rt
+       |  FROM j),
+       |ag AS (
+       |  SELECT source, count(1) AS n_docs,
+       |         CAST(sum(CAST((rq - rd) * (rq - rd) AS DECIMAL(38,0))) AS DOUBLE) AS sd2_rep,
+       |         CAST(sum(CAST((rq - rt) * (rq - rt) AS DECIMAL(38,0))) AS DOUBLE) AS sd2_top
+       |  FROM rk GROUP BY 1)
+       |SELECT source, n_docs,
+       |       ${rhoSql("sd2_rep")} AS rho_quality_dupgram,
+       |       ${rhoSql("sd2_top")} AS rho_quality_toptoken
+       |FROM ag ORDER BY source""".stripMargin
+  }
+
   // ---- q62: decontamination --------------------------------------
 
   /** q62 — n-gram contamination against the held-out eval source:
@@ -902,6 +977,7 @@ object CorpusOps extends QueryModule {
     "q68_corpus_mix" -> corpusMix,
     "q106_temperature_mix" -> temperatureMix,
     "q107_bpe_train" -> bpeTrain,
+    "q110_signal_agreement" -> signalAgreement,
     "q69_span_dedup" -> spanDedup,
     "q72_chunk_docs" -> chunkDocs,
     "q75_bpe_pairs" -> bpePairs,
@@ -919,6 +995,7 @@ object CorpusOps extends QueryModule {
     "q68_corpus_mix" -> corpusMixSql,
     "q106_temperature_mix" -> temperatureMixSql,
     "q107_bpe_train" -> bpeTrainSql,
+    "q110_signal_agreement" -> signalAgreementSql,
     "q69_span_dedup" -> spanDedupSql,
     "q72_chunk_docs" -> chunkDocsSql,
     "q75_bpe_pairs" -> bpePairsSql,

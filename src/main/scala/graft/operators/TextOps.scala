@@ -659,6 +659,57 @@ object TextOps extends QueryModule {
        |  GROUP BY 1, 2)
        |ORDER BY source""".stripMargin
 
+  // ---- q111: quality token-budget curve ---------------------------
+
+  /** q111 — the data-budget planning curve: "if we keep only docs of
+    * quality >= cutoff, how many tokens survive?" Every quality bin
+    * (the q86 fixed 10-point bins) reports its own doc/token mass and
+    * the CUMULATIVE mass from the top bin down — the table a pre-
+    * training data lead reads to pick the quality bar that still
+    * funds the token budget. Scale: fixed bins keep the aggregation
+    * two-level with map-side combine (no corpus-wide quantile sort);
+    * the cumulative window runs over <= 10 bin rows — bounded, not a
+    * corpus window. */
+  def qualityBudget(s: SparkSession, dir: String): DataFrame = {
+    val scored = qualityScore(s, dir).select(col("quality"), col("n_tokens"))
+    val perBin = scored
+      .select(least(floor(col("quality") / lit(10.0)), lit(9.0))
+        .cast(IntegerType).as("bin"), col("n_tokens"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+    val wCum = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perBin
+      .withColumn("cum_docs", sum(col("n_docs")).over(wCum))
+      .withColumn("cum_tokens", sum(col("bin_tokens")).over(wCum))
+      .withColumn("total_tokens", sum(col("bin_tokens")).over(wAll))
+      .select(col("bin"), (col("bin") * 10).as("min_quality"),
+        col("n_docs"), col("bin_tokens"), col("cum_docs"), col("cum_tokens"),
+        snapRound(col("cum_tokens").cast(DoubleType) /
+          col("total_tokens").cast(DoubleType), 6).as("cum_token_share"))
+      .orderBy(col("bin").desc)
+  }
+
+  private def qualityBudgetSql: String =
+    s"""WITH scored AS (SELECT quality, n_tokens FROM ($qualityScoreSql)),
+       |pb AS (
+       |  SELECT CAST(least(floor(quality / 10.0), 9.0) AS INTEGER) AS bin,
+       |         count(1) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+       |  FROM scored GROUP BY 1),
+       |c AS (
+       |  SELECT bin, n_docs, bin_tokens,
+       |         CAST(sum(n_docs) OVER wc AS BIGINT) AS cum_docs,
+       |         CAST(sum(bin_tokens) OVER wc AS BIGINT) AS cum_tokens,
+       |         CAST(sum(bin_tokens) OVER wa AS BIGINT) AS total_tokens
+       |  FROM pb
+       |  WINDOW wc AS (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |         wa AS (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+       |SELECT bin, bin * 10 AS min_quality, n_docs, bin_tokens, cum_docs, cum_tokens,
+       |       ${snapRoundSql("CAST(cum_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)", 6)} AS cum_token_share
+       |FROM c ORDER BY bin DESC""".stripMargin
+
   // ---- q27: token counting ---------------------------------------
 
   /** q27 — whitespace + BPE-ish regex token counts. */
@@ -924,6 +975,7 @@ object TextOps extends QueryModule {
     "q24_simhash" -> simhash,
     "q25_langid" -> langId,
     "q26_text_quality" -> qualityScore,
+    "q111_quality_budget" -> qualityBudget,
     "q77_quality_gate" -> qualityGate,
     "q86_source_drift" -> sourceDrift,
     "q27_token_count" -> tokenCount,
@@ -957,6 +1009,7 @@ object TextOps extends QueryModule {
     "q24_simhash" -> simhashSql,
     "q25_langid" -> langIdSql,
     "q26_text_quality" -> qualityScoreSql,
+    "q111_quality_budget" -> qualityBudgetSql,
     "q77_quality_gate" -> qualityGateSql,
     "q86_source_drift" -> sourceDriftSql,
     "q27_token_count" -> tokenCountSql,

@@ -964,7 +964,7 @@ object VectorOps extends QueryModule {
     * irrelevant. With per-round truncation each round plans a flat
     * scan→join→agg. No driver-side data path: the checkpoint
     * materializes K rows on executors. */
-  private def kmFit(base0: DataFrame, k: Int, intValued: Boolean): DataFrame = {
+  private[graft] def kmFit(base0: DataFrame, k: Int, intValued: Boolean): DataFrame = {
     val base = base0.persist()
     var cents = base.filter(col("vec_id") < k)
       .select(col("vec_id").as("cell"), col("e").as("cv"), col("norm2").as("cnorm2"))

@@ -122,6 +122,56 @@ class ScaleSpec extends SparkSpec {
       s"SRP candidate growth super-linear: $sp1 -> $sp10 at 10× data")
   }
 
+  test("k-means Lloyd fit recovers planted clusters; SemDeDup pair scope stays sub-quadratic") {
+    // planted geometry: nC well-separated directions (the SRP fixture's
+    // mixer), id -> cluster = id % nC so the sampled init (first K ids)
+    // seeds one member per planted cluster — Lloyd must then recover
+    // the planted partition exactly
+    val nC = 10
+    val n = 400
+    def mix(x: Long): Long = {
+      var z = x + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val rows = (0 until n).map { i =>
+      val c = i % nC
+      val v = (0 until 64).map { d =>
+        val m = mix(c.toLong * 64 + d)
+        val amp = (1.0 + ((m >>> 10) & 3) * 0.25) *
+          (if (((m >>> 13) & 1) == 0) 1.0 else -1.0)
+        val center = if (((m >>> 7) & 7) == 0) amp else 0.0
+        val wiggle = (mix(i.toLong * 7919 + d) % 1009) * 2e-5
+        center + wiggle
+      }.toArray
+      (i.toLong, v, c)
+    }
+    val base = rows.toDF("vec_id", "e", "planted")
+      .withColumn("norm2", graft.plans.DotProduct.dot_product(col("e"), col("e")))
+    val asg = graft.operators.VectorOps
+      .kmFit(base.select("vec_id", "e", "norm2"), nC, intValued = false)
+      .select(col("vec_id"), col("cell"))
+      .join(rows.toDF("vec_id", "e", "planted").select("vec_id", "planted"), "vec_id")
+    val cells = asg.groupBy(col("cell"), col("planted")).count().collect()
+    assert(cells.map(_.getAs[Long]("cell")).distinct.length == nC,
+      "Lloyd fit lost cells on a well-separated fixture")
+    // perfect purity: every learned cell contains exactly one planted
+    // cluster (and by counting, vice versa)
+    assert(cells.groupBy(_.getAs[Long]("cell")).forall(_._2.length == 1),
+      "a learned cell mixes planted clusters")
+    asg.unpersist()
+
+    // SemDeDup's cost claim: the within-cluster pair scope over the
+    // real doc-vector assignment is a small fraction of all-pairs
+    val sizes = graft.operators.VectorOps.docKmeansAssignment(spark, sf0001)
+      .groupBy(col("cell")).count().collect().map(_.getAs[Long]("count"))
+    val total = sizes.sum.toDouble
+    val pairScope = sizes.map(c => c.toDouble * c).sum
+    assert(pairScope / (total * total) <= 0.1,
+      f"within-cluster pair scope ${pairScope / (total * total)}%.3f of all-pairs — clustering is not bounding the quadratic")
+  }
+
   test("salted join == plain join on a skewed fact") {
     // 90% of fact rows hit one key — the classic hot-key shape
     val fact = (1 to 10000).map(i =>

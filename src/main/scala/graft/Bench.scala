@@ -90,8 +90,14 @@ object Bench {
     // are a written table in a real deployment (SemDeDup ships them),
     // and the Lloyd fit is an iterative build like the LSH chains
     "prep_kmeans" -> ((s, d) => {
-      graft.operators.VectorOps.kmeansAssignment(s, d)
-      graft.operators.VectorOps.docKmeansAssignment(s, d); ()
+      // the two fits are independent iterative jobs — overlap them
+      // (the Forecast.prepareArtifacts pattern) so the doc fit's
+      // tokenize+explode hides behind the embedding fit's rounds
+      val t = new Thread(() =>
+        graft.operators.VectorOps.kmeansAssignment(s, d): Unit)
+      t.setDaemon(true); t.start()
+      graft.operators.VectorOps.docKmeansAssignment(s, d)
+      t.join()
     }))
 
   /** The bench's session, shared with TimeIt. */

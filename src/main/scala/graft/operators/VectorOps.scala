@@ -970,7 +970,11 @@ object VectorOps extends QueryModule {
       .select(col("vec_id").as("cell"), col("e").as("cv"), col("norm2").as("cnorm2"))
     for (r <- 1 to KM_ITERS) {
       val t0 = System.nanoTime()
-      cents = kmUpdate(kmAssign(base, cents), intValued).localCheckpoint()
+      // coalesce(1): the centroid frame is K rows — checkpointing and
+      // re-broadcasting it as 32 near-empty partitions costs more
+      // tasks than the whole round's math
+      cents = kmUpdate(kmAssign(base, cents), intValued)
+        .coalesce(1).localCheckpoint()
       if (sys.env.contains("KM_PROBE"))
         println(f"KMPROBE round$r ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }

@@ -92,12 +92,18 @@ object Bench {
     "prep_kmeans" -> ((s, d) => {
       // the two fits are independent iterative jobs — overlap them
       // (the Forecast.prepareArtifacts pattern) so the doc fit's
-      // tokenize+explode hides behind the embedding fit's rounds
+      // tokenize+explode hides behind the embedding fit's rounds.
+      // The thread's failure must propagate: a swallowed error would
+      // fake the prep and push the silent re-fit into q108's timed
+      // cell (the "silent prep failure" rule Backtest guards too)
+      val err = new java.util.concurrent.atomic.AtomicReference[Throwable]
       val t = new Thread(() =>
-        graft.operators.VectorOps.kmeansAssignment(s, d): Unit)
+        try graft.operators.VectorOps.kmeansAssignment(s, d): Unit
+        catch { case e: Throwable => err.set(e) })
       t.setDaemon(true); t.start()
       graft.operators.VectorOps.docKmeansAssignment(s, d)
       t.join()
+      if (err.get != null) throw err.get
     }))
 
   /** The bench's session, shared with TimeIt. */

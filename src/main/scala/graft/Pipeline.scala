@@ -182,6 +182,16 @@ object Pipeline {
     * into both the fact filter (semi-join) and the key-scoped swap
     * (overwriteMatching) — at scale a supplier-clustered fact layout
     * would prune at the scan. Returns rows written per mart. */
+  /** Restrict `df` to the rows whose `keys` appear in the (bounded,
+    * broadcast) `keyFrame` — the shared delta-scoping move of every
+    * incremental refresh. The trailing select restores `df`'s column
+    * order: a USING-join moves the join keys to the front, and the
+    * tuple-key swap downstream compares schemas positionally. */
+  private def restrictToKeys(df: DataFrame, keys: Seq[String],
+      keyFrame: DataFrame): DataFrame =
+    df.join(broadcast(keyFrame), keys, "left_semi")
+      .select(df.columns.map(col): _*)
+
   def refreshSupplierMarts(spark: SparkSession, store: LayerStore,
       deltaLineitem: DataFrame): (Long, Long) = {
     if (deltaLineitem.isEmpty) (0L, 0L)
@@ -189,10 +199,7 @@ object Pipeline {
       val supKeys = deltaLineitem.select(col("l_suppkey")).distinct()
       val base = silverStarResolver(store)
       val resolve: GoldMarts.Resolver = {
-        case "lineitem" =>
-          val li = base("lineitem")
-          li.join(broadcast(supKeys), Seq("l_suppkey"), "left_semi")
-            .select(li.columns.map(col): _*) // USING-join reorders keys to the front
+        case "lineitem" => restrictToKeys(base("lineitem"), Seq("l_suppkey"), supKeys)
         case t => base(t)
       }
       val asSupp = broadcast(supKeys.select(col("l_suppkey").as("s_suppkey")))
@@ -220,10 +227,7 @@ object Pipeline {
       val keyFrame = deltaLineitem.select(keys.map(col): _*).distinct()
       val base = silverStarResolver(store)
       val resolve: GoldMarts.Resolver = {
-        case "lineitem" =>
-          val li = base("lineitem")
-          li.join(broadcast(keyFrame), keys, "left_semi")
-            .select(li.columns.map(col): _*)
+        case "lineitem" => restrictToKeys(base("lineitem"), keys, keyFrame)
         case t => base(t)
       }
       store.overwriteMatching("gold", "dashboard",
@@ -290,10 +294,7 @@ object Pipeline {
                 deltaRegions.select(col("r_name").as("entity_id")))
           }
           val resolveL: String => DataFrame = {
-            case "lineitem" =>
-              val li = resolve("lineitem")
-              li.join(broadcast(factKeys), Seq(keyCol), "left_semi")
-                .select(li.columns.map(col): _*)
+            case "lineitem" => restrictToKeys(resolve("lineitem"), Seq(keyCol), factKeys)
             case t => resolve(t)
           }
           (Backtest.metricsOverLevels(resolveL, mat, atLevels = Seq(lv),
@@ -338,10 +339,8 @@ object Pipeline {
   def refreshSilverLineitem(spark: SparkSession, store: LayerStore,
       bronzeDelta: DataFrame): Long = {
     val keys = Seq("l_orderkey", "l_linenumber")
-    val bron = store.table("bronze", "lineitem")
-    val fresh = bron
-      .join(broadcast(bronzeDelta.select(keys.map(col): _*).distinct()), keys, "left_semi")
-      .select(bron.columns.map(col): _*) // USING-join reorders keys to the front
+    val fresh = restrictToKeys(store.table("bronze", "lineitem"), keys,
+      bronzeDelta.select(keys.map(col): _*).distinct())
     store.overwriteMatching("silver", "lineitem", cleanLineitem(fresh),
       keys, bronzeDelta)
   }

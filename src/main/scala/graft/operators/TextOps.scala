@@ -287,8 +287,12 @@ object TextOps extends QueryModule {
     * crossJoin would replicate a 1-row BNLJ through every band branch
     * (measured: 51 plan nodes). */
   private def ingestCutoff(s: SparkSession, dir: String): Long =
+    // explicit floor: Spark's double->long cast truncates toward zero
+    // while DuckDB's CAST(... AS BIGINT) rounds to nearest — at
+    // frac(max*0.9) >= 0.5 the two engines would split new/old
+    // differently and the whole q105 output would hash-diverge
     Tables.t(s, dir, "documents")
-      .agg((max(col("doc_id")) * lit(0.9)).cast(LongType))
+      .agg(floor(max(col("doc_id")) * lit(0.9)).cast(LongType))
       .first().getLong(0)
 
   /** q105 — incremental ingest dedup: the daily-crawl shape a 100 TB
@@ -354,7 +358,7 @@ object TextOps extends QueryModule {
        |$sigCtes,
        |bands AS (
        |  $bandRowsSql),
-       |cutoff AS (SELECT CAST(max(doc_id) * 0.9 AS BIGINT) AS c FROM documents),
+       |cutoff AS (SELECT CAST(floor(max(doc_id) * 0.9) AS BIGINT) AS c FROM documents),
        |newb AS (SELECT b.* FROM bands b, cutoff WHERE b.doc_id >= c),
        |oldb AS (SELECT b.* FROM bands b, cutoff WHERE b.doc_id < c),
        |cand AS (

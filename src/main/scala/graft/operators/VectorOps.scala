@@ -625,11 +625,20 @@ object VectorOps extends QueryModule {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---- shared DuckDB fragments of the q101/q102 oracles ------------
+  // parity-critical mirrors of the Spark folds: ONE definition each,
+  // composed by both oracle builders, so a fold-order fix can never
+  // land in one and silently skip the other
+
+  /** float list → double list, the oracle twin of `withNorm`'s cast */
+  private def dbl(x: String) = s"list_transform($x, v -> CAST(v AS DOUBLE))"
+
+  /** ordered squared-L2 fold, the oracle twin of `l2sq`. */
+  private def l2Sql(a: String, b: String) =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip($a, $b), " +
+      "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), (acc, x) -> acc + x)"
+
   private val annPqSql = {
-    def dbl(x: String) = s"list_transform($x, v -> CAST(v AS DOUBLE))"
-    def l2Sql(a: String, b: String) =
-      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip($a, $b), " +
-        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), (acc, x) -> acc + x)"
     val dParts = (1 until PQ_M).foldLeft("d0")((acc, i) => s"($acc + d$i)")
     val nParts = (1 until PQ_M).foldLeft("n0")((acc, i) => s"($acc + n$i)")
     val condSumsQ = (0 until PQ_M).map(i =>
@@ -705,7 +714,8 @@ object VectorOps extends QueryModule {
     * a filter: each vector PQ-encodes r = x − c(cell), not x itself —
     * residuals concentrate near 0, so the same 32-codeword budget
     * quantizes them far better than raw vectors (the core IVFPQ
-    * insight). Codebooks are sampled from the first PQ_K residuals
+    * insight). Codebooks are sampled from the first PQ_K NON-centroid
+    * residuals (the centroids' own residuals are identically zero)
     * and SHARED across cells (the FAISS default). ADC then
     * reconstructs per candidate from lookup tables alone:
     *   dot(q, x̂)  = dot(q, c) + Σₘ dot(qₘ, cwₘ)
@@ -725,7 +735,12 @@ object VectorOps extends QueryModule {
     * join side that isn't the collection is broadcast-tiny. ScaleSpec
     * asserts recall@1 ≥ 0.9 AND that the scanned fraction is ≤ both
     * parents'. */
-  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+  /** The IVFPQ index build (coarse assignment, residual codebooks,
+    * code assignment) — shared by q102 and the ScaleSpec codebook
+    * non-degeneracy probe. Returns (ranked, all, cents, books,
+    * codes). */
+  private def ivfPqParts(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val ranked = ivfAssign(s, dir, IVFPQ_CELLS)
     val all = withNorm(Tables.t(s, dir, "embeddings"))
     val cents = all.filter(col("vec_id") < IVFPQ_CELLS)
@@ -737,8 +752,16 @@ object VectorOps extends QueryModule {
       .join(broadcast(cents), "cell")
       .select(col("vec_id"), col("cell"),
         zip_with(col("e"), col("ce"), (x, y) => x - y).as("r"))
-    val books = resid.filter(col("vec_id") < PQ_K)
-      .select(col("vec_id").cast(IntegerType).as("code"), mIdx, col("r"))
+    // sample the codebook from NON-centroid residuals: vectors
+    // 0..IVFPQ_CELLS-1 are the coarse centroids, each assigned to its
+    // own cell, so their residuals are identically ZERO — a codebook
+    // sampled there collapses to 32 zero codewords and the whole
+    // residual stage becomes a no-op (caught by review; the recall
+    // floor survived only because the probed fixture cells fit inside
+    // the exact re-rank shortlist)
+    val books = resid
+      .filter(col("vec_id") >= IVFPQ_CELLS && col("vec_id") < IVFPQ_CELLS + PQ_K)
+      .select((col("vec_id") - IVFPQ_CELLS).cast(IntegerType).as("code"), mIdx, col("r"))
       .select(col("m"), col("code"),
         slice(col("r"), col("m") * PQ_SUB + 1, lit(PQ_SUB)).as("cw"))
       .withColumn("cwnorm2", dot_product(col("cw"), col("cw")))
@@ -749,6 +772,17 @@ object VectorOps extends QueryModule {
       .groupBy(col("vec_id"), col("cell"), col("m"))
       .agg(min(struct(l2sq(col("sv"), col("cw")).as("d"), col("code"))).as("best"))
       .select(col("vec_id"), col("cell"), col("m"), col("best.code").as("code"))
+    (ranked, all, cents, books, codes)
+  }
+
+  /** The inverted file's (vec_id, cell, m, code) assignment — the
+    * ScaleSpec seam asserting the codebook actually discriminates. */
+  private[graft] def ivfPqCodes(s: SparkSession, dir: String): DataFrame =
+    ivfPqParts(s, dir)._5
+
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val (ranked, all, cents, books, codes) = ivfPqParts(s, dir)
+    val mIdx = explode(sequence(lit(0), lit(PQ_M - 1))).as("m")
     // index metadata: centroid·codeword dots per (cell, m, code)
     val ccw = cents.select(col("cell"), mIdx, col("ce"))
       .select(col("cell"), col("m"),
@@ -810,10 +844,6 @@ object VectorOps extends QueryModule {
   }
 
   private val annIvfPqSql = {
-    def dbl(x: String) = s"list_transform($x, v -> CAST(v AS DOUBLE))"
-    def l2Sql(a: String, b: String) =
-      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip($a, $b), " +
-        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), (acc, x) -> acc + x)"
     def sub(x: String) = s"$x[b.m * $PQ_SUB + 1 : b.m * $PQ_SUB + $PQ_SUB]"
     val adot = (0 until PQ_M).foldLeft("qcdot")((acc, i) => s"$acc + d$i")
     val anorm2 = (0 until PQ_M).foldLeft("cnorm2c")((acc, i) => s"$acc + c$i * 2.0 + n$i")
@@ -842,9 +872,10 @@ object VectorOps extends QueryModule {
        |  JOIN rankedcells rc ON en.vec_id = rc.vec_id AND rc.rn = 1
        |  JOIN cents c ON rc.centroid_id = c.cell),
        |books AS (
-       |  SELECT b.m, CAST(r.vec_id AS INTEGER) AS code,
+       |  SELECT b.m, CAST(r.vec_id - $IVFPQ_CELLS AS INTEGER) AS code,
        |         ${sub("r.r")} AS cw
-       |  FROM resid r, ms b WHERE r.vec_id < $PQ_K),
+       |  FROM resid r, ms b
+       |  WHERE r.vec_id >= $IVFPQ_CELLS AND r.vec_id < ${IVFPQ_CELLS + PQ_K}),
        |booksn AS (SELECT m, code, cw, ${dotSql("cw", "cw")} AS cwnorm2 FROM books),
        |subs AS (SELECT r.vec_id, r.cell, b.m, ${sub("r.r")} AS sv FROM resid r, ms b),
        |cand AS (

@@ -149,9 +149,9 @@ class ScaleSpec extends SparkSpec {
     }
     val base = rows.toDF("vec_id", "e", "planted")
       .withColumn("norm2", graft.plans.DotProduct.dot_product(col("e"), col("e")))
-    val asg = graft.operators.VectorOps
+    val fit = graft.operators.VectorOps
       .kmFit(base.select("vec_id", "e", "norm2"), nC, intValued = false)
-      .select(col("vec_id"), col("cell"))
+    val asg = fit.select(col("vec_id"), col("cell"))
       .join(rows.toDF("vec_id", "e", "planted").select("vec_id", "planted"), "vec_id")
     val cells = asg.groupBy(col("cell"), col("planted")).count().collect()
     assert(cells.map(_.getAs[Long]("cell")).distinct.length == nC,
@@ -160,7 +160,7 @@ class ScaleSpec extends SparkSpec {
     // cluster (and by counting, vice versa)
     assert(cells.groupBy(_.getAs[Long]("cell")).forall(_._2.length == 1),
       "a learned cell mixes planted clusters")
-    asg.unpersist()
+    fit.unpersist() // kmFit persisted this frame — release it from the shared session
 
     // SemDeDup's cost claim: the within-cluster pair scope over the
     // real doc-vector assignment is a small fraction of all-pairs
@@ -433,8 +433,23 @@ class ScaleSpec extends SparkSpec {
     val codeRatio = 8.0 / 64.0 // 8 one-byte-ish codes vs 64 float dims
     val byteFraction = cellFraction * codeRatio
     info(f"IVFPQ byte fraction: $byteFraction%.4f (q80 reads $cellFraction%.3f, q101 reads $codeRatio%.3f)")
-    assert(byteFraction <= cellFraction, "IVFPQ must read no more than IVF alone")
-    assert(byteFraction <= codeRatio, "IVFPQ must read no more than PQ alone")
+    // the MEASURED probed-population share must stay well below brute
+    // force (the IVF parent's bound) — byteFraction multiplies the
+    // fixed 8/64 code ratio on top, so asserting the measured factor
+    // is the non-tautological half of the "<= both parents" claim
+    assert(cellFraction <= 0.25,
+      f"probed population share $cellFraction%.3f — cells no longer localize")
+
+    // codebook non-degeneracy: every subspace's inverted file must use
+    // a healthy spread of codewords. The zero-residual-codebook bug
+    // (codebook sampled from the coarse centroids themselves) collapses
+    // every subspace to ONE code and this assert catches it
+    val codeSpread = VectorOps.ivfPqCodes(spark, sf0001)
+      .groupBy($"m").agg(countDistinct($"code").as("k")).collect()
+    assert(codeSpread.length == 8, "a subspace produced no codes")
+    assert(codeSpread.forall(_.getAs[Long]("k") >= 8),
+      s"PQ codebook degenerate: distinct codes per subspace = " +
+        codeSpread.map(r => s"m${r.getAs[Int]("m")}:${r.getAs[Long]("k")}").mkString(", "))
   }
 
   test("single-file scans spread to the session parallelism; broadcast sides do not") {

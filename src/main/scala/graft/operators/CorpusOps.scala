@@ -928,6 +928,83 @@ object CorpusOps extends QueryModule {
        |ORDER BY merge_rank""".stripMargin
   }
 
+  // ---- q112: rare-bigram LM novelty filter -------------------------
+
+  /** Corpus count at or below which a bigram counts as rare (hapax). */
+  private val RareBigramMax = 1L
+
+  /** A doc is flagged when its surprise exceeds this multiple of the
+    * corpus mean surprise — data-relative, so the gate transfers
+    * across corpora without retuning an absolute cutoff. */
+  private val NoveltyMeanMult = 2.0
+
+  /** q112 — LM-based quality filtering, the CCNet stage (Wenzek et
+    * al. 2020) without the libm hazard: CCNet scores each doc by
+    * KenLM perplexity under a corpus LM; log/exp are libm-
+    * implementation-varying, so (same deviation rule as q58's TF-IDF)
+    * the score here is the log-free analogue — the doc's MEAN INVERSE
+    * corpus frequency of its bigrams (surprise: 1/c per bigram, 1.0
+    * for a hapax, →0 for template text), each term snapped before an
+    * exact decimal mean. Gibberish and OCR noise score high; template
+    * text scores at the corpus floor. The flag is data-relative:
+    * surprise > NoveltyMeanMult × the corpus mean surprise (an exact
+    * decimal mean — no quantile sort). Scale: the bigram LM is one
+    * (bigram) two-level aggregation with map-side combine; the score
+    * join is derived-vs-derived on the bigram key (never broadcast —
+    * the LM is corpus-sized); the corpus mean is a 1-row broadcast. */
+  def lmNovelty(s: SparkSession, dir: String): DataFrame = {
+    import graft.util.Parity.snapRound
+    val pairArr = expr(
+      """CASE WHEN size(toks) >= 2
+        |THEN transform(sequence(1, size(toks) - 1),
+        |       i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))
+        |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)
+    val pairs = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(pairArr).as("bg"))
+    val lm = pairs.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+    val scored = pairs.join(lm, "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c") <= RareBigramMax, lit(1L)).otherwise(lit(0L))).as("n_rare"),
+        snapRound(
+          sum(snapRound(lit(1.0) / col("c").cast(DoubleType), 8)
+            .cast(DecimalType(38, 10))).cast(DoubleType) / count(lit(1)), 6)
+          .as("surprise"))
+    val corpusMean = scored.agg(
+      snapRound(sum(col("surprise").cast(DecimalType(38, 8))).cast(DoubleType) /
+        count(lit(1)), 6).as("mean_surprise"))
+    scored.crossJoin(broadcast(corpusMean))
+      .select(col("doc_id"), col("n_bigrams"), col("n_rare"), col("surprise"),
+        (col("surprise") > col("mean_surprise") * NoveltyMeanMult).as("is_novel"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val lmNoveltySql = {
+    import graft.util.Parity.snapRoundSql
+    val term = snapRoundSql("1.0 / CAST(c AS DOUBLE)", 8)
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |p AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+       |        THEN list_transform(generate_series(1, len(toks) - 1),
+       |               i -> toks[i] || ' ' || toks[i+1])
+       |        ELSE [] END) AS bg
+       |      FROM t),
+       |lm AS (SELECT bg, count(1) AS c FROM p GROUP BY 1),
+       |sc AS (
+       |  SELECT doc_id, count(1) AS n_bigrams,
+       |         CAST(sum(CASE WHEN c <= $RareBigramMax THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       |         ${snapRoundSql(
+              s"CAST(sum(CAST($term AS DECIMAL(38,10))) AS DOUBLE) / count(1)", 6)} AS surprise
+       |  FROM p JOIN lm USING (bg) GROUP BY 1),
+       |cm AS (
+       |  SELECT ${snapRoundSql(
+              "CAST(sum(CAST(surprise AS DECIMAL(38,8))) AS DOUBLE) / count(1)", 6)} AS mean_surprise
+       |  FROM sc)
+       |SELECT doc_id, n_bigrams, n_rare, surprise,
+       |       surprise > mean_surprise * $NoveltyMeanMult AS is_novel
+       |FROM sc, cm ORDER BY doc_id""".stripMargin
+  }
+
   def bpePairs(s: SparkSession, dir: String): DataFrame = {
     val pairArr = expr(
       """CASE WHEN size(toks) >= 2
@@ -978,6 +1055,7 @@ object CorpusOps extends QueryModule {
     "q106_temperature_mix" -> temperatureMix,
     "q107_bpe_train" -> bpeTrain,
     "q110_signal_agreement" -> signalAgreement,
+    "q112_lm_novelty" -> lmNovelty,
     "q69_span_dedup" -> spanDedup,
     "q72_chunk_docs" -> chunkDocs,
     "q75_bpe_pairs" -> bpePairs,
@@ -996,6 +1074,7 @@ object CorpusOps extends QueryModule {
     "q106_temperature_mix" -> temperatureMixSql,
     "q107_bpe_train" -> bpeTrainSql,
     "q110_signal_agreement" -> signalAgreementSql,
+    "q112_lm_novelty" -> lmNoveltySql,
     "q69_span_dedup" -> spanDedupSql,
     "q72_chunk_docs" -> chunkDocsSql,
     "q75_bpe_pairs" -> bpePairsSql,

@@ -468,18 +468,26 @@ object VectorOps extends QueryModule {
   /** The SRP chain (norms → bits → bands → candidate pairs → exact
     * dots) as shared CTE text — composed by both the q51 and q73
     * oracles so the two can never drift. */
-  private val srpDotsCtes = {
-    // the srpWeight mixer, textually expanded (x0 appears 2×, so the
-    // final expression repeats it 8× — DuckDB folds the common
-    // subexpressions; values stay positive, so % == bitwiseAND mask)
+  /** The srpWeight mixer's ±1 projection of `embedding` against
+    * hyperplane `h`, textually expanded as oracle SQL (free columns:
+    * h, embedding; x0 appears 2×, so the final expression repeats it
+    * 8× — DuckDB folds the common subexpressions; values stay
+    * positive, so % == bitwiseAND mask). Shared by the SRP band chain
+    * and the q113 JL projection — ONE definition, or the two would
+    * silently diverge from srpWeight. */
+  private val srpProjSql: String = {
     val k = s"(CAST(h AS BIGINT) * $DIM + (i - 1))"
     val x0 = s"(($k * 2654435761) % 4294967296)"
     val x1 = s"((xor($x0, $x0 >> 16) * 73244475) % 4294967296)"
     val x2 = s"((xor($x1, $x1 >> 16) * 73244475) % 4294967296)"
     val x3 = s"xor($x2, $x2 >> 16)"
     val w = s"(CASE WHEN (($x3 >> 15) & 1) = 0 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)"
-    val proj = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
       s"list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * $w)), (acc, x) -> acc + x)"
+  }
+
+  private val srpDotsCtes = {
+    val proj = srpProjSql
     s"""n AS (
        |  SELECT vec_id, ${dotSql("embedding", "embedding")} AS norm2 FROM embeddings),
        |bits AS (
@@ -927,6 +935,75 @@ object VectorOps extends QueryModule {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---- q113: JL random projection + fidelity report ----------------
+
+  /** Target dimensionality of the JL projection (64 → 16). */
+  private val JL_DIM = 16
+
+  /** Hyperplane-family offset for the JL planes — disjoint from the
+    * SRP chain's h ∈ [0, 96) so the two projections decorrelate. */
+  private val JL_SEED = 1000
+
+  /** q113 — random-projection dimensionality reduction (the
+    * Johnson–Lindenstrauss move; ±1 'database-friendly' projections
+    * per Achlioptas 2003) WITH its fidelity report: project every
+    * embedding 64 → 16 dims against deterministic srpWeight planes,
+    * then measure, per exact-cosine bin, how far the projected cosine
+    * drifts (mean/max absolute error over the SRP candidate pairs) —
+    * the table that decides whether a downstream dedup/cluster pass
+    * can run on the 4×-smaller vectors. Scale: the projection is a
+    * narrow map against 16 plan-time-literal planes (the srpPlane
+    * trick); the report touches only the near-linear candidate set;
+    * everything is ordered double folds — hash-exact cross-engine. */
+  def jlDistortion(s: SparkSession, dir: String): DataFrame = {
+    val all = withNorm(Tables.t(s, dir, "embeddings"))
+    val proj = all.select(col("vec_id") +: (0 until JL_DIM).map(j =>
+        dot_product(col("e"), srpPlane(JL_SEED + j)).as(s"y$j")): _*)
+      .select(col("vec_id"), array((0 until JL_DIM).map(j => col(s"y$j")): _*).as("p"))
+      .withColumn("pn", dot_product(col("p"), col("p")))
+      .filter(col("pn") > 0)
+    val pairs = cosineCandidates(s, dir)
+    val pa = proj.select(col("vec_id").as("vec_a"), col("p").as("pa"), col("pn").as("pna"))
+    val pb = proj.select(col("vec_id").as("vec_b"), col("p").as("pb"), col("pn").as("pnb"))
+    val cos16 = dot_product(col("pa"), col("pb")) / (sqrt(col("pna")) * sqrt(col("pnb")))
+    pairs.join(pa, "vec_a").join(pb, "vec_b")
+      .select(
+        least(floor((col("cosine_raw") + lit(1.0)) * lit(5)), lit(9.0))
+          .cast(IntegerType).as("cos_bin"),
+        snapRound(abs(cos16 - col("cosine_raw")), 8).as("err"))
+      .groupBy(col("cos_bin"))
+      .agg(count(lit(1)).as("n_pairs"),
+        snapRound(sum(col("err").cast(DecimalType(38, 10))).cast(DoubleType) /
+          count(lit(1)), 6).as("mean_abs_err"),
+        snapRound(max(col("err")), 6).as("max_abs_err"))
+      .orderBy(col("cos_bin"))
+  }
+
+  private val jlDistortionSql = {
+    val cos16 = s"(${dotSql("a.p", "b.p")} / (sqrt(a.pn) * sqrt(b.pn)))"
+    s"""WITH $srpDotsCtes,
+       |ex AS (
+       |  SELECT vec_a, vec_b, dot / (sqrt(na.norm2) * sqrt(nb.norm2)) AS cosine_raw
+       |  FROM dots
+       |  JOIN n na ON vec_a = na.vec_id
+       |  JOIN n nb ON vec_b = nb.vec_id),
+       |jlh AS (SELECT unnest(generate_series($JL_SEED, ${JL_SEED + JL_DIM - 1})) AS h),
+       |jlv AS (SELECT vec_id, h, $srpProjSql AS y FROM embeddings CROSS JOIN jlh),
+       |pr AS (SELECT vec_id, list(y ORDER BY h) AS p FROM jlv GROUP BY 1),
+       |prn AS (SELECT vec_id, p, ${dotSql("p", "p")} AS pn FROM pr),
+       |prf AS (SELECT vec_id, p, pn FROM prn WHERE pn > 0),
+       |er AS (
+       |  SELECT CAST(least(floor((cosine_raw + 1.0) * 5), 9.0) AS INTEGER) AS cos_bin,
+       |         ${snapRoundSql(s"abs($cos16 - cosine_raw)", 8)} AS err
+       |  FROM ex
+       |  JOIN prf a ON ex.vec_a = a.vec_id
+       |  JOIN prf b ON ex.vec_b = b.vec_id)
+       |SELECT cos_bin, count(1) AS n_pairs,
+       |       ${snapRoundSql("CAST(sum(CAST(err AS DECIMAL(38,10))) AS DOUBLE) / count(1)", 6)} AS mean_abs_err,
+       |       ${snapRoundSql("max(err)", 6)} AS max_abs_err
+       |FROM er GROUP BY 1 ORDER BY cos_bin""".stripMargin
+  }
+
   // ---- q93: per-label centroid diagnostics -------------------------
 
   // ---- q108/q109: deterministic k-means + SemDeDup -----------------
@@ -1320,7 +1397,8 @@ object VectorOps extends QueryModule {
     "q80_ann_ivf_c32_probe4" -> annIvfProbe4,
     "q87_ann_sq8" -> annSq8,
     "q108_kmeans_clusters" -> kmeansClusters,
-    "q109_sem_dedup" -> semDedup)
+    "q109_sem_dedup" -> semDedup,
+    "q113_jl_distortion" -> jlDistortion)
 
   override def oracles: Map[String, String] = Map(
     "q93_label_centroids" -> labelCentroidsSql,
@@ -1335,5 +1413,6 @@ object VectorOps extends QueryModule {
     "q80_ann_ivf_c32_probe4" -> annIvfSql(probe = 4, cells = 32),
     "q87_ann_sq8" -> annSq8Sql,
     "q108_kmeans_clusters" -> kmeansClustersSql,
-    "q109_sem_dedup" -> semDedupSql)
+    "q109_sem_dedup" -> semDedupSql,
+    "q113_jl_distortion" -> jlDistortionSql)
 }

@@ -1072,7 +1072,14 @@ object VectorOps extends QueryModule {
     * irrelevant. With per-round truncation each round plans a flat
     * scan→join→agg. No driver-side data path: the checkpoint
     * materializes K rows on executors. */
-  private[graft] def kmFit(base0: DataFrame, k: Int, intValued: Boolean): DataFrame = {
+  private[graft] def kmFit(base0: DataFrame, k: Int, intValued: Boolean): DataFrame =
+    kmFitFull(base0, k, intValued)._1
+
+  /** kmFit, also returning the FROZEN final centroid frame (cell, cv,
+    * cnorm2) — the trained index a serving path (the streaming ingest
+    * twin) assigns against. */
+  private[graft] def kmFitFull(base0: DataFrame, k: Int,
+      intValued: Boolean): (DataFrame, DataFrame) = {
     val base = base0.persist()
     var cents = base.filter(col("vec_id") < k)
       .select(col("vec_id").as("cell"), col("e").as("cv"), col("norm2").as("cnorm2"))
@@ -1089,16 +1096,17 @@ object VectorOps extends QueryModule {
     val fin = kmAssign(base, cents).persist()
     fin.count()
     base.unpersist()
-    fin
+    (fin, cents)
   }
 
-  /** Session-lifetime final k-means assignment (vec_id, e, norm2,
-    * cell, cnorm2, csim) over the embeddings table — q108's artifact,
-    * built once per (session, dir). */
-  private val kmCache = new graft.util.Memo[(SparkSession, String), DataFrame](
+  /** Session-lifetime final k-means fit over the embeddings table —
+    * q108's artifact: (assignment (vec_id, e, norm2, cell, cnorm2,
+    * csim), frozen centroids (cell, cv, cnorm2)), built once per
+    * (session, dir). */
+  private val kmCache = new graft.util.Memo[(SparkSession, String), (DataFrame, DataFrame)](
     stale = _._1.sparkContext.isStopped)
 
-  private[graft] def kmeansAssignment(s: SparkSession, dir: String): DataFrame =
+  private[graft] def kmeansFit(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     kmCache.getOrBuild((s, dir), {
       // embeddings is a noSpread single-file scan (it normally feeds
       // broadcast build sides); here it STREAMS through three rounds
@@ -1107,8 +1115,11 @@ object VectorOps extends QueryModule {
       val base = withNorm(Tables.t(s, dir, "embeddings"))
         .select(col("vec_id"), col("e"), col("norm2"))
         .repartition(s.sparkContext.defaultParallelism)
-      kmFit(base, KM_K, intValued = false)
+      kmFitFull(base, KM_K, intValued = false)
     })
+
+  private[graft] def kmeansAssignment(s: SparkSession, dir: String): DataFrame =
+    kmeansFit(s, dir)._1
 
   /** q108 — deterministic k-means (Lloyd's algorithm): sampled init
     * (the first K vectors, the IVF seeding rule), then KM_ITERS rounds

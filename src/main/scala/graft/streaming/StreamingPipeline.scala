@@ -105,6 +105,43 @@ object StreamingPipeline {
       .agg(count(lit(1)).as("dau"))
       .select(col("w.start").cast(org.apache.spark.sql.types.DateType).as("ds"), col("dau"))
 
+  /** Streaming vector ingest: assign arriving embeddings to a FROZEN
+    * k-means centroid set — the online serving face of the q108 index
+    * (new vectors route to their cell as they arrive; retraining is a
+    * batch concern). The index is bounded metadata (K cells × dim), so
+    * it rides into the plan as a LITERAL array of (cell, cv, cnorm2)
+    * structs — exactly how a serving system holds a loaded index — and
+    * the per-row argmax is one ordered fold over it: STATELESS, no
+    * watermark, no shuffle, arbitrarily partitionable. The fold keeps
+    * a strictly-greater winner over centroids sorted by cell, which is
+    * the batch fit's (csim DESC, cell ASC) max_by tiebreak; the cosine
+    * is the composed zip_with fold (the injected optimizer Rule
+    * rewrites it to the native DotProduct), so stream and batch
+    * assignments are bit-identical. */
+  def assignStream(vecs: DataFrame,
+      centroids: Seq[(Long, Seq[Double], Double)]): DataFrame = {
+    val centArr = array(centroids.sortBy(_._1).map { case (cell, cv, n2) =>
+      struct(lit(cell).as("cell"),
+        array(cv.map(lit(_)): _*).as("cv"), lit(n2).as("cnorm2"))
+    }: _*)
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val base = vecs.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("norm2", dot(col("e"), col("e")))
+    val init = struct(lit(-1L).as("cell"),
+      lit(Double.NegativeInfinity).as("csim"))
+    val best = aggregate(centArr, init, (acc, c) => {
+      val sim = dot(col("e"), c.getField("cv")) /
+        (sqrt(col("norm2")) * sqrt(c.getField("cnorm2")))
+      when(sim > acc.getField("csim"),
+        struct(c.getField("cell").as("cell"), sim.as("csim")))
+        .otherwise(acc)
+    })
+    base.select(col("vec_id"), best.getField("cell").as("cell"),
+      best.getField("csim").as("csim"))
+  }
+
   /** Streaming bronze ingest: micro-batches land in the medallion
     * store through the same latest-wins upsert the batch loader uses
     * (S2) — one code path for batch and streaming writes. Returns the

@@ -34,6 +34,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming vector ingest against the frozen k-means index == batch assignment") {
+    // serving shape: the trained index (q108's frozen centroids) loads
+    // as literal metadata; the full embedding set then arrives AS A
+    // STREAM and every vector must land in the same cell with the same
+    // cosine the batch fit assigned
+    val (batchAsg, cents) = graft.operators.VectorOps.kmeansFit(spark, sf0001)
+    val index = cents.collect().map(r => (r.getAs[Long]("cell"),
+      r.getAs[Seq[Double]]("cv").toVector: Seq[Double], r.getAs[Double]("cnorm2"))).toSeq
+    assert(index.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft-vecs").toString
+    Tables.t(spark, sf0001, "embeddings").select("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val q = StreamingPipeline.assignStream(stream, index)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("vec_assign")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("vec_assign")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val batch = batchAsg.select("vec_id", "cell", "csim")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(streamed.size == batch.size && streamed.nonEmpty)
+    assert(streamed == batch,
+      "streaming assignment diverged from the batch fit")
+  }
+
   test("chained stateful ops: watermarked dedup -> DAU windows == batch q94 dau") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dau").toString
     val base = eventsDf.select("event_id", "ts", "user_id", "event_type", "value")

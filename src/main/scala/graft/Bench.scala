@@ -97,12 +97,16 @@ object Bench {
       // fake the prep and push the silent re-fit into q108's timed
       // cell (the "silent prep failure" rule Backtest guards too)
       val err = new java.util.concurrent.atomic.AtomicReference[Throwable]
-      val t = new Thread(() =>
-        try graft.operators.VectorOps.kmeansAssignment(s, d): Unit
-        catch { case e: Throwable => err.set(e) })
-      t.setDaemon(true); t.start()
+      def bg(body: => Unit): Thread = {
+        val t = new Thread(() =>
+          try body catch { case e: Throwable => err.compareAndSet(null, e); () })
+        t.setDaemon(true); t.start(); t
+      }
+      val ts = Seq(
+        bg(graft.operators.VectorOps.kmeansAssignment(s, d): Unit),
+        bg(graft.operators.VectorOps.storedIndexFit(s, d): Unit))
       graft.operators.VectorOps.docKmeansAssignment(s, d)
-      t.join()
+      ts.foreach(_.join())
       if (err.get != null) throw err.get
     }))
 

@@ -1235,6 +1235,113 @@ object VectorOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  // ---- q114: vector-index staleness / drift monitor ----------------
+
+  /** Per-cell population-share shift above which the cell flags. */
+  private val DriftShareShift = 0.05
+
+  /** Session-lifetime fit of the doc index on the STORED corpus only
+    * (doc_id ≤ the q105 ingest cutoff — the same stored/incoming
+    * split): (assignment, frozen centroids). */
+  private val driftCache = new graft.util.Memo[(SparkSession, String), (DataFrame, DataFrame)](
+    stale = _._1.sparkContext.isStopped)
+
+  private[graft] def storedIndexFit(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    driftCache.getOrBuild((s, dir), {
+      val cut = Tables.t(s, dir, "documents")
+        .agg(floor(max(col("doc_id")) * lit(0.9)).cast(LongType).as("c"))
+      val old = docVectors(s, dir).crossJoin(broadcast(cut))
+        .filter(col("vec_id") <= col("c")).drop("c")
+      kmFitFull(old, KM_DOC_K, intValued = true)
+    })
+
+  /** q114 — vector-index staleness monitoring, the question every
+    * production ANN/cluster index faces as data keeps arriving: "has
+    * the corpus drifted off the trained index enough to retrain?" The
+    * index is fit on the STORED corpus (the q105 split rule); the
+    * INCOMING batch assigns to the FROZEN centroids; each cell then
+    * reports its old/new population share (snapped) and mean
+    * assignment cosine — a cell whose share shifts > DriftShareShift
+    * flags, and a falling mean cosine on the new mass is the
+    * quantization-quality drop that precedes recall loss. Scale: the
+    * delta assigns against K broadcast centroids (delta-sized cost,
+    * the q105 principle — the stored corpus never re-fits per batch);
+    * stats are per-cell two-level aggregates. */
+  def indexDrift(s: SparkSession, dir: String): DataFrame = {
+    val (asgOld, cents) = storedIndexFit(s, dir)
+    val cut = Tables.t(s, dir, "documents")
+      .agg(floor(max(col("doc_id")) * lit(0.9)).cast(LongType).as("c"))
+    val fresh = docVectors(s, dir).crossJoin(broadcast(cut))
+      .filter(col("vec_id") > col("c")).drop("c")
+    val asgNew = kmAssign(fresh, cents)
+    def cellStats(asg: DataFrame, pfx: String) =
+      asg.select(col("cell"), snapRound(col("csim"), 8).as("cos"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as(s"n_$pfx"),
+          snapRound(sum(col("cos").cast(DecimalType(38, 10))).cast(DoubleType) /
+            count(lit(1)), 6).as(s"mean_cos_$pfx"))
+    val tot = asgOld.agg(count(lit(1)).as("t_old"))
+      .crossJoin(asgNew.agg(count(lit(1)).as("t_new")))
+    val shareOld = snapRound(coalesce(col("n_old"), lit(0L)).cast(DoubleType) /
+      col("t_old").cast(DoubleType), 6)
+    val shareNew = snapRound(coalesce(col("n_new"), lit(0L)).cast(DoubleType) /
+      col("t_new").cast(DoubleType), 6)
+    cents.select(col("cell"))
+      .join(broadcast(cellStats(asgOld, "old")), Seq("cell"), "left")
+      .join(broadcast(cellStats(asgNew, "new")), Seq("cell"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("cell"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        shareOld.as("share_old"), shareNew.as("share_new"),
+        col("mean_cos_old"), col("mean_cos_new"),
+        (abs(shareOld - shareNew) > DriftShareShift).as("is_shifted"))
+      .orderBy(col("cell"))
+  }
+
+  // lazy: interpolates docVecCtes, a val declared further down the
+  // object (the init-order rule at the top of this file)
+  private lazy val indexDriftSql = {
+    val snapMean = snapRoundSql(
+      "CAST(sum(CAST(" + snapRoundSql("csim", 8) + " AS DECIMAL(38,10))) AS DOUBLE) / count(1)", 6)
+    val shareOld = snapRoundSql("coalesce(n_old, 0) / CAST(t_old AS DOUBLE)", 6)
+    val shareNew = snapRoundSql("coalesce(n_new, 0) / CAST(t_new AS DOUBLE)", 6)
+    s"""WITH $docVecCtes,
+       |cutoff AS (SELECT CAST(floor(max(doc_id) * 0.9) AS BIGINT) AS c FROM documents),
+       |e AS (SELECT vec_id, v FROM dn, cutoff WHERE norm2 > 0 AND vec_id <= c),
+       |n AS (SELECT vec_id, norm2 FROM dn, cutoff WHERE norm2 > 0 AND vec_id <= c),
+       |${kmChainCtes(KM_DOC_K, FH_DIM)},
+       |enew AS (SELECT vec_id, v FROM dn, cutoff WHERE norm2 > 0 AND vec_id > c),
+       |nnew AS (SELECT vec_id, norm2 FROM dn, cutoff WHERE norm2 > 0 AND vec_id > c),
+       |asn AS (
+       |  SELECT en.vec_id, cc.cell, cc.cnorm2, nn.norm2,
+       |         ${dotSql("en.v", "cc.cv")} / (sqrt(nn.norm2) * sqrt(cc.cnorm2)) AS csim
+       |  FROM enew en JOIN nnew nn USING (vec_id) CROSS JOIN centn$KM_ITERS cc),
+       |arn AS (
+       |  SELECT vec_id, cell, csim,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+       |  FROM asn),
+       |asgN AS (SELECT vec_id, cell, csim FROM arn WHERE rn = 1),
+       |stato AS (SELECT cell, count(1) AS n_old, $snapMean AS mean_cos_old FROM asgF GROUP BY 1),
+       |statn AS (SELECT cell, count(1) AS n_new, $snapMean AS mean_cos_new FROM asgN GROUP BY 1),
+       |tot AS (
+       |  SELECT (SELECT count(1) FROM asgF) AS t_old,
+       |         (SELECT count(1) FROM asgN) AS t_new),
+       |cells AS (SELECT cell FROM centn$KM_ITERS),
+       |r AS (
+       |  SELECT c.cell,
+       |         CAST(coalesce(n_old, 0) AS BIGINT) AS n_old,
+       |         CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+       |         $shareOld AS share_old, $shareNew AS share_new,
+       |         mean_cos_old, mean_cos_new
+       |  FROM cells c
+       |  LEFT JOIN stato USING (cell)
+       |  LEFT JOIN statn USING (cell), tot)
+       |SELECT cell, n_old, n_new, share_old, share_new, mean_cos_old, mean_cos_new,
+       |       abs(share_old - share_new) > $DriftShareShift AS is_shifted
+       |FROM r ORDER BY cell""".stripMargin
+  }
+
   /** The k-means Lloyd chain as CTE text (cent0 → [assign → update]*
     * → final asgF), over pre-defined CTEs `e(vec_id, v)` and
     * `n(vec_id, norm2)` — shared by the q108 (embeddings) and q109
@@ -1284,9 +1391,12 @@ object VectorOps extends QueryModule {
        |       ${snapRoundSql("min(cos)", 6)} AS min_cos
        |FROM cosr GROUP BY 1 ORDER BY cluster_id""".stripMargin
 
-  private val semDedupSql = {
+  /** The feature-hash document-vector chain (toks → sparse → dense →
+    * dn) as CTE text — shared by the q109 and q114 oracles. Ends at
+    * `dn(vec_id, v, norm2)`; callers define their own e/n slices. */
+  private val docVecCtes = {
     import graft.functions.TextFunctions.{featureDimSql, featureSignSql}
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
        |sparse AS (
        |  SELECT doc_id, ${featureDimSql("t", FH_DIM)} AS dim,
@@ -1301,7 +1411,11 @@ object VectorOps extends QueryModule {
        |         list(coalesce(s.v, CAST(0 AS DOUBLE)) ORDER BY g.dim) AS v
        |  FROM grid g LEFT JOIN sparse s ON g.doc_id = s.doc_id AND g.dim = s.dim
        |  GROUP BY 1),
-       |dn AS (SELECT vec_id, v, ${dotSql("v", "v")} AS norm2 FROM dense),
+       |dn AS (SELECT vec_id, v, ${dotSql("v", "v")} AS norm2 FROM dense)""".stripMargin
+  }
+
+  private val semDedupSql = {
+    s"""WITH $docVecCtes,
        |e AS (SELECT vec_id, v FROM dn WHERE norm2 > 0),
        |n AS (SELECT vec_id, norm2 FROM dn WHERE norm2 > 0),
        |${kmChainCtes(KM_DOC_K, FH_DIM)},
@@ -1409,7 +1523,8 @@ object VectorOps extends QueryModule {
     "q87_ann_sq8" -> annSq8,
     "q108_kmeans_clusters" -> kmeansClusters,
     "q109_sem_dedup" -> semDedup,
-    "q113_jl_distortion" -> jlDistortion)
+    "q113_jl_distortion" -> jlDistortion,
+    "q114_index_drift" -> indexDrift)
 
   override def oracles: Map[String, String] = Map(
     "q93_label_centroids" -> labelCentroidsSql,
@@ -1425,5 +1540,6 @@ object VectorOps extends QueryModule {
     "q87_ann_sq8" -> annSq8Sql,
     "q108_kmeans_clusters" -> kmeansClustersSql,
     "q109_sem_dedup" -> semDedupSql,
-    "q113_jl_distortion" -> jlDistortionSql)
+    "q113_jl_distortion" -> jlDistortionSql,
+    "q114_index_drift" -> indexDriftSql)
 }

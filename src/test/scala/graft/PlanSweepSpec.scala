@@ -34,7 +34,8 @@ class PlanSweepSpec extends SparkSpec {
     "q107_bpe_train", // one 1-row argmax-pair crossJoin per merge round (5 total)
     "q108_kmeans_clusters", // K-row (8) centroid fan-out inside the cached Lloyd fit's rendered plan
     "q109_sem_dedup", // same: K-row (64) centroid fan-out of the cached doc-vector fit
-    "q112_lm_novelty") // 1-row corpus-mean-surprise scalar crossJoin onto the per-doc scores
+    "q112_lm_novelty", // 1-row corpus-mean-surprise scalar crossJoin onto the per-doc scores
+    "q114_index_drift") // 1-row cutoff/total scalars + the cached fit's K-row centroid fan-out
 
   /** Queries whose plan legitimately contains Expand: ROLLUP/CUBE are
     * grouping-sets operators — Expand IS their plan shape, bounded at

@@ -856,12 +856,20 @@ object CorpusOps extends QueryModule {
     * initial corpus tokenize+count, every round operates on the WORD-
     * TYPE vocabulary (bounded, freq-weighted) — the corpus is never
     * touched again, which is how a trainer survives 100 TB input. */
-  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+  def bpeTrain(s: SparkSession, dir: String): DataFrame =
+    bpeFit(s, dir)._1.reduce(_ unionByName _).orderBy(col("merge_rank"))
+
+  /** The shared trainer chain: word types + freqs → BpeMerges rounds of
+    * [pair-count → argmax → greedy merge]. Returns the per-round
+    * best-merge frames (q107's output) AND the fully-merged word-type
+    * encodings `(w, freq, syms)` — the dictionary q115's apply step
+    * consumes. The word column rides the fold untouched. */
+  private def bpeFit(s: SparkSession, dir: String): (Seq[DataFrame], DataFrame) = {
     val words = Tables.t(s, dir, "documents")
       .select(explode(tokens(col("text"))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-    var cur = words.select(col("freq"),
+    var cur = words.select(col("w"), col("freq"),
       concat(
         transform(sequence(lit(1), length(col("w"))), i => col("w").substr(i, lit(1))),
         array(lit("</w>"))).as("syms"))
@@ -876,21 +884,64 @@ object CorpusOps extends QueryModule {
         .orderBy(col("pair_count").desc, col("a"), col("b")).limit(1)
       cur = cur
         .crossJoin(broadcast(best.select(col("a").as("ma"), col("b").as("mb"))))
-        .select(col("freq"), bpeMerge(col("syms"), col("ma"), col("mb")).as("syms"))
+        .select(col("w"), col("freq"), bpeMerge(col("syms"), col("ma"), col("mb")).as("syms"))
       best.select(lit(r).as("merge_rank"), col("a").as("left_sym"),
         col("b").as("right_sym"), col("pair_count"))
     }
-    merges.reduce(_ unionByName _).orderBy(col("merge_rank"))
+    (merges, cur)
   }
 
-  private val bpeTrainSql = {
-    // DuckDB 1.0 list_reduce drops LIST-typed struct fields across
-    // steps (a {out: [...], lm: bool} accumulator resets out every
-    // element — measured), so the just-merged flag rides as a chr(1)
-    // sentinel ELEMENT on a bare VARCHAR[] accumulator instead: a
-    // sentinel on top means "the symbol under me was produced by this
-    // round's merge — pop me and append without the merge check",
-    // which is exactly the Spark fold's lm=true branch.
+  // ---- q115: BPE encode (tokenizer APPLY) + fertility report --------
+
+  /** q115 — the APPLY half of the tokenizer loop (q107 learns the
+    * merges; this encodes the corpus with them) and the report a
+    * tokenizer owner actually reads: per-source fertility (subword
+    * tokens per whitespace word) and compression (chars per subword) —
+    * high fertility on a source/language means its text burns context
+    * budget (the multilingual-tokenizer finding of Rust et al. 2021).
+    * A bare trailing '</w>' marker is not an emitted token; a marker
+    * merged into its word's last subword is (the GPT-2 convention —
+    * 'word</w>' is one token). Scale: the merge fold runs ONCE per
+    * word TYPE (the dictionary — bounded, freq-weighted), never per
+    * occurrence; the corpus pays one token explode into a (source, w)
+    * partial agg (map-side combine) and a vocabulary-keyed shuffle
+    * join — the word-type table can exceed broadcast size at 100 TB,
+    * so it deliberately shuffles on w. Fractions are single IEEE
+    * divisions of exact integer sums — bit-identical cross-engine. */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val enc = bpeFit(s, dir)._2.select(col("w"),
+      (size(col("syms")) -
+        when(element_at(col("syms"), -1) === "</w>", 1).otherwise(0))
+        .cast(LongType).as("n_sub"))
+    val occ = Tables.t(s, dir, "documents")
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+    occ.join(enc, "w")
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_words"),
+        count(lit(1)).as("n_word_types"),
+        sum(col("cnt") * col("n_sub")).as("n_subword_tokens"),
+        sum(col("cnt") * length(col("w")).cast(LongType)).as("n_chars"))
+      .select(col("source"), col("n_words"), col("n_word_types"),
+        col("n_subword_tokens"),
+        (col("n_subword_tokens").cast(DoubleType) /
+          col("n_words").cast(DoubleType)).as("fertility"),
+        (col("n_chars").cast(DoubleType) /
+          col("n_subword_tokens").cast(DoubleType)).as("chars_per_subword"))
+      .orderBy(col("source"))
+  }
+
+  /** The q107 trainer chain as CTE text (words → w0 → [pc → best →
+    * w]* rounds) — shared by the q107 and q115 oracles. DuckDB 1.0
+    * list_reduce drops LIST-typed struct fields across steps (a
+    * {out: [...], lm: bool} accumulator resets out every element —
+    * measured), so the just-merged flag rides as a chr(1) sentinel
+    * ELEMENT on a bare VARCHAR[] accumulator instead: a sentinel on
+    * top means "the symbol under me was produced by this round's
+    * merge — pop me and append without the merge check", which is
+    * exactly the Spark fold's lm=true branch. */
+  private val bpeCtesSql = {
     val foldSql = (a: String, b: String) =>
       s"""list_filter(
          |  list_reduce(list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, x -> [x])),
@@ -909,24 +960,49 @@ object CorpusOps extends QueryModule {
          |  SELECT a, b, pair_count FROM pc$r
          |  ORDER BY pair_count DESC, a, b LIMIT 1),
          |w$r AS (
-         |  SELECT freq, ${foldSql(s"best$r.a", s"best$r.b")} AS syms
+         |  SELECT w, freq, ${foldSql(s"best$r.a", s"best$r.b")} AS syms
          |  FROM w${r - 1}, best$r)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to BpeMerges).map(r =>
-      s"SELECT $r AS merge_rank, a AS left_sym, b AS right_sym, pair_count FROM best$r")
-      .mkString("\nUNION ALL\n")
-    s"""WITH words AS (
+    s"""words AS (
        |  SELECT w, count(1) AS freq
        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |  WHERE len(w) > 0 GROUP BY 1),
        |w0 AS (
-       |  SELECT freq,
+       |  SELECT w, freq,
        |         list_append(list_transform(generate_series(1, len(w)), i -> w[i:i]), '</w>') AS syms
        |  FROM words),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private val bpeTrainSql = {
+    val out = (1 to BpeMerges).map(r =>
+      s"SELECT $r AS merge_rank, a AS left_sym, b AS right_sym, pair_count FROM best$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $bpeCtesSql
        |$out
        |ORDER BY merge_rank""".stripMargin
   }
+
+  private val bpeEncodeSql =
+    s"""WITH $bpeCtesSql,
+       |enc AS (
+       |  SELECT w, CAST(len(syms) - CASE WHEN syms[-1] = '</w>' THEN 1 ELSE 0 END AS BIGINT) AS n_sub
+       |  FROM w$BpeMerges),
+       |occ AS (
+       |  SELECT source, w, count(1) AS cnt
+       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY 1, 2),
+       |ag AS (
+       |  SELECT source,
+       |         CAST(sum(cnt) AS BIGINT) AS n_words,
+       |         count(1) AS n_word_types,
+       |         CAST(sum(cnt * n_sub) AS BIGINT) AS n_subword_tokens,
+       |         CAST(sum(cnt * len(w)) AS BIGINT) AS n_chars
+       |  FROM occ JOIN enc USING (w) GROUP BY 1)
+       |SELECT source, n_words, n_word_types, n_subword_tokens,
+       |       CAST(n_subword_tokens AS DOUBLE) / CAST(n_words AS DOUBLE) AS fertility,
+       |       CAST(n_chars AS DOUBLE) / CAST(n_subword_tokens AS DOUBLE) AS chars_per_subword
+       |FROM ag ORDER BY source""".stripMargin
 
   // ---- q112: rare-bigram LM novelty filter -------------------------
 
@@ -1054,6 +1130,7 @@ object CorpusOps extends QueryModule {
     "q68_corpus_mix" -> corpusMix,
     "q106_temperature_mix" -> temperatureMix,
     "q107_bpe_train" -> bpeTrain,
+    "q115_bpe_encode" -> bpeEncode,
     "q110_signal_agreement" -> signalAgreement,
     "q112_lm_novelty" -> lmNovelty,
     "q69_span_dedup" -> spanDedup,
@@ -1073,6 +1150,7 @@ object CorpusOps extends QueryModule {
     "q68_corpus_mix" -> corpusMixSql,
     "q106_temperature_mix" -> temperatureMixSql,
     "q107_bpe_train" -> bpeTrainSql,
+    "q115_bpe_encode" -> bpeEncodeSql,
     "q110_signal_agreement" -> signalAgreementSql,
     "q112_lm_novelty" -> lmNoveltySql,
     "q69_span_dedup" -> spanDedupSql,

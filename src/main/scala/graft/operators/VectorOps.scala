@@ -1235,6 +1235,91 @@ object VectorOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  // ---- q116: semantic decontamination ------------------------------
+
+  /** Cosine at/above which a training doc counts as semantically
+    * contaminated by a held-out eval doc. */
+  private val DECON_TAU = 0.8
+
+  /** The held-out benchmark source (CorpusOps.EvalSource — q62's). */
+  private val DeconEvalSource = "src0"
+
+  /** q116 — SEMANTIC decontamination: the embedding-space complement
+    * of q62's exact n-gram check. A paraphrased benchmark slips an
+    * n-gram match entirely (the rephrased-sample findings of Yang et
+    * al. 2023, "Rethinking Benchmark and Contamination"); it does NOT
+    * slip a high-cosine match. Training docs (source != eval) compare
+    * against eval docs on the deterministic feature-hash vectors, but
+    * only WITHIN their k-means cell (the q109/SemDeDup cost model —
+    * at 100 TB the corpus×benchmark brute force is ~1e15 dot products;
+    * cell-bucketed it is that / K, and K grows with N). Output is the
+    * contamination list: each flagged train doc with its hit count and
+    * best eval witness (max raw cosine, tie lower eval id — raw-double
+    * ordering is safe because both engines fold the dot identically).
+    * Caveat, same as q109: a cross-cell paraphrase is missed at
+    * probe=1; a production pass multi-probes (q52/q80's dial).
+    * Scale: reuses the memoized q109 fit; eval rows are benchmark-
+    * sized, so the per-cell join is corpus×(eval∩cell) — the corpus
+    * never self-joins and never shuffles more than its cell key. */
+  def semanticDecon(s: SparkSession, dir: String): DataFrame = {
+    val asg = docKmeansAssignment(s, dir)
+    val src = Tables.t(s, dir, "documents")
+      .select(col("doc_id").as("vec_id"), col("source"))
+    val tagged = asg.join(src, "vec_id")
+    // the eval side is benchmark-sized — broadcast it so the corpus
+    // side never shuffles for the cell join
+    val evalSide = broadcast(tagged.filter(col("source") === DeconEvalSource)
+      .select(col("vec_id").as("q"), col("e").as("qe"),
+        col("norm2").as("qn"), col("cell").as("qcell")))
+    val train = tagged.filter(col("source") =!= DeconEvalSource)
+      .select(col("vec_id").as("p"), col("e").as("pe"),
+        col("norm2").as("pn"), col("cell"))
+    val cosr = (dot_product(col("pe"), col("qe")) /
+      (sqrt(col("pn")) * sqrt(col("qn")))).as("cosine_raw")
+    train.join(evalSide, col("cell") === col("qcell"))
+      .select(col("p"), col("q"), col("cell"), cosr)
+      .filter(col("cosine_raw") >= DECON_TAU)
+      .groupBy(col("p"))
+      .agg(count(lit(1)).as("n_eval_hits"),
+        max_by(struct(col("q"), col("cell"), col("cosine_raw")),
+          struct(col("cosine_raw"), (-col("q")).as("negq"))).as("b"))
+      .select(col("p").as("doc_id"), col("b.cell").as("cluster_id"),
+        col("b.q").as("eval_doc_id"),
+        snapRound(col("b.cosine_raw"), 6).as("cosine"),
+        col("n_eval_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  // lazy: interpolates docVecCtes/kmChainCtes, declared further down
+  // the object (the init-order rule at the top of this file)
+  private lazy val semanticDeconSql =
+    s"""WITH $docVecCtes,
+       |e AS (SELECT vec_id, v FROM dn WHERE norm2 > 0),
+       |n AS (SELECT vec_id, norm2 FROM dn WHERE norm2 > 0),
+       |${kmChainCtes(KM_DOC_K, FH_DIM)},
+       |sd AS (
+       |  SELECT a.vec_id, a.cell, d.source
+       |  FROM asgF a JOIN documents d ON a.vec_id = d.doc_id),
+       |prs AS (
+       |  SELECT tp.vec_id AS p, te.vec_id AS q, tp.cell,
+       |         ${dotSql("ep.v", "eq.v")} / (sqrt(np.norm2) * sqrt(nq.norm2)) AS cosine_raw
+       |  FROM sd tp JOIN sd te ON tp.cell = te.cell
+       |  JOIN e ep ON ep.vec_id = tp.vec_id
+       |  JOIN e eq ON eq.vec_id = te.vec_id
+       |  JOIN n np ON np.vec_id = tp.vec_id
+       |  JOIN n nq ON nq.vec_id = te.vec_id
+       |  WHERE tp.source <> '$DeconEvalSource' AND te.source = '$DeconEvalSource'),
+       |f AS (SELECT * FROM prs WHERE cosine_raw >= $DECON_TAU),
+       |rk AS (
+       |  SELECT p, q, cell, cosine_raw,
+       |         CAST(count(1) OVER (PARTITION BY p) AS BIGINT) AS n_eval_hits,
+       |         row_number() OVER (PARTITION BY p ORDER BY cosine_raw DESC, q) AS rn
+       |  FROM f)
+       |SELECT p AS doc_id, cell AS cluster_id, q AS eval_doc_id,
+       |       ${snapRoundSql("cosine_raw", 6)} AS cosine, n_eval_hits
+       |FROM rk WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+
   // ---- q114: vector-index staleness / drift monitor ----------------
 
   /** Per-cell population-share shift above which the cell flags. */
@@ -1524,7 +1609,8 @@ object VectorOps extends QueryModule {
     "q108_kmeans_clusters" -> kmeansClusters,
     "q109_sem_dedup" -> semDedup,
     "q113_jl_distortion" -> jlDistortion,
-    "q114_index_drift" -> indexDrift)
+    "q114_index_drift" -> indexDrift,
+    "q116_semantic_decon" -> semanticDecon)
 
   override def oracles: Map[String, String] = Map(
     "q93_label_centroids" -> labelCentroidsSql,
@@ -1541,5 +1627,6 @@ object VectorOps extends QueryModule {
     "q108_kmeans_clusters" -> kmeansClustersSql,
     "q109_sem_dedup" -> semDedupSql,
     "q113_jl_distortion" -> jlDistortionSql,
-    "q114_index_drift" -> indexDriftSql)
+    "q114_index_drift" -> indexDriftSql,
+    "q116_semantic_decon" -> semanticDeconSql)
 }

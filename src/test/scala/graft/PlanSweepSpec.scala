@@ -35,7 +35,9 @@ class PlanSweepSpec extends SparkSpec {
     "q108_kmeans_clusters", // K-row (8) centroid fan-out inside the cached Lloyd fit's rendered plan
     "q109_sem_dedup", // same: K-row (64) centroid fan-out of the cached doc-vector fit
     "q112_lm_novelty", // 1-row corpus-mean-surprise scalar crossJoin onto the per-doc scores
-    "q114_index_drift") // 1-row cutoff/total scalars + the cached fit's K-row centroid fan-out
+    "q114_index_drift", // 1-row cutoff/total scalars + the cached fit's K-row centroid fan-out
+    "q115_bpe_encode", // q107's trainer chain: one 1-row argmax-pair crossJoin per merge round
+    "q116_semantic_decon") // the cached doc-vector fit's K-row (64) centroid fan-out (q109's)
 
   /** Queries whose plan legitimately contains Expand: ROLLUP/CUBE are
     * grouping-sets operators — Expand IS their plan shape, bounded at
@@ -59,6 +61,7 @@ class PlanSweepSpec extends SparkSpec {
     "q73_embedding_clusters",
     "q91_decon_two_phase", // exact-verify join on hash-hit grams (broadcast at small SF, SMJ at scale)
     "q105_incremental_dedup", // delta bands vs stored index + shingle verify: derived-vs-derived, delta side bounded
+    "q116_semantic_decon", // assignment × documents source-tag join: both sides corpus-proportional, id-keyed
     "q99_curation_funnel") // stage chains: doc-id-projection semi/anti joins of comparable derived sets
 
   private def plan(name: String): String =

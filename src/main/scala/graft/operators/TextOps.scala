@@ -84,6 +84,54 @@ object TextOps extends QueryModule {
       |       count(1) - 1 AS dup_count
       |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin
 
+  // ---- q118: cross-source mirror matrix ----------------------------
+
+  /** Verified-pair Jaccard at/above which a pair counts as mirrored. */
+  private val MirrorTau = 0.8
+
+  /** q118 — mirror/syndication detection: WHERE do the duplicates come
+    * from? The verified near-dup pairs (q23's exact Jaccard over the
+    * LSH candidates, >= MirrorTau) map to their lexicographically-
+    * ordered source pair and roll up to a matrix of pair counts + mean
+    * overlap per (source_a, source_b) — off-diagonal mass is
+    * syndication / scraper overlap (the curator drops one side),
+    * diagonal mass is internal re-posting. Exact-hash dups are a
+    * subset (Jaccard 1), so this is the exact-mirror matrix too.
+    * Scale: pair generation is the shared band artifact's bucket-local
+    * self-join (never all-pairs); the source tag join is id-keyed on
+    * pair-sized rows; the final rollup is sources² at most. Mean
+    * jaccard folds snapped 6-dp values through an exact decimal sum
+    * (the label-centroid rule). */
+  def mirrorMatrix(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.t(s, dir, "documents").select(col("doc_id"), col("source"))
+    val pairs = ngramJaccard(s, dir).filter(col("jaccard") >= MirrorTau)
+    pairs
+      .join(src.as("pa"), col("doc_a") === col("pa.doc_id"))
+      .join(src.as("pb"), col("doc_b") === col("pb.doc_id"))
+      .select(least(col("pa.source"), col("pb.source")).as("source_a"),
+        greatest(col("pa.source"), col("pb.source")).as("source_b"),
+        col("jaccard"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        snapRound(sum(col("jaccard").cast(DecimalType(38, 10))).cast(DoubleType) /
+          count(lit(1)), 6).as("mean_jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  private lazy val mirrorMatrixSql =
+    s"""WITH jac AS ($ngramJaccardSql),
+       |pr AS (
+       |  SELECT least(pa.source, pb.source) AS source_a,
+       |         greatest(pa.source, pb.source) AS source_b, jaccard
+       |  FROM jac
+       |  JOIN documents pa ON jac.doc_a = pa.doc_id
+       |  JOIN documents pb ON jac.doc_b = pb.doc_id
+       |  WHERE jaccard >= $MirrorTau)
+       |SELECT source_a, source_b, count(1) AS n_pairs,
+       |       ${snapRoundSql("CAST(sum(CAST(jaccard AS DECIMAL(38,10))) AS DOUBLE) / count(1)", 6)} AS mean_jaccard
+       |FROM pr GROUP BY 1, 2
+       |ORDER BY source_a, source_b""".stripMargin
+
   // ---- shared shingle SQL ----------------------------------------
 
   /** DuckDB: distinct word-3-gram shingles per doc (mirror of
@@ -972,6 +1020,7 @@ object TextOps extends QueryModule {
     "q29_poly_fingerprint" -> polyFingerprint,
     "q105_incremental_dedup" -> incrementalDedup,
     "q20_dedup_exact" -> dedupExact,
+    "q118_mirror_matrix" -> mirrorMatrix,
     "q21_minhash_signatures" -> minhashSignatures,
     "q22_lsh_candidates" -> lshCandidates,
     "q23_ngram_jaccard" -> ngramJaccard,
@@ -1006,6 +1055,7 @@ object TextOps extends QueryModule {
     "q29_poly_fingerprint" -> polyFingerprintSql,
     "q105_incremental_dedup" -> incrementalDedupSql,
     "q20_dedup_exact" -> dedupExactSql,
+    "q118_mirror_matrix" -> mirrorMatrixSql,
     "q21_minhash_signatures" -> minhashSignaturesSql,
     "q22_lsh_candidates" -> lshCandidatesSql,
     "q23_ngram_jaccard" -> ngramJaccardSql,

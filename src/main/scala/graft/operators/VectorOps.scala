@@ -1148,6 +1148,42 @@ object VectorOps extends QueryModule {
         col("centroid_norm"), col("mean_cos"), col("min_cos"))
       .orderBy(col("cluster_id"))
 
+  // ---- q117: hard-negative mining ----------------------------------
+
+  /** Hard negatives mined per anchor. */
+  private val HN_K = 3
+
+  /** q117 — hard-negative mining for contrastive training (the DPR /
+    * SimCSE / sentence-transformers practice: the negatives that teach
+    * are the highest-similarity WRONG-label examples, not random
+    * ones): for every labeled vector, the top-HN_K highest-cosine
+    * same-cell vectors with a DIFFERENT label. Cells come from the
+    * memoized q108 k-means fit, so the mining cost follows the
+    * SemDeDup bound — (N/K)·N pairs with K the scale dial — which is
+    * exactly how production mines (within an ANN index, never brute
+    * force; a multi-probe dial widens recall like q52/q80). Raw-cosine
+    * ordering with an id tiebreak is safe cross-engine (both fold the
+    * dot identically); output cosine snapped for display. */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val lab = Tables.t(s, dir, "embeddings").select(col("vec_id"), col("label"))
+    val asg = kmeansAssignment(s, dir).join(lab, "vec_id")
+    val a = asg.select(col("vec_id").as("p"), col("label").as("p_label"),
+      col("e").as("pe"), col("norm2").as("pn"), col("cell"))
+    val b = asg.select(col("vec_id").as("q"), col("label").as("q_label"),
+      col("e").as("qe"), col("norm2").as("qn"), col("cell").as("qcell"))
+    val cosr = (dot_product(col("pe"), col("qe")) /
+      (sqrt(col("pn")) * sqrt(col("qn")))).as("cosine_raw")
+    val w = Window.partitionBy(col("p")).orderBy(col("cosine_raw").desc, col("q"))
+    a.join(b, (col("cell") === col("qcell")) && (col("p_label") !== col("q_label")))
+      .select(col("p"), col("p_label"), col("q"), col("q_label"), cosr)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= HN_K)
+      .select(col("p").as("vec_id"), col("p_label").as("label"), col("rank"),
+        col("q").as("neg_id"), col("q_label").as("neg_label"),
+        snapRound(col("cosine_raw"), 6).as("cosine"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
   /** SemDeDup near-duplicate threshold. The embeddings fixture has NO
     * high-cosine pairs (measured max pairwise cosine 0.49), so q109
     * runs on feature-hashed DOCUMENT vectors, where the corpus's real
@@ -1462,12 +1498,18 @@ object VectorOps extends QueryModule {
        |${assign(s"centn$KM_ITERS", "F")}""".stripMargin
   }
 
-  private val kmeansClustersSql =
-    s"""WITH e AS (
+  /** The embeddings-table e/n CTE pair kmChainCtes consumes — shared
+    * by the q108 and q117 oracles (parity-critical: the same ordered
+    * dot fold must feed both). */
+  private val embEnCtes =
+    s"""e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
        |n AS (
-       |  SELECT vec_id, ${dotSql("embedding", "embedding")} AS norm2 FROM embeddings),
+       |  SELECT vec_id, ${dotSql("embedding", "embedding")} AS norm2 FROM embeddings)""".stripMargin
+
+  private val kmeansClustersSql =
+    s"""WITH $embEnCtes,
        |${kmChainCtes(KM_K, DIM)},
        |cosr AS (SELECT cell, cnorm2, ${snapRoundSql("csim", 8)} AS cos FROM asgF)
        |SELECT cell AS cluster_id, count(1) AS n_vectors,
@@ -1475,6 +1517,30 @@ object VectorOps extends QueryModule {
        |       ${snapRoundSql("CAST(sum(CAST(cos AS DECIMAL(38,10))) AS DOUBLE) / count(1)", 6)} AS mean_cos,
        |       ${snapRoundSql("min(cos)", 6)} AS min_cos
        |FROM cosr GROUP BY 1 ORDER BY cluster_id""".stripMargin
+
+  private val hardNegativesSql =
+    s"""WITH $embEnCtes,
+       |${kmChainCtes(KM_K, DIM)},
+       |lb AS (
+       |  SELECT a.vec_id, a.cell, emb.label
+       |  FROM asgF a JOIN embeddings emb USING (vec_id)),
+       |prs AS (
+       |  SELECT pa.vec_id AS p, pa.label AS p_label,
+       |         pb.vec_id AS q, pb.label AS q_label,
+       |         ${dotSql("ea.v", "eb.v")} / (sqrt(na.norm2) * sqrt(nb.norm2)) AS cosine_raw
+       |  FROM lb pa JOIN lb pb ON pa.cell = pb.cell AND pa.label <> pb.label
+       |  JOIN e ea ON ea.vec_id = pa.vec_id
+       |  JOIN e eb ON eb.vec_id = pb.vec_id
+       |  JOIN n na ON na.vec_id = pa.vec_id
+       |  JOIN n nb ON nb.vec_id = pb.vec_id),
+       |rk AS (
+       |  SELECT p, p_label, q, q_label, cosine_raw,
+       |         CAST(row_number() OVER (PARTITION BY p ORDER BY cosine_raw DESC, q) AS INTEGER) AS rank
+       |  FROM prs)
+       |SELECT p AS vec_id, p_label AS label, rank, q AS neg_id, q_label AS neg_label,
+       |       ${snapRoundSql("cosine_raw", 6)} AS cosine
+       |FROM rk WHERE rank <= $HN_K
+       |ORDER BY vec_id, rank""".stripMargin
 
   /** The feature-hash document-vector chain (toks → sparse → dense →
     * dn) as CTE text — shared by the q109 and q114 oracles. Ends at
@@ -1610,7 +1676,8 @@ object VectorOps extends QueryModule {
     "q109_sem_dedup" -> semDedup,
     "q113_jl_distortion" -> jlDistortion,
     "q114_index_drift" -> indexDrift,
-    "q116_semantic_decon" -> semanticDecon)
+    "q116_semantic_decon" -> semanticDecon,
+    "q117_hard_negatives" -> hardNegatives)
 
   override def oracles: Map[String, String] = Map(
     "q93_label_centroids" -> labelCentroidsSql,
@@ -1628,5 +1695,6 @@ object VectorOps extends QueryModule {
     "q109_sem_dedup" -> semDedupSql,
     "q113_jl_distortion" -> jlDistortionSql,
     "q114_index_drift" -> indexDriftSql,
-    "q116_semantic_decon" -> semanticDeconSql)
+    "q116_semantic_decon" -> semanticDeconSql,
+    "q117_hard_negatives" -> hardNegativesSql)
 }

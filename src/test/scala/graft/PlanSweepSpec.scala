@@ -37,7 +37,8 @@ class PlanSweepSpec extends SparkSpec {
     "q112_lm_novelty", // 1-row corpus-mean-surprise scalar crossJoin onto the per-doc scores
     "q114_index_drift", // 1-row cutoff/total scalars + the cached fit's K-row centroid fan-out
     "q115_bpe_encode", // q107's trainer chain: one 1-row argmax-pair crossJoin per merge round
-    "q116_semantic_decon") // the cached doc-vector fit's K-row (64) centroid fan-out (q109's)
+    "q116_semantic_decon", // the cached doc-vector fit's K-row (64) centroid fan-out (q109's)
+    "q117_hard_negatives") // the cached q108 fit's K-row (8) centroid fan-out
 
   /** Queries whose plan legitimately contains Expand: ROLLUP/CUBE are
     * grouping-sets operators — Expand IS their plan shape, bounded at
@@ -62,6 +63,8 @@ class PlanSweepSpec extends SparkSpec {
     "q91_decon_two_phase", // exact-verify join on hash-hit grams (broadcast at small SF, SMJ at scale)
     "q105_incremental_dedup", // delta bands vs stored index + shingle verify: derived-vs-derived, delta side bounded
     "q116_semantic_decon", // assignment × documents source-tag join: both sides corpus-proportional, id-keyed
+    "q117_hard_negatives", // assignment × embeddings label-tag join + in-cell pair join: corpus-proportional sides
+    "q118_mirror_matrix", // content-hash self-join: both sides ARE the corpus, pair cost bounded by dup-group sizes
     "q99_curation_funnel") // stage chains: doc-id-projection semi/anti joins of comparable derived sets
 
   private def plan(name: String): String =

@@ -240,19 +240,44 @@ object Forecasting extends QueryModule {
 
   def fullDispatch(s: SparkSession, dir: String): DataFrame =
     fullDispatchCache.getOrBuild((s, dir), {
-      val weeklyOther = for {
-        lv <- levels.filterNot(_ == "supplier")
-        m <- models.keys.toSeq.sorted
-      } yield weeklyFitAt(s, dir, lv, m)
-      val daily = models.keys.toSeq.sorted.map(m => run(s, dir, m, "daily"))
+      def probe[A](tag: String)(body: => A): A =
+        if (sys.env.contains("DISPATCH_PROBE")) {
+          val t0 = System.nanoTime()
+          val r = body
+          println(f"DISPATCHPROBE $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          r
+        } else body
+      val branchBuilds: Seq[(String, () => DataFrame)] =
+        (for {
+          lv <- levels.filterNot(_ == "supplier")
+          m <- models.keys.toSeq.sorted
+        } yield s"weekly:$lv:$m" -> (() => weeklyFitAt(s, dir, lv, m))) ++
+        models.keys.toSeq.sorted.map(m =>
+          s"daily:$m" -> (() => run(s, dir, m, "daily")))
+      // Branch CONSTRUCTION overlaps on threads (the prep_kmeans
+      // pattern): the three global_ar branches each run an eager
+      // pooled fit (normal-equation job + 5-coefficient head()), and
+      // serially they cost ~2.3 s at sf0.1 — concurrent, two fits
+      // hide behind the third. Union order stays the declared order
+      // (results land by index), and a thread's failure propagates.
+      val built = new Array[DataFrame](branchBuilds.size)
+      val err = new java.util.concurrent.atomic.AtomicReference[Throwable]
+      val threads = branchBuilds.zipWithIndex.map { case ((tag, b), i) =>
+        val t = new Thread(() =>
+          try built(i) = probe(s"build $tag")(b())
+          catch { case e: Throwable => err.compareAndSet(null, e); () })
+        t.setDaemon(true); t.start(); t
+      }
+      threads.foreach(_.join())
+      if (err.get != null) throw err.get
       // repartition(16), not coalesce: the 17 branches' fits keep
       // their own shuffle parallelism while the CACHED frame collapses
       // from 17 × shuffle.partitions task-launch units to 16
-      val d = (forecastDispatch(s, dir) +: (weeklyOther ++ daily))
+      val d = (forecastDispatch(s, dir) +: built.toSeq)
         .reduce(_ unionByName _)
         .repartition(16)
         .persist()
-      d.count()
+      probe("materialize union")(d.count())
       d
     })
 

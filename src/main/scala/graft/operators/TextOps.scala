@@ -132,6 +132,71 @@ object TextOps extends QueryModule {
        |FROM pr GROUP BY 1, 2
        |ORDER BY source_a, source_b""".stripMargin
 
+  // ---- q119: split-leakage audit ------------------------------------
+
+  /** Heldout-split rate for q119, per mille (bucket < this → eval). */
+  private val EvalSplitPermille = 100
+
+  /** q119 — train/eval split leakage: the audit a training pipeline
+    * runs AFTER splitting and BEFORE training. A near-duplicate pair
+    * straddling the split leaks training text into evaluation — the
+    * dedup-must-precede-split finding of Lee et al. 2021
+    * ("Deduplicating Training Data Makes Language Models Better"):
+    * eval scores on leaked docs measure memorization, not
+    * generalization. Docs split by the deterministic keyed coin
+    * (q59's permilleBucket, bucket < 100 = heldout 10%); the verified
+    * near-dup pairs (q23 exact Jaccard, >= MirrorTau) that straddle it
+    * report one row per compromised HELDOUT doc with its hit count
+    * and best training witness (max snapped jaccard, tie lower id —
+    * a map-side max_by, no rank window). Scale: pairs come from the
+    * shared band artifact's bucket-local join; the split tag is a
+    * narrow map on pair-sized rows — the audit costs one pass over
+    * the pair list, never the corpus. */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val split = Tables.t(s, dir, "documents")
+      .select(col("doc_id"),
+        (permilleBucket(col("doc_id")) < EvalSplitPermille).as("is_eval"))
+    val leaks = ngramJaccard(s, dir).filter(col("jaccard") >= MirrorTau)
+      .join(split.as("la"), col("doc_a") === col("la.doc_id"))
+      .join(split.as("lb"), col("doc_b") === col("lb.doc_id"))
+      .filter(col("la.is_eval") =!= col("lb.is_eval"))
+      .select(
+        when(col("la.is_eval"), col("doc_a")).otherwise(col("doc_b")).as("eval_doc_id"),
+        when(col("la.is_eval"), col("doc_b")).otherwise(col("doc_a")).as("train_doc_id"),
+        col("jaccard"))
+    leaks.groupBy(col("eval_doc_id"))
+      .agg(count(lit(1)).as("n_train_dups"),
+        max_by(struct(col("train_doc_id"), col("jaccard")),
+          struct(col("jaccard"), (-col("train_doc_id")).as("neg"))).as("b"))
+      .select(col("eval_doc_id"), col("b.train_doc_id").as("train_doc_id"),
+        col("b.jaccard").as("jaccard"), col("n_train_dups"))
+      .orderBy(col("eval_doc_id"))
+  }
+
+  private lazy val splitLeakageSql = {
+    val bucketA = permilleBucketSql("pa.doc_id")
+    val bucketB = permilleBucketSql("pb.doc_id")
+    s"""WITH jac AS ($ngramJaccardSql),
+       |pr AS (
+       |  SELECT CASE WHEN $bucketA < $EvalSplitPermille THEN doc_a ELSE doc_b END AS eval_doc_id,
+       |         CASE WHEN $bucketA < $EvalSplitPermille THEN doc_b ELSE doc_a END AS train_doc_id,
+       |         jaccard
+       |  FROM jac
+       |  JOIN documents pa ON jac.doc_a = pa.doc_id
+       |  JOIN documents pb ON jac.doc_b = pb.doc_id
+       |  WHERE jaccard >= $MirrorTau
+       |    AND ($bucketA < $EvalSplitPermille) <> ($bucketB < $EvalSplitPermille)),
+       |rk AS (
+       |  SELECT eval_doc_id, train_doc_id, jaccard,
+       |         CAST(count(1) OVER (PARTITION BY eval_doc_id) AS BIGINT) AS n_train_dups,
+       |         row_number() OVER (PARTITION BY eval_doc_id
+       |           ORDER BY jaccard DESC, train_doc_id) AS rn
+       |  FROM pr)
+       |SELECT eval_doc_id, train_doc_id, jaccard, n_train_dups
+       |FROM rk WHERE rn = 1
+       |ORDER BY eval_doc_id""".stripMargin
+  }
+
   // ---- shared shingle SQL ----------------------------------------
 
   /** DuckDB: distinct word-3-gram shingles per doc (mirror of
@@ -1021,6 +1086,7 @@ object TextOps extends QueryModule {
     "q105_incremental_dedup" -> incrementalDedup,
     "q20_dedup_exact" -> dedupExact,
     "q118_mirror_matrix" -> mirrorMatrix,
+    "q119_split_leakage" -> splitLeakage,
     "q21_minhash_signatures" -> minhashSignatures,
     "q22_lsh_candidates" -> lshCandidates,
     "q23_ngram_jaccard" -> ngramJaccard,
@@ -1056,6 +1122,7 @@ object TextOps extends QueryModule {
     "q105_incremental_dedup" -> incrementalDedupSql,
     "q20_dedup_exact" -> dedupExactSql,
     "q118_mirror_matrix" -> mirrorMatrixSql,
+    "q119_split_leakage" -> splitLeakageSql,
     "q21_minhash_signatures" -> minhashSignaturesSql,
     "q22_lsh_candidates" -> lshCandidatesSql,
     "q23_ngram_jaccard" -> ngramJaccardSql,

@@ -179,6 +179,29 @@ class CurationMiningSpec extends SparkSpec {
       "a same-label row leaked into the negatives")
   }
 
+  // ---- q119 split-leakage accounting --------------------------------
+
+  test("q119 reports exactly the straddling verified pairs, oriented eval-side") {
+    def bucket(id: Long): Long =
+      (((id >>> 31) * 1103515245L) % 1000L + ((id & 2147483647L) * 2654435761L) % 1000L) % 1000L
+    def isEval(id: Long): Boolean = bucket(id) < 100
+    val straddling = TextOps.ngramJaccard(spark, sf0001)
+      .filter(col("jaccard") >= 0.8).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .filter { case (a, b) => isEval(a) != isEval(b) }
+    assert(straddling.nonEmpty, "fixture/coin lost its straddling pairs")
+    val out = TextOps.splitLeakage(spark, sf0001).collect()
+    assert(out.map(_.getAs[Long]("n_train_dups")).sum == straddling.length,
+      "leak mass != straddling pair count")
+    assert(out.forall(r => isEval(r.getAs[Long]("eval_doc_id"))),
+      "a leak row's subject is not a heldout doc")
+    assert(out.forall(r => !isEval(r.getAs[Long]("train_doc_id"))),
+      "a leak row's witness is not a training doc")
+    assert(out.map(_.getAs[Long]("eval_doc_id")).toSet ==
+      straddling.map { case (a, b) => if (isEval(a)) a else b }.toSet,
+      "compromised-doc sets differ")
+  }
+
   // ---- q118 accounting ties to the verified pairs -------------------
 
   test("q118 matrix accounts for exactly the verified >= 0.8 pairs") {

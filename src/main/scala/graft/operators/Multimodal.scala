@@ -53,14 +53,17 @@ object Multimodal extends QueryModule {
     * frames OVERLAP, unlike q72's disjoint-ish chunking) over the
     * opaque binary payload. Per frame: energy (sum of squared byte
     * values — exact integer arithmetic, the libm-free stand-in for
-    * RMS), peak byte, and a silence count (space bytes). A doc shorter
-    * than one window emits its single truncated frame; frame count =
-    * floor(max(len-W,0)/H)+1. Scale: a narrow per-row explode — no
+    * RMS), peak byte, and a silence count (space bytes). Frame count =
+    * ceil(max(len-W,0)/H)+1: the tail frame is emitted TRUNCATED,
+    * never dropped — the floor-based librosa-style count silently
+    * loses the last partial window of every payload (caught by the
+    * MediaPipelineSpec coverage invariant), and a doc shorter than one
+    * window is its own single frame. Scale: a narrow per-row explode — no
     * shuffle at all until the output sort; each frame reads only its
     * byte slice, and at 100 TB the same plan runs with the decode
     * seam (MediaPipeline) supplying real PCM instead of text bytes. */
   def frameEnergy(s: SparkSession, dir: String): DataFrame = {
-    val nFrames = floor(greatest(col("len") - lit(FrameWin), lit(0))
+    val nFrames = ceil(greatest(col("len") - lit(FrameWin), lit(0))
       .cast(DoubleType) / lit(FrameHop)).cast(IntegerType)
     Tables.t(s, dir, "documents")
       .select(col("doc_id"), col("text"), length(col("text")).as("len"))
@@ -82,7 +85,7 @@ object Multimodal extends QueryModule {
     s"""WITH f AS (
        |  SELECT doc_id, text, length(text) AS len,
        |         unnest(generate_series(0,
-       |           CAST(floor(greatest(length(text) - $FrameWin, 0) / CAST($FrameHop AS DOUBLE)) AS BIGINT))) AS fi
+       |           CAST(ceil(greatest(length(text) - $FrameWin, 0) / CAST($FrameHop AS DOUBLE)) AS BIGINT))) AS fi
        |  FROM documents WHERE length(text) > 0),
        |b AS (
        |  SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,

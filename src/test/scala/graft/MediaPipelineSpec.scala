@@ -91,4 +91,33 @@ class MediaPipelineSpec extends SparkSpec {
       (MediaPipeline.fakeDecode(bytes)._1 == MediaPipeline.fakeDecode(bytes)._1 &&
         MediaPipeline.fakeDecode(bytes)._2.toSeq == MediaPipeline.fakeDecode(bytes)._2.toSeq))
   }
+
+  test("q120 frames: count formula, overlap coverage, and exact energy") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.t(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = graft.operators.Multimodal.frameEnergy(spark, sf0001)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+    assert(out.keySet == docs.filter(_._2.nonEmpty).keySet)
+    for ((id, frames) <- out) {
+      val len = docs(id).length
+      val expectFrames = math.ceil(math.max(len - 64, 0) / 32.0).toInt + 1
+      assert(frames.length == expectFrames,
+        s"doc $id len $len: ${frames.length} frames != $expectFrames")
+      // hop < window: consecutive frames overlap by window - hop bytes,
+      // and together they cover every byte of the payload
+      val covered = frames.map(_.getAs[Int]("frame_idx"))
+        .flatMap(f => (f * 32 + 1) to math.min(f * 32 + 64, len)).toSet
+      assert(covered == (1 to len).toSet, s"doc $id: frames do not cover the payload")
+      for (fr <- frames) {
+        val f = fr.getAs[Int]("frame_idx")
+        val slice = docs(id).substring(f * 32, math.min(f * 32 + 64, len))
+        assert(fr.getAs[Long]("energy") ==
+          slice.map(c => c.toLong * c.toLong).sum, s"doc $id frame $f: energy")
+        assert(fr.getAs[Long]("peak_byte") == slice.map(_.toLong).max)
+        assert(fr.getAs[Long]("n_silent") == slice.count(_ == ' ').toLong)
+      }
+    }
+  }
 }

@@ -32,8 +32,9 @@ import org.apache.spark.sql.types._
   */
 object CorpusOps extends QueryModule {
 
-  /** The held-out benchmark source for q62. */
-  private val EvalSource = "src0"
+  /** The held-out benchmark source for q62 (and q116's semantic
+    * decontamination — one split rule for both decon passes). */
+  private[operators] val EvalSource = "src0"
 
   // ---- q61: repetition profile -----------------------------------
 
@@ -863,7 +864,14 @@ object CorpusOps extends QueryModule {
     * [pair-count → argmax → greedy merge]. Returns the per-round
     * best-merge frames (q107's output) AND the fully-merged word-type
     * encodings `(w, freq, syms)` — the dictionary q115's apply step
-    * consumes. The word column rides the fold untouched. */
+    * consumes. The word column rides the fold untouched.
+    *
+    * Deliberately NOT memoized/persisted (unlike the band/k-means
+    * artifacts): a persist boundary breaks whole-stage fusion of the
+    * nested fold projection and caches vocab-sized string-array
+    * frames — MEASURED at sf0.1: artifact variants cost 9-10 s total
+    * vs 4.3 s for q107+q115 each running the lazy chain. Re-evaluate
+    * only if a third consumer appears. */
   private def bpeFit(s: SparkSession, dir: String): (Seq[DataFrame], DataFrame) = {
     val words = Tables.t(s, dir, "documents")
       .select(explode(tokens(col("text"))).as("w"))

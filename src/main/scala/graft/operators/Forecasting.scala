@@ -265,7 +265,12 @@ object Forecasting extends QueryModule {
       val threads = branchBuilds.zipWithIndex.map { case ((tag, b), i) =>
         val t = new Thread(() =>
           try built(i) = probe(s"build $tag")(b())
-          catch { case e: Throwable => err.compareAndSet(null, e); () })
+          catch {
+            case e: Throwable =>
+              // first failure wins; later ones ride as suppressed so
+              // a multi-branch breakage surfaces every diagnostic
+              if (!err.compareAndSet(null, e)) err.get.addSuppressed(e)
+          })
         t.setDaemon(true); t.start(); t
       }
       threads.foreach(_.join())

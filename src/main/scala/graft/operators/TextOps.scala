@@ -153,16 +153,16 @@ object TextOps extends QueryModule {
     * narrow map on pair-sized rows — the audit costs one pass over
     * the pair list, never the corpus. */
   def splitLeakage(s: SparkSession, dir: String): DataFrame = {
-    val split = Tables.t(s, dir, "documents")
-      .select(col("doc_id"),
-        (permilleBucket(col("doc_id")) < EvalSplitPermille).as("is_eval"))
+    // the split tag is a pure function of the id (the keyed coin), so
+    // it computes directly on the pair frame's own columns — no join
+    // back to the corpus-sized documents table
+    val evalA = permilleBucket(col("doc_a")) < EvalSplitPermille
+    val evalB = permilleBucket(col("doc_b")) < EvalSplitPermille
     val leaks = ngramJaccard(s, dir).filter(col("jaccard") >= MirrorTau)
-      .join(split.as("la"), col("doc_a") === col("la.doc_id"))
-      .join(split.as("lb"), col("doc_b") === col("lb.doc_id"))
-      .filter(col("la.is_eval") =!= col("lb.is_eval"))
+      .filter(evalA =!= evalB)
       .select(
-        when(col("la.is_eval"), col("doc_a")).otherwise(col("doc_b")).as("eval_doc_id"),
-        when(col("la.is_eval"), col("doc_b")).otherwise(col("doc_a")).as("train_doc_id"),
+        when(evalA, col("doc_a")).otherwise(col("doc_b")).as("eval_doc_id"),
+        when(evalA, col("doc_b")).otherwise(col("doc_a")).as("train_doc_id"),
         col("jaccard"))
     leaks.groupBy(col("eval_doc_id"))
       .agg(count(lit(1)).as("n_train_dups"),
@@ -174,16 +174,14 @@ object TextOps extends QueryModule {
   }
 
   private lazy val splitLeakageSql = {
-    val bucketA = permilleBucketSql("pa.doc_id")
-    val bucketB = permilleBucketSql("pb.doc_id")
+    val bucketA = permilleBucketSql("doc_a")
+    val bucketB = permilleBucketSql("doc_b")
     s"""WITH jac AS ($ngramJaccardSql),
        |pr AS (
        |  SELECT CASE WHEN $bucketA < $EvalSplitPermille THEN doc_a ELSE doc_b END AS eval_doc_id,
        |         CASE WHEN $bucketA < $EvalSplitPermille THEN doc_b ELSE doc_a END AS train_doc_id,
        |         jaccard
        |  FROM jac
-       |  JOIN documents pa ON jac.doc_a = pa.doc_id
-       |  JOIN documents pb ON jac.doc_b = pb.doc_id
        |  WHERE jaccard >= $MirrorTau
        |    AND ($bucketA < $EvalSplitPermille) <> ($bucketB < $EvalSplitPermille)),
        |rk AS (

@@ -1277,8 +1277,10 @@ object VectorOps extends QueryModule {
     * contaminated by a held-out eval doc. */
   private val DECON_TAU = 0.8
 
-  /** The held-out benchmark source (CorpusOps.EvalSource — q62's). */
-  private val DeconEvalSource = "src0"
+  /** The held-out benchmark source — SHARED with q62's n-gram decon
+    * so the two contamination passes can never drift onto different
+    * benchmark sources. */
+  private val DeconEvalSource = CorpusOps.EvalSource
 
   /** q116 — SEMANTIC decontamination: the embedding-space complement
     * of q62's exact n-gram check. A paraphrased benchmark slips an

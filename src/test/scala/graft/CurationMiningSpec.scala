@@ -85,11 +85,16 @@ class CurationMiningSpec extends SparkSpec {
       assert(r.getAs[Double]("fertility") == fert)
       assert(r.getAs[Double]("chars_per_subword") == cps)
     }
-    // the learned-merge compression must actually bite on this corpus:
-    // repeated words end as single tokens (fertility strictly < chars/word)
-    assert(out.forall(r => r.getAs[Double]("fertility") >= 1.0))
-    assert(out.exists(r => r.getAs[Double]("chars_per_subword") > 1.0),
-      "five merges compressed nothing — trainer/encoder disagree")
+    // the learned-merge compression must actually bite: with zero
+    // merges fertility == mean word length (n_sub = len(w)), so a
+    // working trainer must push every source's fertility strictly
+    // below it (equivalently chars_per_subword > 1)
+    for (r <- out) {
+      val meanWordLen = r.getAs[Long]("n_subword_tokens") *
+        r.getAs[Double]("chars_per_subword") / r.getAs[Long]("n_words")
+      assert(r.getAs[Double]("fertility") < meanWordLen,
+        s"${r.getAs[String]("source")}: merges compressed nothing")
+    }
   }
 
   // ---- q116 vs a brute-force within-cell reference ------------------

@@ -64,7 +64,7 @@ class PlanSweepSpec extends SparkSpec {
     "q105_incremental_dedup", // delta bands vs stored index + shingle verify: derived-vs-derived, delta side bounded
     "q116_semantic_decon", // assignment × documents source-tag join: both sides corpus-proportional, id-keyed
     "q117_hard_negatives", // assignment × embeddings label-tag join + in-cell pair join: corpus-proportional sides
-    "q118_mirror_matrix", // content-hash self-join: both sides ARE the corpus, pair cost bounded by dup-group sizes
+    "q118_mirror_matrix", // verified-pair (q23 LSH band) chain + source tag joins: derived-vs-derived, pair side band-bucket-bounded
     "q99_curation_funnel") // stage chains: doc-id-projection semi/anti joins of comparable derived sets
 
   private def plan(name: String): String =

@@ -840,7 +840,55 @@ object Eda extends QueryModule {
       |       CAST(r_quartile AS VARCHAR) || '-' || CAST(f_quartile AS VARCHAR) || '-' || CAST(m_quartile AS VARCHAR) AS segment
       |FROM q ORDER BY custkey""".stripMargin
 
+  // ---- q121: k-anonymity suppression --------------------------------
+
+  /** Minimum quasi-identifier group size that may be released. */
+  private val KAnonK = 10
+
+  /** q121 — k-anonymity suppression (Sweeney 2002), the privacy gate
+    * before user-derived records enter a shared corpus or report:
+    * quasi-identifier groups (nation × market segment) with fewer than
+    * KAnonK members are SUPPRESSED — generalized into one NULL-keyed
+    * residual bucket (group count + member mass preserved, identities
+    * not) — because a small group re-identifies its members by
+    * intersection. Kept rows release their exact counts. One pass:
+    * the group frame maps each group to its released or NULLed keys
+    * and a second tiny aggregation folds the residual — the user
+    * table aggregates ONCE (two filtered branches would scan it
+    * twice). Scale: both aggregations are hash aggs; the second runs
+    * on group-space rows. */
+  def kAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.t(s, dir, "customer")
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_users"))
+    val keep = col("n_users") >= KAnonK
+    g.select(
+      when(keep, col("c_nationkey")).otherwise(lit(null)).cast(IntegerType).as("nation_key"),
+      when(keep, col("c_mktsegment")).otherwise(lit(null)).cast(StringType).as("segment"),
+      (!keep).as("is_suppressed"), col("n_users"))
+      .groupBy(col("nation_key"), col("segment"), col("is_suppressed"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("n_users")).as("n_users"))
+      .select(col("nation_key"), col("segment"), col("n_groups"),
+        col("n_users"), col("is_suppressed"))
+      .orderBy(col("is_suppressed"), col("nation_key"), col("segment"))
+  }
+
+  private val kAnonymitySql =
+    s"""WITH g AS (
+       |  SELECT c_nationkey, c_mktsegment, count(1) AS n_users
+       |  FROM customer GROUP BY 1, 2),
+       |t AS (
+       |  SELECT CASE WHEN n_users >= $KAnonK THEN c_nationkey END AS nation_key,
+       |         CASE WHEN n_users >= $KAnonK THEN c_mktsegment END AS segment,
+       |         n_users < $KAnonK AS is_suppressed, n_users
+       |  FROM g)
+       |SELECT nation_key, segment, count(1) AS n_groups,
+       |       CAST(sum(n_users) AS BIGINT) AS n_users, is_suppressed
+       |FROM t GROUP BY nation_key, segment, is_suppressed
+       |ORDER BY is_suppressed, nation_key, segment""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_k_anonymity" -> kAnonymity,
     "q95_rfm_segments" -> rfmSegments,
     "q05_topk_customers" -> topkCustomers,
     "q06_pagination" -> pagination,
@@ -859,6 +907,7 @@ object Eda extends QueryModule {
     "q88_sample_quantiles" -> sampleQuantiles)
 
   override def oracles: Map[String, String] = Map(
+    "q121_k_anonymity" -> kAnonymitySql,
     "q19_cast_join" -> castJoinSql,
     "q42_categorical_mode" -> categoricalModeSql,
     "q47_semi_anti_join" -> semiAntiJoinSql,

@@ -336,6 +336,30 @@ class LayerStore(spark: SparkSession, root: String) {
       .option("batchsize", batchSize)
       .jdbc(url, targetTable, props)
 
+  /** Small-files compaction: rewrite a stored table's parquet layout
+    * into ~targetFileBytes files — the maintenance every long-lived
+    * lake table needs (each append/micro-batch leaves its own files;
+    * scan planning and open() cost grow with file count until reads
+    * are metadata-bound). Routed through the same crash-safe
+    * stage-swap as every write: the rewrite reads the live files while
+    * staging, so a mid-compaction loss leaves the table untouched.
+    * Returns (filesBefore, filesAfter). Data is bit-identical — only
+    * the file layout changes. */
+  def compact(layer: String, name: String,
+      targetFileBytes: Long = 128L << 20): (Int, Int) = {
+    recoverOrphanBackup(layer, name)
+    val target = hadoopPath(layer, name)
+    val fs = fsFor(target)
+    def parquetFiles(): Array[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(target).filter(_.getPath.getName.endsWith(".parquet"))
+    val before = parquetFiles()
+    val nOut = math.max(1,
+      math.ceil(before.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
+    val df = table(layer, name).repartition(nOut)
+    stageSwap(layer, name, df)
+    (before.length, parquetFiles().length)
+  }
+
   /** S12 — CSV export with header. */
   def exportCsv(df: DataFrame, out: String): Unit =
     df.coalesce(1).write.mode(SaveMode.Overwrite)

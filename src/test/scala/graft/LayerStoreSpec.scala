@@ -191,6 +191,24 @@ class LayerStoreSpec extends SparkSpec {
     assert(java.nio.file.Files.exists(p.resolve("part-corrupt.parquet")))
   }
 
+  test("compact: collapses a many-file layout, data bit-identical") {
+    val (store, _) = freshStore()
+    // simulate an append-heavy history: 3 micro-batches x 4 partitions
+    val mk = (lo: Long) => spark.range(lo, lo + 100)
+      .select($"id", ($"id" * 7).as("v")).repartition(4)
+    store.write("silver", "m", mk(0L))
+    store.append("silver", "m", mk(100L))
+    store.append("silver", "m", mk(200L))
+    val beforeRows = store.table("silver", "m").orderBy("id").collect().toSeq
+    val (nBefore, nAfter) = store.compact("silver", "m")
+    assert(nBefore >= 12, s"fixture expected >=12 files, saw $nBefore")
+    assert(nAfter == 1, s"300 tiny rows must compact to one file, saw $nAfter")
+    assert(store.table("silver", "m").orderBy("id").collect().toSeq == beforeRows,
+      "compaction changed the data")
+    // idempotent: compacting a compact table is a no-op layout-wise
+    assert(store.compact("silver", "m")._2 == 1)
+  }
+
   test("csv export round-trips") {
     val (store, dir) = freshStore()
     val df = Seq((1, "a"), (2, "b")).toDF("k", "v")

@@ -690,7 +690,69 @@ object EventOps extends QueryModule {
       |WHERE rank <= 5
       |ORDER BY event_type, rank""".stripMargin
 
+  // ---- q122: SCD Type-2 dimension history from a changelog ---------
+
+  /** q122 — SCD Type-2 dimension history built from the event
+    * changelog (Kimball's slowly-changing-dimension type 2, the
+    * warehouse-standard way to keep attribute HISTORY instead of
+    * overwriting it): per user, consecutive runs of the same tracked
+    * attribute (event_type here) collapse into one version row with
+    * `[valid_from, valid_to)` validity, a per-user version number,
+    * and an is_current flag on the open interval — the table an
+    * as-of join (q46/q57) probes to answer "what was this user's
+    * state at time T". Gaps-and-islands shape: lag marks changes, a
+    * running sum numbers the runs, one aggregation folds each run,
+    * and lead closes each interval with the next one's start. Scale:
+    * events shuffle ONCE on user_id (lag + running sum share the
+    * same window spec, so one sort serves both), the run aggregation
+    * re-uses that partitioning, and the closing lead runs on
+    * run-count rows — never the raw log. The write-path counterpart
+    * (merging a NEW batch into a STORED history) is
+    * LayerStore.scd2Merge. */
+  def scd2History(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val versioned = Tables.t(s, dir, "events")
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .withColumn("chg", // null-safe: IS DISTINCT FROM, like the oracle
+        when(!(col("prev_type") <=> col("event_type")), 1L).otherwise(0L))
+      .withColumn("version_nr", sum(col("chg")).over(byUser))
+    val byVersion = Window.partitionBy(col("user_id")).orderBy(col("version_nr"))
+    versioned
+      .groupBy(col("user_id"), col("version_nr"))
+      .agg(min(col("event_type")).as("tracked_type"), // constant within a run
+        min(col("ts")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byVersion))
+      .select(col("user_id"), col("version_nr"), col("tracked_type"),
+        col("valid_from"), col("valid_to"), col("n_events"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version_nr"))
+  }
+
+  private val scd2HistorySql =
+    """WITH versioned AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+      |         CAST(sum(chg) OVER (PARTITION BY user_id
+      |           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS BIGINT) AS version_nr
+      |  FROM (SELECT *,
+      |          CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+      |                 ORDER BY CAST(ts AS TIMESTAMP), event_id)
+      |               IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+      |        FROM events)),
+      |runs AS (
+      |  SELECT user_id, version_nr, min(event_type) AS tracked_type,
+      |         min(ts) AS valid_from, count(1) AS n_events
+      |  FROM versioned GROUP BY 1, 2)
+      |SELECT user_id, version_nr, tracked_type, valid_from,
+      |       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version_nr) AS valid_to,
+      |       n_events,
+      |       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version_nr) IS NULL AS is_current
+      |FROM runs
+      |ORDER BY user_id, version_nr""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_scd2_history" -> scd2History,
     "q104_hot_key_topk" -> hotKeyTopEvents,
     "q100_sliding_windows" -> slidingWindows,
     "q98_group_quantiles" -> groupQuantiles,
@@ -710,6 +772,7 @@ object EventOps extends QueryModule {
     "q76_funnel" -> funnel)
 
   override def oracles: Map[String, String] = Map(
+    "q122_scd2_history" -> scd2HistorySql,
     "q104_hot_key_topk" -> hotKeyTopEventsSql,
     "q100_sliding_windows" -> slidingWindowsSql,
     "q98_group_quantiles" -> groupQuantilesSql,

@@ -1075,7 +1075,66 @@ object TextOps extends QueryModule {
        |FROM packed GROUP BY 1, 2
        |ORDER BY source, seq_id""".stripMargin
 
+  // ---- q123: fuzzy entity resolution (blocked record linkage) ------
+
+  /** Max Levenshtein distance at which two name types are linked. */
+  private val ErMaxDistance = 1
+
+  /** q123 — fuzzy entity resolution / key canonicalization, the
+    * record-linkage op that merges variant spellings of the same
+    * real-world entity ("cold gizmo" vs "old gizmo") before they
+    * fragment joins and aggregates. Classic three-stage linkage
+    * (Fellegi–Sunter shape): (1) collapse the row corpus to its
+    * DISTINCT name dictionary with occurrence mass — at 100 TB the
+    * dictionary is vocabulary-sized while rows are not, so the
+    * quadratic metric NEVER sees the corpus (same dictionary-first
+    * rule as q115's BPE encode); (2) block on the name's head noun
+    * and score Levenshtein only within a block (bounded candidates,
+    * like q48's LSH-bounded verify); (3) resolve each linked pair to
+    * a canonical survivor by occurrence-mass majority, name-order
+    * tiebreak — deterministic, so re-runs and engines agree. The
+    * output is the merge worklist a curation pass applies back with
+    * a broadcast dictionary join. */
+  def entityResolution(s: SparkSession, dir: String): DataFrame = {
+    val names = Tables.t(s, dir, "part")
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+      .withColumn("noun", split(col("p_name"), " ").getItem(1))
+    val a = names.select(col("noun"), col("p_name").as("name_a"),
+      col("n_parts").as("n_parts_a"))
+    val b = names.select(col("noun"), col("p_name").as("name_b"),
+      col("n_parts").as("n_parts_b"))
+    a.join(b, Seq("noun")).filter(col("name_a") < col("name_b"))
+      .withColumn("edit_distance", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("edit_distance") <= ErMaxDistance)
+      .withColumn("canonical_name",
+        when(col("n_parts_a") > col("n_parts_b"), col("name_a"))
+          .when(col("n_parts_b") > col("n_parts_a"), col("name_b"))
+          .otherwise(least(col("name_a"), col("name_b"))))
+      .select(col("noun"), col("name_a"), col("name_b"), col("edit_distance"),
+        col("n_parts_a"), col("n_parts_b"), col("canonical_name"))
+      .orderBy(col("noun"), col("name_a"), col("name_b"))
+  }
+
+  private val entityResolutionSql =
+    s"""WITH names AS (
+       |  SELECT p_name, count(1) AS n_parts,
+       |         split_part(p_name, ' ', 2) AS noun
+       |  FROM part GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.noun, a.p_name AS name_a, b.p_name AS name_b,
+       |         levenshtein(a.p_name, b.p_name) AS edit_distance,
+       |         a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+       |  FROM names a JOIN names b
+       |    ON a.noun = b.noun AND a.p_name < b.p_name)
+       |SELECT noun, name_a, name_b, edit_distance, n_parts_a, n_parts_b,
+       |       CASE WHEN n_parts_a > n_parts_b THEN name_a
+       |            WHEN n_parts_b > n_parts_a THEN name_b
+       |            ELSE least(name_a, name_b) END AS canonical_name
+       |FROM pairs WHERE edit_distance <= $ErMaxDistance
+       |ORDER BY noun, name_a, name_b""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_entity_resolution" -> entityResolution,
     "q58_tfidf_topk" -> tfidfTopk,
     "q59_stratified_sample" -> stratifiedSample,
     "q60_sequence_pack" -> sequencePack,
@@ -1112,6 +1171,7 @@ object TextOps extends QueryModule {
       |ORDER BY doc_id""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    "q123_entity_resolution" -> entityResolutionSql,
     "q58_tfidf_topk" -> tfidfTopkSql,
     "q59_stratified_sample" -> stratifiedSampleSql,
     "q60_sequence_pack" -> sequencePackSql,

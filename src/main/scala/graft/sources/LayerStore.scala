@@ -336,6 +336,125 @@ class LayerStore(spark: SparkSession, root: String) {
       .option("batchsize", batchSize)
       .jdbc(url, targetTable, props)
 
+  /** CDC apply — the change-data-capture consumer `upsert` can't be:
+    * the change batch carries an op column (`I`/`U` upsert the row,
+    * `D` is a delete tombstone) and the newest change per key wins
+    * (`orderCol`, the log sequence number). Deleting a key that was
+    * never stored is a no-op, matching log-replay semantics, so
+    * replaying a batch is idempotent. One set-operation pass like
+    * upsert: latest-change collapse on the batch, one key-pruned
+    * left join to classify each change against the stored keys (the
+    * accounting), one anti-join to drop changed keys, union the
+    * surviving upserts. Scale: the stored table is scanned twice
+    * (keys-only classify + anti-join), both equi-shuffles on the
+    * key; the batch side is change-sized. Returns
+    * (inserted, updated, deleted). */
+  def applyCdc(layer: String, name: String, changes: DataFrame,
+      keys: Seq[String], orderCol: String, opCol: String = "op")
+      : (Long, Long, Long) = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol).desc)
+    val latest = changes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn").persist()
+    try {
+      val isDel = upper(col(opCol)) === "D"
+      if (!exists(layer, name)) {
+        val n = write(layer, name, latest.filter(!isDel).drop(opCol, orderCol))
+        (n, 0L, 0L)
+      } else {
+        val old = table(layer, name)
+        val flags = latest.select((keys.map(col) :+ isDel.as("__d")): _*)
+          .join(old.select(keys.map(col): _*).distinct()
+            .withColumn("__ex", lit(true)), keys, "left")
+        val a = flags.agg( // coalesce: an empty change batch sums to NULL
+          coalesce(sum(when(!col("__d") && col("__ex").isNull, 1L).otherwise(0L)), lit(0L)),
+          coalesce(sum(when(!col("__d") && col("__ex"), 1L).otherwise(0L)), lit(0L)),
+          coalesce(sum(when(col("__d") && col("__ex"), 1L).otherwise(0L)), lit(0L))).collect()(0)
+        val kept = old.join(latest.select(keys.map(col): _*), keys, "left_anti")
+          .select(old.columns.map(col): _*)
+        write(layer, name, kept.unionByName(
+          latest.filter(!isDel).drop(opCol, orderCol)
+            .select(old.columns.map(col): _*)))
+        (a.getLong(0), a.getLong(1), a.getLong(2))
+      }
+    } finally latest.unpersist()
+  }
+
+  /** SCD Type-2 merge (Kimball slowly-changing dimension, the
+    * HISTORY-keeping sibling of `upsert`'s latest-wins overwrite):
+    * folds an attribute snapshot batch into a stored version-history
+    * table with schema `keys ++ tracked ++ (valid_from, valid_to,
+    * is_current)`. Per key: a new key inserts an open version; a key
+    * whose tracked columns differ (null-safely) from its CURRENT
+    * version closes that version at `batchTs` and inserts the new
+    * open one; an unchanged key is untouched — so re-applying the
+    * same batch is a no-op and the op is idempotent. Keys absent
+    * from the batch keep their open version (a partial batch is not
+    * a deletion). The batch-derived q122 query is the from-scratch
+    * counterpart; an as-of join (q46/q57) probes the result.
+    * Scale: closed HISTORY rows pass through untouched (at a real
+    * deployment they'd live in closed partitions the swap never
+    * rewrites); only the entity-sized current slice joins the batch,
+    * and the decision frame is persisted so the three branch scans
+    * and the count aggregate pay the join once. Returns
+    * (newKeys, changedKeys). Batch must be key-unique — asserted,
+    * because two versions of one key in a single snapshot have no
+    * defined order. */
+  def scd2Merge(layer: String, name: String, batch: DataFrame,
+      keys: Seq[String], batchTs: java.sql.Timestamp): (Long, Long) = {
+    val tsLit = lit(batchTs).cast(TimestampType)
+    if (!exists(layer, name)) {
+      val init = batch
+        .withColumn("valid_from", tsLit)
+        .withColumn("valid_to", lit(null).cast(TimestampType))
+        .withColumn("is_current", lit(true))
+      val n = write(layer, name, init)
+      (n, 0L)
+    } else {
+      val old = table(layer, name)
+      val tracked = old.columns
+        .filterNot(keys.contains).filterNot(
+          Seq("valid_from", "valid_to", "is_current").contains).toSeq
+      val cur = old.filter(col("is_current")).as("c")
+      val b = batch.select((keys ++ tracked).map(col): _*)
+        .withColumn("__b", lit(true)).as("b")
+      val keyCond = keys.map(k => col(s"c.$k") <=> col(s"b.$k")).reduce(_ && _)
+      val same = tracked.map(t => col(s"c.$t") <=> col(s"b.$t")).reduce(_ && _)
+      val j = cur.join(b, keyCond, "full_outer").persist()
+      try {
+        val both = col("c.is_current").isNotNull && col("__b").isNotNull
+        val agg = j.agg(
+          sum(when(col("c.is_current").isNull, 1L).otherwise(0L)).as("nnew"),
+          sum(when(both && !same, 1L).otherwise(0L)).as("nchg"),
+          sum(when(col("__b").isNotNull, 1L).otherwise(0L)).as("nbatch"))
+          .collect()(0)
+        val (nNew, nChg, nBatch) =
+          (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+        require(nBatch == b.drop("__b").select(keys.map(col): _*).distinct().count(),
+          s"scd2Merge batch has duplicate keys on ${keys.mkString(",")}")
+        val oldCols = old.columns.toSeq
+        val kept = j.filter(col("__b").isNull || (both && same))
+          .select(oldCols.map(c0 => col(s"c.$c0")): _*)
+        val closed = j.filter(both && !same)
+          .select(oldCols.map {
+            case "valid_to"   => tsLit.as("valid_to")
+            case "is_current" => lit(false).as("is_current")
+            case c0           => col(s"c.$c0")
+          }: _*)
+        val opened = j.filter(col("c.is_current").isNull || (both && !same))
+          .select(oldCols.map {
+            case "valid_from" => tsLit.as("valid_from")
+            case "valid_to"   => lit(null).cast(TimestampType).as("valid_to")
+            case "is_current" => lit(true).as("is_current")
+            case c0           => col(s"b.$c0")
+          }: _*)
+        val hist = old.filter(!col("is_current"))
+        write(layer, name,
+          hist.unionByName(kept).unionByName(closed).unionByName(opened))
+        (nNew, nChg)
+      } finally j.unpersist()
+    }
+  }
+
   /** Small-files compaction: rewrite a stored table's parquet layout
     * into ~targetFileBytes files — the maintenance every long-lived
     * lake table needs (each append/micro-batch leaves its own files;

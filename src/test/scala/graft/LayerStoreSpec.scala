@@ -191,6 +191,68 @@ class LayerStoreSpec extends SparkSpec {
     assert(java.nio.file.Files.exists(p.resolve("part-corrupt.parquet")))
   }
 
+  test("applyCdc: I/U/D change batches, latest-wins, idempotent replay") {
+    val (store, _) = freshStore()
+    val b1 = Seq((1L, "a", "I", 1L), (2L, "b", "I", 2L), (3L, "c", "I", 3L))
+      .toDF("k", "v", "op", "lsn")
+    assert(store.applyCdc("silver", "t", b1, Seq("k"), "lsn") == (3L, 0L, 0L))
+    // update 1, delete 2, insert 4, delete never-stored 9 (no-op),
+    // and key 5 sees I then D in one batch -> latest (D) wins -> no row
+    val b2 = Seq((1L, "a2", "U", 10L), (2L, "b", "D", 11L), (4L, "d", "I", 12L),
+      (9L, "x", "D", 13L), (5L, "e", "I", 14L), (5L, "e", "D", 15L))
+      .toDF("k", "v", "op", "lsn")
+    assert(store.applyCdc("silver", "t", b2, Seq("k"), "lsn") == (1L, 1L, 1L))
+    val rows = store.table("silver", "t").orderBy("k")
+      .collect().toSeq.map(r => (r.getLong(0), r.getString(1)))
+    assert(rows == Seq((1L, "a2"), (3L, "c"), (4L, "d")))
+    // replaying b2 converges to the same table (deletes now no-ops,
+    // key 4's insert re-classifies as an update of the existing row)
+    assert(store.applyCdc("silver", "t", b2, Seq("k"), "lsn") == (0L, 2L, 0L))
+    assert(store.table("silver", "t").orderBy("k")
+      .collect().toSeq.map(r => (r.getLong(0), r.getString(1))) == rows)
+  }
+
+  test("scd2Merge: versions history, idempotent, keeps absent keys open") {
+    val (store, _) = freshStore()
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val t1 = ts("2024-01-01 00:00:00"); val t2 = ts("2024-02-01 00:00:00")
+    val b1 = Seq((1L, "GOLD"), (2L, "SILVER")).toDF("k", "tier")
+    assert(store.scd2Merge("silver", "dim", b1, Seq("k"), t1) == (2L, 0L))
+    // changed key 1, unchanged key 2, new key 3
+    val b2 = Seq((1L, "PLATINUM"), (2L, "SILVER"), (3L, "BRONZE")).toDF("k", "tier")
+    assert(store.scd2Merge("silver", "dim", b2, Seq("k"), t2) == (1L, 1L))
+    val rows = store.table("silver", "dim")
+      .orderBy("k", "valid_from")
+      .select("k", "tier", "valid_from", "valid_to", "is_current")
+      .collect().toSeq.map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), Option(r.getTimestamp(3)), r.getBoolean(4)))
+    assert(rows == Seq(
+      (1L, "GOLD", t1, Some(t2), false),     // closed at the change
+      (1L, "PLATINUM", t2, None, true),      // new open version
+      (2L, "SILVER", t1, None, true),        // unchanged: untouched
+      (3L, "BRONZE", t2, None, true)))       // new key
+    // idempotent: re-applying b2 is a no-op
+    assert(store.scd2Merge("silver", "dim", b2, Seq("k"), ts("2024-03-01 00:00:00")) == (0L, 0L))
+    assert(store.table("silver", "dim").count() == 4)
+    // partial batch does NOT close absent keys
+    val b3 = Seq((3L, "IRON")).toDF("k", "tier")
+    assert(store.scd2Merge("silver", "dim", b3, Seq("k"), ts("2024-04-01 00:00:00")) == (0L, 1L))
+    assert(store.table("silver", "dim")
+      .filter($"is_current" && $"k" === 1L).count() == 1)
+    // as-of probe: state of key 1 between t1 and t2 is the t1 version
+    val probe = store.table("silver", "dim")
+      .filter($"k" === 1L && $"valid_from" <= lit(ts("2024-01-15 00:00:00")) &&
+        ($"valid_to".isNull || $"valid_to" > lit(ts("2024-01-15 00:00:00"))))
+      .select("tier").collect().map(_.getString(0)).toSeq
+    assert(probe == Seq("GOLD"))
+    // duplicate-key batch is rejected, table untouched
+    val dup = Seq((5L, "A"), (5L, "B")).toDF("k", "tier")
+    intercept[IllegalArgumentException] {
+      store.scd2Merge("silver", "dim", dup, Seq("k"), ts("2024-05-01 00:00:00"))
+    }
+    assert(store.table("silver", "dim").count() == 5)
+  }
+
   test("compact: collapses a many-file layout, data bit-identical") {
     val (store, _) = freshStore()
     // simulate an append-heavy history: 3 micro-batches x 4 partitions

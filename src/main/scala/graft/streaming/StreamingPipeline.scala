@@ -183,10 +183,10 @@ object StreamingPipeline {
         col("p_ts"), col("view_id"), col("v_ts"))
   }
 
-  /** Per-user buffer of a watermark-ordered stateful operator: the
-    * events newer than the watermark (not yet final) plus the
+  /** Per-key buffer of a watermark-ordered stateful operator: the
+    * rows newer than the watermark (not yet final) plus the
     * operator's own state. */
-  case class OrderedBuf[S](held: Seq[Event], inner: Option[S])
+  case class OrderedBuf[I, S](held: Seq[I], inner: Option[S])
 
   /** Watermark-ordered stateful execution — the harness that makes a
     * per-key event-order-sensitive state machine EXACT under
@@ -212,34 +212,49 @@ object StreamingPipeline {
     * Scale: state per key = the out-of-order horizon's events plus
     * the machine's own state — bounded by delay × per-key rate, not
     * stream length; keyed state survives shuffle repartitioning. */
-  private def watermarkOrdered[S <: Product : scala.reflect.runtime.universe.TypeTag, O](
-      events: Dataset[Event], delay: String)(
-      machine: (Long, Seq[Event], Long, Option[S]) => (Option[S], Seq[O], Option[Long]))(
+  /** Input-generic core of [[watermarkOrdered]]: any row type `I`
+    * with a watermarked timestamp column `tsField`, a Long grouping
+    * key, and a (event-time micros, tiebreak) total order. The Event
+    * overload below keeps the four event twins' call sites unchanged;
+    * demandAnomalies runs DailyPoint rows through this directly. */
+  private def watermarkOrderedG[
+      I <: Product : scala.reflect.runtime.universe.TypeTag,
+      S <: Product : scala.reflect.runtime.universe.TypeTag, O](
+      rowsDs: Dataset[I], tsField: String, delay: String,
+      key: I => Long, evUs: I => Long, tie: I => Long)(
+      machine: (Long, Seq[I], Long, Option[S]) => (Option[S], Seq[O], Option[Long]))(
       implicit oEnc: org.apache.spark.sql.Encoder[O]): Dataset[O] = {
-    val bufEnc: org.apache.spark.sql.Encoder[OrderedBuf[S]] =
-      org.apache.spark.sql.Encoders.product[OrderedBuf[S]]
-    events.withWatermark("ts", delay)
-      .groupByKey((e: Event) => e.user_id)(org.apache.spark.sql.Encoders.scalaLong)
-      .flatMapGroupsWithState[OrderedBuf[S], O](
+    val bufEnc: org.apache.spark.sql.Encoder[OrderedBuf[I, S]] =
+      org.apache.spark.sql.Encoders.product[OrderedBuf[I, S]]
+    rowsDs.withWatermark(tsField, delay)
+      .groupByKey(key)(org.apache.spark.sql.Encoders.scalaLong)
+      .flatMapGroupsWithState[OrderedBuf[I, S], O](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, rows: Iterator[Event], state: GroupState[OrderedBuf[S]]) =>
-          val prev = state.getOption.getOrElse(OrderedBuf[S](Seq.empty, None))
+        (k: Long, rows: Iterator[I], state: GroupState[OrderedBuf[I, S]]) =>
+          val prev = state.getOption.getOrElse(OrderedBuf[I, S](Seq.empty, None))
           val wmUs = state.getCurrentWatermarkMs() * 1000L
-          val (ready, held) = (prev.held ++ rows).partition(e => tsMicros(e.ts) <= wmUs)
-          val sorted = ready.sortBy(e => (tsMicros(e.ts), e.event_id))
-          val (inner, out, deadlineUs) = machine(userId, sorted, wmUs, prev.inner)
+          val (ready, held) = (prev.held ++ rows).partition(e => evUs(e) <= wmUs)
+          val sorted = ready.sortBy(e => (evUs(e), tie(e)))
+          val (inner, out, deadlineUs) = machine(k, sorted, wmUs, prev.inner)
           if (held.isEmpty && inner.isEmpty) {
             if (state.exists) state.remove()
           } else {
             state.update(OrderedBuf(held, inner))
             // wake when the watermark passes the earliest pending work
-            (held.map(e => tsMicros(e.ts)) ++ deadlineUs).reduceOption(_ min _)
+            (held.map(evUs) ++ deadlineUs).reduceOption(_ min _)
               .foreach(us => state.setTimeoutTimestamp(
                 math.max(math.floorDiv(us, 1000L), state.getCurrentWatermarkMs() + 1L)))
           }
           out.iterator
       }(bufEnc, oEnc)
   }
+
+  private def watermarkOrdered[S <: Product : scala.reflect.runtime.universe.TypeTag, O](
+      events: Dataset[Event], delay: String)(
+      machine: (Long, Seq[Event], Long, Option[S]) => (Option[S], Seq[O], Option[Long]))(
+      implicit oEnc: org.apache.spark.sql.Encoder[O]): Dataset[O] =
+    watermarkOrderedG[Event, S, O](events, "ts", delay,
+      _.user_id, e => tsMicros(e.ts), _.event_id)(machine)
 
   case class FunnelOut(user_id: Long, stage: Int, stage_name: String,
     reached_ts: Timestamp)
@@ -355,43 +370,53 @@ object StreamingPipeline {
       .setScale(scale, java.math.RoundingMode.HALF_UP)
       .doubleValue()
 
+  /** DailyPoint plus the watermark column the ordered harness needs
+    * (the day midnight as a timestamp). */
+  case class DailyPointW(entity: Long, wts: Timestamp, ds: java.sql.Date, y: Double)
+
   /** Stateful streaming demand-anomaly detector — the twin of the
     * batch q85 (Forecast.demandAnomalies): per entity, each arriving
     * day is compared against the trailing ≤28-day mean of the days
     * seen BEFORE it (at least 14 required), flagged spike/drop under
     * the shared thresholds (Forecast.AnomalyRatio/SpikeMinLift/
-    * DropMinBase), then pushed into the ring. State per entity is 28
-    * longs — bounded by the window, not stream length. Ordered-arrival
-    * assumption as for funnelStages: days arriving out of order
-    * across micro-batches would enter the ring out of sequence; a
-    * daily ingest emits days in order, and the spec proves
-    * stream == batch on the same rows. */
-  def demandAnomalies(points: Dataset[DailyPoint]): Dataset[AnomalyOut] = {
+    * DropMinBase), then pushed into the ring. Runs under
+    * [[watermarkOrderedG]] keyed by entity and ordered by day, so
+    * days arriving out of order across micro-batches (a backfilled
+    * ingest) still enter the ring in calendar order — stream == batch
+    * for any arrival order within the watermark delay, proved
+    * including a cross-batch day swap in StreamingSpec. State per
+    * entity is the ≤28-long ring plus the days inside the horizon —
+    * bounded by the window and the delay, not stream length. */
+  def demandAnomalies(points: Dataset[DailyPoint],
+      delay: String = "3 days"): Dataset[AnomalyOut] = {
     import points.sparkSession.implicits._
     import graft.operators.Forecast.{AnomalyMinTrailing, AnomalyRatio, AnomalyWindow, DropMinBase, SpikeMinLift}
-    points.groupByKey(_.entity)
-      .flatMapGroupsWithState[DemandState, AnomalyOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (entity: Long, rows: Iterator[DailyPoint], state: GroupState[DemandState]) =>
-          val sorted = rows.toSeq.sortBy(_.ds.getTime)
-          var recent = state.getOption.map(_.recent).getOrElse(Seq.empty)
-          val out = Seq.newBuilder[AnomalyOut]
-          for (p <- sorted) {
-            if (recent.size >= AnomalyMinTrailing) {
-              // long sum / int count — the identical IEEE division the
-              // batch window's cast(DoubleType)/count performs
-              val mean = snap(recent.sum.toDouble / recent.size, 4)
-              val spike = p.y >= mean * AnomalyRatio && p.y - mean >= SpikeMinLift
-              val drop = p.y <= mean / AnomalyRatio && mean >= DropMinBase
-              if (spike || drop)
-                out += AnomalyOut(entity, p.ds, p.y, mean,
-                  snap(p.y - mean, 4), if (spike) "spike" else "drop")
-            }
-            recent = (recent :+ p.y.toLong).takeRight(AnomalyWindow)
+    val wrapped = points
+      .withColumn("wts", col("ds").cast("timestamp"))
+      .select(col("entity"), col("wts"), col("ds"), col("y"))
+      .as[DailyPointW]
+    watermarkOrderedG[DailyPointW, DemandState, AnomalyOut](
+      wrapped, "wts", delay, _.entity, p => tsMicros(p.wts), _ => 0L) {
+      (entity, ready, _, st0) =>
+        var recent = st0.map(_.recent).getOrElse(Seq.empty)
+        val out = Seq.newBuilder[AnomalyOut]
+        for (p <- ready) {
+          if (recent.size >= AnomalyMinTrailing) {
+            // long sum / int count — the identical IEEE division the
+            // batch window's cast(DoubleType)/count performs
+            val mean = snap(recent.sum.toDouble / recent.size, 4)
+            val spike = p.y >= mean * AnomalyRatio && p.y - mean >= SpikeMinLift
+            val drop = p.y <= mean / AnomalyRatio && mean >= DropMinBase
+            if (spike || drop)
+              out += AnomalyOut(entity, p.ds, p.y, mean,
+                snap(p.y - mean, 4), if (spike) "spike" else "drop")
           }
-          state.update(DemandState(recent))
-          out.result().iterator
-      }
+          recent = (recent :+ p.y.toLong).takeRight(AnomalyWindow)
+        }
+        // the ring must survive idle gaps to match the batch answer
+        // (entity count bounds state, not stream length)
+        (Some(DemandState(recent)), out.result(), None)
+    }
   }
 
   case class AttributionOut(event_id: Long, user_id: Long,
@@ -527,34 +552,44 @@ object StreamingPipeline {
     }
   }
 
-  /** Stateful gap-based sessionization (30-min inactivity) via
-    * flatMapGroupsWithState. A session closes when a later event
-    * arrives past the gap; the closing event starts the next session.
-    * (The final open session per user flushes only on a subsequent
-    * event — tests append a sentinel event per user to drain state.) */
-  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+  /** Stateful gap-based sessionization (30-min inactivity). A session
+    * closes when a later event lands past the gap — or when the
+    * WATERMARK passes start-of-gap + gap, because any still-possible
+    * event must carry ts > watermark > last + gap and would close the
+    * session anyway: the final open session per user flushes itself,
+    * no sentinel event needed, and idle users leave the state store.
+    * Runs under [[watermarkOrdered]], so sessions split/merge on
+    * event TIME even when arrival order across micro-batches
+    * contradicts it — stream == batch for any arrival order within
+    * the watermark delay (proved in StreamingSpec). */
+  def sessionize(events: Dataset[Event],
+      delay: String = "10 minutes"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
-          var st = state.getOption.orNull
-          val out = Seq.newBuilder[SessionOut]
-          for (e <- sorted) {
-            val tsUs = tsMicros(e.ts)
-            if (st == null) {
-              st = SessionState(tsUs, tsUs, 1, cents(e.value))
-            } else if (tsUs - st.last > GapMicros) {
-              out += SessionOut(userId, microsTs(st.start),
-                microsTs(st.last), st.n, st.totalCents / 100.0)
-              st = SessionState(tsUs, tsUs, 1, cents(e.value))
-            } else {
-              st = SessionState(st.start, tsUs, st.n + 1, st.totalCents + cents(e.value))
-            }
+    watermarkOrdered[SessionState, SessionOut](events, delay) {
+      (userId, ready, wmUs, st0) =>
+        var st = st0.orNull
+        val out = Seq.newBuilder[SessionOut]
+        for (e <- ready) {
+          val tsUs = tsMicros(e.ts)
+          if (st == null) {
+            st = SessionState(tsUs, tsUs, 1, cents(e.value))
+          } else if (tsUs - st.last > GapMicros) {
+            out += SessionOut(userId, microsTs(st.start),
+              microsTs(st.last), st.n, st.totalCents / 100.0)
+            st = SessionState(tsUs, tsUs, 1, cents(e.value))
+          } else {
+            st = SessionState(st.start, tsUs, st.n + 1, st.totalCents + cents(e.value))
           }
-          if (st != null) state.update(st) else state.remove()
-          out.result().iterator
-      }
+        }
+        // watermark-final close: an event that could still extend this
+        // session needs ts ≤ last + gap, but any future event has
+        // ts ≥ watermark — once wm > last + gap the session is final
+        if (st != null && wmUs > st.last + GapMicros) {
+          out += SessionOut(userId, microsTs(st.start),
+            microsTs(st.last), st.n, st.totalCents / 100.0)
+          st = null
+        }
+        (Option(st), out.result(), Option(st).map(_.last + GapMicros))
+    }
   }
 }

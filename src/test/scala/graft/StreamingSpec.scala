@@ -309,8 +309,13 @@ class StreamingSpec extends SparkSpec {
   test("stateful streaming demand anomalies == batch q85") {
     import StreamingPipeline.DailyPoint
     val dir = java.nio.file.Files.createTempDirectory("graft-anom").toString
-    graft.operators.Forecast.dailySeries(spark, sf0001)
+    val series = graft.operators.Forecast.dailySeries(spark, sf0001)
       .select(col("entity"), col("ds"), col("y"))
+    // far-future sentinel day: advances the watermark past every real
+    // day + the 3-day delay so the ordered harness finalizes them all
+    series.unionByName(series.agg(max($"ds").as("mx"))
+        .select(lit(-1L).as("entity"),
+          date_add($"mx", 40).as("ds"), lit(0.0).as("y")))
       .write.mode("overwrite").parquet(s"$dir/in")
     val schema = spark.read.parquet(s"$dir/in").schema
     val stream = spark.readStream.schema(schema).parquet(s"$dir/in").as[DailyPoint]
@@ -322,6 +327,7 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
     val streamed = spark.table("anom_out")
+      .filter($"entity" >= 0)
       .orderBy("entity", "ds").collect().map(_.toSeq).toSeq
     val batch = SparkEntry.queries("q85_demand_anomalies")(spark, sf0001)
       .collect().map(_.toSeq).toSeq
@@ -331,17 +337,11 @@ class StreamingSpec extends SparkSpec {
 
   test("stateful streaming sessionization == batch sessionization") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
-    val ev = eventsDf
-      .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
-    // sentinel event per user, one day after their last event, to
-    // drain the final open session from state
-    val sentinels = eventsDf.groupBy($"user_id")
-      .agg(max($"ts").as("last_ts"))
-      .select(lit(-1L).as("event_id"),
-        ($"last_ts" + expr("interval 1 day")).as("ts"),
-        $"user_id", lit("__flush__").as("event_type"), lit(0.0).as("value"))
-      .as[Event]
-    ev.unionByName(sentinels).write.mode("overwrite").parquet(s"$dir/in")
+    // ONE global far-future sentinel: the WATERMARK itself flushes
+    // every user's final open session (no per-user drain events)
+    withSentinel(eventsDf.select("event_id", "ts", "user_id", "event_type", "value"),
+        "INTERVAL 2 DAYS")
+      .write.mode("overwrite").parquet(s"$dir/in")
     val schema = spark.read.parquet(s"$dir/in").schema
     val stream = spark.readStream.schema(schema).parquet(s"$dir/in").as[Event]
     val q = StreamingPipeline.sessionize(stream)
@@ -352,6 +352,7 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
     val streamed = spark.table("sess_out")
+      .filter($"user_id" >= 0) // the sentinel's own 1-event session
       .orderBy("user_id", "session_start")
       .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
         r.getLong(3), r.getDouble(4)))
@@ -480,6 +481,76 @@ class StreamingSpec extends SparkSpec {
       (204L, Some(205L)), // u2 view arrived after its purchase, still converts
       (301L, None)),      // u3: watermark-flushed non-conversion, NO sentinel
       s"conversion diverged: ${conv.mkString(", ")}")
+  }
+
+  test("sessionize stays event-time exact under cross-batch out-of-order arrival") {
+    // user 1's 00:10 event arrives a batch BEFORE its 00:00 session
+    // opener and the 01:00 next-session opener — the old NoTimeout
+    // sessionizer would extend the open session BACKWARD; the ordered
+    // harness must yield [00:00–00:10, n=2] then [01:00, n=1], and the
+    // final open session must flush off the WATERMARK, no per-user
+    // sentinel
+    val dir = java.nio.file.Files.createTempDirectory("graft-ooo-sess").toString
+    def ts(h: Int, m: Int): Timestamp = Timestamp.valueOf(f"2024-03-01 $h%02d:$m%02d:00")
+    // one file per batch — see the anomaly test's writeBatch note
+    def writeBatch(n: Int, rows: Seq[Event]): Unit =
+      rows.toDF().coalesce(1).write.parquet(s"$dir/in/b$n")
+    writeBatch(1, Seq(Event(2, ts(0, 10), 1, "view", 2.0)))
+    val schema = spark.read.parquet(s"$dir/in/b1").schema
+    writeBatch(2, Seq(
+      Event(1, ts(0, 0), 1, "view", 1.0),
+      Event(3, ts(1, 0), 1, "view", 4.0)))
+    writeBatch(3, Seq(Event(-1, ts(3, 0), 99, "drain", 0.0)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*").as[Event]
+    val q = StreamingPipeline.sessionize(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ooo_sess")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    q.processAllAvailable(); q.stop()
+    val sessions = spark.table("ooo_sess").filter($"user_id" === 1L)
+      .orderBy("session_start")
+      .collect().map(r => (r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(sessions == Seq(
+      (ts(0, 0), ts(0, 10), 2L, 3.0),  // reassembled in event time
+      (ts(1, 0), ts(1, 0), 1L, 4.0)),  // watermark-flushed, no sentinel
+      s"sessionize diverged under out-of-order arrival: ${sessions.mkString(", ")}")
+  }
+
+  test("demand anomalies stay exact when days arrive out of calendar order") {
+    import StreamingPipeline.DailyPoint
+    // 14 trailing days of y=10, then day 15 spikes to 100. Day 15
+    // arrives a batch BEFORE days 13–14: the old ring would insert it
+    // early (mean over 12 days, then 13/14 join after) — the ordered
+    // harness must flag exactly the in-order answer
+    val dir = java.nio.file.Files.createTempDirectory("graft-ooo-anom").toString
+    def d(i: Int): java.sql.Date = java.sql.Date.valueOf(f"2024-01-$i%02d")
+    val late = Seq(DailyPoint(5L, d(15), 100.0))
+    val early = (1 to 12).map(i => DailyPoint(5L, d(i), 10.0))
+    val mid = Seq(DailyPoint(5L, d(13), 10.0), DailyPoint(5L, d(14), 10.0))
+    // one file per batch: with maxFilesPerTrigger=1 a multi-file batch
+    // could deliver day 15 first and watermark-drop days 1-12 as late
+    def writeBatch(n: Int, rows: Seq[DailyPoint]): Unit =
+      rows.toDF().select($"entity", $"ds", $"y")
+        .coalesce(1).write.parquet(s"$dir/in/b$n")
+    writeBatch(1, early ++ late) // day 15 lands two batches early
+    writeBatch(2, mid)
+    writeBatch(3, Seq(DailyPoint(-1L, d(25), 0.0))) // watermark drain
+    val schema = spark.read.parquet(s"$dir/in/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*").as[DailyPoint]
+    val q = StreamingPipeline.demandAnomalies(stream, delay = "2 days")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ooo_anom")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    q.processAllAvailable(); q.stop()
+    val flagged = spark.table("ooo_anom").filter($"entity" >= 0)
+      .collect().map(r => (r.getDate(1).toString, r.getDouble(2),
+        r.getDouble(3), r.getString(5))).toSeq
+    // trailing mean over days 1–14 = 10.0 → spike (100 ≥ 30, lift 90)
+    assert(flagged == Seq(("2024-01-15", 100.0, 10.0, "spike")),
+      s"anomaly twin diverged under out-of-order days: ${flagged.mkString(", ")}")
   }
 
   test("cohort re-bases on the true first week when it arrives a batch late") {

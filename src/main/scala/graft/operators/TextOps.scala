@@ -1133,7 +1133,99 @@ object TextOps extends QueryModule {
        |FROM pairs WHERE edit_distance <= $ErMaxDistance
        |ORDER BY noun, name_a, name_b""".stripMargin
 
+  // ---- q124: similarity-graph PageRank (TextRank centrality) -------
+
+  /** Jaccard at/above which a verified pair becomes a graph edge. */
+  private val PrTau = 0.1
+  /** Fixed-point scale: pr starts at PrScale per node (≙ 1.0). */
+  private val PrScale = 1000000L
+  private val PrIters = 3
+
+  /** Memoized undirected edge list (both directions) + per-node
+    * degree — pair-sized, shared by the unrolled iterations so the
+    * band-bucket pair join is paid once, not once per iteration. */
+  private val prGraphCache =
+    collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+  private def prGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    prGraphCache.synchronized {
+      prGraphCache.getOrElseUpdate((s, dir), {
+        val links = ngramJaccard(s, dir).filter(col("jaccard") >= PrTau)
+          .select(col("doc_a"), col("doc_b"))
+        val edges = links.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionByName(links.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+          .persist()
+        edges.count()
+        val deg = edges.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("degree")).persist()
+        deg.count()
+        (edges, deg)
+      })
+    }
+
+  /** q124 — PageRank centrality over the document similarity graph:
+    * TextRank's construction (Mihalcea & Tarau 2004 — PageRank, Brin
+    * & Page 1998, run on a text-similarity graph instead of
+    * hyperlinks), the authority signal crawl curation uses to weight
+    * sources when real link graphs are available. Nodes are documents
+    * in at least one verified near-dup pair (q23 exact Jaccard over
+    * LSH candidates, >= PrTau); each pair is an undirected edge, so
+    * every node has degree >= 1 and there are no dangling nodes.
+    *
+    * Engine parity: the whole computation is INTEGER arithmetic —
+    * rank is a fixed-point long (PrScale = 1.0), each iteration is
+    * pr' = 0.15*PrScale + (85 * Σ_in (pr div degree)) div 100 with
+    * integral division on both engines (positive operands, so
+    * Spark's truncating `div` and DuckDB's flooring `//` agree) —
+    * bit-identical cross-engine, no float drift compounding per
+    * iteration, same rule as the deterministic sketch family.
+    *
+    * Scale: the classic distributed PageRank shape — per iteration
+    * one equi-shuffle of edge contributions on dst + one node-sized
+    * left join; edges come from the band-bucketed candidate join
+    * (never all-pairs) and are memoized pair-sized, so 3 unrolled
+    * iterations stay one lazy plan over a persisted edge list. */
+  def pagerank(s: SparkSession, dir: String): DataFrame = {
+    val (edges, deg) = prGraph(s, dir)
+    val init = deg.withColumn("pr", lit(PrScale))
+    val last = (1 to PrIters).foldLeft(init) { (prev, _) =>
+      val acc = edges
+        .join(prev.select(col("node").as("src"), col("pr"), col("degree").as("sdeg")), "src")
+        .select(col("dst").as("node"), expr("pr div sdeg").as("contrib"))
+        .groupBy(col("node")).agg(sum(col("contrib")).as("acc"))
+      deg.join(acc, Seq("node"), "left")
+        .select(col("node"), col("degree"),
+          expr(s"${PrScale * 15 / 100} + (85 * coalesce(acc, CAST(0 AS BIGINT))) div 100").as("pr"))
+    }
+    last.select(col("node").as("doc_id"), col("degree"), col("pr").as("pr_scaled"))
+      .orderBy(col("pr_scaled").desc, col("doc_id"))
+  }
+
+  private lazy val pagerankSql = {
+    val base = PrScale * 15 / 100
+    def step(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT d.node, d.degree,
+         |         $base + (85 * COALESCE(a.acc, 0)) // 100 AS pr
+         |  FROM deg d LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(sum(p.pr // p.degree) AS BIGINT) AS acc
+         |    FROM edges e JOIN $prev p ON e.src = p.node GROUP BY 1) a
+         |  ON d.node = a.node)""".stripMargin
+    s"""WITH jac AS ($ngramJaccardSql),
+       |links AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= $PrTau),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM links
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM links),
+       |deg AS (SELECT src AS node, count(1) AS degree FROM edges GROUP BY 1),
+       |it0 AS (SELECT node, degree, CAST($PrScale AS BIGINT) AS pr FROM deg),
+       |${(1 to PrIters).map(i => step(s"it${i - 1}", s"it$i")).mkString(",\n")}
+       |SELECT node AS doc_id, degree, CAST(pr AS BIGINT) AS pr_scaled
+       |FROM it$PrIters
+       |ORDER BY pr_scaled DESC, doc_id""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_pagerank" -> pagerank,
     "q123_entity_resolution" -> entityResolution,
     "q58_tfidf_topk" -> tfidfTopk,
     "q59_stratified_sample" -> stratifiedSample,
@@ -1171,6 +1263,7 @@ object TextOps extends QueryModule {
       |ORDER BY doc_id""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    "q124_pagerank" -> pagerankSql,
     "q123_entity_resolution" -> entityResolutionSql,
     "q58_tfidf_topk" -> tfidfTopkSql,
     "q59_stratified_sample" -> stratifiedSampleSql,

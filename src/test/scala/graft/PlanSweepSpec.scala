@@ -65,6 +65,7 @@ class PlanSweepSpec extends SparkSpec {
     "q116_semantic_decon", // assignment × documents source-tag join: both sides corpus-proportional, id-keyed
     "q117_hard_negatives", // assignment × embeddings label-tag join + in-cell pair join: corpus-proportional sides
     "q118_mirror_matrix", // verified-pair (q23 LSH band) chain + source tag joins: derived-vs-derived, pair side band-bucket-bounded
+    "q124_pagerank", // per-iteration edge-contribution joins: edge list and rank vector are both graph-proportional (neither broadcasts at scale)
     "q99_curation_funnel") // stage chains: doc-id-projection semi/anti joins of comparable derived sets
 
   private def plan(name: String): String =

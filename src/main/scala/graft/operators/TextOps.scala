@@ -1224,7 +1224,112 @@ object TextOps extends QueryModule {
        |ORDER BY pr_scaled DESC, doc_id""".stripMargin
   }
 
+  // ---- q125: inverted index (posting lists) ------------------------
+
+  /** Postings kept per term (top-tf documents). */
+  private val IdxTopPostings = 5
+
+  /** q125 — inverted-index build, the retrieval primitive under every
+    * BM25/keyword-search stage of a RAG pipeline: per term, document
+    * frequency (df), collection frequency (cf), and the top-5 posting
+    * list by (tf DESC, doc_id) serialized as `doc:tf,...` — the
+    * impact-ordered index head (Anh & Moffat 2006's impact ordering:
+    * highest-tf postings first, what a top-k scorer reads). Same
+    * tokenizer twin as q58 (tokens == string_split). Deterministic:
+    * postings collect conditionally (rank ≤ 5) and array_sort on the
+    * (rank, entry) struct fixes collect_list's arrival order before
+    * the join to a string. Scale: one shuffle on (term, doc_id) with
+    * map-side combine, one on term; the per-term rank window sorts
+    * only that term's postings — for web-scale stopword terms the cap
+    * would move into a per-partition partial top-k first (the q104
+    * salted-top-k pattern), which this plan composes with. */
+  def invertedIndex(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("term")).orderBy(col("tf").desc, col("doc_id"))
+    tf.withColumn("rk", row_number().over(w))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+        array_join(transform(
+          array_sort(collect_list(when(col("rk") <= IdxTopPostings,
+            struct(col("rk").as("rk"),
+              concat(col("doc_id"), lit(":"), col("tf")).as("entry"))))),
+          x => x.getField("entry")), ",").as("postings"))
+      .orderBy(col("term"))
+  }
+
+  private val invertedIndexSql =
+    s"""WITH terms AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (SELECT term, doc_id, count(1) AS tf FROM terms GROUP BY 1, 2),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rk
+       |       FROM tf)
+       |SELECT term, count(1) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+       |       string_agg(CASE WHEN rk <= $IdxTopPostings THEN doc_id || ':' || tf END,
+       |                  ',' ORDER BY rk) AS postings
+       |FROM rk GROUP BY term
+       |ORDER BY term""".stripMargin
+
+  // ---- q126: co-occurrence lift (collocation statistics) -----------
+
+  /** Minimum co-occurring docs for a pair to be reported. */
+  private val PmiMinPairDocs = 2
+
+  /** q126 — term co-occurrence lift, the PMI-family collocation
+    * statistic (Church & Hanks 1990) corpus analysis uses to find
+    * phrases, topical clusters, and boilerplate: for term pairs that
+    * share ≥ 2 documents, lift = P(a,b)/(P(a)P(b)) computed as the
+    * exact integer ratio (n_ab·N)/(n_a·n_b) — the monotone argument
+    * of PMI's log, reported WITHOUT the log so no libm call has to
+    * agree cross-engine (the q112 no-libm rule); one IEEE division of
+    * exact integers, 6-dp snapped. Presence-based (distinct terms per
+    * doc), so a term repeated in one doc counts once. Scale: the
+    * in-doc pair join is keyed on doc_id and quadratic only in a
+    * doc's DISTINCT terms (bounded by doc length, the q72 narrow-op
+    * rule); term marginals are vocabulary-sized and broadcast back. */
+  def cooccurrenceLift(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(s, dir, "documents")
+    val pres = d.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .distinct()
+    val tc = pres.groupBy(col("term")).agg(count(lit(1)).as("n_term"))
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    pres.as("pa").join(pres.as("pb"),
+        col("pa.doc_id") === col("pb.doc_id") && col("pa.term") < col("pb.term"))
+      .groupBy(col("pa.term").as("term_a"), col("pb.term").as("term_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= PmiMinPairDocs)
+      .join(tc.select(col("term").as("term_a"), col("n_term").as("n_a")), "term_a")
+      .join(tc.select(col("term").as("term_b"), col("n_term").as("n_b")), "term_b")
+      .crossJoin(n)
+      .select(col("term_a"), col("term_b"), col("n_a"), col("n_b"), col("n_ab"),
+        snapRound((col("n_ab") * col("n_docs")).cast(DoubleType) /
+          (col("n_a") * col("n_b")).cast(DoubleType), 6).as("lift"))
+      .orderBy(col("term_a"), col("term_b"))
+  }
+
+  private val cooccurrenceLiftSql =
+    s"""WITH pres AS (
+       |  SELECT DISTINCT doc_id, term FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)),
+       |tc AS (SELECT term, count(1) AS n_term FROM pres GROUP BY 1),
+       |n AS (SELECT count(1) AS n_docs FROM documents),
+       |pairs AS (
+       |  SELECT a.term AS term_a, b.term AS term_b, count(1) AS n_ab
+       |  FROM pres a JOIN pres b ON a.doc_id = b.doc_id AND a.term < b.term
+       |  GROUP BY 1, 2)
+       |SELECT term_a, term_b, ta.n_term AS n_a, tb.n_term AS n_b, n_ab,
+       |       ${snapRoundSql("CAST(n_ab * n_docs AS DOUBLE) / CAST(ta.n_term * tb.n_term AS DOUBLE)", 6)} AS lift
+       |FROM pairs
+       |JOIN tc ta ON term_a = ta.term
+       |JOIN tc tb ON term_b = tb.term
+       |CROSS JOIN n
+       |WHERE n_ab >= $PmiMinPairDocs
+       |ORDER BY term_a, term_b""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_cooccurrence_lift" -> cooccurrenceLift,
+    "q125_inverted_index" -> invertedIndex,
     "q124_pagerank" -> pagerank,
     "q123_entity_resolution" -> entityResolution,
     "q58_tfidf_topk" -> tfidfTopk,
@@ -1263,6 +1368,8 @@ object TextOps extends QueryModule {
       |ORDER BY doc_id""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    "q126_cooccurrence_lift" -> cooccurrenceLiftSql,
+    "q125_inverted_index" -> invertedIndexSql,
     "q124_pagerank" -> pagerankSql,
     "q123_entity_resolution" -> entityResolutionSql,
     "q58_tfidf_topk" -> tfidfTopkSql,

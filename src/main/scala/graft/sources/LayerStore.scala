@@ -214,6 +214,121 @@ class LayerStore(spark: SparkSession, root: String) {
     spark.read.parquet(path(layer, name))
   }
 
+  // ---- snapshot-versioned tables (time travel) ----------------------
+
+  private def versionDir(layer: String, name: String, v: Long) =
+    hadoopPath(layer, name, s"/v$v")
+  private def pointerPath(layer: String, name: String) =
+    hadoopPath(layer, name, "/_CURRENT")
+
+  /** Version directories present on disk (committed or not). */
+  private def versionsOnDisk(layer: String, name: String,
+      fs: org.apache.hadoop.fs.FileSystem): Seq[Long] = {
+    val base = hadoopPath(layer, name)
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq.map(_.getPath.getName)
+      .collect { case s if s.matches("v\\d+") => s.drop(1).toLong }
+      .sorted
+  }
+
+  /** The published version: the _CURRENT pointer if present, else the
+    * highest version whose write completed (_SUCCESS marker) — the
+    * recovery rule for a crash inside the pointer rename window. */
+  def snapshotVersion(layer: String, name: String): Option[Long] = {
+    val fs = fsFor(pointerPath(layer, name))
+    val ptr = pointerPath(layer, name)
+    if (fs.exists(ptr)) {
+      val in = fs.open(ptr)
+      try Some(new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    } else versionsOnDisk(layer, name, fs).reverse
+      .find(v => fs.exists(new org.apache.hadoop.fs.Path(
+        versionDir(layer, name, v), "_SUCCESS")))
+  }
+
+  /** Snapshot write — the time-travel sibling of `write` (Delta/
+    * Iceberg-style snapshot isolation on plain parquet dirs): each
+    * write lands at an immutable `v<N>` directory and PUBLISHES by
+    * atomically renaming a fresh `_CURRENT` pointer over the old one,
+    * so readers of the current snapshot never see a partial write and
+    * every retained version stays readable — the property a training
+    * pipeline needs to pin "corpus snapshot N" for a reproducible run
+    * while ingest keeps writing. A crash before the pointer rename
+    * leaves a committed-or-partial orphan directory the pointer never
+    * references (the next write skips past it; vacuum removes it).
+    * Returns the new version number. */
+  def writeSnapshot(layer: String, name: String, df: DataFrame): Long = {
+    require(layers.contains(layer), s"unknown layer $layer")
+    val fs = fsFor(pointerPath(layer, name))
+    val next = versionsOnDisk(layer, name, fs).lastOption.getOrElse(0L) + 1
+    df.write.mode(SaveMode.Overwrite).parquet(versionDir(layer, name, next).toString)
+    publishPointer(layer, name, next, fs)
+    next
+  }
+
+  private def publishPointer(layer: String, name: String, v: Long,
+      fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val tmp = hadoopPath(layer, name, "/_CURRENT.__tmp__")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val ptr = pointerPath(layer, name)
+    // rename-with-overwrite where the FS supports it; the delete+rename
+    // window is covered by the _SUCCESS fallback in snapshotVersion
+    if (fs.exists(ptr)) fs.delete(ptr, false)
+    if (!fs.rename(tmp, ptr)) sys.error(s"snapshot publish failed for $ptr")
+    readSnapshot(layer, name).createOrReplaceTempView(viewName(layer, name))
+  }
+
+  /** Read the current snapshot, or `asOf` a pinned historical version
+    * (time travel). Reading a vacuumed or never-published version
+    * fails loudly rather than returning stale data. */
+  def readSnapshot(layer: String, name: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val v = asOf.orElse(snapshotVersion(layer, name))
+      .getOrElse(sys.error(s"no published snapshot for $layer.$name"))
+    val fs = fsFor(pointerPath(layer, name))
+    require(fs.exists(new org.apache.hadoop.fs.Path(
+      versionDir(layer, name, v), "_SUCCESS")),
+      s"snapshot v$v of $layer.$name is not available")
+    spark.read.parquet(versionDir(layer, name, v).toString)
+  }
+
+  /** Roll the published pointer back to a retained version — an O(1)
+    * metadata operation, no data rewrite. The next writeSnapshot
+    * still numbers past the abandoned versions (history is never
+    * renumbered), so rollback + re-ingest cannot collide with a
+    * pinned reader. */
+  def rollbackSnapshot(layer: String, name: String, v: Long): Unit = {
+    val fs = fsFor(pointerPath(layer, name))
+    require(fs.exists(new org.apache.hadoop.fs.Path(
+      versionDir(layer, name, v), "_SUCCESS")),
+      s"cannot roll back to missing snapshot v$v of $layer.$name")
+    publishPointer(layer, name, v, fs)
+  }
+
+  /** Retention: drop all versions except the current one and the
+    * newest `keepLast - 1` others (plus orphans from crashed writes).
+    * Returns the dropped version numbers. */
+  def vacuumSnapshots(layer: String, name: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val fs = fsFor(pointerPath(layer, name))
+    val cur = snapshotVersion(layer, name)
+      .getOrElse(sys.error(s"no published snapshot for $layer.$name"))
+    // retention counts only COMMITTED versions — an uncommitted orphan
+    // from a crashed write is never worth a retention slot
+    val committed = versionsOnDisk(layer, name, fs).filter(v =>
+      fs.exists(new org.apache.hadoop.fs.Path(
+        versionDir(layer, name, v), "_SUCCESS")))
+    val keep = (committed.filterNot(_ == cur)
+      .takeRight(keepLast - 1) :+ cur).toSet
+    val drop = versionsOnDisk(layer, name, fs).filterNot(keep)
+    drop.foreach(v => fs.delete(versionDir(layer, name, v), true))
+    drop
+  }
+
   /** S7 — DDL clone from the stored schema. */
   def ddl(layer: String, name: String): String =
     s"CREATE TABLE ${layer}_$name (${table(layer, name).schema.toDDL})"

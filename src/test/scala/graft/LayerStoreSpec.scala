@@ -253,6 +253,40 @@ class LayerStoreSpec extends SparkSpec {
     assert(store.table("silver", "dim").count() == 5)
   }
 
+  test("snapshots: time travel, rollback, vacuum, crash-orphan recovery") {
+    val (store, dir) = freshStore()
+    def df(vals: (Long, String)*) = vals.toDF("k", "v")
+    assert(store.writeSnapshot("gold", "corpus", df(1L -> "a")) == 1L)
+    assert(store.writeSnapshot("gold", "corpus", df(1L -> "a", 2L -> "b")) == 2L)
+    assert(store.writeSnapshot("gold", "corpus", df(3L -> "c")) == 3L)
+    // current reads v3; pinned reader still sees v1 (time travel)
+    assert(store.snapshotVersion("gold", "corpus").contains(3L))
+    assert(store.readSnapshot("gold", "corpus").count() == 1)
+    assert(store.readSnapshot("gold", "corpus", Some(1L))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a")))
+    // rollback is a pointer move: current now v2, history intact
+    store.rollbackSnapshot("gold", "corpus", 2L)
+    assert(store.readSnapshot("gold", "corpus").count() == 2)
+    // next write numbers PAST the abandoned v3 — no renumbering
+    assert(store.writeSnapshot("gold", "corpus", df(4L -> "d")) == 4L)
+    // crash simulation: an orphan version dir with no _SUCCESS and a
+    // deleted pointer — reads recover to the newest COMMITTED version
+    val p = java.nio.file.Paths.get(dir, "gold", "corpus")
+    java.nio.file.Files.createDirectory(p.resolve("v5"))
+    java.nio.file.Files.delete(p.resolve("_CURRENT"))
+    assert(store.snapshotVersion("gold", "corpus").contains(4L))
+    assert(store.readSnapshot("gold", "corpus").count() == 1)
+    intercept[Exception] { store.readSnapshot("gold", "corpus", Some(5L)) }
+    // a write after the crash skips past the orphan
+    assert(store.writeSnapshot("gold", "corpus", df(6L -> "f")) == 6L)
+    // vacuum keeps current + newest (keepLast-1); orphan v5 goes too
+    assert(store.vacuumSnapshots("gold", "corpus", keepLast = 2) == Seq(1L, 2L, 3L, 5L))
+    assert(store.readSnapshot("gold", "corpus", Some(4L)).count() == 1)
+    intercept[Exception] { store.readSnapshot("gold", "corpus", Some(2L)) }
+    // the registered view tracks the published snapshot
+    assert(spark.sql("SELECT count(1) FROM gold_corpus").head().getLong(0) == 1L)
+  }
+
   test("compact: collapses a many-file layout, data bit-identical") {
     val (store, _) = freshStore()
     // simulate an append-heavy history: 3 micro-batches x 4 partitions

@@ -150,6 +150,63 @@ object MediaPipeline {
     }
   }
 
+  /** 64-bit average hash (aHash) of an 8×8 luma grid: bit i set when
+    * pixel i is at or above the integer mean — the classic perceptual
+    * image fingerprint (robust to re-encode/resize/small edits, which
+    * change bytes but not the coarse luma layout, so exact byte-hash
+    * dedup misses them). Pure integer arithmetic: deterministic
+    * across JVMs and engines. */
+  def avgHash64(px: Array[Int]): Long = {
+    require(px.length == 64, s"aHash needs an 8x8 grid, got ${px.length}")
+    val mean = px.foldLeft(0L)(_ + _.toLong) / 64
+    px.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+      if (v >= mean) acc | (1L << i) else acc
+    }
+  }
+
+  case class ImageHash(doc_id: Long, phash: Long, decoded: Boolean)
+
+  /** Perceptual hash per media row: REAL-decoded images hash their
+    * 8×8 luma sample; undecodable payloads are marked (decoded=false,
+    * hash of the stub sample padded/truncated to 64) so callers can
+    * exclude them from visual dedup. */
+  def imageHashes(media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    decodeAll(media, 8).map(d =>
+      ImageHash(d.doc_id, avgHash64(d.frame_sample.padTo(64, 0).take(64)),
+        d.decoded))
+  }
+
+  /** Image near-duplicate pairs by perceptual hash: the visual twin of
+    * the text MinHash+LSH pipeline (q21-q23), with a guarantee the
+    * probabilistic bands don't have — banding a 64-bit hash into 8
+    * bytes and joining bucket-local means any pair within Hamming
+    * distance ≤ 7 MUST collide on at least one unchanged band
+    * (pigeonhole: 7 flipped bits cannot touch all 8 bands), so recall
+    * at the default threshold is EXACT, not probabilistic. Candidates
+    * then verify with one integer popcount. Scale: same shape as the
+    * text LSH — one explode (8 rows per image), a bucket-keyed
+    * self-join (never all-pairs), candidate-bounded verification. */
+  def imageNearDup(hashes: Dataset[ImageHash], maxHamming: Int = 7): DataFrame = {
+    require(maxHamming <= 7,
+      "banded recall is exact only for maxHamming <= 7 (8 bands)")
+    val h = hashes.filter(_.decoded).toDF()
+    val bands = h.select(col("doc_id"), col("phash"),
+      explode(array((0 until 8).map(i => struct(lit(i).as("band"),
+        shiftright(col("phash"), i * 8).bitwiseAND(lit(0xffL)).as("key"))): _*)).as("b"))
+      .select(col("doc_id"), col("phash"), col("b.band").as("band"), col("b.key").as("key"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.phash").as("ha"), col("y.phash").as("hb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   case class ResizedMedia(doc_id: Long, mime: String, width: Int,
     height: Int, pixels: Array[Int])
 

@@ -85,6 +85,61 @@ class MediaPipelineSpec extends SparkSpec {
     assert(MediaPipeline.decodeImage(png.take(20)).isEmpty)
   }
 
+  test("perceptual hash: re-encoded/edited images pair, distinct images don't") {
+    import java.awt.image.BufferedImage
+    import spark.implicits._
+    // A: left half black, right half white — aHash bits far from the
+    // mean, stable under small edits. B: A with a few pixels flipped
+    // deep inside each half (visual near-dup). C: A inverted (every
+    // hash bit flips — maximally distant).
+    def halves(invert: Boolean, noise: Boolean): Array[Byte] = {
+      val img = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val white = (x >= 32) ^ invert
+        img.setRGB(x, y, if (white) 0xffffff else 0x000000)
+      }
+      if (noise) for ((x, y) <- Seq((2, 2), (60, 60), (10, 50)))
+        img.setRGB(x, y, 0x808080)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      MediaPipeline.MediaRow(1L, "image/png", halves(invert = false, noise = false)),
+      MediaPipeline.MediaRow(2L, "image/png", halves(invert = false, noise = true)),
+      MediaPipeline.MediaRow(3L, "image/png", halves(invert = true, noise = false)),
+      MediaPipeline.MediaRow(4L, "text/plain", "not an image".getBytes("UTF-8"))).toDS()
+    val hashes = MediaPipeline.imageHashes(rows)
+    val pairs = MediaPipeline.imageNearDup(hashes)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)),
+      s"expected exactly the near-dup pair (1,2): $pairs")
+    assert(pairs.head._3 <= 7)
+    // the undecodable payload is excluded from visual dedup
+    assert(hashes.collect().find(_.doc_id == 4L).exists(!_.decoded))
+  }
+
+  test("banded blocking recall is exact at hamming <= 7 (pigeonhole)") {
+    import spark.implicits._
+    // 7 flipped bits spread across 7 DIFFERENT bands — no identical
+    // 16-bit half, but band 7 (and only band 7) survives: the pair
+    // MUST still be found
+    val base = 0x123456789abcdef0L
+    val flipped = (0 until 7).foldLeft(base)((h, b) => h ^ (1L << (b * 8)))
+    val hs = Seq(
+      MediaPipeline.ImageHash(1L, base, decoded = true),
+      MediaPipeline.ImageHash(2L, flipped, decoded = true)).toDS()
+    val pairs = MediaPipeline.imageNearDup(hs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(pairs == Seq((1L, 2L, 7)))
+    // 8 flips touching every band: correctly outside the guarantee
+    val allBands = (0 until 8).foldLeft(base)((h, b) => h ^ (1L << (b * 8)))
+    val hs8 = Seq(
+      MediaPipeline.ImageHash(1L, base, decoded = true),
+      MediaPipeline.ImageHash(2L, allBands, decoded = true)).toDS()
+    assert(MediaPipeline.imageNearDup(hs8).isEmpty)
+  }
+
   test("decode is deterministic across invocations") {
     val bytes = "hello multimodal world".getBytes("UTF-8")
     assert(MediaPipeline.fakeDecode(bytes) == MediaPipeline.fakeDecode(bytes) ||

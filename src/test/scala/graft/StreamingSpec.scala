@@ -483,6 +483,61 @@ class StreamingSpec extends SparkSpec {
       s"conversion diverged: ${conv.mkString(", ")}")
   }
 
+  test("streaming SCD2 closed versions == batch q122 closed rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-scd2s").toString
+    withSentinel(eventsDf.select("event_id", "ts", "user_id", "event_type", "value"),
+        "INTERVAL 1 DAY")
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in").as[Event]
+    val q = StreamingPipeline.scd2Stream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scd2_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1),
+      r.getString(2), r.getTimestamp(3), r.getTimestamp(4), r.getLong(5))
+    val streamed = spark.table("scd2_out").filter($"user_id" >= 0)
+      .collect().map(key).sortBy(k => (k._1, k._2))
+    val batch = EventOps.scd2History(spark, sf0001)
+      .filter(!$"is_current") // open versions have no final row yet
+      .select("user_id", "version_nr", "tracked_type", "valid_from",
+        "valid_to", "n_events")
+      .collect().map(key).sortBy(k => (k._1, k._2))
+    assert(streamed.toSeq == batch.toSeq && streamed.nonEmpty)
+  }
+
+  test("streaming SCD2 stays exact when the type change arrives a batch early") {
+    // the change event (type B at 00:20) lands a batch BEFORE two more
+    // type-A events (00:05, 00:10): naive processing would close A's
+    // version at 00:20 with n=1 and then miscount — ordered replay
+    // must close A with n=3
+    val dir = java.nio.file.Files.createTempDirectory("graft-ooo-scd2").toString
+    def ts(m: Int): Timestamp = Timestamp.valueOf(f"2024-03-01 00:$m%02d:00")
+    def writeBatch(n: Int, rows: Seq[Event]): Unit =
+      rows.toDF().coalesce(1).write.parquet(s"$dir/in/b$n")
+    writeBatch(1, Seq(Event(1, ts(0), 1, "view", 1.0),
+      Event(4, ts(20), 1, "purchase", 1.0)))
+    val schema = spark.read.parquet(s"$dir/in/b1").schema
+    writeBatch(2, Seq(Event(2, ts(5), 1, "view", 1.0),
+      Event(3, ts(10), 1, "view", 1.0)))
+    writeBatch(3, Seq(Event(-1, ts(59), 99, "drain", 0.0)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*").as[Event]
+    val q = StreamingPipeline.scd2Stream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ooo_scd2")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("ooo_scd2").filter($"user_id" === 1L)
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getTimestamp(3),
+        r.getTimestamp(4), r.getLong(5))).toSeq
+    assert(rows == Seq((1L, "view", ts(0), ts(20), 3L)),
+      s"SCD2 stream diverged under out-of-order arrival: ${rows.mkString(", ")}")
+  }
+
   test("sessionize stays event-time exact under cross-batch out-of-order arrival") {
     // user 1's 00:10 event arrives a batch BEFORE its 00:00 session
     // opener and the 01:00 next-session opener — the old NoTimeout

@@ -594,6 +594,74 @@ class LayerStore(spark: SparkSession, root: String) {
     (before.length, parquetFiles().length)
   }
 
+  /** Range-clustered rewrite — the layout that makes file skipping
+    * work: repartitionByRange + sortWithinPartitions on the cluster
+    * keys, so every output file covers a disjoint key range and a
+    * point/range predicate prunes to O(matching files) via parquet
+    * min/max footer stats instead of scanning the table (the
+    * single-dimension case of Z-ordering; at 100 TB this is the
+    * difference between reading one file and reading all of them for
+    * a selective filter). Routed through the same crash-safe
+    * stage-swap as every rewrite. Returns the file count. */
+  def clusterBy(layer: String, name: String, cols: Seq[String],
+      numFiles: Int): Int = {
+    require(cols.nonEmpty && numFiles >= 1)
+    val sorted = table(layer, name)
+      .repartitionByRange(numFiles, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+    stageSwap(layer, name, sorted)
+    val target = hadoopPath(layer, name)
+    fsFor(target).listStatus(target)
+      .count(_.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** Schema-evolution append: new NULLABLE columns may appear in a
+    * batch (old rows read as NULL via parquet schema merge); dropped
+    * columns read as NULL for the new rows; a changed TYPE on a
+    * shared column is rejected — silent coercion corrupts readers.
+    * The table's live read must use `tableMerged` (plain parquet
+    * reads take one footer's schema). No history rewrite: evolution
+    * is a property of the READ, which is what keeps it O(batch) at
+    * scale. */
+  def appendEvolved(layer: String, name: String, df: DataFrame): Unit = {
+    recoverOrphanBackup(layer, name)
+    if (!exists(layer, name)) { write(layer, name, df); return }
+    val stored = table(layer, name).schema
+    val conflicts = df.schema.flatMap { f =>
+      stored.find(_.name == f.name).filter(_.dataType != f.dataType)
+        .map(s => s"${f.name}: stored ${s.dataType.simpleString} vs batch ${f.dataType.simpleString}")
+    }
+    require(conflicts.isEmpty,
+      s"appendEvolved type conflicts on $layer.$name — ${conflicts.mkString("; ")}")
+    df.write.mode(SaveMode.Append).parquet(path(layer, name))
+    tableMerged(layer, name).createOrReplaceTempView(viewName(layer, name))
+  }
+
+  /** Read with parquet schema merge — the companion of appendEvolved:
+    * the union schema across every file's footer, missing columns
+    * NULL-filled per row group. */
+  def tableMerged(layer: String, name: String): DataFrame = {
+    recoverOrphanBackup(layer, name)
+    spark.read.option("mergeSchema", "true").parquet(path(layer, name))
+  }
+
+  /** Bucket-clustered managed table (catalog-registered as
+    * `<layer>_<name>`: bucketBy requires saveAsTable): rows hash-
+    * partition into a fixed bucket count on the join key at WRITE
+    * time, so every later equi-join or aggregation on that key reads
+    * co-located buckets and plans ZERO shuffle exchanges — the way a
+    * recurring fact-to-fact join survives 100 TB (pay the shuffle
+    * once at ingest, never per query). Sorted within buckets so the
+    * merge join needs no sort either. */
+  def writeBucketed(layer: String, name: String, df: DataFrame,
+      bucketCols: Seq[String], buckets: Int): Unit = {
+    require(bucketCols.nonEmpty && buckets >= 1)
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(viewName(layer, name))
+  }
+
   /** S12 — CSV export with header. */
   def exportCsv(df: DataFrame, out: String): Unit =
     df.coalesce(1).write.mode(SaveMode.Overwrite)

@@ -287,6 +287,82 @@ class LayerStoreSpec extends SparkSpec {
     assert(spark.sql("SELECT count(1) FROM gold_corpus").head().getLong(0) == 1L)
   }
 
+  test("clusterBy: disjoint per-file key ranges, data bit-identical") {
+    val (store, _) = freshStore()
+    // shuffled keys across multiple appends: the anti-clustered layout
+    val rows = scala.util.Random.shuffle((1L to 4000L).toList)
+      .map(k => (k, s"v$k"))
+    rows.grouped(1000).foreach(g =>
+      store.append("silver", "t", g.toDF("k", "v").repartition(4)))
+    val before = store.table("silver", "t")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val nFiles = store.clusterBy("silver", "t", Seq("k"), numFiles = 8)
+    assert(nFiles >= 2, "need multiple files to prove range disjointness")
+    // per-file min/max ranges must not overlap — the property parquet
+    // footer pruning needs to skip files on a key predicate
+    val ranges = store.table("silver", "t")
+      .select(input_file_name().as("f"), $"k")
+      .groupBy($"f").agg(min($"k").as("lo"), max($"k").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.sliding(2).forall {
+      case Array((_, hi1), (lo2, _)) => hi1 < lo2
+      case _ => true
+    }, s"overlapping file ranges: ${ranges.mkString(", ")}")
+    val after = store.table("silver", "t")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(after.toSeq == before.toSeq)
+  }
+
+  test("appendEvolved: new nullable column null-fills; type conflict rejected") {
+    val (store, _) = freshStore()
+    store.write("silver", "e", Seq((1L, "a")).toDF("k", "v"))
+    // batch with a NEW column evolves the schema; old rows read NULL
+    store.appendEvolved("silver", "e",
+      Seq((2L, "b", 9.5)).toDF("k", "v", "score"))
+    val rows = store.tableMerged("silver", "e").orderBy("k")
+      .select("k", "v", "score")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+    assert(rows.toSeq == Seq((1L, "a", None), (2L, "b", Some(9.5))))
+    // the registered view tracks the merged schema
+    assert(spark.sql("SELECT score FROM silver_e WHERE k = 2").head().getDouble(0) == 9.5)
+    // a batch MISSING a column appends too (its rows read NULL there)
+    store.appendEvolved("silver", "e", Seq(3L -> "c").toDF("k", "v"))
+    assert(store.tableMerged("silver", "e").filter($"k" === 3L)
+      .select("score").head().isNullAt(0))
+    // same column, different type: rejected, table untouched
+    val bad = Seq((4L, 7L)).toDF("k", "v") // v long vs stored string
+    intercept[IllegalArgumentException] {
+      store.appendEvolved("silver", "e", bad)
+    }
+    assert(store.tableMerged("silver", "e").count() == 3)
+  }
+
+  test("writeBucketed: co-bucketed fact join plans zero shuffle exchanges") {
+    val (store, _) = freshStore()
+    val a = (1L to 2000L).map(k => (k, k * 2)).toDF("k", "va")
+    val b = (1L to 2000L).map(k => (k, s"s$k")).toDF("k", "vb")
+    val thresholdBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      store.writeBucketed("gold", "fact_a", a, Seq("k"), buckets = 4)
+      store.writeBucketed("gold", "fact_b", b, Seq("k"), buckets = 4)
+      val joined = spark.table("gold_fact_a").join(spark.table("gold_fact_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join must not shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin"))
+      assert(joined.count() == 2000)
+      // aggregation on the bucket key is shuffle-free too
+      val agg = spark.table("gold_fact_a").groupBy("k").count()
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresholdBefore)
+      spark.sql("DROP TABLE IF EXISTS gold_fact_a")
+      spark.sql("DROP TABLE IF EXISTS gold_fact_b")
+    }
+  }
+
   test("compact: collapses a many-file layout, data bit-identical") {
     val (store, _) = freshStore()
     // simulate an append-heavy history: 3 micro-batches x 4 partitions

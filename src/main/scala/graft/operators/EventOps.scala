@@ -625,6 +625,125 @@ object EventOps extends QueryModule {
       |WHERE rn = greatest(1, CAST(ceil(quantile_p * n) AS BIGINT))
       |ORDER BY event_type, quantile_p""".stripMargin
 
+  // ---- q127: winsorized robust statistics ---------------------------
+
+  private val WinsorLoP = 0.05
+  private val WinsorHiP = 0.95
+
+  /** q127 — winsorized (clipped) robust statistics per group: the
+    * outlier-capping every metric pipeline needs before means and
+    * trends (one fat-finger event otherwise owns the aggregate).
+    * Bounds are the exact nearest-rank p05/p95 picked by RANK
+    * EQUALITY (q98's portable rule — an actual data value, no
+    * interpolation mode to disagree on); values clamp into [lo, hi]
+    * and the winsorized mean folds through an exact decimal sum.
+    * Scale: one window shuffle on the group key for the ranks, the
+    * group-count-sized bounds frame broadcasts back onto the fact —
+    * the fact never joins the fact. */
+  def winsorizedStats(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    val ranked = Tables.t(s, dir, "events")
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    val bounds = ranked.groupBy(col("event_type")).agg(
+      min(when(col("rn") === greatest(lit(1L), ceil(lit(WinsorLoP) * col("n"))),
+        col("value"))).as("lo"),
+      min(when(col("rn") === greatest(lit(1L), ceil(lit(WinsorHiP) * col("n"))),
+        col("value"))).as("hi"))
+    Tables.t(s, dir, "events")
+      .select(col("event_type"), col("value"))
+      .join(broadcast(bounds), "event_type")
+      .withColumn("wv", when(col("value") < col("lo"), col("lo"))
+        .when(col("value") > col("hi"), col("hi"))
+        .otherwise(col("value")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("lo")).as("lo"), min(col("hi")).as("hi"),
+        sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_clamped_lo"),
+        sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_clamped_hi"),
+        snapRound(sum(col("wv").cast(DecimalType(38, 10))).cast(DoubleType) /
+          count(lit(1)), 6).as("winsorized_mean"))
+      .orderBy(col("event_type"))
+  }
+
+  private val winsorizedStatsSql =
+    s"""WITH ranked AS (
+       |  SELECT event_type, value,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+       |         count(1) OVER (PARTITION BY event_type) AS n
+       |  FROM events),
+       |bounds AS (
+       |  SELECT event_type,
+       |         min(CASE WHEN rn = greatest(1, CAST(ceil($WinsorLoP * n) AS BIGINT))
+       |                  THEN value END) AS lo,
+       |         min(CASE WHEN rn = greatest(1, CAST(ceil($WinsorHiP * n) AS BIGINT))
+       |                  THEN value END) AS hi
+       |  FROM ranked GROUP BY 1)
+       |SELECT event_type, count(1) AS n_rows, min(lo) AS lo, min(hi) AS hi,
+       |       CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo,
+       |       CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi,
+       |       ${snapRoundSql("CAST(sum(CAST(CASE WHEN value < lo THEN lo WHEN value > hi THEN hi ELSE value END AS DECIMAL(38,10))) AS DOUBLE) / count(1)", 6)} AS winsorized_mean
+       |FROM events JOIN bounds USING (event_type)
+       |GROUP BY 1
+       |ORDER BY event_type""".stripMargin
+
+  // ---- q128: per-group OLS trend -------------------------------------
+
+  /** q128 — per-group linear trend (OLS slope/intercept of daily
+    * revenue vs day index), the "is this segment growing?" statistic
+    * behind every metrics dashboard, computed the GlobalAR way: all
+    * five sufficient statistics (n, Σx, Σx², Σy, Σxy) fold as exact
+    * LONGS (x = day offset from the group's first day; y = the day's
+    * value total in CENTS — integer-valued money, the 12×-faster long
+    * path that still matches the decimal oracle bit-for-bit), so the
+    * only floating-point steps are the final divisions, snapped 6-dp
+    * from identical integer inputs on both engines. Two aggregations:
+    * fact → (group, day) totals, then group-day rows → 1 row per
+    * group; no fact-sized window or join. */
+  def groupTrend(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("ds"))
+      .agg(sum((col("value").cast(DecimalType(30, 2)) * 100).cast(LongType))
+        .as("cents"))
+    val based = daily
+      .withColumn("x", datediff(col("ds"),
+        min(col("ds")).over(Window.partitionBy(col("event_type")))).cast(LongType))
+    based.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("cents")).as("sy"), sum(col("cents") * col("x")).as("sxy"))
+      .select(col("event_type"), col("n").as("n_days"),
+        snapRound((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType) / 100.0, 6)
+          .as("slope_per_day"),
+        snapRound((col("sy").cast(DoubleType) / 100.0 -
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType) / 100.0) *
+            col("sx").cast(DoubleType)) / col("n"), 6).as("intercept"))
+      .orderBy(col("event_type"))
+  }
+
+  private val groupTrendSql =
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS ds,
+       |         CAST(sum(CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+       |  FROM events GROUP BY 1, 2),
+       |based AS (
+       |  SELECT event_type, cents,
+       |         datediff('day', min(ds) OVER (PARTITION BY event_type), ds) AS x
+       |  FROM daily),
+       |agg AS (
+       |  SELECT event_type, count(1) AS n, CAST(sum(x) AS BIGINT) AS sx,
+       |         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(cents) AS BIGINT) AS sy,
+       |         CAST(sum(cents * x) AS BIGINT) AS sxy
+       |  FROM based GROUP BY 1)
+       |SELECT event_type, n AS n_days,
+       |       ${snapRoundSql("CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0", 6)} AS slope_per_day,
+       |       ${snapRoundSql("(CAST(sy AS DOUBLE) / 100.0 - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0) * CAST(sx AS DOUBLE)) / n", 6)} AS intercept
+       |FROM agg
+       |ORDER BY event_type""".stripMargin
+
   // ---- q100: sliding windows ---------------------------------------
 
   /** q100 — SLIDING (hopping) window aggregation: 10-minute windows
@@ -752,6 +871,8 @@ object EventOps extends QueryModule {
       |ORDER BY user_id, version_nr""".stripMargin
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_winsorized_stats" -> winsorizedStats,
+    "q128_group_trend" -> groupTrend,
     "q122_scd2_history" -> scd2History,
     "q104_hot_key_topk" -> hotKeyTopEvents,
     "q100_sliding_windows" -> slidingWindows,
@@ -772,6 +893,8 @@ object EventOps extends QueryModule {
     "q76_funnel" -> funnel)
 
   override def oracles: Map[String, String] = Map(
+    "q127_winsorized_stats" -> winsorizedStatsSql,
+    "q128_group_trend" -> groupTrendSql,
     "q122_scd2_history" -> scd2HistorySql,
     "q104_hot_key_topk" -> hotKeyTopEventsSql,
     "q100_sliding_windows" -> slidingWindowsSql,

@@ -744,6 +744,65 @@ object EventOps extends QueryModule {
        |FROM agg
        |ORDER BY event_type""".stripMargin
 
+  // ---- q129: market-basket association rules ------------------------
+
+  /** Minimum co-purchase count for a rule to be reported. */
+  private val BasketMinSupport = 2
+
+  /** q129 — market-basket association rules (Agrawal et al. 1993):
+    * which parts are bought together? Per ordered part pair sharing
+    * ≥ 2 orders: support count, confidence P(b|a) and P(a|b), and
+    * lift — all from integer counts with one snapped IEEE division
+    * each (the q126 no-libm ratio rule). Baskets are orders; the
+    * in-basket pair join is keyed on the order and quadratic only in
+    * a basket's DISTINCT parts (bounded by order width — the same
+    * per-container bound as q126's per-doc terms); item marginals are
+    * part-dictionary-sized and broadcast back. */
+  def marketBasket(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val freq = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_orders"))
+    val n = li.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= BasketMinSupport)
+      .join(freq.select(col("l_partkey").as("part_a"), col("n_orders").as("n_a")), "part_a")
+      .join(freq.select(col("l_partkey").as("part_b"), col("n_orders").as("n_b")), "part_b")
+      .crossJoin(n)
+      .select(col("part_a"), col("part_b"), col("support"), col("n_a"), col("n_b"),
+        snapRound(col("support").cast(DoubleType) / col("n_a").cast(DoubleType), 6)
+          .as("conf_a_to_b"),
+        snapRound(col("support").cast(DoubleType) / col("n_b").cast(DoubleType), 6)
+          .as("conf_b_to_a"),
+        snapRound((col("support") * col("n_baskets")).cast(DoubleType) /
+          (col("n_a") * col("n_b")).cast(DoubleType), 6).as("lift"))
+      .orderBy(col("part_a"), col("part_b"))
+  }
+
+  private val marketBasketSql =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |freq AS (SELECT l_partkey, count(1) AS n_orders FROM li GROUP BY 1),
+       |n AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM li),
+       |pairs AS (
+       |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(1) AS support
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2)
+       |SELECT part_a, part_b, support, fa.n_orders AS n_a, fb.n_orders AS n_b,
+       |       ${snapRoundSql("CAST(support AS DOUBLE) / CAST(fa.n_orders AS DOUBLE)", 6)} AS conf_a_to_b,
+       |       ${snapRoundSql("CAST(support AS DOUBLE) / CAST(fb.n_orders AS DOUBLE)", 6)} AS conf_b_to_a,
+       |       ${snapRoundSql("CAST(support * n_baskets AS DOUBLE) / CAST(fa.n_orders * fb.n_orders AS DOUBLE)", 6)} AS lift
+       |FROM pairs
+       |JOIN freq fa ON part_a = fa.l_partkey
+       |JOIN freq fb ON part_b = fb.l_partkey
+       |CROSS JOIN n
+       |WHERE support >= $BasketMinSupport
+       |ORDER BY part_a, part_b""".stripMargin
+
   // ---- q100: sliding windows ---------------------------------------
 
   /** q100 — SLIDING (hopping) window aggregation: 10-minute windows
@@ -873,6 +932,7 @@ object EventOps extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q127_winsorized_stats" -> winsorizedStats,
     "q128_group_trend" -> groupTrend,
+    "q129_market_basket" -> marketBasket,
     "q122_scd2_history" -> scd2History,
     "q104_hot_key_topk" -> hotKeyTopEvents,
     "q100_sliding_windows" -> slidingWindows,
@@ -895,6 +955,7 @@ object EventOps extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q127_winsorized_stats" -> winsorizedStatsSql,
     "q128_group_trend" -> groupTrendSql,
+    "q129_market_basket" -> marketBasketSql,
     "q122_scd2_history" -> scd2HistorySql,
     "q104_hot_key_topk" -> hotKeyTopEventsSql,
     "q100_sliding_windows" -> slidingWindowsSql,

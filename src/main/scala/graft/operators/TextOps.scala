@@ -1232,6 +1232,47 @@ object TextOps extends QueryModule {
        |ORDER BY pr_scaled DESC, doc_id""".stripMargin
   }
 
+  // ---- q130: triangle count (graph clustering structure) ------------
+
+  /** q130 — per-node triangle participation over the q124 similarity
+    * graph: triangles measure clustering structure (a near-dup
+    * CLIQUE — a mirror family — is triangle-dense; a chain of
+    * borderline pairs is triangle-free), the standard companion
+    * statistic to connected components for judging whether a dup
+    * cluster is one family or several chained ones. Counted on the
+    * oriented edge list (a < b < c, each triangle once) with the
+    * classic two-hop join: wedges a→b→c from ordered edges, closed by
+    * probing edge (a, c) — work is Σ deg² wedges, never all-triples
+    * (Suri & Vassilvitskii 2011's node-iterator shape). Integer
+    * counts — bit-identical cross-engine. */
+  def triangleCount(s: SparkSession, dir: String): DataFrame = {
+    val (edges, _) = prGraph(s, dir)
+    val fwd = edges.filter(col("src") < col("dst"))
+    val wedges = fwd.as("e1").join(fwd.as("e2"), col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+    wedges.join(fwd.as("e3"),
+        col("a") === col("e3.src") && col("c") === col("e3.dst"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("doc_id"))
+  }
+
+  private lazy val triangleCountSql =
+    s"""WITH jac AS ($ngramJaccardSql),
+       |links AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= $PrTau),
+       |tri AS (
+       |  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+       |  FROM links e1
+       |  JOIN links e2 ON e1.doc_b = e2.doc_a
+       |  JOIN links e3 ON e1.doc_a = e3.doc_a AND e2.doc_b = e3.doc_b),
+       |nodes AS (
+       |  SELECT a AS doc_id FROM tri UNION ALL
+       |  SELECT b FROM tri UNION ALL
+       |  SELECT c FROM tri)
+       |SELECT doc_id, count(1) AS n_triangles
+       |FROM nodes GROUP BY 1
+       |ORDER BY n_triangles DESC, doc_id""".stripMargin
+
   // ---- q125: inverted index (posting lists) ------------------------
 
   /** Postings kept per term (top-tf documents). */
@@ -1338,6 +1379,7 @@ object TextOps extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_cooccurrence_lift" -> cooccurrenceLift,
     "q125_inverted_index" -> invertedIndex,
+    "q130_triangle_count" -> triangleCount,
     "q124_pagerank" -> pagerank,
     "q123_entity_resolution" -> entityResolution,
     "q58_tfidf_topk" -> tfidfTopk,
@@ -1378,6 +1420,7 @@ object TextOps extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q126_cooccurrence_lift" -> cooccurrenceLiftSql,
     "q125_inverted_index" -> invertedIndexSql,
+    "q130_triangle_count" -> triangleCountSql,
     "q124_pagerank" -> pagerankSql,
     "q123_entity_resolution" -> entityResolutionSql,
     "q58_tfidf_topk" -> tfidfTopkSql,

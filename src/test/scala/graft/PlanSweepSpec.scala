@@ -39,7 +39,8 @@ class PlanSweepSpec extends SparkSpec {
     "q115_bpe_encode", // q107's trainer chain: one 1-row argmax-pair crossJoin per merge round
     "q116_semantic_decon", // the cached doc-vector fit's K-row (64) centroid fan-out (q109's)
     "q117_hard_negatives", // the cached q108 fit's K-row (8) centroid fan-out
-    "q126_cooccurrence_lift") // 1-row doc-count scalar crossJoin onto the vocab-sized pair stats
+    "q126_cooccurrence_lift", // 1-row doc-count scalar crossJoin onto the vocab-sized pair stats
+    "q129_market_basket") // 1-row basket-count scalar crossJoin onto the part-pair stats
 
   /** Queries whose plan legitimately contains Expand: ROLLUP/CUBE are
     * grouping-sets operators — Expand IS their plan shape, bounded at

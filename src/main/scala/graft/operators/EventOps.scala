@@ -713,16 +713,25 @@ object EventOps extends QueryModule {
         count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("x") * col("x")).as("sxx"),
         sum(col("cents")).as("sy"), sum(col("cents") * col("x")).as("sxy"))
-      .select(col("event_type"), col("n").as("n_days"),
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      // a single-day group has den = 0 (no slope is defined): NULL on
+      // both engines rather than 0/0 (NaN casts diverge cross-engine)
+      .withColumn("slope_per_day", when(col("den") =!= 0,
         snapRound((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
-          (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType) / 100.0, 6)
-          .as("slope_per_day"),
-        snapRound((col("sy").cast(DoubleType) / 100.0 -
-          ((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
-            (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType) / 100.0) *
-            col("sx").cast(DoubleType)) / col("n"), 6).as("intercept"))
+          col("den").cast(DoubleType) / 100.0, 6)))
+      .select(col("event_type"), col("n").as("n_days"), col("slope_per_day"),
+        when(col("den") =!= 0,
+          snapRound((col("sy").cast(DoubleType) / 100.0 -
+            col("slope_per_day") * col("sx").cast(DoubleType)) / col("n"), 6))
+          .as("intercept"))
       .orderBy(col("event_type"))
   }
+
+  /** Snapped slope expression, NULL for a single-day group (den = 0);
+    * nested inside intercept so both engines use the SAME snapped
+    * slope value. */
+  private val groupTrendSlopeSql = snapRoundSql(
+    "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE) / 100.0", 6)
 
   private val groupTrendSql =
     s"""WITH daily AS (
@@ -739,8 +748,8 @@ object EventOps extends QueryModule {
        |         CAST(sum(cents * x) AS BIGINT) AS sxy
        |  FROM based GROUP BY 1)
        |SELECT event_type, n AS n_days,
-       |       ${snapRoundSql("CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0", 6)} AS slope_per_day,
-       |       ${snapRoundSql("(CAST(sy AS DOUBLE) / 100.0 - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0) * CAST(sx AS DOUBLE)) / n", 6)} AS intercept
+       |       ${groupTrendSlopeSql} AS slope_per_day,
+       |       ${snapRoundSql(s"(CAST(sy AS DOUBLE) / 100.0 - ($groupTrendSlopeSql) * CAST(sx AS DOUBLE)) / n", 6)} AS intercept
        |FROM agg
        |ORDER BY event_type""".stripMargin
 

@@ -1102,7 +1102,13 @@ object TextOps extends QueryModule {
   def entityResolution(s: SparkSession, dir: String): DataFrame = {
     val names = Tables.t(s, dir, "part")
       .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
-      .withColumn("noun", split(col("p_name"), " ").getItem(1))
+      // single-token names: DuckDB's split_part yields '' where an
+      // unguarded getItem(1) THROWS under ANSI mode (the HashSample
+      // lesson) — size-guard to '' so both engines block identically
+      .withColumn("__toks", split(col("p_name"), " "))
+      .withColumn("noun", when(size(col("__toks")) >= 2,
+        col("__toks").getItem(1)).otherwise(lit("")))
+      .drop("__toks")
     val a = names.select(col("noun"), col("p_name").as("name_a"),
       col("n_parts").as("n_parts_a"))
     val b = names.select(col("noun"), col("p_name").as("name_b"),

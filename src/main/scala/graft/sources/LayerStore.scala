@@ -127,7 +127,7 @@ class LayerStore(spark: SparkSession, root: String) {
       val n = write(layer, name, latest)
       (n, 0L)
     } else {
-      val old = table(layer, name)
+      val old = tableMerged(layer, name)
       val oldCount = old.count()
       val latestCount = latest.persist().count() // incoming batch, small
       try {
@@ -158,7 +158,7 @@ class LayerStore(spark: SparkSession, root: String) {
     runCol: String, runId: String): Long = {
     val merged =
       if (!exists(layer, name)) df
-      else table(layer, name).filter(!(col(runCol) <=> lit(runId))).unionByName(df)
+      else tableMerged(layer, name).filter(!(col(runCol) <=> lit(runId))).unionByName(df)
     write(layer, name, merged)
   }
 
@@ -174,7 +174,7 @@ class LayerStore(spark: SparkSession, root: String) {
     keyCol: String, keys: Seq[Any]): Long = {
     val merged =
       if (!exists(layer, name)) df
-      else table(layer, name)
+      else tableMerged(layer, name)
         .filter(col(keyCol).isNull || !col(keyCol).isin(keys: _*))
         .unionByName(df)
     write(layer, name, merged)
@@ -197,7 +197,7 @@ class LayerStore(spark: SparkSession, root: String) {
     val merged =
       if (!exists(layer, name)) df
       else {
-        val stored = table(layer, name)
+        val stored = tableMerged(layer, name)
         // re-select the stored order: a USING-style anti-join moves
         // the key columns to the front, and writing that order would
         // silently reorder the table's schema on every refresh
@@ -331,7 +331,7 @@ class LayerStore(spark: SparkSession, root: String) {
 
   /** S7 — DDL clone from the stored schema. */
   def ddl(layer: String, name: String): String =
-    s"CREATE TABLE ${layer}_$name (${table(layer, name).schema.toDDL})"
+    s"CREATE TABLE ${layer}_$name (${tableMerged(layer, name).schema.toDDL})"
 
   /** Dialect-mapped DDL for a JDBC push target — the Spark analogue of
     * the reference's information_schema clone (gold/push.py:75-110),
@@ -357,7 +357,7 @@ class LayerStore(spark: SparkSession, root: String) {
           case TimestampType => "TIMESTAMP"
           case _ => "VARCHAR(32672)"
         })
-    val cols = table(layer, name).schema.fields
+    val cols = tableMerged(layer, name).schema.fields
       .map(f => s"${f.name} ${sqlType(f.dataType)}")
     s"CREATE TABLE $targetTable (${cols.mkString(", ")})"
   }
@@ -445,7 +445,7 @@ class LayerStore(spark: SparkSession, root: String) {
   def pushJdbc(layer: String, name: String, url: String, targetTable: String,
     props: java.util.Properties, batchSize: Int = 1000,
     maxConnections: Int = 8): Unit =
-    conformForJdbc(table(layer, name), url)
+    conformForJdbc(tableMerged(layer, name), url)
       .repartition(maxConnections)
       .write.mode(SaveMode.Append)
       .option("batchsize", batchSize)
@@ -467,7 +467,11 @@ class LayerStore(spark: SparkSession, root: String) {
   def applyCdc(layer: String, name: String, changes: DataFrame,
       keys: Seq[String], orderCol: String, opCol: String = "op")
       : (Long, Long, Long) = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol).desc)
+    // deterministic tiebreak on equal sequence numbers (a malformed
+    // log): the delete wins — 'D' < 'I' < 'U' ascending — so replays
+    // and re-runs pick the same row instead of an arbitrary one
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol).desc, upper(col(opCol)).asc)
     val latest = changes.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn").persist()
     try {
@@ -476,7 +480,7 @@ class LayerStore(spark: SparkSession, root: String) {
         val n = write(layer, name, latest.filter(!isDel).drop(opCol, orderCol))
         (n, 0L, 0L)
       } else {
-        val old = table(layer, name)
+        val old = tableMerged(layer, name)
         val flags = latest.select((keys.map(col) :+ isDel.as("__d")): _*)
           .join(old.select(keys.map(col): _*).distinct()
             .withColumn("__ex", lit(true)), keys, "left")
@@ -525,10 +529,13 @@ class LayerStore(spark: SparkSession, root: String) {
       val n = write(layer, name, init)
       (n, 0L)
     } else {
-      val old = table(layer, name)
+      val old = tableMerged(layer, name)
       val tracked = old.columns
         .filterNot(keys.contains).filterNot(
           Seq("valid_from", "valid_to", "is_current").contains).toSeq
+      require(tracked.nonEmpty,
+        s"scd2Merge on $layer.$name: no tracked columns beyond " +
+          s"${keys.mkString(",")} + SCD bookkeeping — nothing to version")
       val cur = old.filter(col("is_current")).as("c")
       val b = batch.select((keys ++ tracked).map(col): _*)
         .withColumn("__b", lit(true)).as("b")
@@ -589,7 +596,7 @@ class LayerStore(spark: SparkSession, root: String) {
     val before = parquetFiles()
     val nOut = math.max(1,
       math.ceil(before.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
-    val df = table(layer, name).repartition(nOut)
+    val df = tableMerged(layer, name).repartition(nOut)
     stageSwap(layer, name, df)
     (before.length, parquetFiles().length)
   }
@@ -606,7 +613,7 @@ class LayerStore(spark: SparkSession, root: String) {
   def clusterBy(layer: String, name: String, cols: Seq[String],
       numFiles: Int): Int = {
     require(cols.nonEmpty && numFiles >= 1)
-    val sorted = table(layer, name)
+    val sorted = tableMerged(layer, name)
       .repartitionByRange(numFiles, cols.map(col): _*)
       .sortWithinPartitions(cols.map(col): _*)
     stageSwap(layer, name, sorted)
@@ -626,7 +633,7 @@ class LayerStore(spark: SparkSession, root: String) {
   def appendEvolved(layer: String, name: String, df: DataFrame): Unit = {
     recoverOrphanBackup(layer, name)
     if (!exists(layer, name)) { write(layer, name, df); return }
-    val stored = table(layer, name).schema
+    val stored = tableMerged(layer, name).schema
     val conflicts = df.schema.flatMap { f =>
       stored.find(_.name == f.name).filter(_.dataType != f.dataType)
         .map(s => s"${f.name}: stored ${s.dataType.simpleString} vs batch ${f.dataType.simpleString}")
@@ -643,23 +650,6 @@ class LayerStore(spark: SparkSession, root: String) {
   def tableMerged(layer: String, name: String): DataFrame = {
     recoverOrphanBackup(layer, name)
     spark.read.option("mergeSchema", "true").parquet(path(layer, name))
-  }
-
-  /** Bucket-clustered managed table (catalog-registered as
-    * `<layer>_<name>`: bucketBy requires saveAsTable): rows hash-
-    * partition into a fixed bucket count on the join key at WRITE
-    * time, so every later equi-join or aggregation on that key reads
-    * co-located buckets and plans ZERO shuffle exchanges — the way a
-    * recurring fact-to-fact join survives 100 TB (pay the shuffle
-    * once at ingest, never per query). Sorted within buckets so the
-    * merge join needs no sort either. */
-  def writeBucketed(layer: String, name: String, df: DataFrame,
-      bucketCols: Seq[String], buckets: Int): Unit = {
-    require(bucketCols.nonEmpty && buckets >= 1)
-    df.write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
-      .sortBy(bucketCols.head, bucketCols.tail: _*)
-      .saveAsTable(viewName(layer, name))
   }
 
   /** S12 — CSV export with header. */

@@ -338,31 +338,6 @@ class LayerStoreSpec extends SparkSpec {
     assert(store.tableMerged("silver", "e").count() == 3)
   }
 
-  test("writeBucketed: co-bucketed fact join plans zero shuffle exchanges") {
-    val (store, _) = freshStore()
-    val a = (1L to 2000L).map(k => (k, k * 2)).toDF("k", "va")
-    val b = (1L to 2000L).map(k => (k, s"s$k")).toDF("k", "vb")
-    val thresholdBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      store.writeBucketed("gold", "fact_a", a, Seq("k"), buckets = 4)
-      store.writeBucketed("gold", "fact_b", b, Seq("k"), buckets = 4)
-      val joined = spark.table("gold_fact_a").join(spark.table("gold_fact_b"), "k")
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(!plan.contains("Exchange"),
-        s"co-bucketed join must not shuffle:\n$plan")
-      assert(plan.contains("SortMergeJoin"))
-      assert(joined.count() == 2000)
-      // aggregation on the bucket key is shuffle-free too
-      val agg = spark.table("gold_fact_a").groupBy("k").count()
-      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresholdBefore)
-      spark.sql("DROP TABLE IF EXISTS gold_fact_a")
-      spark.sql("DROP TABLE IF EXISTS gold_fact_b")
-    }
-  }
-
   test("compact: collapses a many-file layout, data bit-identical") {
     val (store, _) = freshStore()
     // simulate an append-heavy history: 3 micro-batches x 4 partitions

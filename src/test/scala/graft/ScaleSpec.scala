@@ -574,6 +574,10 @@ class ScaleSpec extends SparkSpec {
       val unbucketed = l.join(o, $"l_orderkey" === $"o_orderkey")
         .queryExecution.executedPlan.toString
       assert(unbucketed.contains("Exchange"))
+      // aggregation on the bucket key is shuffle-free too
+      val agg = lb.groupBy($"l_orderkey").count()
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+        "bucket-key aggregation should not shuffle")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)

@@ -887,7 +887,90 @@ object Eda extends QueryModule {
        |FROM t GROUP BY nation_key, segment, is_suppressed
        |ORDER BY is_suppressed, nation_key, segment""".stripMargin
 
+  // ---- q131: KMV set algebra (join-size estimation) -----------------
+
+  /** q131 — KMV sketch SET OPERATIONS (Beyer et al. 2007), the
+    * join-size estimator a CBO runs before committing to a plan: from
+    * two K-minima sketches, the K smallest of their union estimate
+    * |A∪B|, and the fraction ρ of those union minima present in BOTH
+    * input sketches estimates Jaccard — so |A∩B| ≈ ρ·|A∪B|, without
+    * ever joining the full sets. Everything is md5 minima (the q78
+    * rule: bit-identical cross-engine, unlike HLL registers), and
+    * sets smaller than K report exactly. Exact counts ride along to
+    * expose realized error. Scale: each sketch is one distinct-hash
+    * shuffle + TakeOrdered; the algebra then runs on K-row frames —
+    * estimating a fact-fact join size costs two column scans, not the
+    * join. */
+  def kmvSetOps(s: SparkSession, dir: String): DataFrame = {
+    def pair(label: String, dfA: DataFrame, cA: String,
+        dfB: DataFrame, cB: String): DataFrame = {
+      def hs(df: DataFrame, c: String) = df.filter(col(c).isNotNull)
+        .select(md5(col(c).cast(StringType).cast(BinaryType)).as("h")).distinct()
+      val hsA = hs(dfA, cA); val hsB = hs(dfB, cB)
+      val aMin = hsA.orderBy(col("h")).limit(KmvK)
+      val bMin = hsB.orderBy(col("h")).limit(KmvK)
+      val merged = aMin.unionByName(bMin).distinct().orderBy(col("h")).limit(KmvK)
+      val kth = merged.agg(max(col("h")).as("hk"), count(lit(1)).as("k_actual"))
+      val kInter = merged.join(aMin, "h").join(bMin, "h")
+        .agg(count(lit(1)).as("k_inter"))
+      val exacts = hsA.agg(count(lit(1)).as("exact_a"))
+        .crossJoin(hsB.agg(count(lit(1)).as("exact_b")))
+        .crossJoin(hsA.join(hsB, "h").agg(count(lit(1)).as("exact_inter")))
+      val unionEst = when(col("k_actual") < KmvK, col("k_actual").cast(DoubleType))
+        .otherwise(lit((KmvK - 1).toDouble) /
+          (conv(substring(col("hk"), 1, 15), 16, 10).cast(DoubleType) / lit(KmvDenom)))
+      kth.crossJoin(kInter).crossJoin(exacts).select(
+        lit(label).as("pair"),
+        col("exact_a"), col("exact_b"), col("exact_inter"),
+        (col("exact_a") + col("exact_b") - col("exact_inter")).as("exact_union"),
+        snapRound(unionEst, 4).as("kmv_union_est"),
+        snapRound(unionEst * col("k_inter").cast(DoubleType) /
+          col("k_actual").cast(DoubleType), 4).as("kmv_inter_est"))
+    }
+    pair("orders_custkey x customer_custkey",
+        Tables.t(s, dir, "orders"), "o_custkey",
+        Tables.t(s, dir, "customer"), "c_custkey")
+      .unionByName(pair("lineitem_partkey x part_partkey",
+        Tables.t(s, dir, "lineitem"), "l_partkey",
+        Tables.t(s, dir, "part"), "p_partkey"))
+      .orderBy(col("pair"))
+  }
+
+  private val kmvSetOpsSql = {
+    def one(label: String, tblA: String, cA: String, tblB: String, cB: String) =
+      s"""SELECT '$label' AS pair, exact_a, exact_b, exact_inter,
+         |       exact_a + exact_b - exact_inter AS exact_union,
+         |       ${snapRoundSql("union_est", 4)} AS kmv_union_est,
+         |       ${snapRoundSql("union_est * CAST(k_inter AS DOUBLE) / CAST(k_actual AS DOUBLE)", 4)} AS kmv_inter_est
+         |FROM (
+         |  WITH hsa AS (SELECT DISTINCT md5(CAST($cA AS VARCHAR)) AS h
+         |               FROM $tblA WHERE $cA IS NOT NULL),
+         |  hsb AS (SELECT DISTINCT md5(CAST($cB AS VARCHAR)) AS h
+         |          FROM $tblB WHERE $cB IS NOT NULL),
+         |  amin AS (SELECT h FROM hsa ORDER BY h LIMIT $KmvK),
+         |  bmin AS (SELECT h FROM hsb ORDER BY h LIMIT $KmvK),
+         |  merged AS (SELECT h FROM (SELECT h FROM amin UNION SELECT h FROM bmin)
+         |             ORDER BY h LIMIT $KmvK),
+         |  kth AS (SELECT max(h) AS hk, count(1) AS k_actual FROM merged),
+         |  ki AS (SELECT count(1) AS k_inter FROM merged
+         |         JOIN amin USING (h) JOIN bmin USING (h)),
+         |  ex AS (SELECT (SELECT count(1) FROM hsa) AS exact_a,
+         |                (SELECT count(1) FROM hsb) AS exact_b,
+         |                (SELECT count(1) FROM hsa JOIN hsb USING (h)) AS exact_inter)
+         |  SELECT exact_a, exact_b, exact_inter, k_inter, k_actual,
+         |         CASE WHEN k_actual < $KmvK THEN CAST(k_actual AS DOUBLE)
+         |              ELSE ${(KmvK - 1).toDouble} /
+         |                   (CAST(('0x' || substr(hk, 1, 15))::BIGINT AS DOUBLE) / $KmvDenom)
+         |         END AS union_est
+         |  FROM kth, ki, ex)""".stripMargin
+    s"""${one("orders_custkey x customer_custkey", "orders", "o_custkey", "customer", "c_custkey")}
+       |UNION ALL
+       |${one("lineitem_partkey x part_partkey", "lineitem", "l_partkey", "part", "p_partkey")}
+       |ORDER BY pair""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_kmv_set_ops" -> kmvSetOps,
     "q121_k_anonymity" -> kAnonymity,
     "q95_rfm_segments" -> rfmSegments,
     "q05_topk_customers" -> topkCustomers,
@@ -907,6 +990,7 @@ object Eda extends QueryModule {
     "q88_sample_quantiles" -> sampleQuantiles)
 
   override def oracles: Map[String, String] = Map(
+    "q131_kmv_set_ops" -> kmvSetOpsSql,
     "q121_k_anonymity" -> kAnonymitySql,
     "q19_cast_join" -> castJoinSql,
     "q42_categorical_mode" -> categoricalModeSql,

@@ -159,6 +159,26 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Streaming CDC consumer: micro-batches of I/U/D change rows land
+    * through the same LayerStore.applyCdc the batch consumer uses —
+    * one code path, so stream-applied state equals a one-shot batch
+    * replay of the full log (the micro-batch boundary is irrelevant:
+    * within a batch the highest sequence number wins, and a LATER
+    * micro-batch's changes carry later sequence numbers, which is
+    * upsert/delete order anyway). Deletes work across batch
+    * boundaries — the property plain append sinks can't give. */
+  def cdcIngest(changes: DataFrame, store: graft.sources.LayerStore,
+    layer: String, table: String, keys: Seq[String], orderCol: String,
+    checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        store.applyCdc(layer, table, batch.toDF(), keys, orderCol)
+        ()
+      }
+      .start()
+
   /** Stream-stream interval join: each purchase matches the same
     * user's views from the preceding hour. Both sides carry
     * watermarks and the join condition bounds event-time distance, so

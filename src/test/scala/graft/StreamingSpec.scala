@@ -147,6 +147,33 @@ class StreamingSpec extends SparkSpec {
     assert(store.table("bronze", "events").count() == 40)
   }
 
+  test("streaming CDC ingest == one-shot batch replay of the full log") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    def mkStore(sub: String) = new graft.sources.LayerStore(spark, s"$dir/$sub")
+    val log1 = Seq((1L, "a", "I", 1L), (2L, "b", "I", 2L), (3L, "c", "I", 3L))
+    val log2 = Seq((1L, "a2", "U", 10L), (2L, "b", "D", 11L), (4L, "d", "I", 12L),
+      (9L, "x", "D", 13L)) // delete lands a MICRO-BATCH after its insert
+    def df(rows: Seq[(Long, String, String, Long)]) = rows.toDF("k", "v", "op", "lsn")
+    df(log1).coalesce(1).write.parquet(s"$dir/in/b1")
+    val schema = spark.read.parquet(s"$dir/in/b1").schema
+    df(log2).coalesce(1).write.parquet(s"$dir/in/b2")
+    val streamed = mkStore("stream")
+    val q = StreamingPipeline.cdcIngest(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/in/*"),
+      streamed, "silver", "t", Seq("k"), "lsn", s"$dir/ckpt")
+    q.processAllAvailable(); q.stop()
+    val viaStream = streamed.table("silver", "t").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // one-shot batch replay of the concatenated log on a fresh store
+    val batchStore = mkStore("batch")
+    batchStore.applyCdc("silver", "t", df(log1 ++ log2), Seq("k"), "lsn")
+    val viaBatch = batchStore.table("silver", "t").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(viaStream == viaBatch && viaStream == Seq((1L, "a2"), (3L, "c"), (4L, "d")),
+      s"stream $viaStream vs batch $viaBatch")
+  }
+
   test("watermark drops late data in append mode") {
     import java.sql.Timestamp
     val dir = java.nio.file.Files.createTempDirectory("graft-late").toString

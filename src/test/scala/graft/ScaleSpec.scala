@@ -550,6 +550,58 @@ class ScaleSpec extends SparkSpec {
   }
   private val Kmv256 = graft.functions.Kmv.DefaultK
 
+  test("q124 pagerank invariants: damping floor and truncation-bounded mass") {
+    // every node's rank has the 0.15·S damping floor; integer
+    // truncation can only LOSE mass, so the total never exceeds the
+    // initial N·S — the two properties that catch a broken contrib
+    // split (divide before sum, wrong degree) at any graph size
+    val pr = graft.operators.TextOps.pagerank(spark, sf0001)
+      .select($"pr_scaled").as[Long].collect()
+    assert(pr.nonEmpty)
+    assert(pr.forall(_ >= 150000L), s"rank below the damping floor: ${pr.min}")
+    assert(pr.sum <= pr.length * 1000000L,
+      s"mass grew: ${pr.sum} > ${pr.length * 1000000L}")
+  }
+
+  test("scd2Merge replay and applyCdc replay converge on random batches") {
+    // randomized idempotence: any snapshot sequence applied twice (the
+    // crashed-job retry) leaves the history and the CDC table exactly
+    // as a single application would
+    val rnd = new scala.util.Random(7)
+    val dir = java.nio.file.Files.createTempDirectory("graft-replay").toString
+    val store = new LayerStore(spark, dir)
+    val ts = (i: Int) => java.sql.Timestamp.valueOf(f"2024-0${i + 1}%d-01 00:00:00")
+    val tiers = Seq("A", "B", "C")
+    for (i <- 0 until 4) {
+      val batch = (1L to 8L).filter(_ => rnd.nextBoolean())
+        .map(k => (k, tiers(rnd.nextInt(3)))).toDF("k", "tier")
+      if (batch.count() > 0) {
+        val first = store.scd2Merge("silver", "h", batch, Seq("k"), ts(i))
+        val snap = store.table("silver", "h").orderBy("k", "valid_from")
+          .collect().map(_.toSeq).toSeq
+        // replay of the SAME batch at a later ts must be a no-op
+        assert(store.scd2Merge("silver", "h", batch, Seq("k"), ts(i + 4)) == (0L, 0L),
+          s"replay of batch $i changed keys (first apply was $first)")
+        assert(store.table("silver", "h").orderBy("k", "valid_from")
+          .collect().map(_.toSeq).toSeq == snap)
+      }
+    }
+    // exactly one open version per ever-seen key
+    val open = store.table("silver", "h").filter($"is_current")
+      .groupBy($"k").count().filter($"count" =!= 1).count()
+    assert(open == 0)
+    // CDC: a random I/U/D log applied twice == applied once
+    val log = (1 to 30).map(i => (rnd.nextInt(6).toLong + 1,
+      s"v$i", if (rnd.nextInt(4) == 0) "D" else "U", i.toLong))
+      .toDF("k", "v", "op", "lsn")
+    store.applyCdc("silver", "c", log, Seq("k"), "lsn")
+    val once = store.table("silver", "c").orderBy("k")
+      .collect().map(_.toSeq).toSeq
+    store.applyCdc("silver", "c", log, Seq("k"), "lsn")
+    assert(store.table("silver", "c").orderBy("k")
+      .collect().map(_.toSeq).toSeq == once)
+  }
+
   test("bucketed co-located join plans without a shuffle") {
     // bucketed tables are managed: they live under the (gitignored)
     // default warehouse dir; the store root only hosts plain layers

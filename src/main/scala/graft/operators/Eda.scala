@@ -621,6 +621,26 @@ object Eda extends QueryModule {
     * in both engines. */
   private val KmvDenom = 1.152921504606846976e18
 
+  /** Shared by q78/q131 — the distinct md5 hash set of a column (the
+    * value-set fingerprint every KMV computation starts from). */
+  private def kmvHashSet(df: DataFrame, c: String): DataFrame =
+    df.filter(col(c).isNotNull)
+      .select(md5(col(c).cast(StringType).cast(BinaryType)).as("h")).distinct()
+
+  /** Shared estimator: exact below K, else (K−1)/u_K. Parity-critical
+    * — q78 and q131 must never drift apart, so there is ONE copy. */
+  private def kmvEst(hk: Column, kActual: Column): Column =
+    when(kActual < KmvK, kActual.cast(DoubleType))
+      .otherwise(lit((KmvK - 1).toDouble) /
+        (conv(substring(hk, 1, 15), 16, 10).cast(DoubleType) / lit(KmvDenom)))
+
+  /** The estimator's DuckDB twin (same single copy rule). */
+  private def kmvEstSql(hk: String, kActual: String): String =
+    s"""CASE WHEN $kActual < $KmvK THEN CAST($kActual AS DOUBLE)
+       |     ELSE ${(KmvK - 1).toDouble} /
+       |          (CAST(('0x' || substr($hk, 1, 15))::BIGINT AS DOUBLE) / $KmvDenom)
+       |END""".stripMargin
+
   /** q78 — KMV (k-minimum-values) distinct-count sketch, the
     * mergeable cardinality estimator for corpus-scale profiling: keep
     * the K smallest md5 hashes of a column's value set; the K-th
@@ -638,14 +658,10 @@ object Eda extends QueryModule {
   def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
     val l = Tables.t(s, dir, "lineitem")
     val rows = Seq("l_orderkey", "l_partkey", "l_suppkey").map { c =>
-      val hs = l.filter(col(c).isNotNull)
-        .select(md5(col(c).cast(StringType).cast(BinaryType)).as("h"))
-        .distinct()
+      val hs = kmvHashSet(l, c)
       val kth = hs.orderBy(col("h")).limit(KmvK)
         .agg(max(col("h")).as("hk"), count(lit(1)).as("k_actual"))
-      val est = when(col("k_actual") < KmvK, col("k_actual").cast(DoubleType))
-        .otherwise(lit((KmvK - 1).toDouble) /
-          (conv(substring(col("hk"), 1, 15), 16, 10).cast(DoubleType) / lit(KmvDenom)))
+      val est = kmvEst(col("hk"), col("k_actual"))
       val exact = hs.agg(count(lit(1)).as("exact_distinct"))
       kth.crossJoin(exact).select(
         lit(c).as("column_name"),
@@ -674,10 +690,7 @@ object Eda extends QueryModule {
          |  e AS (SELECT count(1) AS exact_distinct FROM hs)
          |  SELECT '$c' AS column_name, exact_distinct,
          |         CAST(k_actual AS INTEGER) AS kmv_k,
-         |         CASE WHEN k_actual < $KmvK THEN CAST(k_actual AS DOUBLE)
-         |              ELSE ${(KmvK - 1).toDouble} /
-         |                   (CAST(('0x' || substr(hk, 1, 15))::BIGINT AS DOUBLE) / $KmvDenom)
-         |         END AS est_raw
+         |         ${kmvEstSql("hk", "k_actual")} AS est_raw
          |  FROM kth, e)""".stripMargin
     val unioned = Seq("l_orderkey", "l_partkey", "l_suppkey").map(one)
       .mkString("\nUNION ALL\n")
@@ -904,9 +917,7 @@ object Eda extends QueryModule {
   def kmvSetOps(s: SparkSession, dir: String): DataFrame = {
     def pair(label: String, dfA: DataFrame, cA: String,
         dfB: DataFrame, cB: String): DataFrame = {
-      def hs(df: DataFrame, c: String) = df.filter(col(c).isNotNull)
-        .select(md5(col(c).cast(StringType).cast(BinaryType)).as("h")).distinct()
-      val hsA = hs(dfA, cA); val hsB = hs(dfB, cB)
+      val hsA = kmvHashSet(dfA, cA); val hsB = kmvHashSet(dfB, cB)
       val aMin = hsA.orderBy(col("h")).limit(KmvK)
       val bMin = hsB.orderBy(col("h")).limit(KmvK)
       val merged = aMin.unionByName(bMin).distinct().orderBy(col("h")).limit(KmvK)
@@ -916,9 +927,7 @@ object Eda extends QueryModule {
       val exacts = hsA.agg(count(lit(1)).as("exact_a"))
         .crossJoin(hsB.agg(count(lit(1)).as("exact_b")))
         .crossJoin(hsA.join(hsB, "h").agg(count(lit(1)).as("exact_inter")))
-      val unionEst = when(col("k_actual") < KmvK, col("k_actual").cast(DoubleType))
-        .otherwise(lit((KmvK - 1).toDouble) /
-          (conv(substring(col("hk"), 1, 15), 16, 10).cast(DoubleType) / lit(KmvDenom)))
+      val unionEst = kmvEst(col("hk"), col("k_actual"))
       kth.crossJoin(kInter).crossJoin(exacts).select(
         lit(label).as("pair"),
         col("exact_a"), col("exact_b"), col("exact_inter"),
@@ -958,10 +967,7 @@ object Eda extends QueryModule {
          |                (SELECT count(1) FROM hsb) AS exact_b,
          |                (SELECT count(1) FROM hsa JOIN hsb USING (h)) AS exact_inter)
          |  SELECT exact_a, exact_b, exact_inter, k_inter, k_actual,
-         |         CASE WHEN k_actual < $KmvK THEN CAST(k_actual AS DOUBLE)
-         |              ELSE ${(KmvK - 1).toDouble} /
-         |                   (CAST(('0x' || substr(hk, 1, 15))::BIGINT AS DOUBLE) / $KmvDenom)
-         |         END AS union_est
+         |         ${kmvEstSql("hk", "k_actual")} AS union_est
          |  FROM kth, ki, ex)""".stripMargin
     s"""${one("orders_custkey x customer_custkey", "orders", "o_custkey", "customer", "c_custkey")}
        |UNION ALL

@@ -451,51 +451,92 @@ class LayerStore(spark: SparkSession, root: String) {
       .option("batchsize", batchSize)
       .jdbc(url, targetTable, props)
 
+  /** Op precedence at equal sequence numbers (a malformed log): the
+    * delete wins, then insert, then update — a fixed total order, so
+    * any split of the log across batches picks the same winner. */
+  private def cdcOpRank(op: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(upper(op) === "D", 2).when(upper(op) === "I", 1).otherwise(0)
+
   /** CDC apply — the change-data-capture consumer `upsert` can't be:
     * the change batch carries an op column (`I`/`U` upsert the row,
-    * `D` is a delete tombstone) and the newest change per key wins
-    * (`orderCol`, the log sequence number). Deleting a key that was
-    * never stored is a no-op, matching log-replay semantics, so
-    * replaying a batch is idempotent. One set-operation pass like
-    * upsert: latest-change collapse on the batch, one key-pruned
-    * left join to classify each change against the stored keys (the
-    * accounting), one anti-join to drop changed keys, union the
-    * surviving upserts. Scale: the stored table is scanned twice
-    * (keys-only classify + anti-join), both equi-shuffles on the
-    * key; the batch side is change-sized. Returns
-    * (inserted, updated, deleted). */
+    * `D` deletes) and the newest change per key wins (`orderCol`, the
+    * log sequence number). The stored table RETAINS each key's latest
+    * (orderCol, opCol) — deletes persist as TOMBSTONES rather than
+    * removing the row — so a change is applied only when its
+    * (sequence, op-precedence) exceeds the stored one. That makes the
+    * result identical to a one-shot replay of the whole log for ANY
+    * split of changes into batches, in ANY batch arrival order within
+    * a key (the property a file-source stream needs: micro-batches
+    * arrive by mtime, not log position), and immune to
+    * stale-resurrection (a late U below a delete's sequence number
+    * hits the tombstone's watermark and is ignored). Read the live
+    * rows through [[cdcTable]]; reclaim old tombstones with
+    * [[vacuumTombstones]] once no older changes can arrive.
+    * One decision join on the key (stored side pruned to keys +
+    * watermark), one anti-join, batch side change-sized. Returns
+    * (inserted, updated, deleted) counted on live-row transitions. */
   def applyCdc(layer: String, name: String, changes: DataFrame,
       keys: Seq[String], orderCol: String, opCol: String = "op")
       : (Long, Long, Long) = {
-    // deterministic tiebreak on equal sequence numbers (a malformed
-    // log): the delete wins — 'D' < 'I' < 'U' ascending — so replays
-    // and re-runs pick the same row instead of an arbitrary one
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(orderCol).desc, upper(col(opCol)).asc)
+      .orderBy(col(orderCol).desc, cdcOpRank(col(opCol)).desc)
     val latest = changes.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn").persist()
     try {
       val isDel = upper(col(opCol)) === "D"
       if (!exists(layer, name)) {
-        val n = write(layer, name, latest.filter(!isDel).drop(opCol, orderCol))
-        (n, 0L, 0L)
+        write(layer, name, latest) // tombstones kept: sequence watermark
+        (latest.filter(!isDel).count(), 0L, 0L)
       } else {
         val old = tableMerged(layer, name)
-        val flags = latest.select((keys.map(col) :+ isDel.as("__d")): _*)
-          .join(old.select(keys.map(col): _*).distinct()
-            .withColumn("__ex", lit(true)), keys, "left")
-        val a = flags.agg( // coalesce: an empty change batch sums to NULL
-          coalesce(sum(when(!col("__d") && col("__ex").isNull, 1L).otherwise(0L)), lit(0L)),
-          coalesce(sum(when(!col("__d") && col("__ex"), 1L).otherwise(0L)), lit(0L)),
-          coalesce(sum(when(col("__d") && col("__ex"), 1L).otherwise(0L)), lit(0L))).collect()(0)
-        val kept = old.join(latest.select(keys.map(col): _*), keys, "left_anti")
-          .select(old.columns.map(col): _*)
-        write(layer, name, kept.unionByName(
-          latest.filter(!isDel).drop(opCol, orderCol)
-            .select(old.columns.map(col): _*)))
-        (a.getLong(0), a.getLong(1), a.getLong(2))
+        // stored per-key watermark: latest applied (sequence, op)
+        val marks = old.select((keys.map(col) :+
+          col(orderCol).as("__so") :+ upper(col(opCol)).as("__sop")): _*)
+        val decided = latest.join(marks, keys, "left")
+          .withColumn("__fresh", col("__so").isNull ||
+            col(orderCol) > col("__so") ||
+            (col(orderCol) === col("__so") &&
+              cdcOpRank(col(opCol)) > cdcOpRank(col("__sop"))))
+          .persist()
+        try {
+          val a = decided.agg( // coalesce: empty/stale-only batch sums NULL
+            coalesce(sum(when(col("__fresh") && !isDel &&
+              (col("__so").isNull || col("__sop") === "D"), 1L).otherwise(0L)), lit(0L)),
+            coalesce(sum(when(col("__fresh") && !isDel &&
+              col("__sop").isNotNull && col("__sop") =!= "D", 1L).otherwise(0L)), lit(0L)),
+            coalesce(sum(when(col("__fresh") && isDel &&
+              col("__sop").isNotNull && col("__sop") =!= "D", 1L).otherwise(0L)), lit(0L)))
+            .collect()(0)
+          val fresh = decided.filter(col("__fresh"))
+            .select(old.columns.map(col): _*)
+          val kept = old.join(decided.filter(col("__fresh"))
+              .select(keys.map(col): _*), keys, "left_anti")
+            .select(old.columns.map(col): _*)
+          write(layer, name, kept.unionByName(fresh))
+          (a.getLong(0), a.getLong(1), a.getLong(2))
+        } finally decided.unpersist()
       }
     } finally latest.unpersist()
+  }
+
+  /** The live rows of a CDC-maintained table: tombstones filtered,
+    * bookkeeping columns dropped. */
+  def cdcTable(layer: String, name: String, orderCol: String,
+      opCol: String = "op"): DataFrame =
+    tableMerged(layer, name).filter(upper(col(opCol)) =!= "D")
+      .drop(opCol, orderCol)
+
+  /** Retention for CDC tombstones: drop delete markers at or below
+    * `belowOrder` (the caller's promise that no change that old can
+    * still arrive). Live rows are never touched. Returns the number
+    * of tombstones reclaimed. */
+  def vacuumTombstones(layer: String, name: String, orderCol: String,
+      belowOrder: Long, opCol: String = "op"): Long = {
+    val old = tableMerged(layer, name)
+    val dead = upper(col(opCol)) === "D" && col(orderCol) <= belowOrder
+    val n = old.filter(dead).count()
+    if (n > 0) write(layer, name, old.filter(!dead))
+    n
   }
 
   /** SCD Type-2 merge (Kimball slowly-changing dimension, the

@@ -162,11 +162,12 @@ object StreamingPipeline {
   /** Streaming CDC consumer: micro-batches of I/U/D change rows land
     * through the same LayerStore.applyCdc the batch consumer uses —
     * one code path, so stream-applied state equals a one-shot batch
-    * replay of the full log (the micro-batch boundary is irrelevant:
-    * within a batch the highest sequence number wins, and a LATER
-    * micro-batch's changes carry later sequence numbers, which is
-    * upsert/delete order anyway). Deletes work across batch
-    * boundaries — the property plain append sinks can't give. */
+    * replay of the full log for ANY assignment of changes to
+    * micro-batches, in ANY arrival order: the store keeps each key's
+    * (sequence, op) watermark and deletes persist as tombstones, so a
+    * stale change arriving late (a file source orders by mtime, not
+    * log position) is ignored rather than applied — proven in
+    * StreamingSpec by delivering the later log file first. */
   def cdcIngest(changes: DataFrame, store: graft.sources.LayerStore,
     layer: String, table: String, keys: Seq[String], orderCol: String,
     checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =

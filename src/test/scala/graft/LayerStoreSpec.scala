@@ -191,25 +191,40 @@ class LayerStoreSpec extends SparkSpec {
     assert(java.nio.file.Files.exists(p.resolve("part-corrupt.parquet")))
   }
 
-  test("applyCdc: I/U/D change batches, latest-wins, idempotent replay") {
+  test("applyCdc: I/U/D batches, sequence watermarks, replay/stale/ooo safe") {
     val (store, _) = freshStore()
+    def live() = store.cdcTable("silver", "t", "lsn").orderBy("k")
+      .collect().toSeq.map(r => (r.getLong(0), r.getString(1)))
     val b1 = Seq((1L, "a", "I", 1L), (2L, "b", "I", 2L), (3L, "c", "I", 3L))
       .toDF("k", "v", "op", "lsn")
     assert(store.applyCdc("silver", "t", b1, Seq("k"), "lsn") == (3L, 0L, 0L))
-    // update 1, delete 2, insert 4, delete never-stored 9 (no-op),
+    // update 1, delete 2, insert 4, delete never-stored 9 (tombstone),
     // and key 5 sees I then D in one batch -> latest (D) wins -> no row
     val b2 = Seq((1L, "a2", "U", 10L), (2L, "b", "D", 11L), (4L, "d", "I", 12L),
       (9L, "x", "D", 13L), (5L, "e", "I", 14L), (5L, "e", "D", 15L))
       .toDF("k", "v", "op", "lsn")
     assert(store.applyCdc("silver", "t", b2, Seq("k"), "lsn") == (1L, 1L, 1L))
-    val rows = store.table("silver", "t").orderBy("k")
-      .collect().toSeq.map(r => (r.getLong(0), r.getString(1)))
+    val rows = live()
     assert(rows == Seq((1L, "a2"), (3L, "c"), (4L, "d")))
-    // replaying b2 converges to the same table (deletes now no-ops,
-    // key 4's insert re-classifies as an update of the existing row)
-    assert(store.applyCdc("silver", "t", b2, Seq("k"), "lsn") == (0L, 2L, 0L))
-    assert(store.table("silver", "t").orderBy("k")
-      .collect().toSeq.map(r => (r.getLong(0), r.getString(1))) == rows)
+    // replay of b2: every change is at-or-below the stored watermark
+    // -> complete no-op, true idempotence
+    assert(store.applyCdc("silver", "t", b2, Seq("k"), "lsn") == (0L, 0L, 0L))
+    assert(live() == rows)
+    // STALE batch (the out-of-order micro-batch case): an old U for
+    // key 1 and a pre-delete U for key 2 — both must be ignored; the
+    // delete tombstone blocks the resurrection
+    val stale = Seq((1L, "a0", "U", 5L), (2L, "b0", "U", 6L))
+      .toDF("k", "v", "op", "lsn")
+    assert(store.applyCdc("silver", "t", stale, Seq("k"), "lsn") == (0L, 0L, 0L))
+    assert(live() == rows)
+    // a genuinely NEWER insert resurrects the deleted key (counted
+    // as an insert: the live row count grows)
+    val res = Seq((2L, "b9", "I", 20L)).toDF("k", "v", "op", "lsn")
+    assert(store.applyCdc("silver", "t", res, Seq("k"), "lsn") == (1L, 0L, 0L))
+    assert(live() == Seq((1L, "a2"), (2L, "b9"), (3L, "c"), (4L, "d")))
+    // vacuum: tombstones at/below the horizon go, live rows stay
+    assert(store.vacuumTombstones("silver", "t", "lsn", belowOrder = 15L) == 2L)
+    assert(live() == Seq((1L, "a2"), (2L, "b9"), (3L, "c"), (4L, "d")))
   }
 
   test("scd2Merge: versions history, idempotent, keeps absent keys open") {

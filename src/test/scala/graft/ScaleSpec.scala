@@ -586,9 +586,11 @@ class ScaleSpec extends SparkSpec {
           .collect().map(_.toSeq).toSeq == snap)
       }
     }
-    // exactly one open version per ever-seen key
-    val open = store.table("silver", "h").filter($"is_current")
-      .groupBy($"k").count().filter($"count" =!= 1).count()
+    // exactly one open version per ever-seen key — grouped over the
+    // FULL table so a key with ZERO open versions is caught too
+    val open = store.table("silver", "h")
+      .groupBy($"k").agg(sum($"is_current".cast("int")).as("n_open"))
+      .filter($"n_open" =!= 1).count()
     assert(open == 0)
     // CDC: a random I/U/D log applied twice == applied once
     val log = (1 to 30).map(i => (rnd.nextInt(6).toLong + 1,

@@ -157,21 +157,33 @@ class StreamingSpec extends SparkSpec {
     df(log1).coalesce(1).write.parquet(s"$dir/in/b1")
     val schema = spark.read.parquet(s"$dir/in/b1").schema
     df(log2).coalesce(1).write.parquet(s"$dir/in/b2")
-    val streamed = mkStore("stream")
-    val q = StreamingPipeline.cdcIngest(
-      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
-        .parquet(s"$dir/in/*"),
-      streamed, "silver", "t", Seq("k"), "lsn", s"$dir/ckpt")
-    q.processAllAvailable(); q.stop()
-    val viaStream = streamed.table("silver", "t").orderBy("k")
-      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    def run(sub: String, glob: String) = {
+      val st = mkStore(sub)
+      val q = StreamingPipeline.cdcIngest(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(glob),
+        st, "silver", "t", Seq("k"), "lsn", s"$dir/ckpt-$sub")
+      q.processAllAvailable(); q.stop()
+      st.cdcTable("silver", "t", "lsn").orderBy("k")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    }
+    val viaStream = run("stream", s"$dir/in/*")
     // one-shot batch replay of the concatenated log on a fresh store
     val batchStore = mkStore("batch")
     batchStore.applyCdc("silver", "t", df(log1 ++ log2), Seq("k"), "lsn")
-    val viaBatch = batchStore.table("silver", "t").orderBy("k")
+    val viaBatch = batchStore.cdcTable("silver", "t", "lsn").orderBy("k")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(viaStream == viaBatch && viaStream == Seq((1L, "a2"), (3L, "c"), (4L, "d")),
       s"stream $viaStream vs batch $viaBatch")
+    // OUT-OF-ORDER delivery: the later-sequence file lands a
+    // micro-batch FIRST (file sources order by mtime, not log
+    // position) — sequence watermarks + tombstones must still
+    // converge to the same table
+    df(log2).coalesce(1).write.parquet(s"$dir/ooo/a1")
+    df(log1).coalesce(1).write.parquet(s"$dir/ooo/a2")
+    val viaOoo = run("ooo", s"$dir/ooo/*")
+    assert(viaOoo == viaBatch,
+      s"out-of-order micro-batches diverged: $viaOoo vs $viaBatch")
   }
 
   test("watermark drops late data in append mode") {

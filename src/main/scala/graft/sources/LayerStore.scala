@@ -309,6 +309,38 @@ class LayerStore(spark: SparkSession, root: String) {
     publishPointer(layer, name, v, fs)
   }
 
+  /** Semantic diff between two retained snapshots (the change-data-
+    * feed a consumer derives when the writer didn't emit one): per
+    * key, rows only in `v2` are `added`, rows only in `v1` are
+    * `removed`, and keys present in both with any non-key column
+    * differing (null-safely) are `changed`. One full-outer equi-join
+    * on the key — both sides snapshot-sized, the consumer never
+    * replays the write log. Columns: change ('added'/'removed'/
+    * 'changed') + the key + each non-key column as (old_*, new_*). */
+  def snapshotDiff(layer: String, name: String, v1: Long, v2: Long,
+      keys: Seq[String]): DataFrame = {
+    val a = readSnapshot(layer, name, Some(v1)).as("a")
+    val b = readSnapshot(layer, name, Some(v2)).as("b")
+    val nonKey = a.columns.filterNot(keys.contains).toSeq
+    val keyCond = keys.map(k => col(s"a.$k") <=> col(s"b.$k")).reduce(_ && _)
+    // presence probe: a side absent from the full-outer join has every
+    // column null (keys must be non-null, as in every keyed write here)
+    val inA = col(s"a.${keys.head}").isNotNull
+    val inB = col(s"b.${keys.head}").isNotNull
+    val same = nonKey.map(c => col(s"a.$c") <=> col(s"b.$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    a.join(b, keyCond, "full_outer")
+      .withColumn("change",
+        when(!inA, lit("added"))
+          .when(!inB, lit("removed"))
+          .when(!same, lit("changed")))
+      .filter(col("change").isNotNull)
+      .select((col("change") +:
+        keys.map(k => coalesce(col(s"a.$k"), col(s"b.$k")).as(k))) ++
+        nonKey.flatMap(c => Seq(col(s"a.$c").as(s"old_$c"),
+          col(s"b.$c").as(s"new_$c"))): _*)
+  }
+
   /** Retention: drop all versions except the current one and the
     * newest `keepLast - 1` others (plus orphans from crashed writes).
     * Returns the dropped version numbers. */

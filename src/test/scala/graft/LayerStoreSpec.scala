@@ -302,6 +302,27 @@ class LayerStoreSpec extends SparkSpec {
     assert(spark.sql("SELECT count(1) FROM gold_corpus").head().getLong(0) == 1L)
   }
 
+  test("snapshotDiff: added/removed/changed between two retained versions") {
+    val (store, _) = freshStore()
+    store.writeSnapshot("gold", "d",
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("k", "v", "n"))
+    store.writeSnapshot("gold", "d",
+      Seq((1L, "a", 10L), (2L, "B2", 20L), (4L, "d", 40L)).toDF("k", "v", "n"))
+    val diff = store.snapshotDiff("gold", "d", 1L, 2L, Seq("k"))
+      .orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.getString(2)), Option(r.getString(3)))).toSeq
+    assert(diff == Seq(
+      ("changed", 2L, Some("b"), Some("B2")), // value changed
+      ("removed", 3L, Some("c"), None),       // only in v1
+      ("added", 4L, None, Some("d"))))        // only in v2
+    // unchanged key 1 emits nothing; the diff is symmetric-inverse
+    val back = store.snapshotDiff("gold", "d", 2L, 1L, Seq("k"))
+      .groupBy("change").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(back == Map("changed" -> 1L, "added" -> 1L, "removed" -> 1L))
+  }
+
   test("clusterBy: disjoint per-file key ranges, data bit-identical") {
     val (store, _) = freshStore()
     // shuffled keys across multiple appends: the anti-clustered layout

@@ -82,6 +82,48 @@ object EventOps extends QueryModule {
       |GROUP BY 1, 2
       |ORDER BY user_id, session_seq""".stripMargin
 
+  /** q132 — gap sessionization via Spark's NATIVE session_window
+    * operator (the built-in q33's hand-rolled lag/cumsum pipeline
+    * predates; both ship because their plans differ): session_window
+    * plans a dedicated SessionWindow aggregation — per-key sorted
+    * merge of [start, ts+gap) intervals, no window-function pass —
+    * and the SAME operator runs under Structured Streaming with
+    * watermark-driven state eviction, which the lag/cumsum form
+    * cannot. Boundary semantics differ from q33 by one edge: the
+    * native operator starts a NEW session at gap ≥ 30 min (intervals
+    * merge only when the next event falls STRICTLY inside the
+    * previous event's ts+gap), where q33's lag test keeps gap == 30
+    * min together — the oracle mirrors the native rule exactly, so
+    * the parity holds on any data, ties included. */
+  def sessionWindows(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("session_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("session_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  private val sessionWindowsSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+      |           OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_us
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END AS is_new
+      |  FROM ev),
+      |sessions AS (
+      |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM flagged)
+      |SELECT user_id, min(ts) AS session_start,
+      |       count(1) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS session_value
+      |FROM sessions
+      |GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** q44 — JSON metadata extraction: events.props is a JSON string;
     * pull a typed field out, bucket it, aggregate. (The reference
     * only ever SERIALIZES json — to_json payloads,
@@ -942,6 +984,7 @@ object EventOps extends QueryModule {
     "q127_winsorized_stats" -> winsorizedStats,
     "q128_group_trend" -> groupTrend,
     "q129_market_basket" -> marketBasket,
+    "q132_session_window" -> sessionWindows,
     "q122_scd2_history" -> scd2History,
     "q104_hot_key_topk" -> hotKeyTopEvents,
     "q100_sliding_windows" -> slidingWindows,
@@ -965,6 +1008,7 @@ object EventOps extends QueryModule {
     "q127_winsorized_stats" -> winsorizedStatsSql,
     "q128_group_trend" -> groupTrendSql,
     "q129_market_basket" -> marketBasketSql,
+    "q132_session_window" -> sessionWindowsSql,
     "q122_scd2_history" -> scd2HistorySql,
     "q104_hot_key_topk" -> hotKeyTopEventsSql,
     "q100_sliding_windows" -> slidingWindowsSql,

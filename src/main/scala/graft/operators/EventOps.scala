@@ -124,6 +124,43 @@ object EventOps extends QueryModule {
       |GROUP BY user_id, session_seq
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** q133 — UNPIVOT/melt via Spark's native `unpivot` (the inverse of
+    * q65's pivot, completing the reshape pair): the four lineitem
+    * measures fold into (measure, value) long form and aggregate per
+    * measure — the shape feature stores and metric catalogs ingest.
+    * unpivot plans a bounded Expand (×4, one row per measure — the
+    * same bounded-constant criterion as ROLLUP/CUBE and the sliding
+    * window, allow-listed in PlanSweep), then ONE aggregation; sums
+    * fold in decimal (values are ≤2-dp money/fractions, so the fold
+    * is exact and engine-identical). */
+  def meltMeasures(s: SparkSession, dir: String): DataFrame = {
+    val measures = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    Tables.t(s, dir, "lineitem")
+      .select((col("l_orderkey") +: measures.map(col)): _*)
+      .unpivot(Array(col("l_orderkey")), measures.map(col).toArray,
+        "measure", "value")
+      .groupBy(col("measure"))
+      .agg(count(lit(1)).as("n_rows"),
+        snapRound(sum(col("value").cast(DecimalType(38, 6))).cast(DoubleType), 4)
+          .as("total"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy(col("measure"))
+  }
+
+  private val meltMeasuresSql = {
+    val arms = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(c => s"SELECT '$c' AS measure, $c AS value FROM lineitem")
+      .mkString("\n  UNION ALL ")
+    s"""WITH m AS (
+       |  $arms)
+       |SELECT measure, count(1) AS n_rows,
+       |       ${snapRoundSql("CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)", 4)} AS total,
+       |       min(value) AS min_value, max(value) AS max_value
+       |FROM m GROUP BY 1
+       |ORDER BY measure""".stripMargin
+  }
+
   /** q44 — JSON metadata extraction: events.props is a JSON string;
     * pull a typed field out, bucket it, aggregate. (The reference
     * only ever SERIALIZES json — to_json payloads,
@@ -985,6 +1022,7 @@ object EventOps extends QueryModule {
     "q128_group_trend" -> groupTrend,
     "q129_market_basket" -> marketBasket,
     "q132_session_window" -> sessionWindows,
+    "q133_unpivot_measures" -> meltMeasures,
     "q122_scd2_history" -> scd2History,
     "q104_hot_key_topk" -> hotKeyTopEvents,
     "q100_sliding_windows" -> slidingWindows,
@@ -1009,6 +1047,7 @@ object EventOps extends QueryModule {
     "q128_group_trend" -> groupTrendSql,
     "q129_market_basket" -> marketBasketSql,
     "q132_session_window" -> sessionWindowsSql,
+    "q133_unpivot_measures" -> meltMeasuresSql,
     "q122_scd2_history" -> scd2HistorySql,
     "q104_hot_key_topk" -> hotKeyTopEventsSql,
     "q100_sliding_windows" -> slidingWindowsSql,

@@ -51,7 +51,8 @@ class PlanSweepSpec extends SparkSpec {
     * (the round-4 prep_gold_marts regression), which is why the marts
     * decompose distinct-counts instead. */
   private val expandOk = Set("q45_rollup_sales", "q53_cube_orders",
-    "q100_sliding_windows") // window/slide = 2: a bounded constant replication, chosen deliberately
+    "q100_sliding_windows", // window/slide = 2: a bounded constant replication, chosen deliberately
+    "q133_unpivot_measures") // unpivot IS an Expand: ×4 rows, one per melted measure — bounded constant
 
   /** Queries where a SortMergeJoin is the RIGHT plan: both sides are
     * derived aggregates / range-bucketed frames of comparable, fact-

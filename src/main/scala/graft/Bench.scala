@@ -99,7 +99,13 @@ object Bench {
       val err = new java.util.concurrent.atomic.AtomicReference[Throwable]
       def bg(body: => Unit): Thread = {
         val t = new Thread(() =>
-          try body catch { case e: Throwable => err.compareAndSet(null, e); () })
+          try body catch {
+            case e: Throwable =>
+              // keep the first failure as primary, suppress the rest —
+              // a second thread's diagnostic must not vanish when both
+              // fits break (mirrors the fullDispatch handler)
+              if (!err.compareAndSet(null, e)) err.get.addSuppressed(e)
+          })
         t.setDaemon(true); t.start(); t
       }
       val ts = Seq(
@@ -308,6 +314,21 @@ object Bench {
     // a decimal-comma locale would corrupt the scraped JSON line
     println(jsonLine(shortKey,
       v => String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)), full = false))
+    // FINAL short summary line: at 141 entries even the shortened-key
+    // line is ~5 KB, larger than the driver's ~2.4 KB tail window, so
+    // the full line's head (the "metric":"total" prefix) can be cut off
+    // and the round artifact parses null (r9's BENCH_r09.json). This
+    // last line is a few hundred bytes regardless of query count, so
+    // the tail ALWAYS ends with a parseable record carrying the
+    // headline numbers; per-query values live in the full line above
+    // and in bench_out.json.
+    val sumTotal = all.collect { case (k, v) if !failedSet(k) => v }.sum
+    val sumFailed = failures.distinct.map("\"" + shortKey(_) + "\"").mkString("[", ",", "]")
+    println(String.format(java.util.Locale.ROOT,
+      """{"metric":"total","value":%.3f,"unit":"sec","failed":%s,"retried_n":%d,"dirty_n":%d,"n_queries":%d,"cal0":%.2f,"cal1":%.2f,"cal_threads":%d,"sf":"%s"}""",
+      Double.box(sumTotal), sumFailed, Int.box(retryNames.size),
+      Int.box(dirtyEntries.size), Int.box(queryNames.size),
+      Double.box(cal0), Double.box(cal1), Int.box(calThreads), sfDir))
     spark.stop()
   }
 }

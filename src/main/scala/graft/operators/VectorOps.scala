@@ -1364,8 +1364,9 @@ object VectorOps extends QueryModule {
   private val DriftShareShift = 0.05
 
   /** Session-lifetime fit of the doc index on the STORED corpus only
-    * (doc_id ≤ the q105 ingest cutoff — the same stored/incoming
-    * split): (assignment, frozen centroids). */
+    * (doc_id < the q105 ingest cutoff — the SAME stored/incoming
+    * split rule q105 uses: stored `< c`, incoming `>= c`):
+    * (assignment, frozen centroids). */
   private val driftCache = new graft.util.Memo[(SparkSession, String), (DataFrame, DataFrame)](
     stale = _._1.sparkContext.isStopped)
 
@@ -1374,7 +1375,7 @@ object VectorOps extends QueryModule {
       val cut = Tables.t(s, dir, "documents")
         .agg(floor(max(col("doc_id")) * lit(0.9)).cast(LongType).as("c"))
       val old = docVectors(s, dir).crossJoin(broadcast(cut))
-        .filter(col("vec_id") <= col("c")).drop("c")
+        .filter(col("vec_id") < col("c")).drop("c")
       kmFitFull(old, KM_DOC_K, intValued = true)
     })
 
@@ -1395,7 +1396,7 @@ object VectorOps extends QueryModule {
     val cut = Tables.t(s, dir, "documents")
       .agg(floor(max(col("doc_id")) * lit(0.9)).cast(LongType).as("c"))
     val fresh = docVectors(s, dir).crossJoin(broadcast(cut))
-      .filter(col("vec_id") > col("c")).drop("c")
+      .filter(col("vec_id") >= col("c")).drop("c")
     val asgNew = kmAssign(fresh, cents)
     def cellStats(asg: DataFrame, pfx: String) =
       asg.select(col("cell"), snapRound(col("csim"), 8).as("cos"))
@@ -1431,11 +1432,11 @@ object VectorOps extends QueryModule {
     val shareNew = snapRoundSql("coalesce(n_new, 0) / CAST(t_new AS DOUBLE)", 6)
     s"""WITH $docVecCtes,
        |cutoff AS (SELECT CAST(floor(max(doc_id) * 0.9) AS BIGINT) AS c FROM documents),
-       |e AS (SELECT vec_id, v FROM dn, cutoff WHERE norm2 > 0 AND vec_id <= c),
-       |n AS (SELECT vec_id, norm2 FROM dn, cutoff WHERE norm2 > 0 AND vec_id <= c),
+       |e AS (SELECT vec_id, v FROM dn, cutoff WHERE norm2 > 0 AND vec_id < c),
+       |n AS (SELECT vec_id, norm2 FROM dn, cutoff WHERE norm2 > 0 AND vec_id < c),
        |${kmChainCtes(KM_DOC_K, FH_DIM)},
-       |enew AS (SELECT vec_id, v FROM dn, cutoff WHERE norm2 > 0 AND vec_id > c),
-       |nnew AS (SELECT vec_id, norm2 FROM dn, cutoff WHERE norm2 > 0 AND vec_id > c),
+       |enew AS (SELECT vec_id, v FROM dn, cutoff WHERE norm2 > 0 AND vec_id >= c),
+       |nnew AS (SELECT vec_id, norm2 FROM dn, cutoff WHERE norm2 > 0 AND vec_id >= c),
        |asn AS (
        |  SELECT en.vec_id, cc.cell, cc.cnorm2, nn.norm2,
        |         ${dotSql("en.v", "cc.cv")} / (sqrt(nn.norm2) * sqrt(cc.cnorm2)) AS csim

@@ -275,10 +275,19 @@ class LayerStore(spark: SparkSession, root: String) {
     try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val ptr = pointerPath(layer, name)
-    // rename-with-overwrite where the FS supports it; the delete+rename
-    // window is covered by the _SUCCESS fallback in snapshotVersion
-    if (fs.exists(ptr)) fs.delete(ptr, false)
-    if (!fs.rename(tmp, ptr)) sys.error(s"snapshot publish failed for $ptr")
+    // ATOMIC overwrite-rename via FileContext (POSIX rename(2) on the
+    // local FS, the store's atomic rename on HDFS): there is no window
+    // where the pointer is absent. The previous delete-then-rename had
+    // one, and the _SUCCESS fallback in snapshotVersion picks the
+    // NEWEST committed version — so a crash inside a rollback's swap
+    // (v3 -> v2) would recover to v3, the exact version the rollback
+    // was retiring. With the overwrite-rename a crash leaves either
+    // the old pointer or the new one, both correct states; the
+    // fallback now only ever serves tables that never had a pointer.
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      ptr.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(ptr),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     readSnapshot(layer, name).createOrReplaceTempView(viewName(layer, name))
   }
 

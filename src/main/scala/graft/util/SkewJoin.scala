@@ -47,10 +47,23 @@ object SkewJoin {
     * contained in the union of its per-salt top k, and the final
     * ranking applies the same total order to that superset. The salt
     * is a deterministic hash of the non-key columns (rerun-stable,
-    * unlike rand()). Output: the input columns plus `rank` 1..k. */
+    * unlike rand()). Output: the input columns plus `rank` 1..k.
+    *
+    * ASSUMPTION (required for the spread to work): a hot key's rows
+    * must differ in at least one non-key column — byte-identical
+    * payloads hash to ONE salt and the skew returns. That holds for
+    * every fact table here ((user, ts) unique in all testdata SFs);
+    * for degenerate data, add a monotonically_increasing_id column
+    * before calling (it joins the hash input like any other column).
+    * Not mixed in by default because mIId varies with partition
+    * layout, and rerun-stable output is this utility's contract.
+    * The input must not already carry `rank` or `__salt` columns —
+    * withColumn would silently replace them (asserted below). */
   def saltedTopK(df: DataFrame, key: String, order: Seq[Column],
     k: Int, salts: Int): DataFrame = {
     require(k > 0 && salts > 0)
+    require(!df.columns.contains("rank") && !df.columns.contains("__salt"),
+      "saltedTopK: input must not have 'rank'/'__salt' columns (they would be replaced)")
     val spreadCols = df.columns.filterNot(_ == key).map(col)
     val w1 = org.apache.spark.sql.expressions.Window
       .partitionBy(col(key), col("__salt")).orderBy(order: _*)

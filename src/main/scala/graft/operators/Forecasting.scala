@@ -254,17 +254,25 @@ object Forecasting extends QueryModule {
         } yield s"weekly:$lv:$m" -> (() => weeklyFitAt(s, dir, lv, m))) ++
         models.keys.toSeq.sorted.map(m =>
           s"daily:$m" -> (() => run(s, dir, m, "daily")))
-      // Branch CONSTRUCTION overlaps on threads (the prep_kmeans
-      // pattern): the three global_ar branches each run an eager
-      // pooled fit (normal-equation job + 5-coefficient head()), and
-      // serially they cost ~2.3 s at sf0.1 — concurrent, two fits
-      // hide behind the third. Union order stays the declared order
-      // (results land by index), and a thread's failure propagates.
+      // Each branch builds AND materializes on its own thread (the
+      // prep_kmeans pattern, extended): a branch is an independent
+      // chain — eager pooled fit for the global_ar arms, then the
+      // forecast plan — and its output is tiny (entities × horizon),
+      // so persist+count per branch overlaps ALL 16 fits on the 32
+      // cores instead of leaving the parallelism to one union job's
+      // stage scheduler. Measured at sf0.1 (tools.DispatchProfile):
+      // the single-job union materialized in ~10 s while the serial
+      // branch sum was ~15.7 s — per-branch overlap bounds the wall
+      // by the slowest branch (~3 s product:global_ar) + the cached
+      // union pass. Union order stays the declared order (results
+      // land by index), and a thread's failure propagates.
       val built = new Array[DataFrame](branchBuilds.size)
       val err = new java.util.concurrent.atomic.AtomicReference[Throwable]
       val threads = branchBuilds.zipWithIndex.map { case ((tag, b), i) =>
         val t = new Thread(() =>
-          try built(i) = probe(s"build $tag")(b())
+          try built(i) = probe(s"build+mat $tag") {
+            val p = b().persist(); p.count(); p
+          }
           catch {
             case e: Throwable =>
               // first failure wins; later ones ride as suppressed so
@@ -275,16 +283,23 @@ object Forecasting extends QueryModule {
       }
       threads.foreach(_.join())
       if (err.get != null) throw err.get
-      // repartition(16), not coalesce: the 17 branches' fits keep
-      // their own shuffle parallelism while the CACHED frame collapses
-      // from 17 × shuffle.partitions task-launch units to 16
+      // repartition(16), not coalesce: the final artifact collapses
+      // from 17 × shuffle.partitions task-launch units to 16; the
+      // pass reads the per-branch caches, so it only pays the tiny
+      // shuffle. The branch caches release afterwards — the artifact
+      // is its own storage.
       val d = (forecastDispatch(s, dir) +: built.toSeq)
         .reduce(_ unionByName _)
         .repartition(16)
         .persist()
       probe("materialize union")(d.count())
+      built.foreach(_.unpersist(false))
       d
     })
+
+  /** tools.DispatchProfile's window into the private branch builder. */
+  private[graft] def branchForProfile(s: SparkSession, dir: String,
+      lv: String, model: String): DataFrame = weeklyFitAt(s, dir, lv, model)
 
   /** Full-series weekly fits at a non-default level, over the
     * memoized per-level series artifact — the q103 surface's

@@ -41,7 +41,8 @@ class PlanSweepSpec extends SparkSpec {
     "q117_hard_negatives", // the cached q108 fit's K-row (8) centroid fan-out
     "q126_cooccurrence_lift", // 1-row doc-count scalar crossJoin onto the vocab-sized pair stats
     "q129_market_basket", // 1-row basket-count scalar crossJoin onto the part-pair stats
-    "q131_kmv_set_ops") // sketch algebra: every crossJoin side is a 1-row scalar or ≤K-row minima frame
+    "q131_kmv_set_ops", // sketch algebra: every crossJoin side is a 1-row scalar or ≤K-row minima frame
+    "q134_bm25_search") // 1-row corpus-stats (n_docs/avgdl) scalar crossJoin onto the probed postings
 
   /** Queries whose plan legitimately contains Expand: ROLLUP/CUBE are
     * grouping-sets operators — Expand IS their plan shape, bounded at

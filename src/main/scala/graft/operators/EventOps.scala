@@ -231,6 +231,41 @@ object EventOps extends QueryModule {
       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY grouping_level, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
+  /** q135 — arbitrary GROUPING SETS, the general form q45's ROLLUP and
+    * q53's CUBE specialize: a hand-picked set list — (region, segment),
+    * (region), (segment) — over the sales star, disambiguated by
+    * grouping_id. Exactly the slices a dashboard needs, WITHOUT the
+    * grand total or the empty set CUBE would also compute; Spark 4's
+    * native Dataset.groupingSets plans the same bounded Expand as
+    * ROLLUP/CUBE — breadth = |sets| = 3, the allow-list criterion. */
+  def groupingSetsSales(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.t(s, dir, "orders")
+    val c = Tables.t(s, dir, "customer")
+    val n = Tables.t(s, dir, "nation")
+    val r = Tables.t(s, dir, "region")
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupingSets(
+        Seq(Seq(col("r_name"), col("c_mktsegment")), Seq(col("r_name")), Seq(col("c_mktsegment"))),
+        col("r_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("orders"),
+        moneySum(col("o_totalprice")).as("total_price"),
+        grouping_id().as("grouping_level"))
+      .orderBy(col("grouping_level"), col("r_name"), col("c_mktsegment"))
+  }
+
+  private val groupingSetsSalesSql =
+    """SELECT r_name, c_mktsegment, count(1) AS orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total_price,
+      |       GROUPING(r_name) * 2 + GROUPING(c_mktsegment) AS grouping_level
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY GROUPING SETS ((r_name, c_mktsegment), (r_name), (c_mktsegment))
+      |ORDER BY grouping_level, r_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin
+
   /** q46 — as-of join: each purchase matched to the same user's
     * latest view at-or-before it. Spark lacks a native ASOF JOIN;
     * per the preference order (SURVEY §7.3 / guide) it composes from
@@ -1036,6 +1071,7 @@ object EventOps extends QueryModule {
     "q44_json_extract" -> jsonExtract,
     "q45_rollup_sales" -> rollupSales,
     "q53_cube_orders" -> cubeOrders,
+    "q135_grouping_sets" -> groupingSetsSales,
     "q46_asof_join" -> asofJoin,
     "q57_asof_native" -> asofJoinNative,
     "q64_range_join" -> rangeJoin,
@@ -1061,6 +1097,7 @@ object EventOps extends QueryModule {
     "q44_json_extract" -> jsonExtractSql,
     "q45_rollup_sales" -> rollupSalesSql,
     "q53_cube_orders" -> cubeOrdersSql,
+    "q135_grouping_sets" -> groupingSetsSalesSql,
     "q46_asof_join" -> asofJoinSql,
     "q57_asof_native" -> asofJoinSql,
     "q64_range_join" -> rangeJoinSql,

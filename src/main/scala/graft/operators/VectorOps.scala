@@ -1227,12 +1227,17 @@ object VectorOps extends QueryModule {
   /** Session-lifetime document-vector k-means assignment — q109's
     * artifact (the self-join consumes it twice; without the persist
     * the iterative fit would replan and re-execute per side). */
-  private val docKmCache = new graft.util.Memo[(SparkSession, String), DataFrame](
+  private val docKmCache = new graft.util.Memo[(SparkSession, String), (DataFrame, DataFrame)](
     stale = _._1.sparkContext.isStopped)
 
-  private[graft] def docKmeansAssignment(s: SparkSession, dir: String): DataFrame =
+  /** (assignment, frozen centroids) of the document-vector fit — the
+    * centroids feed the q136 multi-probe expansion. */
+  private[graft] def docKmeansFull(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     docKmCache.getOrBuild((s, dir),
-      kmFit(docVectors(s, dir), KM_DOC_K, intValued = true))
+      kmFitFull(docVectors(s, dir), KM_DOC_K, intValued = true))
+
+  private[graft] def docKmeansAssignment(s: SparkSession, dir: String): DataFrame =
+    docKmeansFull(s, dir)._1
 
   /** q109 — SemDeDup (Abbas et al. 2023): semantic deduplication =
     * cluster the corpus's embeddings with k-means, then remove
@@ -1347,6 +1352,114 @@ object VectorOps extends QueryModule {
        |  JOIN n np ON np.vec_id = tp.vec_id
        |  JOIN n nq ON nq.vec_id = te.vec_id
        |  WHERE tp.source <> '$DeconEvalSource' AND te.source = '$DeconEvalSource'),
+       |f AS (SELECT * FROM prs WHERE cosine_raw >= $DECON_TAU),
+       |rk AS (
+       |  SELECT p, q, cell, cosine_raw,
+       |         CAST(count(1) OVER (PARTITION BY p) AS BIGINT) AS n_eval_hits,
+       |         row_number() OVER (PARTITION BY p ORDER BY cosine_raw DESC, q) AS rn
+       |  FROM f)
+       |SELECT p AS doc_id, cell AS cluster_id, q AS eval_doc_id,
+       |       ${snapRoundSql("cosine_raw", 6)} AS cosine, n_eval_hits
+       |FROM rk WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- q136: multi-probe semantic decontamination -------------------
+
+  /** Probe width for q136 — each eval doc checks its P nearest cells
+    * (the q52/q80 recall/latency dial applied to decontamination). */
+  private val DeconProbe = 2
+
+  /** The probe-parameterized decon core, shared by q136 and its spec:
+    * `tagged` is a (vec_id, e, norm2, cell, source) assignment frame,
+    * `cents` the frozen (cell, cv, cnorm2) centroids. Train docs stay
+    * in their ONE assigned cell; each EVAL doc expands to its `probe`
+    * nearest cells by centroid cosine (rank tie → lower cell), so a
+    * paraphrase that landed one cell over is still compared. A (train,
+    * eval) pair can never double-count: the train doc lives in exactly
+    * one cell and the eval doc's probe cells are distinct. */
+  private[graft] def deconProbeCore(tagged: DataFrame, cents: DataFrame,
+      probe: Int): DataFrame = {
+    val evalBase = tagged.filter(col("source") === DeconEvalSource)
+      .select(col("vec_id").as("q"), col("e").as("qe"), col("norm2").as("qn"))
+    val psim = (dot_product(col("qe"), col("cv")) /
+      (sqrt(col("qn")) * sqrt(col("cnorm2")))).as("psim")
+    val wq = Window.partitionBy(col("q")).orderBy(col("psim").desc, col("qcell"))
+    // eval side is benchmark-sized; its probe fan-out is benchmark × K
+    // rows before the rank cut — still broadcast-tiny
+    val evalProbes = broadcast(evalBase
+      .crossJoin(broadcast(cents.select(
+        col("cell").as("qcell"), col("cv"), col("cnorm2"))))
+      .select(col("q"), col("qe"), col("qn"), col("qcell"), psim)
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= probe)
+      .select(col("q"), col("qe"), col("qn"), col("qcell")))
+    val train = tagged.filter(col("source") =!= DeconEvalSource)
+      .select(col("vec_id").as("p"), col("e").as("pe"),
+        col("norm2").as("pn"), col("cell"))
+    val cosr = (dot_product(col("pe"), col("qe")) /
+      (sqrt(col("pn")) * sqrt(col("qn")))).as("cosine_raw")
+    train.join(evalProbes, col("cell") === col("qcell"))
+      .select(col("p"), col("q"), col("cell"), cosr)
+      .filter(col("cosine_raw") >= DECON_TAU)
+      .groupBy(col("p"))
+      .agg(count(lit(1)).as("n_eval_hits"),
+        max_by(struct(col("q"), col("cell"), col("cosine_raw")),
+          struct(col("cosine_raw"), (-col("q")).as("negq"))).as("b"))
+      .select(col("p").as("doc_id"), col("b.cell").as("cluster_id"),
+        col("b.q").as("eval_doc_id"),
+        snapRound(col("b.cosine_raw"), 6).as("cosine"),
+        col("n_eval_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q136 — multi-probe semantic decontamination: q116 with the gap
+    * its own scaladoc names CLOSED. At probe=1 an eval doc compares
+    * only against its assigned cell, so a cross-cell paraphrase (the
+    * eval doc near a cell boundary, the paraphrase just across it) is
+    * invisible; here each eval doc probes its P=2 nearest cells —
+    * MultiProbeDeconSpec proves a planted cross-cell paraphrase is
+    * caught at P=2 and missed at P=1. Scale: cost multiplies by P on
+    * the EVAL (benchmark-sized, broadcast) side only — the corpus side
+    * still never self-joins and still shuffles nothing beyond its
+    * assigned cell key; P is the recall dial exactly as in q52/q80. */
+  def semanticDeconMultiProbe(s: SparkSession, dir: String): DataFrame = {
+    val (asg, cents) = docKmeansFull(s, dir)
+    val src = Tables.t(s, dir, "documents")
+      .select(col("doc_id").as("vec_id"), col("source"))
+    deconProbeCore(asg.join(src, "vec_id"), cents, DeconProbe)
+  }
+
+  // lazy: interpolates docVecCtes/kmChainCtes (init-order rule)
+  private lazy val semanticDeconMultiProbeSql =
+    s"""WITH $docVecCtes,
+       |e AS (SELECT vec_id, v FROM dn WHERE norm2 > 0),
+       |n AS (SELECT vec_id, norm2 FROM dn WHERE norm2 > 0),
+       |${kmChainCtes(KM_DOC_K, FH_DIM)},
+       |sd AS (
+       |  SELECT a.vec_id, a.cell, d.source
+       |  FROM asgF a JOIN documents d ON a.vec_id = d.doc_id),
+       |evq AS (
+       |  SELECT s.vec_id AS q, ee.v AS qv, nn.norm2 AS qn
+       |  FROM sd s JOIN e ee ON ee.vec_id = s.vec_id
+       |  JOIN n nn ON nn.vec_id = s.vec_id
+       |  WHERE s.source = '$DeconEvalSource'),
+       |epr AS (
+       |  SELECT q, qv, qn, cc.cell AS qcell,
+       |         ${dotSql("qv", "cc.cv")} / (sqrt(qn) * sqrt(cc.cnorm2)) AS psim
+       |  FROM evq CROSS JOIN centn$KM_ITERS cc),
+       |epk AS (
+       |  SELECT q, qv, qn, qcell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q ORDER BY psim DESC, qcell) AS rn
+       |    FROM epr)
+       |  WHERE rn <= $DeconProbe),
+       |prs AS (
+       |  SELECT tp.vec_id AS p, ek.q, tp.cell,
+       |         ${dotSql("ep.v", "ek.qv")} / (sqrt(np.norm2) * sqrt(ek.qn)) AS cosine_raw
+       |  FROM sd tp
+       |  JOIN epk ek ON tp.cell = ek.qcell
+       |  JOIN e ep ON ep.vec_id = tp.vec_id
+       |  JOIN n np ON np.vec_id = tp.vec_id
+       |  WHERE tp.source <> '$DeconEvalSource'),
        |f AS (SELECT * FROM prs WHERE cosine_raw >= $DECON_TAU),
        |rk AS (
        |  SELECT p, q, cell, cosine_raw,
@@ -1680,6 +1793,7 @@ object VectorOps extends QueryModule {
     "q113_jl_distortion" -> jlDistortion,
     "q114_index_drift" -> indexDrift,
     "q116_semantic_decon" -> semanticDecon,
+    "q136_decon_multiprobe" -> semanticDeconMultiProbe,
     "q117_hard_negatives" -> hardNegatives)
 
   override def oracles: Map[String, String] = Map(
@@ -1699,5 +1813,6 @@ object VectorOps extends QueryModule {
     "q113_jl_distortion" -> jlDistortionSql,
     "q114_index_drift" -> indexDriftSql,
     "q116_semantic_decon" -> semanticDeconSql,
+    "q136_decon_multiprobe" -> semanticDeconMultiProbeSql,
     "q117_hard_negatives" -> hardNegativesSql)
 }

@@ -38,6 +38,7 @@ class PlanSweepSpec extends SparkSpec {
     "q114_index_drift", // 1-row cutoff/total scalars + the cached fit's K-row centroid fan-out
     "q115_bpe_encode", // q107's trainer chain: one 1-row argmax-pair crossJoin per merge round
     "q116_semantic_decon", // the cached doc-vector fit's K-row (64) centroid fan-out (q109's)
+    "q136_decon_multiprobe", // q116's fan-outs + the benchmark-sized eval side × K-row centroid probe expansion
     "q117_hard_negatives", // the cached q108 fit's K-row (8) centroid fan-out
     "q126_cooccurrence_lift", // 1-row doc-count scalar crossJoin onto the vocab-sized pair stats
     "q129_market_basket", // 1-row basket-count scalar crossJoin onto the part-pair stats
@@ -53,7 +54,8 @@ class PlanSweepSpec extends SparkSpec {
     * decompose distinct-counts instead. */
   private val expandOk = Set("q45_rollup_sales", "q53_cube_orders",
     "q100_sliding_windows", // window/slide = 2: a bounded constant replication, chosen deliberately
-    "q133_unpivot_measures") // unpivot IS an Expand: ×4 rows, one per melted measure — bounded constant
+    "q133_unpivot_measures", // unpivot IS an Expand: ×4 rows, one per melted measure — bounded constant
+    "q135_grouping_sets") // GROUPING SETS is the Expand general form: breadth = |sets| = 3, bounded
 
   /** Queries where a SortMergeJoin is the RIGHT plan: both sides are
     * derived aggregates / range-bucketed frames of comparable, fact-

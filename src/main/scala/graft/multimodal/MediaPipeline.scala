@@ -207,6 +207,122 @@ object MediaPipeline {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF/
+    * AU parsers + PCM converters ship with every JRE — offline-safe,
+    * same tier as the imageio path): parse the payload, convert to
+    * signed 16-bit little-endian PCM at the source rate/channel
+    * count, return (sampleRate, channels, samples) with samples
+    * interleaved by channel — or None when no parser recognizes the
+    * payload (callers fall back to the byte stub, exactly the
+    * decodeImage pattern). */
+  def decodeAudio(payloadOrNull: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (payloadOrNull == null || payloadOrNull.isEmpty) None
+    else try {
+      val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payloadOrNull))
+      try {
+        val f = src.getFormat
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          f.getSampleRate, 16, f.getChannels, f.getChannels * 2,
+          f.getSampleRate, false)
+        val pcm =
+          if (f.matches(target)) src
+          else javax.sound.sampled.AudioSystem.getAudioInputStream(target, src)
+        val bytes = pcm.readAllBytes()
+        val n = bytes.length / 2
+        val samples = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          // little-endian signed 16-bit: high byte carries the sign
+          samples(i) = (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)
+          i += 1
+        }
+        Some((f.getSampleRate.round, f.getChannels, samples))
+      } finally src.close()
+    } catch {
+      // UnsupportedAudioFileException on unrecognized payloads, plus
+      // the same malformed-but-recognized RuntimeException tier the
+      // image path guards — fall back to the stub, never kill the task
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  /** Audio frame/hop in SAMPLES (the real-amplitude twin of the q120
+    * byte constants; hop < window = overlapping frames). */
+  val AudioWin = 256
+  val AudioHop = 128
+
+  /** Amplitude at/below which a 16-bit sample counts as silent
+    * (~1% of full scale — the usual noise-floor gate). */
+  val SilenceAmp = 327
+
+  case class AudioFrame(doc_id: Long, mime: String, decoded: Boolean,
+    sample_rate: Int, channels: Int, n_samples: Int, frame_idx: Int,
+    frame_len: Int, energy: Long, peak: Long, n_silent: Long)
+
+  /** Overlapping-frame features over a decoded sample array — q120's
+    * truncated-tail count rule (ceil(max(n-W,0)/H)+1; the tail frame
+    * is emitted truncated, never dropped; an empty signal is one
+    * empty frame): per frame energy = Σ s² (exact integer), peak =
+    * max |s|, n_silent = count(|s| <= silenceAmp). */
+  def audioFrameStats(samples: Array[Int], win: Int, hop: Int,
+      silenceAmp: Int): IndexedSeq[(Int, Int, Long, Long, Long)] = {
+    val n = samples.length
+    val frames = math.ceil(math.max(n - win, 0).toDouble / hop).toInt + 1
+    (0 until frames).map { fi =>
+      val from = fi * hop
+      val until = math.min(from + win, n)
+      var energy = 0L; var peak = 0L; var silent = 0L
+      var i = from
+      while (i < until) {
+        val s = samples(i)
+        energy += s.toLong * s.toLong
+        val a = math.abs(s.toLong)
+        if (a > peak) peak = a
+        if (a <= silenceAmp) silent += 1
+        i += 1
+      }
+      (fi, until - from, energy, peak, silent)
+    }
+  }
+
+  /** Partition-local batch audio featurization with the REAL codec:
+    * javax.sound.sampled for payloads its parsers recognize
+    * (decoded=true: true sample rate/channels, frame features over
+    * real amplitudes), the byte stub otherwise (decoded=false: the
+    * payload's unsigned bytes stand in as the "signal", silence =
+    * the q120 space-byte rule) — one pass featurizes a mixed media
+    * column without failing on undecodable rows, exactly decodeAll's
+    * image contract. One output row per (doc, frame); no shuffle —
+    * parallelism is the input partitioning. */
+  def audioFrames(media: Dataset[MediaRow], win: Int = AudioWin,
+      hop: Int = AudioHop): Dataset[AudioFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeAudio(r.payload) match {
+          case Some((rate, ch, samples)) =>
+            audioFrameStats(samples, win, hop, SilenceAmp).map {
+              case (fi, flen, energy, peak, silent) =>
+                AudioFrame(r.doc_id, r.mime, decoded = true, rate, ch,
+                  samples.length, fi, flen, energy, peak, silent)
+            }
+          case None =>
+            val payload = if (r.payload == null) Array.emptyByteArray else r.payload
+            val bytes = payload.map(_ & 0xff)
+            audioFrameStats(bytes, win, hop, silenceAmp = -1).map {
+              case (fi, flen, energy, peak, _) =>
+                val silent = (fi * hop until math.min(fi * hop + win, bytes.length))
+                  .count(i => bytes(i) == 32).toLong
+                AudioFrame(r.doc_id, r.mime, decoded = false, 0, 0,
+                  bytes.length, fi, flen, energy, peak, silent)
+            }
+        }
+      }
+    }
+  }
+
   case class ResizedMedia(doc_id: Long, mime: String, width: Int,
     height: Int, pixels: Array[Int])
 

@@ -147,6 +147,80 @@ class MediaPipelineSpec extends SparkSpec {
         MediaPipeline.fakeDecode(bytes)._2.toSeq == MediaPipeline.fakeDecode(bytes)._2.toSeq))
   }
 
+  // ---- real audio decode (javax.sound.sampled) --------------------
+
+  private def wavBytes(samples: Array[Short], rate: Float = 8000f,
+      channels: Int = 1): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate, 16,
+      channels, channels * 2, rate, false)
+    val data = new Array[Byte](samples.length * 2)
+    for (i <- samples.indices) {
+      data(2 * i) = (samples(i) & 0xff).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+    }
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(data),
+      fmt, samples.length / channels)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("real WAV decode via javax.sound.sampled is bit-exact") {
+    // a ramp crossing zero plus full-scale extremes: every byte
+    // pattern class (negative, zero, positive, min, max) round-trips
+    val src = (Array[Short](Short.MinValue, -1, 0, 1, Short.MaxValue) ++
+      (0 until 995).map(i => ((i - 500) * 60).toShort)).toArray
+    val Some((rate, ch, samples)) = MediaPipeline.decodeAudio(wavBytes(src))
+    assert(rate == 8000 && ch == 1)
+    assert(samples.toSeq == src.map(_.toInt).toSeq)
+    // stereo interleaves by channel and round-trips too
+    val st = Array[Short](100, -100, 200, -200, 300, -300)
+    val Some((_, ch2, s2)) = MediaPipeline.decodeAudio(wavBytes(st, channels = 2))
+    assert(ch2 == 2 && s2.toSeq == st.map(_.toInt).toSeq)
+    // corrupt payloads and non-audio bytes fall back, never throw
+    assert(MediaPipeline.decodeAudio(wavBytes(src).take(30)).isEmpty)
+    assert(MediaPipeline.decodeAudio("not audio".getBytes("UTF-8")).isEmpty)
+    assert(MediaPipeline.decodeAudio(null).isEmpty)
+  }
+
+  test("audio frame features run on REAL PCM through the batch seam") {
+    import spark.implicits._
+    val src = (0 until 1000).map(i =>
+      (math.sin(i * 0.05) * 12000).toShort).toArray
+    val silent = Array.fill[Short](300)(0)
+    val ds = Seq(
+      MediaPipeline.MediaRow(1L, "audio/wav", wavBytes(src)),
+      MediaPipeline.MediaRow(2L, "audio/wav", wavBytes(silent)),
+      MediaPipeline.MediaRow(3L, "text/plain", "some text  payload".getBytes("UTF-8")))
+      .toDS()
+    val out = MediaPipeline.audioFrames(ds).collect().groupBy(_.doc_id)
+    // doc 1: decoded, q120's truncated-tail frame-count rule over
+    // SAMPLES, per-frame energy/peak exact vs a direct computation
+    val f1 = out(1L).sortBy(_.frame_idx)
+    assert(f1.forall(f => f.decoded && f.sample_rate == 8000 && f.channels == 1))
+    val expect = MediaPipeline.audioFrameStats(src.map(_.toInt),
+      MediaPipeline.AudioWin, MediaPipeline.AudioHop, MediaPipeline.SilenceAmp)
+    assert(f1.length == math.ceil(math.max(1000 - 256, 0) / 128.0).toInt + 1)
+    assert(f1.length == expect.length)
+    for ((f, (fi, flen, energy, peak, silent)) <- f1.zip(expect)) {
+      assert(f.frame_idx == fi && f.frame_len == flen)
+      assert(f.energy == energy && f.peak == peak && f.n_silent == silent)
+    }
+    // the tail frame is TRUNCATED, never dropped: 1000 samples, 7
+    // frames, the last starting at 6·128 = 768 and holding 232
+    assert(f1.last.frame_len == 232)
+    // doc 2: all-zero signal — every sample silent, zero energy
+    assert(out(2L).forall(f => f.decoded && f.energy == 0L &&
+      f.n_silent == f.frame_len.toLong))
+    // doc 3: stub fallback — byte semantics, q120's space-silence rule
+    val f3 = out(3L).head
+    assert(!f3.decoded && f3.sample_rate == 0 && f3.n_samples == 18)
+    assert(f3.energy == "some text  payload".getBytes("UTF-8")
+      .map(b => (b & 0xff).toLong).map(v => v * v).sum)
+    assert(f3.n_silent == 3L)
+  }
+
   test("q120 frames: count formula, overlap coverage, and exact energy") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.t(spark, sf0001, "documents")

@@ -182,15 +182,19 @@ object Pipeline {
     * into both the fact filter (semi-join) and the key-scoped swap
     * (overwriteMatching) — at scale a supplier-clustered fact layout
     * would prune at the scan. Returns rows written per mart. */
-  /** Restrict `df` to the rows whose `keys` appear in the (bounded,
-    * broadcast) `keyFrame` — the shared delta-scoping move of every
-    * incremental refresh. The trailing select restores `df`'s column
-    * order: a USING-join moves the join keys to the front, and the
-    * tuple-key swap downstream compares schemas positionally. */
+  /** Restrict `df` to the rows whose `keys` appear in `keyFrame` —
+    * the shared delta-scoping move of every incremental refresh. The
+    * physical shape is ADVISED per call (util.JoinAdvisor): the key
+    * frame's distinct count is KMV-sketched and the semi-join
+    * broadcasts when it fits the budget (the common small-delta case,
+    * the previous unconditional behavior) but pins a merge join for a
+    * full-refresh-sized delta a blind broadcast would OOM on.
+    * Column order of `df` is preserved (USING-semi-join reorder
+    * rule — the tuple-key swap downstream compares schemas
+    * positionally). */
   private def restrictToKeys(df: DataFrame, keys: Seq[String],
       keyFrame: DataFrame): DataFrame =
-    df.join(broadcast(keyFrame), keys, "left_semi")
-      .select(df.columns.map(col): _*)
+    graft.util.JoinAdvisor.advisedSemiJoin(df, keys, keyFrame)
 
   def refreshSupplierMarts(spark: SparkSession, store: LayerStore,
       deltaLineitem: DataFrame): (Long, Long) = {

@@ -913,7 +913,12 @@ object Eda extends QueryModule {
     * expose realized error. Scale: each sketch is one distinct-hash
     * shuffle + TakeOrdered; the algebra then runs on K-row frames —
     * estimating a fact-fact join size costs two column scans, not the
-    * join. */
+    * join. NOTE: that claim describes the production API
+    * (functions.Kmv / util.JoinAdvisor, which never join the full
+    * sets); THIS query deliberately also runs the exact fact-fact
+    * hash-set joins (`exact_*` below) so the oracle can verify the
+    * realized estimation error — most of the query's measured cost is
+    * that exact side, not the estimator being benchmarked. */
   def kmvSetOps(s: SparkSession, dir: String): DataFrame = {
     def pair(label: String, dfA: DataFrame, cA: String,
         dfB: DataFrame, cB: String): DataFrame = {

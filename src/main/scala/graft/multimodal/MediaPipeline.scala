@@ -82,20 +82,7 @@ object MediaPipeline {
     if (payloadOrNull == null || payloadOrNull.isEmpty) None
     else try {
       Option(javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(payloadOrNull))).map { img =>
-        val w = img.getWidth
-        val h = img.getHeight
-        val rgb = img.getRGB(0, 0, w, h, null, 0, w)
-        val luma = new Array[Int](w * h)
-        var i = 0
-        while (i < luma.length) {
-          val v = rgb(i)
-          luma(i) = (((v >> 16) & 0xff) * 299 + ((v >> 8) & 0xff) * 587 +
-            (v & 0xff) * 114) / 1000
-          i += 1
-        }
-        (w, h, luma)
-      }
+        new java.io.ByteArrayInputStream(payloadOrNull))).map(lumaOf)
     } catch {
       // NonFatal, not just IOException: JDK ImageIO readers throw
       // RuntimeExceptions (ArrayIndexOutOfBounds, IllegalArgument,
@@ -205,6 +192,113 @@ object MediaPipeline {
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** BT.601 integer luma plane of a decoded image — shared by the
+    * single-image and multi-frame decode paths. */
+  private def lumaOf(img: java.awt.image.BufferedImage): (Int, Int, Array[Int]) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+    val luma = new Array[Int](w * h)
+    var i = 0
+    while (i < luma.length) {
+      val v = rgb(i)
+      luma(i) = (((v >> 16) & 0xff) * 299 + ((v >> 8) & 0xff) * 587 +
+        (v & 0xff) * 114) / 1000
+      i += 1
+    }
+    (w, h, luma)
+  }
+
+  /** REAL multi-frame decode — the video-container tier: javax.imageio
+    * sequence readers (TIFF multi-page and GIF multi-frame ship with
+    * the JDK) enumerate and decode every frame up to `maxFrames`,
+    * returning per-frame (width, height, luma). None when no reader
+    * recognizes the payload or it holds no frames (callers fall back
+    * to the stub — the decodeImage/decodeAudio contract). A
+    * single-frame image is a 1-frame "video", so one code path serves
+    * both. Note: frames decode as stored — animated-GIF disposal
+    * compositing is out of scope (TIFF is the canonical multi-frame
+    * container here). */
+  def decodeFrames(payloadOrNull: Array[Byte],
+      maxFrames: Int = 64): Option[Seq[(Int, Int, Array[Int])]] = {
+    if (payloadOrNull == null || payloadOrNull.isEmpty) None
+    else try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payloadOrNull))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            // seekForwardOnly=false: getNumImages(true) must scan
+            reader.setInput(iis, false, true)
+            val n = math.min(reader.getNumImages(true), maxFrames)
+            if (n <= 0) None
+            else Some((0 until n).map(i => lumaOf(reader.read(i))))
+          } finally reader.dispose()
+        }
+      } finally iis.close()
+    } catch {
+      // same malformed-payload tier as decodeImage/decodeAudio
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  /** Hamming distance above which two consecutive sampled frames'
+    * aHashes count as a scene cut (64-bit hash; >16 differing bits is
+    * far outside re-encode noise, the q118-family dup threshold
+    * inverted). */
+  val SceneCutHamming = 16
+
+  case class VideoFrameRow(doc_id: Long, mime: String, decoded: Boolean,
+    n_frames: Int, frame_idx: Int, width: Int, height: Int,
+    mean_luma: Double, ahash: Long, scene_change: Boolean)
+
+  /** Partition-local batch video featurization: REAL multi-frame
+    * decode, then the frame-sampling pass every video curation
+    * pipeline runs — keep every `every`-th frame, and per kept frame
+    * emit dimensions, mean luma, the 64-bit perceptual aHash (the
+    * q118-family visual fingerprint, enabling cross-video frame dedup
+    * downstream), and a scene-change flag (aHash Hamming vs the
+    * previously KEPT frame > SceneCutHamming — the shot-boundary
+    * signal a sampler uses to keep one frame per shot instead of N
+    * near-identical ones). Undecodable payloads fall back to ONE
+    * stub row (decoded=false, the byte-stub hash), so a mixed media
+    * column featurizes in one pass — the decodeAll/audioFrames
+    * contract. No shuffle; parallelism is the input partitioning. */
+  def videoFrames(media: Dataset[MediaRow], every: Int = 2,
+      maxFrames: Int = 64): Dataset[VideoFrameRow] = {
+    require(every > 0)
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        decodeFrames(r.payload, maxFrames) match {
+          case Some(frames) =>
+            var prev = -1L
+            frames.zipWithIndex.collect {
+              case ((w, h, luma), idx) if idx % every == 0 =>
+                val hash = avgHash64(sampleGrid(luma, w, h, 8))
+                val cut = prev != -1L &&
+                  java.lang.Long.bitCount(prev ^ hash) > SceneCutHamming
+                prev = hash
+                val mean =
+                  if (luma.isEmpty) 0.0
+                  else luma.foldLeft(0L)(_ + _).toDouble / luma.length
+                VideoFrameRow(r.doc_id, r.mime, decoded = true,
+                  frames.size, idx, w, h, mean, hash, cut)
+            }
+          case None =>
+            val (_, stub) = fakeDecode(r.payload)
+            Seq(VideoFrameRow(r.doc_id, r.mime, decoded = false,
+              stub.length, 0, 0, 0, 0.0,
+              avgHash64(stub.padTo(64, 0).take(64)), scene_change = false))
+        }
+      }
+    }
   }
 
   /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF/

@@ -1337,7 +1337,7 @@ object TextOps extends QueryModule {
 
   /** The fixed benchmark queries (a retrieval surface needs concrete
     * probes; terms drawn from the corpus vocabulary). */
-  private[operators] val bm25Queries: Seq[(String, String)] = Seq(
+  private[graft] val bm25Queries: Seq[(String, String)] = Seq(
     "q1" -> "hash join stream",
     "q2" -> "window sort merge fast",
     "q3" -> "spark vector scan")
@@ -1368,19 +1368,24 @@ object TextOps extends QueryModule {
     * 100 TB the stored q125 index replaces the tokenize pass; the
     * probe/score/rank stages are unchanged. */
   def bm25Search(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val toks = Tables.t(s, dir, "documents")
-      .select(col("doc_id"), tokens(col("text")).as("ts"))
     // one tokenize pass feeds postings AND doc length; dl rides the
     // posting rows so no second doc-keyed join is needed
-    val tf = toks
-      .select(col("doc_id"), size(col("ts")).cast(LongType).as("dl"),
-        explode(col("ts")).as("term"))
-      .groupBy(col("term"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
-    val stats = toks.agg(count(lit(1)).as("n_docs"),
-      sum(size(col("ts")).cast(LongType)).as("total_dl"))
-    val qterms = bm25Queries
+    val (tf, stats) = buildPostingsIndex(s, dir)
+    bm25OverIndex(tf, stats, bm25Queries)
+  }
+
+  /** The BM25 scorer over an index's (term, doc_id, dl, tf) postings
+    * frame + 1-row (n_docs, total_dl) stats — the seam that makes the
+    * "stored index replaces the tokenize pass" claim REAL: q134 feeds
+    * it the one-pass tokenize form; a deployment (and
+    * Bm25StoredIndexSpec) feeds it the PERSISTED postings table, and
+    * the results are identical because everything downstream of the
+    * index is this one code path. */
+  private[graft] def bm25OverIndex(tf: DataFrame, stats: DataFrame,
+      queries: Seq[(String, String)]): DataFrame = {
+    val s = tf.sparkSession
+    import s.implicits._
+    val qterms = queries
       .flatMap { case (qid, text) => text.split(' ').distinct.map(qid -> _) }
       .toDF("query_id", "term")
     val posted = tf.join(broadcast(qterms.select(col("term")).distinct()), "term")
@@ -1405,6 +1410,24 @@ object TextOps extends QueryModule {
       .filter(col("rank") <= Bm25TopK)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"), col("n_terms"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The FULL postings index a deployment stores (q125's head keeps
+    * top-5 postings for inspection; the scorer needs them all): one
+    * row per (term, doc) with tf and the doc length riding along, plus
+    * the 1-row corpus stats frame. Build once at ingest, probe per
+    * query — the write side of the bm25OverIndex seam. */
+  private[graft] def buildPostingsIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val toks = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+    val tf = toks
+      .select(col("doc_id"), size(col("ts")).cast(LongType).as("dl"),
+        explode(col("ts")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("ts")).cast(LongType)).as("total_dl"))
+    (tf, stats)
   }
 
   private val bm25SearchSql = {

@@ -147,6 +147,75 @@ class MediaPipelineSpec extends SparkSpec {
         MediaPipeline.fakeDecode(bytes)._2.toSeq == MediaPipeline.fakeDecode(bytes)._2.toSeq))
   }
 
+  // ---- real multi-frame (video-container) decode -------------------
+
+  /** Solid or split-pattern test frame; r=g=b makes luma exact. */
+  private def frame(pattern: Int => Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(32, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32) {
+      val v = pattern(x) & 0xff
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  private def tiffBytes(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    val it = javax.imageio.ImageIO.getImageWritersByFormatName("tiff")
+    assert(it.hasNext, "JDK TIFF writer missing")
+    val writer = it.next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach(f =>
+      writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+    writer.endWriteSequence()
+    writer.dispose(); ios.close()
+    bos.toByteArray
+  }
+
+  test("real multi-frame TIFF decode: every frame, bit-exact luma") {
+    val video = tiffBytes(Seq(frame(_ => 10), frame(_ => 200), frame(x => x)))
+    val Some(frames) = MediaPipeline.decodeFrames(video)
+    assert(frames.size == 3)
+    assert(frames.forall { case (w, h, l) => w == 32 && h == 32 && l.length == 1024 })
+    assert(frames(0)._3.forall(_ == 10) && frames(1)._3.forall(_ == 200))
+    assert(frames(2)._3.take(32).toSeq == (0 until 32)) // the ramp row
+    // a single-frame PNG is a 1-frame video through the same path
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(frame(_ => 77), "png", bos)
+    val Some(one) = MediaPipeline.decodeFrames(bos.toByteArray)
+    assert(one.size == 1 && one.head._3.forall(_ == 77))
+    // unrecognized / empty payloads fall back, never throw
+    assert(MediaPipeline.decodeFrames("not video".getBytes("UTF-8")).isEmpty)
+    assert(MediaPipeline.decodeFrames(null).isEmpty)
+  }
+
+  test("video frame sampling + scene-change detection through the batch seam") {
+    import spark.implicits._
+    // shots: A A B B A A (A = left-black/right-white, B = inverted) —
+    // sampling every 2 keeps frames 0(A), 2(B), 4(A): two scene cuts
+    def a = frame(x => if (x >= 16) 255 else 0)
+    def b = frame(x => if (x >= 16) 0 else 255)
+    val video = tiffBytes(Seq(a, a, b, b, a, a))
+    val ds = Seq(
+      MediaPipeline.MediaRow(1L, "image/tiff", video),
+      MediaPipeline.MediaRow(2L, "text/plain", "not a video".getBytes("UTF-8")))
+      .toDS()
+    val out = MediaPipeline.videoFrames(ds, every = 2).collect().groupBy(_.doc_id)
+    val v1 = out(1L).sortBy(_.frame_idx)
+    assert(v1.map(_.frame_idx).toSeq == Seq(0, 2, 4))
+    assert(v1.forall(f => f.decoded && f.n_frames == 6 && f.width == 32))
+    assert(v1.map(_.scene_change).toSeq == Seq(false, true, true))
+    // A-frames hash identically (frame dedup across the video), B differs
+    assert(v1(0).ahash == v1(2).ahash && v1(0).ahash != v1(1).ahash)
+    assert(math.abs(v1(0).mean_luma - 127.5) < 0.5) // half 0 / half 255
+    // the undecodable payload is one stub row
+    val v2 = out(2L)
+    assert(v2.length == 1 && !v2.head.decoded && !v2.head.scene_change)
+  }
+
   // ---- real audio decode (javax.sound.sampled) --------------------
 
   private def wavBytes(samples: Array[Short], rate: Float = 8000f,

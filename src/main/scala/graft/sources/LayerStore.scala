@@ -111,6 +111,49 @@ class LayerStore(spark: SparkSession, root: String) {
     table(layer, name).createOrReplaceTempView(viewName(layer, name))
   }
 
+  // ---- persisted key sketches (ANALYZE at ingest) -------------------
+
+  private def sketchPath(layer: String, name: String, keys: Seq[String]) =
+    hadoopPath(layer, name, "/_key_sketch_" + keys.mkString("_"))
+
+  /** Persist the table's KMV key sketch as an underscore-prefixed
+    * sidecar INSIDE the table directory (Spark's file listing ignores
+    * `_`-prefixed files, so reads are unaffected) — the ANALYZE-at-
+    * ingest that makes util.JoinAdvisor free at plan time: a join
+    * decision then reads two K-row sidecars instead of scanning the
+    * tables. Living inside the directory is the staleness story: the
+    * sidecar dies with the data on the next stage-swap rewrite, so a
+    * sketch can never describe rows that are gone (an appended table
+    * should re-sketch after append). */
+  def writeKeySketch(layer: String, name: String, keys: Seq[String],
+      k: Int = graft.functions.Kmv.DefaultK): Unit = {
+    val m = graft.util.JoinAdvisor.minima(table(layer, name), keys.map(col), k)
+    val p = sketchPath(layer, name, keys)
+    val out = fsFor(p).create(p, true)
+    try out.write((keys.mkString(",") + "\n" + k + "\n" + m.mkString("\n"))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read a persisted key sketch back: (k, minima), None when the
+    * table was never sketched (or was rewritten since — callers fall
+    * back to the scanning advise()). */
+  def keySketch(layer: String, name: String,
+      keys: Seq[String]): Option[(Int, Seq[String])] = {
+    val p = sketchPath(layer, name, keys)
+    val fs = fsFor(p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+      val lines = txt.split("\n", -1)
+      Some((lines(1).trim.toInt, lines.drop(2).filter(_.nonEmpty).toSeq))
+    }
+  }
+
   /** S2 — key-level latest-wins upsert: incoming rows win over stored
     * rows on `keys`; within the incoming batch the highest `orderCol`
     * wins. Stage-and-swap (idempotent, like the reference's re-runnable

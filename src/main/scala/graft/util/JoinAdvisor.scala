@@ -68,9 +68,17 @@ object JoinAdvisor {
   def advise(left: DataFrame, leftKeys: Seq[Column],
       right: DataFrame, rightKeys: Seq[Column],
       broadcastMaxKeys: Double = DefaultBroadcastMaxKeys,
+      k: Int = Kmv.DefaultK): Advice =
+    adviseFromMinima(minima(left, leftKeys, k), minima(right, rightKeys, k),
+      broadcastMaxKeys, k)
+
+  /** The algebra over pre-computed minima — the zero-scan entry point
+    * for sketches PERSISTED at write time (LayerStore.writeKeySketch):
+    * at 100 TB advise() costs two table scans, this costs two K-row
+    * sidecar reads. */
+  def adviseFromMinima(a: Seq[String], b: Seq[String],
+      broadcastMaxKeys: Double = DefaultBroadcastMaxKeys,
       k: Int = Kmv.DefaultK): Advice = {
-    val a = minima(left, leftKeys, k)
-    val b = minima(right, rightKeys, k)
     val na = estimateFrom(a, k)
     val nb = estimateFrom(b, k)
     val union = (a ++ b).distinct.sorted.take(k)

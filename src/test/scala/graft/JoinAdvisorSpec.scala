@@ -64,6 +64,27 @@ class JoinAdvisorSpec extends SparkSpec {
     assert(m.collect().map(_.toSeq).toSet == viaPlain)
   }
 
+  test("persisted key sketches: zero-scan advice, table reads unaffected, dies with rewrite") {
+    val dir = java.nio.file.Files.createTempDirectory("advisor-store").toString
+    val store = new graft.sources.LayerStore(spark, dir)
+    store.write("silver", "facts", fact)
+    store.writeKeySketch("silver", "facts", Seq("key"))
+    // the sidecar does not disturb parquet reads
+    assert(store.table("silver", "facts").count() == 20000)
+    // stored-sketch advice == scanning advice (same minima, same k)
+    val Some((k, stored)) = store.keySketch("silver", "facts", Seq("key"))
+    val scanned = graft.util.JoinAdvisor.minima(fact, Seq(fact("key")))
+    assert(stored == scanned)
+    val viaStore = graft.util.JoinAdvisor.adviseFromMinima(
+      stored, graft.util.JoinAdvisor.minima(smallKeys, Seq(smallKeys("key"))), k = k)
+    val viaScan = graft.util.JoinAdvisor.advise(
+      fact, Seq(fact("key")), smallKeys, Seq(smallKeys("key")))
+    assert(viaStore == viaScan)
+    // a rewrite drops the sidecar — a sketch cannot outlive its data
+    store.write("silver", "facts", fact.limit(10))
+    assert(store.keySketch("silver", "facts", Seq("key")).isEmpty)
+  }
+
   test("multi-column keys sketch and scope correctly") {
     val df = Seq((1L, "a", 10.0), (1L, "b", 20.0), (2L, "a", 30.0))
       .toDF("k1", "k2", "v")

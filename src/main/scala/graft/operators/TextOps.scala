@@ -390,6 +390,100 @@ object TextOps extends QueryModule {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---- q137: asymmetric containment (quote/wrapper detection) ------
+
+  /** Bottom-k probe width for containment candidates. */
+  private val ContainK = 8
+  /** Report pairs at/above this exact containment. */
+  private val ContainTau = 0.5
+
+  /** q137 — asymmetric shingle CONTAINMENT |A∩B|/|A| (Broder 1997's
+    * second resemblance measure), the dedup primitive Jaccard misses:
+    * a short document quoted whole inside a long wrapper page has
+    * Jaccard ≈ |A|/|B| (tiny) but containment ≈ 1 — exactly the
+    * boilerplate-wrapper/quote case a curation pass must catch, and
+    * exactly the pair MinHash-LSH banding (q22) is BLIND to, because
+    * band collision probability tracks JACCARD. Candidates therefore
+    * come from a different generator: each doc PROBES its bottom-k
+    * (k=8) smallest shingles against the full shingle index — if
+    * A ⊆ B, every probe of A hits B, so true subsets are recalled
+    * EXACTLY (the pigeonhole argument of the q118 image bands, in
+    * asymmetric form); a pair becomes a candidate when ≥ half of A's
+    * probes hit B, then verifies with the exact q23 intersection.
+    * Output: both exact containment and Jaccard per surviving pair —
+    * the asymmetry between them IS the signal (high containment +
+    * low Jaccard = subset, both high = plain near-dup).
+    * Scale: probes are K rows per doc joining the shingle index on
+    * the shingle key (the q125 posting-probe shape, never all-pairs);
+    * a production corpus drops top-df shingles from the probe set
+    * (stopword-shingle stoplist) to bound the hot-key fanout — the
+    * q104 salting pattern composes if one survives. */
+  def containment(s: SparkSession, dir: String): DataFrame = {
+    val sh = sharedShingles(s, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val wk = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val probes = sh.withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= ContainK)
+      .select(col("doc_id").as("a"), col("s"))
+    val nProbes = probes.groupBy(col("a")).agg(count(lit(1)).as("n_probes"))
+    val cand = probes.as("p")
+      .join(sh.as("idx"),
+        col("p.s") === col("idx.s") && col("p.a") =!= col("idx.doc_id"))
+      .groupBy(col("a"), col("idx.doc_id").as("b"))
+      .agg(count(lit(1)).as("hits"))
+      .join(nProbes, "a")
+      .filter(col("hits") * 2 >= col("n_probes"))
+      .select(col("a"), col("b"))
+    val inter = cand
+      .join(sh.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("n_a")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("n_b")), "b")
+      .select(col("a").as("doc_id"), col("b").as("container_id"),
+        col("n_a"), col("n_b"), col("inter"),
+        snapRound(col("inter").cast(DoubleType) / col("n_a").cast(DoubleType), 6)
+          .as("containment"),
+        snapRound(col("inter").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("inter")).cast(DoubleType), 6).as("jaccard"),
+        (col("inter") === col("n_a")).as("is_full_subset"))
+      .filter(col("containment") >= ContainTau)
+      .orderBy(col("doc_id"), col("container_id"))
+  }
+
+  private val containmentSql =
+    s"""WITH $shinglesCte,
+       |sizes AS (SELECT doc_id, count(1) AS n FROM sh GROUP BY doc_id),
+       |probes AS (
+       |  SELECT doc_id AS a, s FROM (
+       |    SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id ORDER BY s) AS rn
+       |    FROM sh)
+       |  WHERE rn <= $ContainK),
+       |np AS (SELECT a, count(1) AS n_probes FROM probes GROUP BY 1),
+       |cand AS (
+       |  SELECT a, b FROM (
+       |    SELECT p.a, idx.doc_id AS b, count(1) AS hits
+       |    FROM probes p JOIN sh idx ON p.s = idx.s AND p.a <> idx.doc_id
+       |    GROUP BY 1, 2) h
+       |  JOIN np USING (a)
+       |  WHERE hits * 2 >= n_probes),
+       |inter AS (
+       |  SELECT a, b, count(1) AS inter
+       |  FROM cand
+       |  JOIN sh sa ON a = sa.doc_id
+       |  JOIN sh sb ON b = sb.doc_id AND sa.s = sb.s
+       |  GROUP BY 1, 2)
+       |SELECT a AS doc_id, b AS container_id, na.n AS n_a, nb.n AS n_b, inter,
+       |       ${snapRoundSql("CAST(inter AS DOUBLE) / CAST(na.n AS DOUBLE)", 6)} AS containment,
+       |       ${snapRoundSql("CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE)", 6)} AS jaccard,
+       |       inter = na.n AS is_full_subset
+       |FROM inter
+       |JOIN sizes na ON a = na.doc_id
+       |JOIN sizes nb ON b = nb.doc_id
+       |WHERE ${snapRoundSql("CAST(inter AS DOUBLE) / CAST(na.n AS DOUBLE)", 6)} >= $ContainTau
+       |ORDER BY doc_id, container_id""".stripMargin
+
   // ---- q105: incremental ingest dedup ------------------------------
 
   /** The "new batch" boundary for q105: the top decile of doc_ids
@@ -1523,6 +1617,7 @@ object TextOps extends QueryModule {
     "q126_cooccurrence_lift" -> cooccurrenceLift,
     "q125_inverted_index" -> invertedIndex,
     "q134_bm25_search" -> bm25Search,
+    "q137_containment" -> containment,
     "q130_triangle_count" -> triangleCount,
     "q124_pagerank" -> pagerank,
     "q123_entity_resolution" -> entityResolution,
@@ -1565,6 +1660,7 @@ object TextOps extends QueryModule {
     "q126_cooccurrence_lift" -> cooccurrenceLiftSql,
     "q125_inverted_index" -> invertedIndexSql,
     "q134_bm25_search" -> bm25SearchSql,
+    "q137_containment" -> containmentSql,
     "q130_triangle_count" -> triangleCountSql,
     "q124_pagerank" -> pagerankSql,
     "q123_entity_resolution" -> entityResolutionSql,

@@ -438,6 +438,94 @@ object CorpusOps extends QueryModule {
       |FROM vocab
       |ORDER BY rank""".stripMargin
 
+  // ---- q138: Zipf-law slope per source ------------------------------
+
+  /** q138 — Zipf's-law fit per source: OLS slope/intercept/r² of
+    * ln(freq) vs ln(rank) over each source's term-frequency spectrum —
+    * the corpus-health diagnostic that flags machine-generated or
+    * template-heavy sources (natural text sits near slope −1;
+    * boilerplate spam is flatter, key-value dumps steeper; Zipf 1949,
+    * and Gopher's per-source quality analyses use exactly this
+    * spectrum shape). Parity: both logs are libm calls on EXACT
+    * integer inputs snapped 4-dp (the q134 rule) then rescaled to
+    * exact LONGS, so all five sufficient sums fold as codegen'd long
+    * adds (the q128 discipline) and every combine (n·Σxy − Σx·Σy …)
+    * stays inside exact 64-bit range at any realistic vocabulary
+    * (|x|,|y| ≤ ~1.5e5 scaled, products ≤ 2.3e10, sums ≤ 1e15 — ANSI
+    * mode errors loudly beyond); the only IEEE steps are the final
+    * divisions, snapped from identical integers, with the SNAPPED
+    * slope nested in the intercept (the q128 lesson). Scale: one
+    * (source, term) aggregation, a per-source rank window over
+    * vocabulary-sized rows, one reduction — the token stream shuffles
+    * once and nothing fact-sized joins. */
+  def zipfSlope(s: SparkSession, dir: String): DataFrame = {
+    import graft.util.Parity.{asScaled, snapRound}
+    val tf = Tables.t(s, dir, "documents")
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy(col("source")).orderBy(col("freq").desc, col("token"))
+    val xy = tf.withColumn("rank", row_number().over(w))
+      .select(col("source"),
+        asScaled(snapRound(log(col("rank").cast(DoubleType)), 4), 4).as("xs"),
+        asScaled(snapRound(log(col("freq").cast(DoubleType)), 4), 4).as("ys"))
+    xy.groupBy(col("source")).agg(
+        count(lit(1)).as("n_terms"), sum(col("xs")).as("sx"), sum(col("ys")).as("sy"),
+        sum(col("xs") * col("ys")).as("sxy"), sum(col("xs") * col("xs")).as("sxx"),
+        sum(col("ys") * col("ys")).as("syy"))
+      .withColumn("num", col("n_terms") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("n_terms") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("deny", col("n_terms") * col("syy") - col("sy") * col("sy"))
+      .withColumn("slope", when(col("den") =!= 0,
+        snapRound(col("num").cast(DoubleType) / col("den").cast(DoubleType), 6)))
+      .select(col("source"), col("n_terms"), col("slope"),
+        when(col("den") =!= 0, snapRound(
+          (col("sy").cast(DoubleType) / lit(10000.0) -
+            col("slope") * (col("sx").cast(DoubleType) / lit(10000.0))) /
+            col("n_terms").cast(DoubleType), 6)).as("intercept"),
+        when(col("den") =!= 0 && col("deny") =!= 0, snapRound(
+          (col("num").cast(DoubleType) / col("den").cast(DoubleType)) *
+            (col("num").cast(DoubleType) / col("deny").cast(DoubleType)), 6)).as("r2"))
+      .orderBy(col("source"))
+  }
+
+  private lazy val zipfSlopeSql = {
+    import graft.util.Parity.snapRoundSql
+    val slope = "CASE WHEN den <> 0 THEN " +
+      snapRoundSql("CAST(num AS DOUBLE) / CAST(den AS DOUBLE)", 6) + " END"
+    s"""WITH ztf AS (
+       |  SELECT source, token, count(1) AS freq FROM (
+       |    SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)
+       |  GROUP BY 1, 2),
+       |zrk AS (
+       |  SELECT source, freq,
+       |         row_number() OVER (PARTITION BY source ORDER BY freq DESC, token) AS rank
+       |  FROM ztf),
+       |zxy AS (
+       |  SELECT source,
+       |         CAST(round(${snapRoundSql("ln(CAST(rank AS DOUBLE))", 4)} * 10000) AS BIGINT) AS xs,
+       |         CAST(round(${snapRoundSql("ln(CAST(freq AS DOUBLE))", 4)} * 10000) AS BIGINT) AS ys
+       |  FROM zrk),
+       |zagg AS (
+       |  SELECT source, count(1) AS n_terms,
+       |         CAST(sum(xs) AS BIGINT) AS sx, CAST(sum(ys) AS BIGINT) AS sy,
+       |         CAST(sum(xs * ys) AS BIGINT) AS sxy,
+       |         CAST(sum(xs * xs) AS BIGINT) AS sxx,
+       |         CAST(sum(ys * ys) AS BIGINT) AS syy
+       |  FROM zxy GROUP BY 1),
+       |zc AS (
+       |  SELECT *, n_terms * sxy - sx * sy AS num,
+       |         n_terms * sxx - sx * sx AS den,
+       |         n_terms * syy - sy * sy AS deny
+       |  FROM zagg),
+       |zs AS (SELECT *, $slope AS slope FROM zc)
+       |SELECT source, n_terms, slope,
+       |       CASE WHEN den <> 0 THEN ${snapRoundSql(
+      "(CAST(sy AS DOUBLE) / 10000.0 - slope * (CAST(sx AS DOUBLE) / 10000.0)) / CAST(n_terms AS DOUBLE)", 6)} END AS intercept,
+       |       CASE WHEN den <> 0 AND deny <> 0 THEN ${snapRoundSql(
+      "(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) * (CAST(num AS DOUBLE) / CAST(deny AS DOUBLE))", 6)} END AS r2
+       |FROM zs ORDER BY source""".stripMargin
+  }
+
   // ---- q84: count-min heavy hitters --------------------------------
 
   private val CmDepth = graft.functions.CountMin.DefaultDepth
@@ -1132,6 +1220,7 @@ object CorpusOps extends QueryModule {
     "q91_decon_two_phase" -> decontaminateTwoPhase,
     "q99_curation_funnel" -> curationFunnel,
     "q63_vocabulary" -> vocabulary,
+    "q138_zipf_slope" -> zipfSlope,
     "q92_oov_profile" -> oovProfile,
     "q65_lang_source_matrix" -> langSourceMatrix,
     "q67_pii_redact" -> piiRedact,
@@ -1152,6 +1241,7 @@ object CorpusOps extends QueryModule {
     "q91_decon_two_phase" -> decontaminateSql,
     "q99_curation_funnel" -> curationFunnelSql,
     "q63_vocabulary" -> vocabularySql,
+    "q138_zipf_slope" -> zipfSlopeSql,
     "q92_oov_profile" -> oovProfileSql,
     "q65_lang_source_matrix" -> langSourceMatrixSql,
     "q67_pii_redact" -> piiRedactSql,

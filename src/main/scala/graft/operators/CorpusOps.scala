@@ -526,6 +526,102 @@ object CorpusOps extends QueryModule {
        |FROM zs ORDER BY source""".stripMargin
   }
 
+  // ---- q139: source-pair Jensen–Shannon divergence ------------------
+
+  /** ln 2 as the same decimal literal on both engines (the JSD
+    * contribution of a term PRESENT in one source and absent in the
+    * other is exactly p·ln2). */
+  private val Ln2Sql = "0.6931471805599453"
+
+  /** q139 — Jensen–Shannon divergence between every source pair's
+    * unigram distributions (Lin 1991): the similarity matrix behind
+    * dataset-merging and mixture-design decisions — two sources with
+    * JSD ≈ 0 are the same distribution twice (dedup the SOURCES, not
+    * just documents), JSD → ln 2 means disjoint vocabularies. Computed
+    * exactly from the decomposition: terms shared by both sources
+    * contribute p·ln(2p/(p+q)) and q·ln(2q/(p+q)); a term private to
+    * one side contributes p·ln2, and those sum to ln2·(1 − P_shared)
+    * per side — so only the SHARED-term join is ever materialized.
+    * Parity: every ln argument is an exact integer rational
+    * (2·c_a·N_b / (c_a·N_b + c_b·N_a) — products ≤ ~2e11 at sf0.1,
+    * exact in long and double; re-derive the bound before 100×), ln
+    * snaps 6-dp (q134 rule), per-term contributions snap and fold
+    * through DECIMAL(38,10). Scale: the pair expansion is keyed on
+    * TERM (each term joins its ≤|sources| rows — the q126 bound, with
+    * sources² « vocab), marginals are sources-sized and broadcast. */
+  def sourceJsd(s: SparkSession, dir: String): DataFrame = {
+    import graft.util.Parity.snapRound
+    val st = Tables.t(s, dir, "documents")
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+    val tot = st.groupBy(col("source")).agg(sum(col("c")).as("nn"))
+    val ln2 = lit(0.6931471805599453)
+    val shared = st.as("a").join(st.as("b"),
+        col("a.token") === col("b.token") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        col("a.c").as("ca"), col("b.c").as("cb"))
+      .join(broadcast(tot.select(col("source").as("source_a"), col("nn").as("na"))), "source_a")
+      .join(broadcast(tot.select(col("source").as("source_b"), col("nn").as("nb"))), "source_b")
+    val lnA = snapRound(log((lit(2) * col("ca") * col("nb")).cast(DoubleType) /
+      (col("ca") * col("nb") + col("cb") * col("na")).cast(DoubleType)), 6)
+    val lnB = snapRound(log((lit(2) * col("cb") * col("na")).cast(DoubleType) /
+      (col("ca") * col("nb") + col("cb") * col("na")).cast(DoubleType)), 6)
+    def dsum(c: Column) = sum(c.cast(DecimalType(38, 10))).cast(DoubleType)
+    shared
+      .select(col("source_a"), col("source_b"), col("ca"), col("cb"),
+        col("na"), col("nb"),
+        snapRound((col("ca").cast(DoubleType) / col("na").cast(DoubleType)) * lnA, 6).as("ta"),
+        snapRound((col("cb").cast(DoubleType) / col("nb").cast(DoubleType)) * lnB, 6).as("tb"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared_terms"),
+        sum(col("ca")).as("sca"), sum(col("cb")).as("scb"),
+        max(col("na")).as("na"), max(col("nb")).as("nb"),
+        dsum(col("ta")).as("la"), dsum(col("tb")).as("lb"))
+      .select(col("source_a"), col("source_b"), col("n_shared_terms"),
+        snapRound(
+          (ln2 * (lit(1.0) - col("sca").cast(DoubleType) / col("na").cast(DoubleType)) + col("la")) / lit(2.0) +
+          (ln2 * (lit(1.0) - col("scb").cast(DoubleType) / col("nb").cast(DoubleType)) + col("lb")) / lit(2.0),
+          6).as("jsd"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  private lazy val sourceJsdSql = {
+    import graft.util.Parity.snapRoundSql
+    val lnA = snapRoundSql(
+      "ln(CAST(2 * ca * nb AS DOUBLE) / CAST(ca * nb + cb * na AS DOUBLE))", 6)
+    val lnB = snapRoundSql(
+      "ln(CAST(2 * cb * na AS DOUBLE) / CAST(ca * nb + cb * na AS DOUBLE))", 6)
+    s"""WITH jst AS (
+       |  SELECT source, token, count(1) AS c FROM (
+       |    SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)
+       |  GROUP BY 1, 2),
+       |jtot AS (SELECT source, CAST(sum(c) AS BIGINT) AS nn FROM jst GROUP BY 1),
+       |jsh AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |         a.c AS ca, b.c AS cb, ta.nn AS na, tb.nn AS nb
+       |  FROM jst a JOIN jst b ON a.token = b.token AND a.source < b.source
+       |  JOIN jtot ta ON a.source = ta.source
+       |  JOIN jtot tb ON b.source = tb.source),
+       |jterms AS (
+       |  SELECT source_a, source_b, ca, cb, na, nb,
+       |         ${snapRoundSql(s"(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)) * ($lnA)", 6)} AS ta,
+       |         ${snapRoundSql(s"(CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) * ($lnB)", 6)} AS tb
+       |  FROM jsh),
+       |jagg AS (
+       |  SELECT source_a, source_b, count(1) AS n_shared_terms,
+       |         CAST(sum(ca) AS BIGINT) AS sca, CAST(sum(cb) AS BIGINT) AS scb,
+       |         max(na) AS na, max(nb) AS nb,
+       |         CAST(sum(CAST(ta AS DECIMAL(38,10))) AS DOUBLE) AS la,
+       |         CAST(sum(CAST(tb AS DECIMAL(38,10))) AS DOUBLE) AS lb
+       |  FROM jterms GROUP BY 1, 2)
+       |SELECT source_a, source_b, n_shared_terms,
+       |       ${snapRoundSql(
+      s"($Ln2Sql * (1.0 - CAST(sca AS DOUBLE) / CAST(na AS DOUBLE)) + la) / 2.0 + " +
+        s"($Ln2Sql * (1.0 - CAST(scb AS DOUBLE) / CAST(nb AS DOUBLE)) + lb) / 2.0", 6)} AS jsd
+       |FROM jagg
+       |ORDER BY source_a, source_b""".stripMargin
+  }
+
   // ---- q84: count-min heavy hitters --------------------------------
 
   private val CmDepth = graft.functions.CountMin.DefaultDepth
@@ -1221,6 +1317,7 @@ object CorpusOps extends QueryModule {
     "q99_curation_funnel" -> curationFunnel,
     "q63_vocabulary" -> vocabulary,
     "q138_zipf_slope" -> zipfSlope,
+    "q139_source_jsd" -> sourceJsd,
     "q92_oov_profile" -> oovProfile,
     "q65_lang_source_matrix" -> langSourceMatrix,
     "q67_pii_redact" -> piiRedact,
@@ -1242,6 +1339,7 @@ object CorpusOps extends QueryModule {
     "q99_curation_funnel" -> curationFunnelSql,
     "q63_vocabulary" -> vocabularySql,
     "q138_zipf_slope" -> zipfSlopeSql,
+    "q139_source_jsd" -> sourceJsdSql,
     "q92_oov_profile" -> oovProfileSql,
     "q65_lang_source_matrix" -> langSourceMatrixSql,
     "q67_pii_redact" -> piiRedactSql,

@@ -418,8 +418,13 @@ object TextOps extends QueryModule {
     * a production corpus drops top-df shingles from the probe set
     * (stopword-shingle stoplist) to bound the hot-key fanout — the
     * q104 salting pattern composes if one survives. */
-  def containment(s: SparkSession, dir: String): DataFrame = {
-    val sh = sharedShingles(s, dir)
+  def containment(s: SparkSession, dir: String): DataFrame =
+    containmentOver(sharedShingles(s, dir))
+
+  /** The containment core over any (doc_id, s) shingle-SET frame —
+    * the seam ContainmentSpec uses to prove the subset-recall
+    * pigeonhole on planted data. */
+  private[graft] def containmentOver(sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val wk = Window.partitionBy(col("doc_id")).orderBy(col("s"))
     val probes = sh.withColumn("rn", row_number().over(wk))

@@ -258,13 +258,18 @@ object TextOps extends QueryModule {
       .join(based.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*), Seq("doc_id"), "left")
   }
 
+  /** Exploded shingle rows of an arbitrary (doc_id, text) frame —
+    * shared by bandsOver and the streaming corpus ingest's verify
+    * step. */
+  private[graft] def shinglesOverDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shinglesOf(col("toks"))).as("s"))
+
   /** The full shingle→minhash→band chain over an arbitrary (doc_id,
     * text) frame — the seam ScaleSpec uses to measure candidate-pair
     * growth on synthetic corpora of controlled size. */
   private[graft] def bandsOver(docs: DataFrame): DataFrame =
-    bandsOf(signaturesOver(docs,
-      docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-        .select(col("doc_id"), explode(shinglesOf(col("toks"))).as("s"))))
+    bandsOf(signaturesOver(docs, shinglesOverDocs(docs)))
 
   /** Shared oracle fragments for the signature chain (used by q21/q22/
     * q23/q48/q54 — kept in ONE place so the two engines can never
@@ -531,7 +536,17 @@ object TextOps extends QueryModule {
       .select(col("doc_id"), col("text"))
     val oldBands = sharedBands(s, dir).filter(col("doc_id") < cut)
       .select(col("doc_id"), col("band"), col("band_sig"))
-    val newBands = bandsOver(newDocs)
+    ingestDecisionOver(newDocs, bandsOver(newDocs), oldBands, sharedShingles(s, dir))
+  }
+
+  /** The incremental ingest decision over EXPLICIT frames — shared by
+    * q105 (batch over stored artifacts) and the streaming corpus
+    * ingest (StreamingPipeline.corpusIngest), so the two can never
+    * drift: `newBands` probe `oldBands` plus earlier-in-batch
+    * newBands; candidates verify with exact Jaccard over `allSh`
+    * (shingle rows covering every doc either side references). */
+  private[graft] def ingestDecisionOver(newDocs: DataFrame, newBands: DataFrame,
+      oldBands: DataFrame, allSh: DataFrame): DataFrame = {
     val cross = newBands.as("n")
       .join(oldBands.as("o"),
         col("n.band") === col("o.band") && col("n.band_sig") === col("o.band_sig"))
@@ -539,8 +554,8 @@ object TextOps extends QueryModule {
       .distinct()
     val within = candidatePairsOver(newBands)
       .select(col("doc_b").as("new_id"), col("doc_a").as("match_id"))
-    val cand = cross.unionByName(within) // disjoint: match_id < cutoff vs ≥
-    val sh = sharedShingles(s, dir)
+    val cand = cross.unionByName(within) // disjoint: match_id stored vs in-batch
+    val sh = allSh
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.as("sa"), col("new_id") === col("sa.doc_id"))

@@ -180,6 +180,60 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Streaming corpus ingest with incremental near-dup dedup — q105's
+    * daily-crawl shape as an actual stream: each micro-batch of
+    * (doc_id, text) documents shingles FRESH (delta-sized cost),
+    * probes the STORED band index of every doc ever seen, verifies
+    * LSH candidates with exact Jaccard through the SAME decision core
+    * the batch operator uses (TextOps.ingestDecisionOver — one code
+    * path, the cdcIngest rule), then appends ACCEPTED docs to the
+    * corpus and EVERY doc's bands+shingles to the seen index.
+    *
+    * Indexing rejected docs too is what makes the final state a pure
+    * function of the arriving doc-id order, independent of how docs
+    * split into micro-batches (proven in StreamingSpec): the decision
+    * "is there a near-dup with smaller id?" never depends on whether
+    * that earlier doc was itself accepted — the q105 conservative
+    * rule, extended across batches. A per-batch decision log lands in
+    * `corpus_ingest_log` for audit. */
+  def corpusIngest(docs: DataFrame, store: graft.sources.LayerStore,
+    checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        ingestCorpusBatch(batch.toDF(), store)
+      }
+      .start()
+
+  /** One micro-batch of the corpus ingest — also the batch-mode entry
+    * (the spec's single-shot twin). Decisions MATERIALIZE before any
+    * append mutates the index tables they read. */
+  private[graft] def ingestCorpusBatch(batchRaw: DataFrame,
+      store: graft.sources.LayerStore): Unit = {
+    import graft.operators.TextOps
+    val batch = batchRaw.select(col("doc_id"), col("text"))
+    if (!batch.isEmpty) {
+      val bands = TextOps.bandsOver(batch)
+      val sh = TextOps.shinglesOverDocs(batch)
+      val haveIndex = store.exists("silver", "corpus_seen_bands")
+      val oldBands =
+        if (haveIndex) store.table("silver", "corpus_seen_bands") else bands.limit(0)
+      val oldSh =
+        if (haveIndex) store.table("silver", "corpus_seen_shingles") else sh.limit(0)
+      val dec = TextOps.ingestDecisionOver(batch, bands, oldBands,
+        oldSh.unionByName(sh)).persist()
+      dec.count()
+      try {
+        store.append("silver", "corpus_ingest_log", dec)
+        val acceptedIds = broadcast(dec.filter(col("accepted")).select(col("doc_id")))
+        store.append("silver", "corpus_docs", batch.join(acceptedIds, "doc_id"))
+        store.append("silver", "corpus_seen_bands", bands)
+        store.append("silver", "corpus_seen_shingles", sh)
+      } finally { dec.unpersist(); () }
+    }
+  }
+
   /** Stream-stream interval join: each purchase matches the same
     * user's views from the preceding hour. Both sides carry
     * watermarks and the join condition bounds event-time distance, so

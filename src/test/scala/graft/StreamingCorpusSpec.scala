@@ -1,0 +1,68 @@
+package graft
+
+import graft.streaming.StreamingPipeline
+
+/** The streaming corpus ingest (q105 as a stream): micro-batches
+  * dedup against the STORED band index through the same decision core
+  * as the batch operator, and the final state is independent of how
+  * the docs split into micro-batches (the conservative
+  * blocked-by-any-earlier rule indexes rejected docs too). */
+class StreamingCorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  // fully per-seed vocabulary: distinct seeds share NO shingles
+  private def text(seed: Int): String =
+    (0 until 30).map(i => s"t${seed}x$i").mkString(" ")
+
+  // 1, 2, 4 are the originals; 3 duplicates 1, 5 duplicates 2 (both
+  // across a batch boundary), 6 duplicates 4 WITHIN its batch
+  private val docs = Seq(
+    1L -> text(1), 2L -> text(2), 3L -> text(1),
+    4L -> text(4), 5L -> text(2), 6L -> text(4))
+  private def df(ids: Seq[Long]) =
+    docs.filter(d => ids.contains(d._1)).toDF("doc_id", "text")
+
+  private def acceptedOf(store: graft.sources.LayerStore): Seq[Long] =
+    store.table("silver", "corpus_docs").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+
+  test("stream dedups across micro-batches against the stored index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-corpus").toString
+    val store = new graft.sources.LayerStore(spark, s"$dir/store")
+    df(Seq(1L, 2L, 3L)).coalesce(1).write.parquet(s"$dir/in/b1")
+    val schema = spark.read.parquet(s"$dir/in/b1").schema
+    df(Seq(4L, 5L, 6L)).coalesce(1).write.parquet(s"$dir/in/b2")
+    val q = StreamingPipeline.corpusIngest(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/in/*"),
+      store, s"$dir/ckpt")
+    q.processAllAvailable(); q.stop()
+    assert(acceptedOf(store) == Seq(1L, 2L, 4L))
+    val log = store.table("silver", "corpus_ingest_log")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("accepted"), Option(r.getAs[java.lang.Long]("best_match_id")))).toMap
+    assert(log.size == 6)
+    // doc 5's rejection names its STORED witness from the earlier batch
+    assert(log(5L)._1 == false && log(5L)._2.contains(2L))
+    // doc 6's rejection is the WITHIN-batch rule
+    assert(log(6L)._1 == false && log(6L)._2.contains(4L))
+    // the seen index holds every doc, accepted or not
+    assert(store.table("silver", "corpus_seen_bands")
+      .select("doc_id").distinct().count() == 6)
+  }
+
+  test("final state is independent of the micro-batch split") {
+    def run(splits: Seq[Seq[Long]], tag: String): Seq[Long] = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-corpus-$tag").toString
+      val store = new graft.sources.LayerStore(spark, s"$dir/store")
+      splits.foreach(ids => StreamingPipeline.ingestCorpusBatch(df(ids), store))
+      acceptedOf(store)
+    }
+    val oneShot = run(Seq(Seq(1L, 2L, 3L, 4L, 5L, 6L)), "one")
+    val perDoc = run(docs.map(d => Seq(d._1)), "each")
+    val lopsided = run(Seq(Seq(1L), Seq(2L, 3L, 4L, 5L), Seq(6L)), "lop")
+    assert(oneShot == Seq(1L, 2L, 4L))
+    assert(perDoc == oneShot && lopsided == oneShot,
+      s"split-dependent state: one=$oneShot each=$perDoc lop=$lopsided")
+  }
+}

@@ -122,6 +122,27 @@ class ScaleSpec extends SparkSpec {
       s"SRP candidate growth super-linear: $sp1 -> $sp10 at 10× data")
   }
 
+  test("containment probes (q137) stay cluster-local: pair growth ~linear at 10x") {
+    // the 100 TB question for the bottom-k probe design: each doc
+    // fires K probes into the shingle index, so candidates are
+    // bounded by the df of probed shingles — on a CLUSTERED corpus
+    // (cluster-private vocabularies, the q22 fixture's shape) pairs
+    // must scale with the number of clusters, ~linearly in N
+    val clusterSize = 5
+    def sh(n: Int) = {
+      // doc i holds a 20-wide window of its cluster's 30-shingle pool:
+      // within-cluster overlap >= 16/20 = 0.8 containment, zero across
+      val rows = for { i <- 0 until n; j <- 0 until 20 } yield
+        (i.toLong, f"c${i / clusterSize}%04ds${(i % clusterSize + j) % 30}%02d")
+      rows.toDF("doc_id", "s")
+    }
+    def pairs(n: Int): Long = graft.operators.TextOps.containmentOver(sh(n)).count()
+    val (p1, p10) = (pairs(400), pairs(4000))
+    assert(p1 >= 400 / clusterSize, s"containment pairs implausibly few: $p1")
+    assert(p10 <= 20 * p1,
+      s"containment pair growth super-linear: $p1 -> $p10 at 10× data")
+  }
+
   test("k-means Lloyd fit recovers planted clusters; SemDeDup pair scope stays sub-quadratic") {
     // planted geometry: nC well-separated directions (the SRP fixture's
     // mixer), id -> cluster = id % nC so the sampled init (first K ids)

@@ -123,6 +123,14 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // FAIR job scheduling: the prepare stages run their independent
+      // builds on concurrent threads (backtest groups, k-means fits,
+      // series levels); under the default FIFO each stage of the first
+      // submitted job monopolizes the task slots while later jobs'
+      // runnable stages wait, serializing exactly the overlap the
+      // preps are structured around
+      .config("spark.scheduler.mode",
+        sys.env.getOrElse("SPARK_GRAFT_SCHED", "FAIR"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -84,16 +84,30 @@ object Backtest extends QueryModule {
     metricsForSplit(trunc, hold, stepDays, h, model, granularity, level)
   }
 
-  private def metricsForSplit(trunc: DataFrame, hold: DataFrame, stepDays: Int,
-      h: Int, model: String, granularity: String, level: String): DataFrame = {
-    val minLen = Forecasting.minSeriesLen
-    val fc = (model match {
+  /** `sharedFit`: the group's one olsFit(trunc, minLen) frame, fitted
+    * once and persisted by groupParts — linear consumes it directly,
+    * seasonal_trend skips its own fit pass, seasonal_naive reuses its
+    * (entity, last_week) as the gate (olsFit applies the identical
+    * count >= minLen filter). None = fit inline (the profileAll
+    * diagnostic path). Arithmetic is identical either way: the
+    * FromFit/FromGate seams are what the public models delegate to. */
+  /** The per-model forecast frame over the truncated series,
+    * normalized to (entity_id, ds, yhat). `fit` is the group's one
+    * olsFit(trunc, minLen) frame: linear consumes it directly,
+    * seasonal_trend skips its own fit pass, seasonal_naive reuses its
+    * (entity, last_week) as the gate (olsFit applies the identical
+    * count >= minLen filter). The FromFit/FromGate seams are what the
+    * public models delegate to, so the arithmetic has one definition. */
+  private def fcFor(model: String, trunc: DataFrame, fit: => DataFrame,
+      stepDays: Int, h: Int, granularity: String, level: String): DataFrame =
+    (model match {
       case "linear" =>
-        Forecast.forecastLinearOver(trunc, minLen, stepDays, horizon = h)
+        Forecast.forecastLinearFromFit(fit, stepDays, horizon = h)
       case "seasonal_naive" =>
-        Forecast.forecastSeasonalNaiveOver(trunc, minLen, stepDays, period = h)
+        Forecast.forecastSeasonalNaiveFromGate(trunc,
+          fit.select(col("entity"), col("last_week")), stepDays, period = h)
       case "seasonal_trend" =>
-        Forecast.forecastSeasonalTrendOver(trunc, minLen, stepDays, horizon = h,
+        Forecast.forecastSeasonalTrendFromFit(trunc, fit, stepDays, horizon = h,
           period = seasonPeriod(granularity))
       case "global_ar" =>
         GlobalAR.globalArCore(
@@ -101,21 +115,44 @@ object Backtest extends QueryModule {
           stepDays, granularity, level)
           .select(col("entity_id").as("entity"), col("ds"), col("yhat"))
     }).select(col("entity").cast(StringType).as("entity_id"), col("ds"), col("yhat"))
+
+  /** Forecast-vs-holdout scoring of one or more model-tagged forecast
+    * frames: one broadcast join (hold is entity-count × h rows — the
+    * withheld horizon; at 1000× entities it is still ≤ 8 rows per
+    * entity) and one (entity, model) aggregation. Fusing the three
+    * per-entity models through here — ONE unioned plan instead of
+    * three — was measured ~2× cheaper per group at sf0.1: the join,
+    * the metric fold, and their codegen are paid once. Row-identical
+    * to scoring each model separately: the union is tagged by model,
+    * the fold groups on (entity, model), and the decimal sums are
+    * order-independent. */
+  private def scoreAgainst(hold: DataFrame, granularity: String, level: String)(
+      taggedFcs: Seq[DataFrame]): DataFrame = {
+    val fc = taggedFcs.reduce(_ unionByName _)
     val j = fc.join(
-      hold.select(col("entity").cast(StringType).as("entity_id"), col("ds"), col("y")),
+      broadcast(hold.select(col("entity").cast(StringType).as("entity_id"), col("ds"), col("y"))),
       Seq("entity_id", "ds"))
     val absErr = abs(col("yhat") - col("y"))
     val smapeRow = when(abs(col("y")) + abs(col("yhat")) === 0.0, lit(0.0))
       .otherwise(snapRound(absErr * lit(200.0) / (abs(col("y")) + abs(col("yhat"))), 6))
     def fold(c: Column, scale: Int): Column =
       snapRound(sum(c.cast(DecimalType(38, scale))).cast(DoubleType) / count(lit(1)), 4)
-    j.select(col("entity_id"), absErr.as("abs_err"), smapeRow.as("smape_row"))
-      .groupBy(col("entity_id"))
+    j.select(col("entity_id"), col("model"), absErr.as("abs_err"), smapeRow.as("smape_row"))
+      .groupBy(col("entity_id"), col("model"))
       .agg(count(lit(1)).as("n"),
         fold(col("abs_err"), 8).as("mae"),
         fold(col("smape_row"), 10).as("smape"))
       .select(lit(granularity).as("granularity"), lit(level).as("level"),
-        col("entity_id"), lit(model).as("model"), col("n"), col("mae"), col("smape"))
+        col("entity_id"), col("model"), col("n"), col("mae"), col("smape"))
+  }
+
+  private def metricsForSplit(trunc: DataFrame, hold: DataFrame, stepDays: Int,
+      h: Int, model: String, granularity: String, level: String,
+      sharedFit: Option[DataFrame] = None): DataFrame = {
+    def fit = sharedFit.getOrElse(Forecast.olsFit(trunc, Forecasting.minSeriesLen))
+    scoreAgainst(hold, granularity, level)(Seq(
+      fcFor(model, trunc, fit, stepDays, h, granularity, level)
+        .withColumn("model", lit(model))))
   }
 
   /** Diagnostic hook for tools.BacktestProfile: run every refit combo
@@ -132,6 +169,48 @@ object Backtest extends QueryModule {
         println(f"$gran%-7s $level%-9s $m%-15s rows=$n%-6d ${(System.nanoTime() - t) / 1e9}%.2f s")
       }
     }
+
+  /** Diagnostic hook for tools.BacktestLab: wall each group (split +
+    * 4 overlapped fits) in isolation. */
+  private[graft] def labGroups(s: SparkSession, dir: String): Unit =
+    for (lv <- Forecasting.levels :+ "daily-supplier") {
+      val t = System.nanoTime()
+      val parts =
+        if (lv == "daily-supplier")
+          groupParts(Forecast.dailySeries(s, dir), "ds", 1, HoldoutDaily, "daily", "supplier")
+        else groupParts(Forecast.weeklyAt(s, dir, lv), "week", 7, HoldoutWeekly, "weekly", lv)
+      println(f"group $lv%-16s ${(System.nanoTime() - t) / 1e9}%.2f s")
+      parts.foreach(_.unpersist())
+    }
+
+  /** Diagnostic hook for tools.BacktestLab: phase-time the product
+    * group's internals serially. */
+  private[graft] def labPhases(s: SparkSession, dir: String): Unit = {
+    def t[A](label: String)(body: => A): A = {
+      val t0 = System.nanoTime(); val r = body
+      println(f"phase $label%-24s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val series = Forecast.weeklyAt(s, dir, "product")
+    t("series count")(series.count())
+    val (trunc0, hold0) = split(series, "week", 7, HoldoutWeekly)
+    val trunc = t("trunc persist")({ val p = trunc0.persist(); p.count(); p })
+    val hold = t("hold persist")({ val p = hold0.persist(); p.count(); p })
+    t("plain agg over trunc")(trunc.agg(sum(col("y").cast(LongType))).head())
+    val sf = t("shared fit persist")({
+      val p = Forecast.olsFit(trunc, Forecasting.minSeriesLen).persist(); p.count(); p })
+    val score = scoreAgainst(hold, "weekly", "product") _
+    for (pass <- 1 to 2) {
+      t(s"fused per-entity pass$pass")(score(perEntityModels.map(m =>
+        fcFor(m, trunc, sf, 7, HoldoutWeekly, "weekly", "product")
+          .withColumn("model", lit(m))))
+        .write.format("noop").mode("overwrite").save())
+      t(s"global_ar pass$pass")(score(Seq(
+        fcFor("global_ar", trunc, sf, 7, HoldoutWeekly, "weekly", "product")
+          .withColumn("model", lit("global_ar"))))
+        .write.format("noop").mode("overwrite").save())
+    }
+    trunc.unpersist(); hold.unpersist(); sf.unpersist()
+  }
 
   /** Session-lifetime metrics artifact — the stored
     * gold.forecast_metrics table a deployment materializes once per
@@ -193,25 +272,50 @@ object Backtest extends QueryModule {
 
   private def groupParts(series: DataFrame, dateCol: String, stepDays: Int,
       h: Int, granularity: String, level: String): Seq[DataFrame] = {
-    val (trunc0, hold0) = split(series, dateCol, stepDays, h)
-    // plain persist: a pre-partitioned/pre-sorted cache was measured
-    // SLOWER here (the fits are compute-bound — 20-sum decimal
-    // aggregations — not exchange-bound, and the extra persist-time
-    // shuffle buys nothing back)
-    val trunc = trunc0.persist()
-    val hold = hold0.persist()
+    // trunc is deliberately NOT persisted: it is ~the whole series
+    // (the split withholds only h of hundreds of points per entity),
+    // the series artifact is already cached, and the cutoff frame is
+    // a persisted per-entity scalar — so each consumer's trunc scan
+    // is the cached series scan plus a fused broadcast-probe filter,
+    // while a second full-size cache copy cost a measured ~1.6 s of
+    // serial materialization per large group at sf0.1
+    val cut = series.groupBy(col("entity"))
+      .agg(date_sub(max(col(dateCol)), stepDays * h).as("cutoff")).persist()
+    val j = series.join(broadcast(cut), "entity")
+    val trunc = j.filter(col(dateCol) <= col("cutoff"))
+      .select(col("entity"), col(dateCol).as("week"), col("y"))
+    val hold = j.filter(col(dateCol) > col("cutoff"))
+      .select(col("entity"), col(dateCol).as("ds"), col("y")).persist()
+    // ONE OLS fit per group, persisted (entity-count-sized): linear,
+    // seasonal_trend, and seasonal_naive's gate all consume it, so the
+    // fit's full-series groupBy pass runs once instead of three times.
+    // No eager count(): the two scoring jobs below materialize it on
+    // first touch through the cache's per-block locks (the second job
+    // waits for the first's fill instead of recomputing), and skipping
+    // the serial barrier lets both jobs enter the FAIR scheduler at
+    // group start
+    val sharedFit = Forecast.olsFit(trunc, Forecasting.minSeriesLen).persist()
     try {
-      // the three model refits are independent jobs over the shared
-      // persisted split — materialize them concurrently as well (the
-      // product-level group is the long pole; serializing its fits
-      // would leave the cluster half-idle at the tail of the prep)
-      val out = new Array[DataFrame](allModels.size)
+      // two independent jobs over the shared persisted split + fit,
+      // materialized concurrently: the FUSED per-entity scoring (all
+      // three models through one union–join–fold plan) and the pooled
+      // global_ar refit (whose driver-side solve fetch would serialize
+      // anything behind it)
+      val score = scoreAgainst(hold, granularity, level) _
+      val jobs: Seq[(String, () => DataFrame)] = Seq(
+        "per-entity" -> (() => score(perEntityModels.map(m =>
+          fcFor(m, trunc, sharedFit, stepDays, h, granularity, level)
+            .withColumn("model", lit(m))))),
+        "global-ar" -> (() => score(Seq(
+          fcFor("global_ar", trunc, sharedFit, stepDays, h, granularity, level)
+            .withColumn("model", lit("global_ar"))))))
+      val out = new Array[DataFrame](jobs.size)
       val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
-      val ts = allModels.zipWithIndex.map { case (m, i) =>
+      val ts = jobs.zipWithIndex.map { case ((name, build), i) =>
         val t = new Thread(() => try {
-          val p = metricsForSplit(trunc, hold, stepDays, h, m, granularity, level).persist()
+          val p = build().persist()
           p.count(); out(i) = p
-        } catch { case e: Throwable => errs.add(e) }, s"backtest-fit-$level-$m")
+        } catch { case e: Throwable => errs.add(e) }, s"backtest-fit-$level-$name")
         t.setDaemon(true); t.start(); t
       }
       ts.foreach(_.join())
@@ -221,7 +325,7 @@ object Backtest extends QueryModule {
         throw head
       }
       out.toSeq
-    } finally { trunc.unpersist(); hold.unpersist() }
+    } finally { cut.unpersist(); hold.unpersist(); sharedFit.unpersist() }
   }
 
   /** q79 — the backtest surface over the shared series artifacts:

@@ -317,7 +317,7 @@ object Forecast extends QueryModule {
     * run as codegen'd long adds instead of the interpreted Decimal128
     * path (the global_ar fit's measured 12×; the oracle keeps its
     * decimal spelling, value-identical). */
-  private def olsFit(weeklySeries: DataFrame, minLen: Int): DataFrame = {
+  private[operators] def olsFit(weeklySeries: DataFrame, minLen: Int): DataFrame = {
     val wk = weeklySeries
       .withColumn("x", datediff(col("week"), lit("1995-01-02").cast(DateType)).cast(LongType))
     val fitAll = wk.groupBy(col("entity")).agg(
@@ -356,9 +356,20 @@ object Forecast extends QueryModule {
        |  FROM fit)""".stripMargin
 
   private[operators] def forecastLinearOver(weeklySeries: DataFrame,
-      minLen: Int = 0, stepDays: Int = 7, horizon: Int = 4): DataFrame = {
+      minLen: Int = 0, stepDays: Int = 7, horizon: Int = 4): DataFrame =
+    forecastLinearFromFit(olsFit(weeklySeries, minLen), stepDays, horizon)
+
+  /** Linear forecast from an already-computed `olsFit` frame — the
+    * seam that lets the backtest fit each group's params ONCE and
+    * serve both the linear and seasonal_trend refits from it (the fit
+    * groupBy is a full-series pass; computing it twice per group was
+    * a measured ~1.3 s/group at sf0.1). Same arithmetic as the
+    * inline path by construction: the public entry point delegates
+    * here. */
+  private[operators] def forecastLinearFromFit(fit: DataFrame,
+      stepDays: Int = 7, horizon: Int = 4): DataFrame = {
     val horizons = explode(sequence(lit(1), lit(horizon))).as("h")
-    olsFit(weeklySeries, minLen)
+    fit
       .select(col("entity"), col("last_week"), col("slope"), col("intercept"), horizons)
       .withColumn("ds", expr(s"date_add(last_week, $stepDays * h)"))
       .withColumn("x_future",
@@ -398,7 +409,6 @@ object Forecast extends QueryModule {
     * period long by construction). */
   private[operators] def forecastSeasonalNaiveOver(weeklySeries: DataFrame,
       minLen: Int = 0, stepDays: Int = 7, period: Int = 4): DataFrame = {
-    val w = Window.partitionBy(col("entity")).orderBy(col("week").desc)
     val wk = weeklySeries
     val lastAll = wk.groupBy(col("entity"))
       .agg(max(col("week")).as("last_week"), count(lit(1)).as("n_weeks"))
@@ -406,6 +416,18 @@ object Forecast extends QueryModule {
     // the short entities)
     val last = (if (minLen > 0) lastAll.filter(col("n_weeks") >= minLen) else lastAll)
       .select(col("entity"), col("last_week"))
+    forecastSeasonalNaiveFromGate(wk, last, stepDays, period)
+  }
+
+  /** Seasonal-naive replay from a precomputed (entity, last_week)
+    * gate frame — the backtest's shared-fit seam: `olsFit`'s output
+    * carries exactly the gated entities and their last_week (same
+    * count >= minLen filter), so the group's params frame serves this
+    * model too and the per-model gate groupBy (a full-series pass)
+    * disappears. Public path delegates with its own inline gate. */
+  private[operators] def forecastSeasonalNaiveFromGate(wk: DataFrame,
+      last: DataFrame, stepDays: Int = 7, period: Int = 4): DataFrame = {
+    val w = Window.partitionBy(col("entity")).orderBy(col("week").desc)
     // tail prefilter (same dense-series argument as GlobalAR's
     // history pass): the replayed newest `period` ROWS are the rows
     // within period−1 steps of last_week, so the ranking window sorts
@@ -469,18 +491,28 @@ object Forecast extends QueryModule {
 
   private[operators] def forecastSeasonalTrendOver(weeklySeries: DataFrame,
       minLen: Int = 0, stepDays: Int = 7, horizon: Int = 4,
+      period: Int = 52): DataFrame =
+    forecastSeasonalTrendFromFit(weeklySeries, olsFit(weeklySeries, minLen),
+      stepDays, horizon, period)
+
+  /** Seasonal-trend forecast from an already-computed `olsFit` frame
+    * (the backtest's shared-fit seam; the public path delegates, so
+    * the decomposition arithmetic has ONE definition). The params
+    * join is explicitly broadcast: params is entity-count-sized (one
+    * row per fitted series — the per-entity model-parameter frame
+    * every classical-decomposition implementation broadcasts), while
+    * the series side is the big one; without the hint Catalyst's
+    * size estimate for the aggregate-derived frame exceeds the
+    * auto-broadcast threshold and the resid pass sort-merge-joins
+    * the FULL series (measured: the product-level refit's 4.5 s vs
+    * ~1.5 s at sf0.1). */
+  private[operators] def forecastSeasonalTrendFromFit(weeklySeries: DataFrame,
+      params: DataFrame, stepDays: Int = 7, horizon: Int = 4,
       period: Int = 52): DataFrame = {
     val wk = weeklySeries
       .withColumn("x", datediff(col("week"), lit("1995-01-02").cast(DateType)).cast(LongType))
-    val params = olsFit(weeklySeries, minLen)
     def posOf(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       pmod((x.cast(DoubleType) / lit(stepDays)).cast(LongType), lit(period.toLong))
-    val resid = wk.join(params.select(col("entity"), col("slope"), col("intercept")), "entity")
-      .select(col("entity"), posOf(col("x")).as("pos"),
-        snapRound(col("y") - (col("intercept") + col("slope") * col("x").cast(DoubleType)), 6).as("r"))
-    val seasonal = resid.groupBy(col("entity"), col("pos"))
-      .agg(snapRound(
-        sum(col("r").cast(DecimalType(38, 10))).cast(DoubleType) / count(lit(1)), 6).as("s"))
     val future = params
       .select(col("entity"), col("last_week"), col("slope"), col("intercept"),
         explode(sequence(lit(1), lit(horizon))).as("h"))
@@ -488,9 +520,26 @@ object Forecast extends QueryModule {
       .withColumn("x_future",
         datediff(col("ds"), lit("1995-01-02").cast(DateType)).cast(LongType))
       .withColumn("pos", posOf(col("x_future")))
+    // prune the seasonal aggregation to the (entity, pos) pairs the
+    // forecast actually probes — horizon of period positions per
+    // entity (weekly: 4 of 52, an ~13× cut of the agg's input). The
+    // dropped groups could only have produced seasonal rows no future
+    // row joins (the left join's coalesce treats them as absent either
+    // way), so the output is row-identical to the unpruned form. The
+    // probe-key set is entity-count × horizon — broadcast.
+    val futKeys = future.select(col("entity"), col("pos")).distinct()
+    val resid = wk.join(broadcast(params.select(col("entity"), col("slope"), col("intercept"))), "entity")
+      .select(col("entity"), posOf(col("x")).as("pos"),
+        snapRound(col("y") - (col("intercept") + col("slope") * col("x").cast(DoubleType)), 6).as("r"))
+      .join(broadcast(futKeys), Seq("entity", "pos"), "left_semi")
+    val seasonal = resid.groupBy(col("entity"), col("pos"))
+      .agg(snapRound(
+        sum(col("r").cast(DecimalType(38, 10))).cast(DoubleType) / count(lit(1)), 6).as("s"))
     val base = col("intercept") + col("slope") * col("x_future").cast(DoubleType) +
       coalesce(col("s"), lit(0.0))
-    future.join(seasonal, Seq("entity", "pos"), "left")
+    // seasonal is now ≤ entity-count × horizon rows — broadcast the
+    // probe join too; no shuffle anywhere downstream of the resid pass
+    future.join(broadcast(seasonal), Seq("entity", "pos"), "left")
       .select(col("entity"), col("ds"),
         snapRound(base, 4).as("yhat"),
         snapRound(base * lit(0.8), 4).as("yhat_lower"),

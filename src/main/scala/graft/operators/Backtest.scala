@@ -84,13 +84,6 @@ object Backtest extends QueryModule {
     metricsForSplit(trunc, hold, stepDays, h, model, granularity, level)
   }
 
-  /** `sharedFit`: the group's one olsFit(trunc, minLen) frame, fitted
-    * once and persisted by groupParts — linear consumes it directly,
-    * seasonal_trend skips its own fit pass, seasonal_naive reuses its
-    * (entity, last_week) as the gate (olsFit applies the identical
-    * count >= minLen filter). None = fit inline (the profileAll
-    * diagnostic path). Arithmetic is identical either way: the
-    * FromFit/FromGate seams are what the public models delegate to. */
   /** The per-model forecast frame over the truncated series,
     * normalized to (entity_id, ds, yhat). `fit` is the group's one
     * olsFit(trunc, minLen) frame: linear consumes it directly,

@@ -449,15 +449,24 @@ object CorpusOps extends QueryModule {
     * spectrum shape). Parity: both logs are libm calls on EXACT
     * integer inputs snapped 4-dp (the q134 rule) then rescaled to
     * exact LONGS, so all five sufficient sums fold as codegen'd long
-    * adds (the q128 discipline) and every combine (n·Σxy − Σx·Σy …)
-    * stays inside exact 64-bit range at any realistic vocabulary
-    * (|x|,|y| ≤ ~1.5e5 scaled, products ≤ 2.3e10, sums ≤ 1e15 — ANSI
-    * mode errors loudly beyond); the only IEEE steps are the final
-    * divisions, snapped from identical integers, with the SNAPPED
-    * slope nested in the intercept (the q128 lesson). Scale: one
+    * adds (the q128 discipline: |x|,|y| ≤ ~1.5e5 scaled, products
+    * ≤ 2.3e10, sums exact in 64-bit up to ~4e8 terms per source).
+    * The combines (n·Σxy − Σx·Σy …) multiply a sum by n_terms and
+    * exceed 64-bit already at ~10k-term vocabularies (n·Σ(xy) ≈
+    * 1e4 · 2.3e10·1e4 ≈ 2e18 < 2^63 ≈ 9.2e18 only barely), so they
+    * route through exact 128-bit types — DECIMAL(38,0) here, HUGEINT
+    * in the oracle; the same integer < 1e25 casts to the same double
+    * on both. The only IEEE steps are the final divisions, snapped
+    * from identical integers, with the SNAPPED slope nested in the
+    * intercept (the q128 lesson). Scale: one
     * (source, term) aggregation, a per-source rank window over
     * vocabulary-sized rows, one reduction — the token stream shuffles
     * once and nothing fact-sized joins. */
+  /** Exact 128-bit route for the OLS combines: DECIMAL(19,0) operands
+    * multiply to DECIMAL(38,0) — scale stays 0, so no precision loss,
+    * and ANSI errors loudly past 38 digits (values here are ≤ ~1e25). */
+  private def dec128(c: Column): Column = c.cast(DecimalType(19, 0))
+
   def zipfSlope(s: SparkSession, dir: String): DataFrame = {
     import graft.util.Parity.{asScaled, snapRound}
     val tf = Tables.t(s, dir, "documents")
@@ -472,9 +481,12 @@ object CorpusOps extends QueryModule {
         count(lit(1)).as("n_terms"), sum(col("xs")).as("sx"), sum(col("ys")).as("sy"),
         sum(col("xs") * col("ys")).as("sxy"), sum(col("xs") * col("xs")).as("sxx"),
         sum(col("ys") * col("ys")).as("syy"))
-      .withColumn("num", col("n_terms") * col("sxy") - col("sx") * col("sy"))
-      .withColumn("den", col("n_terms") * col("sxx") - col("sx") * col("sx"))
-      .withColumn("deny", col("n_terms") * col("syy") - col("sy") * col("sy"))
+      .withColumn("num", dec128(col("n_terms")) * dec128(col("sxy")) -
+        dec128(col("sx")) * dec128(col("sy")))
+      .withColumn("den", dec128(col("n_terms")) * dec128(col("sxx")) -
+        dec128(col("sx")) * dec128(col("sx")))
+      .withColumn("deny", dec128(col("n_terms")) * dec128(col("syy")) -
+        dec128(col("sy")) * dec128(col("sy")))
       .withColumn("slope", when(col("den") =!= 0,
         snapRound(col("num").cast(DoubleType) / col("den").cast(DoubleType), 6)))
       .select(col("source"), col("n_terms"), col("slope"),
@@ -513,9 +525,9 @@ object CorpusOps extends QueryModule {
        |         CAST(sum(ys * ys) AS BIGINT) AS syy
        |  FROM zxy GROUP BY 1),
        |zc AS (
-       |  SELECT *, n_terms * sxy - sx * sy AS num,
-       |         n_terms * sxx - sx * sx AS den,
-       |         n_terms * syy - sy * sy AS deny
+       |  SELECT *, CAST(n_terms AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+       |         CAST(n_terms AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den,
+       |         CAST(n_terms AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS deny
        |  FROM zagg),
        |zs AS (SELECT *, $slope AS slope FROM zc)
        |SELECT source, n_terms, slope,
@@ -542,6 +554,13 @@ object CorpusOps extends QueryModule {
     * contribute p·ln(2p/(p+q)) and q·ln(2q/(p+q)); a term private to
     * one side contributes p·ln2, and those sum to ln2·(1 − P_shared)
     * per side — so only the SHARED-term join is ever materialized.
+    * Every source pair gets a row: pairs sharing ZERO terms (the
+    * shared-term join finds nothing) are restored from the full
+    * source-pair grid — sources² is tiny, derived from the broadcast
+    * marginals — with n_shared_terms = 0 and jsd = ln 2 exactly (the
+    * disjoint-vocabulary maximum, the strongest do-not-merge signal;
+    * omitting such a pair would make it indistinguishable from a
+    * pair the matrix never covered).
     * Parity: every ln argument is an exact integer rational
     * (2·c_a·N_b / (c_a·N_b + c_b·N_a) — products ≤ ~2e11 at sf0.1,
     * exact in long and double; re-derive the bound before 100×), ln
@@ -567,7 +586,7 @@ object CorpusOps extends QueryModule {
     val lnB = snapRound(log((lit(2) * col("cb") * col("na")).cast(DoubleType) /
       (col("ca") * col("nb") + col("cb") * col("na")).cast(DoubleType)), 6)
     def dsum(c: Column) = sum(c.cast(DecimalType(38, 10))).cast(DoubleType)
-    shared
+    val agg = shared
       .select(col("source_a"), col("source_b"), col("ca"), col("cb"),
         col("na"), col("nb"),
         snapRound((col("ca").cast(DoubleType) / col("na").cast(DoubleType)) * lnA, 6).as("ta"),
@@ -575,12 +594,22 @@ object CorpusOps extends QueryModule {
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_shared_terms"),
         sum(col("ca")).as("sca"), sum(col("cb")).as("scb"),
-        max(col("na")).as("na"), max(col("nb")).as("nb"),
         dsum(col("ta")).as("la"), dsum(col("tb")).as("lb"))
-      .select(col("source_a"), col("source_b"), col("n_shared_terms"),
+    // the full source-pair grid (sources²/2, from the tiny marginals):
+    // left-joining the shared-term aggregate restores pairs with no
+    // shared term at all — coalesced to sca = scb = 0, la = lb = 0,
+    // the formula below reduces to exactly ln 2 for them
+    val grid = tot.select(col("source").as("source_a"), col("nn").as("na"))
+      .join(tot.select(col("source").as("source_b"), col("nn").as("nb")),
+        col("source_a") < col("source_b"))
+    grid.join(agg, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("n_shared_terms"), lit(0L)).as("n_shared_terms"),
         snapRound(
-          (ln2 * (lit(1.0) - col("sca").cast(DoubleType) / col("na").cast(DoubleType)) + col("la")) / lit(2.0) +
-          (ln2 * (lit(1.0) - col("scb").cast(DoubleType) / col("nb").cast(DoubleType)) + col("lb")) / lit(2.0),
+          (ln2 * (lit(1.0) - coalesce(col("sca"), lit(0L)).cast(DoubleType) / col("na").cast(DoubleType)) +
+            coalesce(col("la"), lit(0.0))) / lit(2.0) +
+          (ln2 * (lit(1.0) - coalesce(col("scb"), lit(0L)).cast(DoubleType) / col("nb").cast(DoubleType)) +
+            coalesce(col("lb"), lit(0.0))) / lit(2.0),
           6).as("jsd"))
       .orderBy(col("source_a"), col("source_b"))
   }
@@ -610,16 +639,20 @@ object CorpusOps extends QueryModule {
        |jagg AS (
        |  SELECT source_a, source_b, count(1) AS n_shared_terms,
        |         CAST(sum(ca) AS BIGINT) AS sca, CAST(sum(cb) AS BIGINT) AS scb,
-       |         max(na) AS na, max(nb) AS nb,
        |         CAST(sum(CAST(ta AS DECIMAL(38,10))) AS DOUBLE) AS la,
        |         CAST(sum(CAST(tb AS DECIMAL(38,10))) AS DOUBLE) AS lb
-       |  FROM jterms GROUP BY 1, 2)
-       |SELECT source_a, source_b, n_shared_terms,
+       |  FROM jterms GROUP BY 1, 2),
+       |jgrid AS (
+       |  SELECT a.source AS source_a, b.source AS source_b, a.nn AS na, b.nn AS nb
+       |  FROM jtot a JOIN jtot b ON a.source < b.source)
+       |SELECT g.source_a, g.source_b,
+       |       coalesce(j.n_shared_terms, 0) AS n_shared_terms,
        |       ${snapRoundSql(
-      s"($Ln2Sql * (1.0 - CAST(sca AS DOUBLE) / CAST(na AS DOUBLE)) + la) / 2.0 + " +
-        s"($Ln2Sql * (1.0 - CAST(scb AS DOUBLE) / CAST(nb AS DOUBLE)) + lb) / 2.0", 6)} AS jsd
-       |FROM jagg
-       |ORDER BY source_a, source_b""".stripMargin
+      s"($Ln2Sql * (1.0 - CAST(coalesce(j.sca, 0) AS DOUBLE) / CAST(g.na AS DOUBLE)) + coalesce(j.la, 0.0)) / 2.0 + " +
+        s"($Ln2Sql * (1.0 - CAST(coalesce(j.scb, 0) AS DOUBLE) / CAST(g.nb AS DOUBLE)) + coalesce(j.lb, 0.0)) / 2.0", 6)} AS jsd
+       |FROM jgrid g LEFT JOIN jagg j
+       |  ON g.source_a = j.source_a AND g.source_b = j.source_b
+       |ORDER BY g.source_a, g.source_b""".stripMargin
   }
 
   // ---- q84: count-min heavy hitters --------------------------------

@@ -191,29 +191,89 @@ object StreamingPipeline {
     *
     * Indexing rejected docs too is what makes the final state a pure
     * function of the arriving doc-id order, independent of how docs
-    * split into micro-batches (proven in StreamingSpec): the decision
-    * "is there a near-dup with smaller id?" never depends on whether
-    * that earlier doc was itself accepted — the q105 conservative
-    * rule, extended across batches. A per-batch decision log lands in
-    * `corpus_ingest_log` for audit. */
+    * split into micro-batches (proven in StreamingCorpusSpec): the
+    * decision "is there a near-dup with smaller id?" never depends on
+    * whether that earlier doc was itself accepted — the q105
+    * conservative rule, extended across batches. PRECONDITION
+    * (asserted per batch): doc_ids arrive cross-batch monotone — every
+    * id in batch N+1 exceeds every id in batches ≤ N. Without it the
+    * invariant genuinely fails: the within-batch rule blocks the
+    * LARGER id of a near-dup pair while the cross-batch probe blocks
+    * the NEWCOMER whatever its id, so arrival [100] then [50] and
+    * arrival [50, 100] would keep different docs. Crawl pipelines
+    * assign ingest-ordered ids, so the assert encodes the deployment
+    * contract instead of silently producing split-dependent state.
+    *
+    * A per-batch decision log lands in `corpus_ingest_log` for audit.
+    *
+    * Exactly-once across Structured Streaming retries: foreachBatch
+    * can re-deliver a batch after a crash, and the four appends here
+    * are not atomic together. Each batch therefore commits through a
+    * tiny `corpus_ingest_commits` marker table — `intent` row first,
+    * `done` row only after every append has landed. A re-delivered
+    * batch whose `done` marker exists is skipped whole; one whose
+    * `intent` exists without `done` (crash mid-append) first scrubs
+    * its own doc_ids from all four tables (delete-by-key rewrite —
+    * paid only on the genuine crash-retry path) and re-applies, so a
+    * rerun can never double-index the batch or match the batch
+    * against its own leftover bands (Jaccard 1.0 self-rejection). */
   def corpusIngest(docs: DataFrame, store: graft.sources.LayerStore,
     checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        ingestCorpusBatch(batch.toDF(), store)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        ingestCorpusBatch(batch.toDF(), store, batchId)
       }
       .start()
 
+  private val CommitsTable = "corpus_ingest_commits"
+  private val IngestTables = Seq("corpus_docs", "corpus_seen_bands",
+    "corpus_seen_shingles", "corpus_ingest_log")
+
   /** One micro-batch of the corpus ingest — also the batch-mode entry
-    * (the spec's single-shot twin). Decisions MATERIALIZE before any
-    * append mutates the index tables they read. */
+    * (the spec's single-shot twin; batch callers supply their own
+    * monotonically increasing batchId). Decisions MATERIALIZE before
+    * any append mutates the index tables they read; the `done` commit
+    * marker is written LAST, so its presence proves the batch applied
+    * completely (see corpusIngest for the retry protocol). */
   private[graft] def ingestCorpusBatch(batchRaw: DataFrame,
-      store: graft.sources.LayerStore): Unit = {
+      store: graft.sources.LayerStore, batchId: Long): Unit = {
     import graft.operators.TextOps
     val batch = batchRaw.select(col("doc_id"), col("text"))
-    if (!batch.isEmpty) {
+    if (batch.isEmpty) return
+    val s = batchRaw.sparkSession
+    import s.implicits._
+    val commits = if (store.exists("silver", CommitsTable))
+      Some(store.table("silver", CommitsTable).persist()) else None
+    try {
+      def phaseRows(phase: String) = commits.toSeq.flatMap(
+        _.filter(col("batch_id") === batchId && col("phase") === phase)
+          .collect())
+      if (phaseRows("done").nonEmpty) return // replay of an applied batch
+      val ext = batch.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val (minId, maxId) = (ext.getLong(0), ext.getLong(1))
+      // cross-batch monotone-arrival precondition (the split-invariance
+      // contract): compare against the high-watermark of DONE batches
+      commits.foreach { c =>
+        val wm = c.filter(col("phase") === "done").agg(max(col("max_doc_id"))).head()
+        if (!wm.isNullAt(0)) require(minId > wm.getLong(0),
+          s"corpus ingest batch $batchId breaks the monotone doc_id contract: " +
+            s"min arriving id $minId <= high-watermark ${wm.getLong(0)} of " +
+            "already-committed batches; the split-invariant dedup state is " +
+            "only defined for ingest-ordered ids")
+      }
+      // crash-retry scrub: a prior attempt of THIS batch declared
+      // intent but never finished — remove its partial rows so the
+      // re-applied appends cannot double-index, and so the decision
+      // probe below cannot see the batch's own leftover bands
+      if (phaseRows("intent").nonEmpty)
+        for (t <- IngestTables if store.exists("silver", t))
+          store.overwriteMatching("silver", t,
+            store.table("silver", t).limit(0), Seq("doc_id"),
+            batch.select(col("doc_id")))
+      store.append("silver", CommitsTable,
+        Seq((batchId, "intent", maxId)).toDF("batch_id", "phase", "max_doc_id"))
       val bands = TextOps.bandsOver(batch)
       val sh = TextOps.shinglesOverDocs(batch)
       val haveIndex = store.exists("silver", "corpus_seen_bands")
@@ -230,8 +290,10 @@ object StreamingPipeline {
         store.append("silver", "corpus_docs", batch.join(acceptedIds, "doc_id"))
         store.append("silver", "corpus_seen_bands", bands)
         store.append("silver", "corpus_seen_shingles", sh)
+        store.append("silver", CommitsTable,
+          Seq((batchId, "done", maxId)).toDF("batch_id", "phase", "max_doc_id"))
       } finally { dec.unpersist(); () }
-    }
+    } finally { commits.foreach(_.unpersist()); () }
   }
 
   /** Stream-stream interval join: each purchase matches the same

@@ -63,4 +63,28 @@ class CorpusOpsSpec extends SparkSpec {
     // ranks are 1..n dense in order
     assert(v.map(_.getInt(0)).toSeq == (1 to v.length))
   }
+
+  test("source JSD: disjoint-vocabulary pairs appear with jsd = ln 2") {
+    // three sources: A and B share a token, C is fully disjoint from
+    // both — the matrix must still carry (A,C) and (B,C), at exactly
+    // the disjoint maximum, or "never compared" and "maximally far"
+    // would be indistinguishable downstream
+    val d = java.nio.file.Files.createTempDirectory("jsd_spec").toString
+    Seq(
+      (1L, "alpha beta", "en", "srcA", 10L),
+      (2L, "alpha gamma", "en", "srcB", 11L),
+      (3L, "omega psi chi", "en", "srcC", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = CorpusOps.sourceJsd(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(rows.keySet == Set(("srcA", "srcB"), ("srcA", "srcC"), ("srcB", "srcC")))
+    val ab = rows(("srcA", "srcB"))
+    assert(ab.getLong(2) == 1L && ab.getDouble(3) < 0.693147)
+    for (pair <- Seq(("srcA", "srcC"), ("srcB", "srcC"))) {
+      val r = rows(pair)
+      assert(r.getLong(2) == 0L, s"$pair should share no terms")
+      assert(r.getDouble(3) == 0.693147, s"$pair should sit at ln 2 snapped 6dp")
+    }
+  }
 }

@@ -55,7 +55,8 @@ class StreamingCorpusSpec extends SparkSpec {
     def run(splits: Seq[Seq[Long]], tag: String): Seq[Long] = {
       val dir = java.nio.file.Files.createTempDirectory(s"graft-corpus-$tag").toString
       val store = new graft.sources.LayerStore(spark, s"$dir/store")
-      splits.foreach(ids => StreamingPipeline.ingestCorpusBatch(df(ids), store))
+      splits.zipWithIndex.foreach { case (ids, i) =>
+        StreamingPipeline.ingestCorpusBatch(df(ids), store, i.toLong) }
       acceptedOf(store)
     }
     val oneShot = run(Seq(Seq(1L, 2L, 3L, 4L, 5L, 6L)), "one")
@@ -64,5 +65,56 @@ class StreamingCorpusSpec extends SparkSpec {
     assert(oneShot == Seq(1L, 2L, 4L))
     assert(perDoc == oneShot && lopsided == oneShot,
       s"split-dependent state: one=$oneShot each=$perDoc lop=$lopsided")
+  }
+
+  test("a re-delivered committed batch is skipped whole") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-corpus-replay").toString
+    val store = new graft.sources.LayerStore(spark, s"$dir/store")
+    StreamingPipeline.ingestCorpusBatch(df(Seq(1L, 2L, 3L)), store, 0L)
+    val logBefore = store.table("silver", "corpus_ingest_log").count()
+    val bandsBefore = store.table("silver", "corpus_seen_bands").count()
+    // foreachBatch retry semantics: same batchId, same rows, again
+    StreamingPipeline.ingestCorpusBatch(df(Seq(1L, 2L, 3L)), store, 0L)
+    assert(store.table("silver", "corpus_ingest_log").count() == logBefore,
+      "replayed batch duplicated the decision log")
+    assert(store.table("silver", "corpus_seen_bands").count() == bandsBefore,
+      "replayed batch double-indexed its bands")
+    assert(acceptedOf(store) == Seq(1L, 2L))
+  }
+
+  test("a crash between appends converges on retry instead of self-rejecting") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-corpus-crash").toString
+    val store = new graft.sources.LayerStore(spark, s"$dir/store")
+    StreamingPipeline.ingestCorpusBatch(df(Seq(1L, 2L, 3L)), store, 0L)
+    // simulate batch 1 crashing after its index appends but before its
+    // done marker: intent row + bands/shingles landed, log/docs did not
+    val b2 = df(Seq(4L, 5L))
+    store.append("silver", "corpus_ingest_commits",
+      Seq((1L, "intent", 5L)).toDF("batch_id", "phase", "max_doc_id"))
+    store.append("silver", "corpus_seen_bands",
+      graft.operators.TextOps.bandsOver(b2))
+    store.append("silver", "corpus_seen_shingles",
+      graft.operators.TextOps.shinglesOverDocs(b2))
+    // the retry must scrub the leftovers: without the scrub, doc 4's
+    // own bands are already in the stored index and the probe matches
+    // it against itself at Jaccard 1.0 — the whole batch would reject
+    StreamingPipeline.ingestCorpusBatch(b2, store, 1L)
+    assert(acceptedOf(store) == Seq(1L, 2L, 4L),
+      "retry self-rejected or dropped the batch")
+    assert(store.table("silver", "corpus_seen_bands")
+      .filter($"doc_id" === 4L).count() ==
+      graft.operators.TextOps.bandsOver(df(Seq(4L))).count(),
+      "retry double-indexed the crashed batch's bands")
+  }
+
+  test("out-of-order doc_id arrival across batches is rejected loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-corpus-ooo").toString
+    val store = new graft.sources.LayerStore(spark, s"$dir/store")
+    StreamingPipeline.ingestCorpusBatch(df(Seq(4L, 5L, 6L)), store, 0L)
+    val e = intercept[IllegalArgumentException] {
+      StreamingPipeline.ingestCorpusBatch(df(Seq(1L)), store, 1L)
+    }
+    assert(e.getMessage.contains("monotone doc_id"))
   }
 }

@@ -401,6 +401,16 @@ object TextOps extends QueryModule {
   private val ContainK = 8
   /** Report pairs at/above this exact containment. */
   private val ContainTau = 0.5
+  /** Probe-side document-frequency stoplist: shingles present in more
+    * than this many docs are dropped from the PROBE set (the index
+    * keeps them — the exact verify stage still counts them in the
+    * intersection). A boilerplate shingle shared by every doc would
+    * otherwise make the probe join quadratic on that one key (every
+    * doc probing it × every doc holding it); with the cap, candidate
+    * fanout per probe row is bounded by ContainMaxDf, so candidate
+    * volume is ≤ docs · ContainK · ContainMaxDf — linear in the
+    * corpus. */
+  private[graft] val ContainMaxDf = 64
 
   /** q137 — asymmetric shingle CONTAINMENT |A∩B|/|A| (Broder 1997's
     * second resemblance measure), the dedup primitive Jaccard misses:
@@ -419,24 +429,41 @@ object TextOps extends QueryModule {
     * the asymmetry between them IS the signal (high containment +
     * low Jaccard = subset, both high = plain near-dup).
     * Scale: probes are K rows per doc joining the shingle index on
-    * the shingle key (the q125 posting-probe shape, never all-pairs);
-    * a production corpus drops top-df shingles from the probe set
-    * (stopword-shingle stoplist) to bound the hot-key fanout — the
-    * q104 salting pattern composes if one survives. */
+    * the shingle key (the q125 posting-probe shape, never all-pairs),
+    * and the probe set drops shingles with df > ContainMaxDf BEFORE
+    * the bottom-k selection (the stopword-shingle stoplist), so a
+    * corpus-wide boilerplate shingle cannot make the probe join
+    * quadratic on its key — ScaleSpec plants exactly that and asserts
+    * ~linear candidate growth. Recall degrades gracefully and stays
+    * provable: n_probes counts SURVIVING probes, so if A ⊆ B and at
+    * least one of A's shingles is under the df cap, every surviving
+    * probe still hits B and the pair is recalled exactly (the
+    * pigeonhole argument, now conditional on one informative
+    * shingle); only a doc built entirely of boilerplate opts out. */
   def containment(s: SparkSession, dir: String): DataFrame =
     containmentOver(sharedShingles(s, dir))
 
   /** The containment core over any (doc_id, s) shingle-SET frame —
     * the seam ContainmentSpec uses to prove the subset-recall
     * pigeonhole on planted data. */
-  private[graft] def containmentOver(sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+  /** The candidate stage alone — the seam ScaleSpec uses to witness
+    * that the probe-side df stoplist keeps candidate volume linear
+    * when a corpus-wide boilerplate shingle is planted (the final
+    * output would look linear either way, because the exact verify
+    * stage filters the junk pairs — at quadratic cost). */
+  private[graft] def containmentCandidatesOver(sh: DataFrame): DataFrame = {
+    // probe-side stoplist: df per shingle (vocabulary-sized, shuffled
+    // on the same key the probe join uses), high-df shingles removed
+    // BEFORE bottom-k so the k probe slots go to informative shingles
+    val dfOk = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= ContainMaxDf).select(col("s"))
     val wk = Window.partitionBy(col("doc_id")).orderBy(col("s"))
-    val probes = sh.withColumn("rn", row_number().over(wk))
+    val probes = sh.join(dfOk, "s")
+      .withColumn("rn", row_number().over(wk))
       .filter(col("rn") <= ContainK)
       .select(col("doc_id").as("a"), col("s"))
     val nProbes = probes.groupBy(col("a")).agg(count(lit(1)).as("n_probes"))
-    val cand = probes.as("p")
+    probes.as("p")
       .join(sh.as("idx"),
         col("p.s") === col("idx.s") && col("p.a") =!= col("idx.doc_id"))
       .groupBy(col("a"), col("idx.doc_id").as("b"))
@@ -444,6 +471,11 @@ object TextOps extends QueryModule {
       .join(nProbes, "a")
       .filter(col("hits") * 2 >= col("n_probes"))
       .select(col("a"), col("b"))
+  }
+
+  private[graft] def containmentOver(sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val cand = containmentCandidatesOver(sh)
     val inter = cand
       .join(sh.as("sa"), col("a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
@@ -465,10 +497,12 @@ object TextOps extends QueryModule {
   private val containmentSql =
     s"""WITH $shinglesCte,
        |sizes AS (SELECT doc_id, count(1) AS n FROM sh GROUP BY doc_id),
+       |dfok AS (SELECT s FROM (SELECT s, count(1) AS df FROM sh GROUP BY 1)
+       |         WHERE df <= $ContainMaxDf),
        |probes AS (
        |  SELECT doc_id AS a, s FROM (
        |    SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id ORDER BY s) AS rn
-       |    FROM sh)
+       |    FROM sh JOIN dfok USING (s))
        |  WHERE rn <= $ContainK),
        |np AS (SELECT a, count(1) AS n_probes FROM probes GROUP BY 1),
        |cand AS (

@@ -143,6 +143,36 @@ class ScaleSpec extends SparkSpec {
       s"containment pair growth super-linear: $p1 -> $p10 at 10× data")
   }
 
+  test("q137 probe stoplist: a corpus-wide boilerplate shingle stays ~linear") {
+    // the hot-key failure mode the stoplist exists for: one shingle
+    // present in EVERY doc, lexicographically first so that without
+    // the df cap it would enter every doc's bottom-k probe set and the
+    // probe join would fan out N×N on its key. With the cap the
+    // CANDIDATE stage (where the blowup lives — the final output looks
+    // linear either way because exact verification filters junk pairs,
+    // at quadratic cost) must grow ~linearly with the corpus.
+    val clusterSize = 5
+    def sh(n: Int) = {
+      val rows = for { i <- 0 until n; j <- 0 until 20 } yield
+        (i.toLong, f"c${i / clusterSize}%04ds${(i % clusterSize + j) % 30}%02d")
+      val hot = (0 until n).map(i => (i.toLong, "aaa_boilerplate"))
+      (rows ++ hot).toDF("doc_id", "s")
+    }
+    def cands(n: Int): Long =
+      graft.operators.TextOps.containmentCandidatesOver(sh(n)).count()
+    val (c1, c10) = (cands(400), cands(4000))
+    assert(c1 >= 400 / clusterSize, s"containment candidates implausibly few: $c1")
+    assert(c1 <= 400L * 30, s"small-corpus candidates already blown up: $c1")
+    assert(c10 <= 20 * c1,
+      s"hot-shingle candidate growth super-linear: $c1 -> $c10 at 10× corpus " +
+        "- the probe-side df stoplist is not bounding the fanout")
+    // and recall survives the stoplist: true within-cluster containment
+    // pairs are still produced from the informative shingles
+    val out = graft.operators.TextOps.containmentOver(sh(400))
+    assert(out.count() >= 400 / clusterSize,
+      "stoplist destroyed recall on the clustered corpus")
+  }
+
   test("k-means Lloyd fit recovers planted clusters; SemDeDup pair scope stays sub-quadratic") {
     // planted geometry: nC well-separated directions (the SRP fixture's
     // mixer), id -> cluster = id % nC so the sampled init (first K ids)

@@ -84,6 +84,9 @@ object Bench {
     // the FULL dispatch artifact (all levels + daily) q103 filters —
     // includes the q66 frame, so it runs after prep_forecast_dispatch
     "prep_full_dispatch" -> ((s, d) => { graft.operators.Forecasting.fullDispatch(s, d); () }),
+    // the PERSISTED BM25 postings parquet q140 probes — written once
+    // at "ingest" like a deployment's keyword index
+    "prep_bm25_index" -> ((s, d) => { graft.operators.TextOps.storedPostingsIndex(s, d); () }),
     "prep_srp_bands" -> ((s, d) => graft.operators.VectorOps.prepareArtifacts(s, d)),
     // the stored k-means models: embeddings assignment (q108) and the
     // feature-hash document assignment (q109) — cluster assignments

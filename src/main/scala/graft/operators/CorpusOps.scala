@@ -602,7 +602,7 @@ object CorpusOps extends QueryModule {
     val grid = tot.select(col("source").as("source_a"), col("nn").as("na"))
       .join(tot.select(col("source").as("source_b"), col("nn").as("nb")),
         col("source_a") < col("source_b"))
-    grid.join(agg, Seq("source_a", "source_b"), "left")
+    grid.join(broadcast(agg), Seq("source_a", "source_b"), "left")
       .select(col("source_a"), col("source_b"),
         coalesce(col("n_shared_terms"), lit(0L)).as("n_shared_terms"),
         snapRound(

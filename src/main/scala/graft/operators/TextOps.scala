@@ -1560,6 +1560,39 @@ object TextOps extends QueryModule {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Session-lifetime PERSISTED postings index: built and written to
+    * parquet once per (session, corpus) — the ingest-time write a
+    * deployment runs — and handed back as reads of the STORED files,
+    * so every consumer's plan scans the index tables and never the
+    * corpus. Bench builds it in prep_bm25_index; q140 probes it. */
+  private val storedIndexCache =
+    new graft.util.Memo[(SparkSession, String), (DataFrame, DataFrame)](_._1.sparkContext.isStopped)
+
+  private[graft] def storedPostingsIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    storedIndexCache.getOrBuild((s, dir), {
+      val (tf, stats) = buildPostingsIndex(s, dir)
+      val out = java.nio.file.Files.createTempDirectory("graft_bm25_index").toString
+      tf.write.mode("overwrite").parquet(s"$out/postings")
+      stats.write.mode("overwrite").parquet(s"$out/stats")
+      (s.read.parquet(s"$out/postings"), s.read.parquet(s"$out/stats"))
+    })
+
+  /** q140 — BM25 ranked retrieval over the PERSISTED postings parquet:
+    * identical ranking to q134 by construction (everything downstream
+    * of the index is the one bm25OverIndex code path, proven
+    * ranking-identical in Bm25StoredIndexSpec), but the query-time
+    * plan reads ONLY the stored index — no documents-table scan, no
+    * tokenize pass (PlanSweepSpec asserts the plan). This is the
+    * production retrieval shape at 100 TB: the corpus is tokenized
+    * once at ingest; per-query cost is a broadcast-filtered probe of
+    * the postings table (partition-prunable when the store buckets by
+    * term) plus a top-k window over candidate docs. The oracle is
+    * q134's one-pass SQL — same ranking, which is exactly the claim. */
+  def bm25StoredSearch(s: SparkSession, dir: String): DataFrame = {
+    val (tf, stats) = storedPostingsIndex(s, dir)
+    bm25OverIndex(tf, stats, bm25Queries)
+  }
+
   /** The FULL postings index a deployment stores (q125's head keeps
     * top-5 postings for inspection; the scorer needs them all): one
     * row per (term, doc) with tf and the doc length riding along, plus
@@ -1671,6 +1704,7 @@ object TextOps extends QueryModule {
     "q126_cooccurrence_lift" -> cooccurrenceLift,
     "q125_inverted_index" -> invertedIndex,
     "q134_bm25_search" -> bm25Search,
+    "q140_bm25_stored" -> bm25StoredSearch,
     "q137_containment" -> containment,
     "q130_triangle_count" -> triangleCount,
     "q124_pagerank" -> pagerank,
@@ -1714,6 +1748,10 @@ object TextOps extends QueryModule {
     "q126_cooccurrence_lift" -> cooccurrenceLiftSql,
     "q125_inverted_index" -> invertedIndexSql,
     "q134_bm25_search" -> bm25SearchSql,
+    // q140's ranking contract IS q134's: the stored-index path must
+    // reproduce the one-pass ranking exactly, so the one-pass SQL is
+    // its oracle
+    "q140_bm25_stored" -> bm25SearchSql,
     "q137_containment" -> containmentSql,
     "q130_triangle_count" -> triangleCountSql,
     "q124_pagerank" -> pagerankSql,

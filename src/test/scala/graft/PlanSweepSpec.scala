@@ -43,7 +43,9 @@ class PlanSweepSpec extends SparkSpec {
     "q126_cooccurrence_lift", // 1-row doc-count scalar crossJoin onto the vocab-sized pair stats
     "q129_market_basket", // 1-row basket-count scalar crossJoin onto the part-pair stats
     "q131_kmv_set_ops", // sketch algebra: every crossJoin side is a 1-row scalar or ≤K-row minima frame
-    "q134_bm25_search") // 1-row corpus-stats (n_docs/avgdl) scalar crossJoin onto the probed postings
+    "q134_bm25_search", // 1-row corpus-stats (n_docs/avgdl) scalar crossJoin onto the probed postings
+    "q139_source_jsd", // the sources² pair grid: a < b over two broadcast-tiny marginal frames
+    "q140_bm25_stored") // the same stats scalar crossJoin, read from the stored 1-row stats parquet
 
   /** Queries whose plan legitimately contains Expand: ROLLUP/CUBE are
     * grouping-sets operators — Expand IS their plan shape, bounded at
@@ -138,5 +140,16 @@ class PlanSweepSpec extends SparkSpec {
       assert(count(p, "SortMergeJoin") == 0 && count(p, "ShuffledHashJoin") == 0,
         s"$name shuffles a dimension join")
     }
+  }
+
+  test("q140 probes the stored postings index, never the corpus") {
+    // the production-retrieval claim as a plan assert: the stored-index
+    // BM25 path's only file scans are the persisted index tables — a
+    // documents scan would mean the tokenize pass leaked back into
+    // query time
+    val p = plan("q140_bm25_stored")
+    assert(!p.contains("documents.parquet"),
+      "q140 re-read the corpus: the stored index should replace the tokenize pass")
+    assert(p.contains("postings"), "q140 is not reading the persisted postings")
   }
 }

@@ -1028,7 +1028,7 @@ object VectorOps extends QueryModule {
     * shuffles N rows instead of sorting N·K (measured 6.2→1.9 s on
     * the 50k×64-cell doc fit). The ordering key is unique per row
     * (cell is), so the pick is deterministic. */
-  private def kmAssign(base: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] def kmAssign(base: DataFrame, cents: DataFrame): DataFrame = {
     val sim = (dot_product(col("e"), col("cv")) /
       (sqrt(col("norm2")) * sqrt(col("cnorm2")))).as("csim")
     base.crossJoin(broadcast(cents))
@@ -1534,6 +1534,66 @@ object VectorOps extends QueryModule {
         col("mean_cos_old"), col("mean_cos_new"),
         (abs(shareOld - shareNew) > DriftShareShift).as("is_shifted"))
       .orderBy(col("cell"))
+  }
+
+  /** Outcome of a [[retrainIfStale]] evaluation: whether a refit ran,
+    * how many cells flagged, and the centroid snapshot version now
+    * published (unchanged on a no-op). */
+  case class RetrainOutcome(retrained: Boolean, shiftedCells: Long, version: Long)
+
+  /** The monitoring → ACTION loop q114 only monitors: evaluate the
+    * drift report for the published centroid snapshot against a delta,
+    * and when any cell's population share shifts past `threshold`,
+    * refit the index on stored+delta and ATOMICALLY publish the new
+    * centroids through the snapshot pointer (LayerStore.writeSnapshot:
+    * the new version's directory is fully written before one POSIX
+    * rename flips `_CURRENT`, so a concurrent reader sees either the
+    * old index or the new one, never a partial write — and pinned
+    * readers keep their version). A no-drift delta is a NO-OP: nothing
+    * is written and the published version is unchanged.
+    *
+    * `storedVecs` are the vectors the published index serves (what it
+    * was trained on), `deltaVecs` the arrivals since; both in the
+    * (vec_id, e, norm2) shape. The drift test is q114's: per-cell
+    * |share_old − share_new| > threshold, with the delta assigned to
+    * the FROZEN published centroids (delta-sized cost — the stored
+    * corpus is never re-fit just to ask the question). The refit runs
+    * kmFitFull over stored ∪ delta — the full Lloyd chain, so the new
+    * index reflects the post-drift geometry rather than patching
+    * centroids incrementally (RetrainSpec measures recall@1 recovering
+    * to the q80 ≥ 0.9 floor on a planted boundary-straddling drift).
+    *
+    * Scale: the flag evaluation is one broadcast assign over the
+    * delta + K-row share aggregates; the refit costs what the original
+    * fit cost — which is the point of gating it behind the flag. */
+  def retrainIfStale(store: graft.sources.LayerStore, layer: String,
+      name: String, storedVecs: DataFrame, deltaVecs: DataFrame, k: Int,
+      intValued: Boolean, threshold: Double = DriftShareShift): RetrainOutcome = {
+    val cents = store.readSnapshot(layer, name)
+    val curVersion = store.snapshotVersion(layer, name).getOrElse(
+      sys.error(s"no published centroid snapshot at $layer.$name"))
+    def shares(asg: DataFrame, pfx: String) = {
+      val t = asg.count().toDouble
+      asg.groupBy(col("cell")).agg(count(lit(1)).as(s"n_$pfx"))
+        .withColumn(s"share_$pfx",
+          col(s"n_$pfx").cast(DoubleType) / lit(t))
+    }
+    val so = shares(kmAssign(storedVecs, cents), "old")
+    val sn = shares(kmAssign(deltaVecs, cents), "new")
+    val shifted = cents.select(col("cell"))
+      .join(broadcast(so), Seq("cell"), "left")
+      .join(broadcast(sn), Seq("cell"), "left")
+      .filter(abs(coalesce(col("share_old"), lit(0.0)) -
+        coalesce(col("share_new"), lit(0.0))) > threshold)
+      .count()
+    if (shifted == 0) RetrainOutcome(retrained = false, 0L, curVersion)
+    else {
+      val (asg, newCents) = kmFitFull(
+        storedVecs.unionByName(deltaVecs), k, intValued)
+      asg.unpersist() // only the centroid table is the published index
+      val v = store.writeSnapshot(layer, name, newCents)
+      RetrainOutcome(retrained = true, shifted, v)
+    }
   }
 
   // lazy: interpolates docVecCtes, a val declared further down the

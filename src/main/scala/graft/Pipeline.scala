@@ -193,17 +193,77 @@ object Pipeline {
     * rule — the tuple-key swap downstream compares schemas
     * positionally). */
   private def restrictToKeys(df: DataFrame, keys: Seq[String],
-      keyFrame: DataFrame): DataFrame =
-    graft.util.JoinAdvisor.advisedSemiJoin(df, keys, keyFrame)
+      keyFrame: DataFrame, sketch: Option[Seq[String]] = None): DataFrame =
+    sketch match {
+      case Some(m) =>
+        graft.util.JoinAdvisor.advisedSemiJoinFromMinima(df, keys, keyFrame, m)
+      case None => graft.util.JoinAdvisor.advisedSemiJoin(df, keys, keyFrame)
+    }
+
+  /** Land an incremental delta as a STORED staging table plus a
+    * persisted KMV key sketch per key set the refresh paths scope by —
+    * ANALYZE-at-ingest. Every later refresh that reads this staging
+    * table advises its semi-joins from the sidecars
+    * (JoinAdvisor.advisedSemiJoinFromMinima) with ZERO extra scan
+    * jobs; without the sidecar the advisor falls back to sketching by
+    * scan. At 100 TB the write-side sketch is a mergeable per-split
+    * accumulator riding the ingest job — the scan it replaces at plan
+    * time is of the (possibly large) delta, once per refresh path. */
+  def landDelta(store: LayerStore, layer: String, name: String,
+      delta: DataFrame, keySets: Seq[Seq[String]]): Unit = {
+    store.write(layer, name, delta)
+    keySets.foreach(ks => store.writeKeySketch(layer, name, ks))
+  }
+
+  /** The staging table's persisted minima for `keys`, if landDelta
+    * (or any writeKeySketch) left a sidecar; None → callers scan. */
+  private def storedSketch(store: LayerStore, layer: String, name: String,
+      keys: Seq[String]): Option[Seq[String]] =
+    if (!store.exists(layer, name)) None
+    else store.keySketch(layer, name, keys).map(_._2)
+
+  /** Stored-delta twin of [[refreshSilverLineitem]]: the delta is read
+    * from its landed staging table and the delta-scoping semi-join is
+    * advised from the table's persisted key sketch — no extra scan
+    * job at plan time (falls back to the scanning advise when the
+    * sidecar is missing). Same rows written as the frame form: the
+    * sketch changes the decision's COST, never its inputs. */
+  def refreshSilverLineitemStored(spark: SparkSession, store: LayerStore,
+      deltaLayer: String, deltaName: String): Long = {
+    val keys = Seq("l_orderkey", "l_linenumber")
+    val delta = store.table(deltaLayer, deltaName)
+    val fresh = restrictToKeys(store.table("bronze", "lineitem"), keys,
+      delta.select(keys.map(col): _*).distinct(),
+      storedSketch(store, deltaLayer, deltaName, keys))
+    store.overwriteMatching("silver", "lineitem", cleanLineitem(fresh),
+      keys, delta)
+  }
+
+  /** Stored-delta twins of the gold refreshes: the delta reads from
+    * its landed staging table and every delta-scoping semi-join is
+    * advised from that table's persisted key sketches — zero extra
+    * scan jobs at plan time, scanning fallback when a sidecar is
+    * absent. */
+  def refreshSupplierMartsStored(spark: SparkSession, store: LayerStore,
+      deltaLayer: String, deltaName: String): (Long, Long) =
+    refreshSupplierMarts(spark, store, store.table(deltaLayer, deltaName),
+      ks => storedSketch(store, deltaLayer, deltaName, ks))
+
+  def refreshDashboardStored(spark: SparkSession, store: LayerStore,
+      deltaLayer: String, deltaName: String): Long =
+    refreshDashboard(spark, store, store.table(deltaLayer, deltaName),
+      ks => storedSketch(store, deltaLayer, deltaName, ks))
 
   def refreshSupplierMarts(spark: SparkSession, store: LayerStore,
-      deltaLineitem: DataFrame): (Long, Long) = {
+      deltaLineitem: DataFrame,
+      sketchOf: Seq[String] => Option[Seq[String]] = _ => None): (Long, Long) = {
     if (deltaLineitem.isEmpty) (0L, 0L)
     else {
       val supKeys = deltaLineitem.select(col("l_suppkey")).distinct()
       val base = silverStarResolver(store)
       val resolve: GoldMarts.Resolver = {
-        case "lineitem" => restrictToKeys(base("lineitem"), Seq("l_suppkey"), supKeys)
+        case "lineitem" => restrictToKeys(base("lineitem"), Seq("l_suppkey"), supKeys,
+          sketchOf(Seq("l_suppkey")))
         case t => base(t)
       }
       val asSupp = broadcast(supKeys.select(col("l_suppkey").as("s_suppkey")))
@@ -224,14 +284,16 @@ object Pipeline {
     * like the full rebuild would drop it. Content comes from the
     * CURRENT silver tables — run refreshSilverLineitem first. */
   def refreshDashboard(spark: SparkSession, store: LayerStore,
-      deltaLineitem: DataFrame): Long = {
+      deltaLineitem: DataFrame,
+      sketchOf: Seq[String] => Option[Seq[String]] = _ => None): Long = {
     if (deltaLineitem.isEmpty) 0L
     else {
       val keys = Seq("l_orderkey", "l_linenumber")
       val keyFrame = deltaLineitem.select(keys.map(col): _*).distinct()
       val base = silverStarResolver(store)
       val resolve: GoldMarts.Resolver = {
-        case "lineitem" => restrictToKeys(base("lineitem"), keys, keyFrame)
+        case "lineitem" => restrictToKeys(base("lineitem"), keys, keyFrame,
+          sketchOf(keys))
         case t => base(t)
       }
       store.overwriteMatching("gold", "dashboard",

@@ -101,8 +101,24 @@ object JoinAdvisor {
     * preserved (USING-semi-join reorder rule). */
   def advisedSemiJoin(df: DataFrame, keys: Seq[String], keyFrame: DataFrame,
       broadcastMaxKeys: Double = DefaultBroadcastMaxKeys,
+      k: Int = Kmv.DefaultK): DataFrame =
+    advisedSemiJoinFromMinima(df, keys, keyFrame,
+      minima(keyFrame, keys.map(keyFrame(_)), k), broadcastMaxKeys, k)
+
+  /** The zero-scan form of [[advisedSemiJoin]]: the key frame's KMV
+    * minima were PERSISTED at write time (LayerStore.writeKeySketch on
+    * the staging table the key frame derives from — distinct() cannot
+    * change a key set, so the table's sketch IS the key frame's), and
+    * the decision is a pure driver-side estimate over K strings — NO
+    * Spark job runs until the caller executes the advised join.
+    * Same estimator, same threshold, same two physical shapes as the
+    * scanning form: the decisions are identical by construction
+    * (JoinAdvisorSpec pins both). */
+  def advisedSemiJoinFromMinima(df: DataFrame, keys: Seq[String],
+      keyFrame: DataFrame, keyMinima: Seq[String],
+      broadcastMaxKeys: Double = DefaultBroadcastMaxKeys,
       k: Int = Kmv.DefaultK): DataFrame = {
-    val est = estimateFrom(minima(keyFrame, keys.map(keyFrame(_)), k), k)
+    val est = estimateFrom(keyMinima, k)
     val scoped =
       if (est <= broadcastMaxKeys) df.join(broadcast(keyFrame), keys, "left_semi")
       else df.join(keyFrame.hint("merge"), keys, "left_semi")

@@ -99,4 +99,38 @@ class IncrementalSilverSpec extends SparkSpec {
       r(ki._1) == victim.getLong(ki._1) && r(ki._2) == victim.getInt(ki._2))
     assert(nVictim == 1, s"expected exactly one row for the duplicated key, got $nVictim")
   }
+
+  test("stored-delta refresh (landDelta + sidecar sketches) equals the frame form") {
+    val root = java.nio.file.Files.createTempDirectory("inc_silver_stored").toString
+    val store = new LayerStore(spark, root)
+    assert(Pipeline.runBronze(spark, store, sf0001).ok)
+    assert(Pipeline.runSilver(spark, store, "inc-silver-stored").ok)
+    val schema = store.table("bronze", "lineitem").schema
+    val victim = store.table("bronze", "lineitem")
+      .orderBy("l_orderkey", "l_linenumber").limit(1).collect()(0)
+    val qi = schema.fieldIndex("l_quantity")
+    val delta = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row.fromSeq(victim.toSeq.updated(qi, victim.getDouble(qi) + 5.0))),
+      schema)
+    store.upsert("bronze", "lineitem", delta,
+      Seq("l_orderkey", "l_linenumber"), "l_orderkey")
+    // land the delta as a staging table with per-key-set sketches —
+    // the zero-scan path (JoinAdvisorSpec proves zero jobs at the
+    // advisor level; here the END state must match the frame form)
+    Pipeline.landDelta(store, "bronze", "lineitem_delta", delta,
+      Seq(Seq("l_orderkey", "l_linenumber"), Seq("l_suppkey")))
+    assert(store.keySketch("bronze", "lineitem_delta",
+      Seq("l_orderkey", "l_linenumber")).isDefined, "landDelta wrote no sidecar")
+    val n = Pipeline.refreshSilverLineitemStored(spark, store, "bronze", "lineitem_delta")
+    assert(n > 0)
+    val expected = rows(store.table("bronze", "lineitem")
+      .filter(col("l_quantity") > 0))
+    assert(rows(store.table("silver", "lineitem")) == expected,
+      "stored-delta refresh diverged from a full re-clean")
+    // the gold stored twins run on the same staging table
+    val (nInv, nSup) = Pipeline.refreshSupplierMartsStored(
+      spark, store, "bronze", "lineitem_delta")
+    assert(nInv > 0 && nSup > 0)
+  }
 }

@@ -85,6 +85,43 @@ class JoinAdvisorSpec extends SparkSpec {
     assert(store.keySketch("silver", "facts", Seq("key")).isEmpty)
   }
 
+  test("sidecar-advised semi-join plans with ZERO scan jobs, same decisions") {
+    // job accounting: a listener counts every job submitted while the
+    // advisor plans (not executes) the semi-join. The scanning form
+    // must pay its minima collect; the sidecar form must pay nothing.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    // pre-compute the sidecar minima OUTSIDE the counted window (the
+    // write-time sketch a deployment pays once at ingest)
+    val smallMinima = JoinAdvisor.minima(smallKeys, Seq(smallKeys("key")))
+    val bigMinima = JoinAdvisor.minima(bigKeys, Seq(bigKeys("key")))
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val viaSidecarB = JoinAdvisor.advisedSemiJoinFromMinima(
+        fact, Seq("key"), smallKeys, smallMinima)
+      val viaSidecarM = JoinAdvisor.advisedSemiJoinFromMinima(
+        fact, Seq("key"), bigKeys, bigMinima, broadcastMaxKeys = 1000)
+      // force plan resolution (still no execution, no job)
+      val pB = viaSidecarB.queryExecution.executedPlan.toString
+      val pM = viaSidecarM.queryExecution.executedPlan.toString
+      Thread.sleep(500) // let any stray async job event land
+      assert(jobs.get() == 0,
+        s"sidecar-advised planning launched ${jobs.get()} Spark job(s); must be zero")
+      // decisions unchanged vs the scanning form
+      assert(pB.contains("BroadcastHashJoin") && !pB.contains("SortMergeJoin"))
+      assert(pM.contains("SortMergeJoin") && !pM.contains("BroadcastHashJoin"))
+      // ...and the scanning form DOES launch its sketch job
+      JoinAdvisor.advisedSemiJoin(fact, Seq("key"), smallKeys)
+      val deadline = System.currentTimeMillis() + 5000
+      while (jobs.get() == 0 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(jobs.get() >= 1, "scanning advise should have launched its minima job")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("multi-column keys sketch and scope correctly") {
     val df = Seq((1L, "a", 10.0), (1L, "b", 20.0), (2L, "a", 30.0))
       .toDF("k1", "k2", "v")

@@ -276,9 +276,42 @@ object Bench {
         if !label.startsWith("prep_") && !failedNow(label) &&
            histOf(label).exists(h => minOf(ss) > h * 1.8) => label -> minOf(ss)
     }
-    val retryNames = (dirtyRetry ++ histRetry).distinct
+    // Bounded retry LOOP (up to 3 passes): a retry pass that itself ran
+    // inside the same contention burst leaves its entries dirty (the
+    // r10 artifact shipped dirty_n=6 for exactly this reason), so
+    // passes after the first WAIT for a clean window first — spin the
+    // calibration until it reads near the run's median (i.e. the burst
+    // has passed) or a bounded wait expires. Preps still cannot re-run
+    // (build-once memos), so a contended prep stays flagged.
+    def waitForCleanWindow(): Unit = {
+      var tries = 0
+      var ok = false
+      while (!ok && tries < 12) {
+        val spin = calibrationSpin()
+        segCals += spin
+        ok = spin <= medianCal * 1.3
+        if (!ok) Thread.sleep(10000)
+        tries += 1
+      }
+    }
+    def stillDirty(): Seq[String] = samples.toSeq.collect {
+      case (label, ss)
+        if !label.startsWith("prep_") && !failedNow(label) &&
+           ss.forall { case (_, seg) => isDirty(seg) } => label -> minOf(ss)
+    }.sortBy(-_._2).map(_._1).take(15)
+    val firstRetry = (dirtyRetry ++ histRetry).distinct
       .sortBy(-_._2).map(_._1).distinct.take(15)
-    if (retryNames.nonEmpty) timedPass(retryNames.map(queryEntry))
+    val allRetried = collection.mutable.LinkedHashSet[String](firstRetry: _*)
+    var pass = 0
+    var toRetry = firstRetry
+    while (toRetry.nonEmpty && pass < 3) {
+      if (pass > 0) waitForCleanWindow()
+      timedPass(toRetry.map(queryEntry))
+      pass += 1
+      toRetry = stillDirty()
+      toRetry.foreach(allRetried.add)
+    }
+    val retryNames = allRetried.toSeq
 
     // merged value = min over samples; dirty = every sample contended
     val all = samples.toSeq.map { case (label, ss) =>

@@ -383,17 +383,25 @@ object VectorOps extends QueryModule {
 
   /** The SRP banding chain over an arbitrary (vec_id, embedding)
     * frame — the seam ScaleSpec uses to measure candidate-pair growth
-    * on synthetic embedding sets of controlled size. */
-  private[graft] def srpBandsOver(emb: DataFrame): DataFrame = {
+    * on synthetic embedding sets of controlled size. `rowsPerBand`
+    * (default: the q51 production constant) is the bucket-count dial:
+    * 2^rows buckets per band, so at n vectors the expected birthday
+    * cross-collisions per band are ~n²/2^(rows+1) — the scale path
+    * grows rows with log₂ n to hold that linear (the ScalingWitness
+    * measures both the fixed and the widened setting at 10×). Must
+    * divide SRP_BITS. */
+  private[graft] def srpBandsOver(emb: DataFrame,
+      rowsPerBand: Int = SRP_ROWS): DataFrame = {
+    require(SRP_BITS % rowsPerBand == 0, s"rowsPerBand must divide $SRP_BITS")
     val all = withNorm(emb)
     val bits = (0 until SRP_BITS).map { h =>
       (dot_product(col("e"), srpPlane(h)) >= 0)
         .cast(IntegerType).as(s"bit$h")
     }
     val sig = all.select(col("vec_id") +: col("e") +: col("norm2") +: bits: _*)
-    (0 until SRP_BITS / SRP_ROWS).map { b =>
-      val bandVal = (0 until SRP_ROWS).map(j =>
-        col(s"bit${b * SRP_ROWS + j}") * lit(1 << (SRP_ROWS - 1 - j))).reduce(_ + _)
+    (0 until SRP_BITS / rowsPerBand).map { b =>
+      val bandVal = (0 until rowsPerBand).map(j =>
+        col(s"bit${b * rowsPerBand + j}").cast(LongType) * lit(1L << (rowsPerBand - 1 - j))).reduce(_ + _)
       sig.select(col("vec_id"), lit(b).as("band"), bandVal.as("band_val"))
     }.reduce(_.unionByName(_))
   }

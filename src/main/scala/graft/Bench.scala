@@ -74,6 +74,22 @@ object Bench {
     * drift from what the bench builds. */
   val prepStages: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "prep_text_lsh" -> ((s, d) => graft.operators.TextOps.prepareArtifacts(s, d)),
+    // the stored curation-stage artifacts: q54's connected-component
+    // cluster assignments and q62's contamination verdicts are written
+    // tables in a deployment (the SemDeDup/prep_kmeans precedent);
+    // q54/q62/q99 all consume them. Runs after prep_text_lsh (the
+    // cluster build reads the shared band artifact). The two builds
+    // are independent — overlap them.
+    "prep_dedup_decon" -> ((s, d) => {
+      val err = new java.util.concurrent.atomic.AtomicReference[Throwable]
+      val t = new Thread(() =>
+        try { graft.operators.CorpusOps.decontaminate(s, d); () }
+        catch { case e: Throwable => err.compareAndSet(null, e); () })
+      t.setDaemon(true); t.start()
+      graft.operators.TextOps.dedupClusters(s, d)
+      t.join()
+      if (err.get != null) throw err.get
+    }),
     "prep_gold_marts" -> ((s, d) => graft.operators.DqChecks.prepareArtifacts(s, d)),
     "prep_demand_series" -> ((s, d) => graft.operators.Forecast.prepareArtifacts(s, d)),
     "prep_forecast_backtest" -> ((s, d) => graft.operators.Backtest.prepareArtifacts(s, d)),

@@ -200,6 +200,30 @@ object Bench {
     // overhead on a multi-minute run.
     val calEvery = 6
     val segCals = collection.mutable.ArrayBuffer[Double](calibrationSpin())
+    // Preps cannot be re-measured (build-once memos), so a contention
+    // burst over the prep phase dirties them irrecoverably — the one
+    // hole the retry loop can't fix (this round's first snapshot: all
+    // 10 preps dirty, every query clean). If the PREVIOUS run's
+    // calibration floor says this host can spin faster than the
+    // opening spin reads now, wait (bounded ~2 min) for the burst to
+    // pass before the preps start. The spin is pure CPU — comparable
+    // across scale factors, so no SF guard.
+    locally {
+      val histCalFloor = try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("bench_out.json")), java.nio.charset.StandardCharsets.UTF_8)
+        "\"cals\":\\[([^\\]]*)\\]".r.findFirstMatchIn(txt)
+          .map(_.group(1).split(',').map(_.trim.toDouble).min)
+      } catch { case _: Throwable => None }
+      histCalFloor.foreach { floor =>
+        var tries = 0
+        while (segCals.last > floor * 1.5 && tries < 12) {
+          Thread.sleep(10000)
+          segCals += calibrationSpin()
+          tries += 1
+        }
+      }
+    }
     // per-entry samples: label -> list of (reported seconds, index of
     // the spin that OPENED the entry's segment; the spin at index+1…
     // closes it)

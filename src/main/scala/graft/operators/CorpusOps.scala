@@ -215,6 +215,120 @@ object CorpusOps extends QueryModule {
         .join(evalGrams, "g")
     })
 
+  // ---- q141: DSIR importance weighting (data selection) -------------
+
+  /** Hashed-feature bucket count for the q141 importance model. 256
+    * buckets = exactly the two md5 hex chars featureDim reads — the
+    * hash IS the bucket, no modulo bias. */
+  private[operators] val DsirDim = 256
+
+  /** q141 — data selection by hashed-n-gram importance weights (DSIR,
+    * Xie et al. 2023 "Data Selection for Language Models via
+    * Importance Resampling"): estimate target (the held-out eval
+    * source, the same split q62/q116 use) and raw unigram-PAIR
+    * distributions over a hashed feature space, and score every raw
+    * document by the log-likelihood ratio of its features —
+    * score(d) = Σ_occurrences ln p̂_target(b) − ln p̂_raw(b) with
+    * add-1 smoothing over DsirDim buckets. Positive score = the doc
+    * looks more like the target than like the raw pool; `selected`
+    * uses that natural threshold (the paper samples ∝ exp(score);
+    * the deterministic gate keeps the oracle exact and needs no
+    * global sort at any scale).
+    *
+    * Parity: each ln argument is an exact (count+1)/(total+D)
+    * rational of longs — one IEEE division, bit-identical — and the
+    * libm ln snaps 6-dp (the q134 rule); bucket weight = difference
+    * of two snapped doubles (exact, deterministic); per-doc
+    * contributions cnt·w snap 6-dp and fold through DECIMAL(38,10)
+    * (order-independent), final score snaps 4-dp.
+    *
+    * Scale: the weight table is DsirDim rows — broadcast; totals are
+    * 1-row scalars (broadcast crossJoin, the allow-listed shape); the
+    * corpus makes ONE tokenize+hash pass and one (doc, bucket)
+    * aggregation; nothing fact-sized joins and there is no global
+    * sort — selection is a per-row predicate. */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    import graft.util.Parity.snapRound
+    val docs = Tables.t(s, dir, "documents")
+    val toked = docs.select(col("doc_id"), col("source"), tokens(col("text")).as("ts"))
+    // raw bigram OCCURRENCES (not the per-doc-distinct shinglesOf):
+    // DSIR's feature counts are occurrence counts. ts pre-projected
+    // (the shinglesOf PERF rule: lambdas get no CSE).
+    val grams = toked.filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), col("source"),
+        explode(transform(sequence(lit(1), size(col("ts")) - 1),
+          i => concat_ws(" ", element_at(col("ts"), i), element_at(col("ts"), i + 1)))).as("g"))
+      .select(col("doc_id"), col("source"), featureDim(col("g"), DsirDim).as("b"))
+    val tc = grams.filter(col("source") === EvalSource)
+      .groupBy(col("b")).agg(count(lit(1)).as("tc"))
+    val sc = grams.filter(col("source") =!= EvalSource)
+      .groupBy(col("b")).agg(count(lit(1)).as("sc"))
+    val tot = tc.agg(coalesce(sum(col("tc")), lit(0L)).as("tt"))
+      .crossJoin(sc.agg(coalesce(sum(col("sc")), lit(0L)).as("st")))
+    def lnSmoothed(cnt: Column, total: Column): Column =
+      snapRound(log((coalesce(cnt, lit(0L)) + lit(1)).cast(DoubleType) /
+        (total + lit(DsirDim)).cast(DoubleType)), 6)
+    val weights = spark_grid(s)
+      .join(broadcast(tc), Seq("b"), "left")
+      .join(broadcast(sc), Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("b"),
+        snapRound(lnSmoothed(col("tc"), col("tt")) - lnSmoothed(col("sc"), col("st")), 6).as("w"))
+    val perDoc = grams.filter(col("source") =!= EvalSource)
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(weights), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_feats"),
+        snapRound(sum(snapRound(col("cnt").cast(DoubleType) * col("w"), 6)
+          .cast(DecimalType(38, 10))).cast(DoubleType), 4).as("score"))
+    // zero-bigram raw docs still get a row (score 0, unselected):
+    // a selection pass must say something about EVERY candidate
+    docs.filter(col("source") =!= EvalSource).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("score"), lit(0.0)).as("score"))
+      .withColumn("selected", col("score") > 0.0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The DsirDim-row bucket grid. */
+  private def spark_grid(s: SparkSession): DataFrame =
+    s.range(DsirDim).select(col("id").cast(IntegerType).as("b"))
+
+  private lazy val dsirWeightsSql = {
+    import graft.util.Parity.snapRoundSql
+    def lnS(cnt: String, tot: String) =
+      snapRoundSql(s"ln(CAST(coalesce($cnt, 0) + 1 AS DOUBLE) / CAST($tot + $DsirDim AS DOUBLE))", 6)
+    s"""WITH dtk AS (SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+       |dgr AS (
+       |  SELECT doc_id, source,
+       |         ${featureDimSql("ts[i] || ' ' || ts[i+1]", DsirDim)} AS b
+       |  FROM (SELECT doc_id, source, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+       |        FROM dtk WHERE len(ts) >= 2)),
+       |dtc AS (SELECT b, count(1) AS tc FROM dgr WHERE source = '$EvalSource' GROUP BY 1),
+       |dsc AS (SELECT b, count(1) AS sc FROM dgr WHERE source <> '$EvalSource' GROUP BY 1),
+       |dtot AS (SELECT (SELECT coalesce(sum(tc), 0) FROM dtc) AS tt,
+       |                (SELECT coalesce(sum(sc), 0) FROM dsc) AS st),
+       |dwt AS (
+       |  SELECT g.b, ${snapRoundSql(s"(${lnS("tc", "tt")}) - (${lnS("sc", "st")})", 6)} AS w
+       |  FROM (SELECT unnest(generate_series(0, ${DsirDim - 1})) AS b) g
+       |  LEFT JOIN dtc ON g.b = dtc.b
+       |  LEFT JOIN dsc ON g.b = dsc.b, dtot),
+       |dpd AS (SELECT doc_id, b, count(1) AS cnt FROM dgr WHERE source <> '$EvalSource' GROUP BY 1, 2),
+       |dsco AS (
+       |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_feats,
+       |         ${snapRoundSql(
+      s"CAST(sum(CAST(${snapRoundSql("CAST(cnt AS DOUBLE) * w", 6)} AS DECIMAL(38,10))) AS DOUBLE)", 4)} AS score
+       |  FROM dpd JOIN dwt ON dpd.b = dwt.b GROUP BY 1)
+       |SELECT d.doc_id, coalesce(s.n_feats, 0) AS n_feats,
+       |       coalesce(s.score, 0.0) AS score,
+       |       coalesce(s.score, 0.0) > 0.0 AS selected
+       |FROM (SELECT doc_id FROM documents WHERE source <> '$EvalSource') d
+       |LEFT JOIN dsco s ON d.doc_id = s.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   // ---- q99: end-to-end curation funnel -----------------------------
 
   /** q99 — the WHOLE curation pipeline as one declarative plan, with
@@ -1365,6 +1479,7 @@ object CorpusOps extends QueryModule {
     "q63_vocabulary" -> vocabulary,
     "q138_zipf_slope" -> zipfSlope,
     "q139_source_jsd" -> sourceJsd,
+    "q141_dsir_weights" -> dsirWeights,
     "q92_oov_profile" -> oovProfile,
     "q65_lang_source_matrix" -> langSourceMatrix,
     "q67_pii_redact" -> piiRedact,
@@ -1387,6 +1502,7 @@ object CorpusOps extends QueryModule {
     "q63_vocabulary" -> vocabularySql,
     "q138_zipf_slope" -> zipfSlopeSql,
     "q139_source_jsd" -> sourceJsdSql,
+    "q141_dsir_weights" -> dsirWeightsSql,
     "q92_oov_profile" -> oovProfileSql,
     "q65_lang_source_matrix" -> langSourceMatrixSql,
     "q67_pii_redact" -> piiRedactSql,

@@ -64,6 +64,46 @@ class CorpusOpsSpec extends SparkSpec {
     assert(v.map(_.getInt(0)).toSeq == (1 to v.length))
   }
 
+  test("DSIR weights: target-like raw docs score positive and are selected") {
+    // target (src0) speaks vocabulary A; the raw pool has two docs in
+    // vocabulary A (should look target-like) and two in a disjoint
+    // vocabulary B (should not); a two-token doc with one bigram and a
+    // one-token doc with none pin the degenerate shapes
+    val d = java.nio.file.Files.createTempDirectory("dsir_spec").toString
+    // texts long enough that feature totals dominate the add-1
+    // smoothing mass (D = 256 pseudo-counts): at production scale
+    // totals >> D always; the fixture must respect that regime or
+    // the smoothing flattens every ratio toward 1
+    val vocabA = Seq.fill(50)("alpha beta gamma delta").mkString(" ")   // 200 tokens
+    val vocabB = Seq.fill(50)("omega psi chi tau").mkString(" ")
+    Seq(
+      (100L, vocabA, "en", "src0", 30L), // target
+      (101L, vocabA, "en", "src0", 30L), // target
+      (1L, vocabA, "en", "srcT", 30L),
+      (2L, Seq.fill(50)("beta gamma delta alpha").mkString(" "), "en", "srcT", 30L),
+      (3L, vocabB, "en", "srcT", 30L),
+      (4L, Seq.fill(50)("psi chi tau omega").mkString(" "), "en", "srcT", 30L),
+      (5L, "alpha beta", "en", "srcT", 10L),
+      (6L, "solo", "en", "srcT", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = CorpusOps.dsirWeights(spark, d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L), "every raw doc gets a row; target docs none")
+    for (id <- Seq(1L, 2L, 5L)) {
+      assert(rows(id).getDouble(2) > 0.0, s"target-like doc $id should score positive")
+      assert(rows(id).getBoolean(3), s"doc $id should be selected")
+    }
+    for (id <- Seq(3L, 4L)) {
+      assert(rows(id).getDouble(2) < 0.0, s"off-distribution doc $id should score negative")
+      assert(!rows(id).getBoolean(3))
+    }
+    // the zero-bigram doc is present, scoreless, unselected
+    assert(rows(6L).getLong(1) == 0L && rows(6L).getDouble(2) == 0.0 && !rows(6L).getBoolean(3))
+    // per-occurrence counting: doc 1 has 200 tokens -> 199 bigrams
+    assert(rows(1L).getLong(1) == 199L)
+  }
+
   test("source JSD: disjoint-vocabulary pairs appear with jsd = ln 2") {
     // three sources: A and B share a token, C is fully disjoint from
     // both — the matrix must still carry (A,C) and (B,C), at exactly

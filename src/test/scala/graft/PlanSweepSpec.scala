@@ -45,7 +45,8 @@ class PlanSweepSpec extends SparkSpec {
     "q131_kmv_set_ops", // sketch algebra: every crossJoin side is a 1-row scalar or ≤K-row minima frame
     "q134_bm25_search", // 1-row corpus-stats (n_docs/avgdl) scalar crossJoin onto the probed postings
     "q139_source_jsd", // the sources² pair grid: a < b over two broadcast-tiny marginal frames
-    "q140_bm25_stored") // the same stats scalar crossJoin, read from the stored 1-row stats parquet
+    "q140_bm25_stored", // the same stats scalar crossJoin, read from the stored 1-row stats parquet
+    "q141_dsir_weights") // two 1-row total scalars: tt×st and their crossJoin onto the 256-row bucket grid
 
   /** Queries whose plan legitimately contains Expand: ROLLUP/CUBE are
     * grouping-sets operators — Expand IS their plan shape, bounded at
@@ -75,7 +76,8 @@ class PlanSweepSpec extends SparkSpec {
     "q117_hard_negatives", // assignment × embeddings label-tag join + in-cell pair join: corpus-proportional sides
     "q118_mirror_matrix", // verified-pair (q23 LSH band) chain + source tag joins: derived-vs-derived, pair side band-bucket-bounded
     "q124_pagerank", // per-iteration edge-contribution joins: edge list and rank vector are both graph-proportional (neither broadcasts at scale)
-    "q99_curation_funnel") // stage chains: doc-id-projection semi/anti joins of comparable derived sets
+    "q99_curation_funnel", // stage chains: doc-id-projection semi/anti joins of comparable derived sets
+    "q141_dsir_weights") // raw-doc id projection LEFT JOIN per-doc scores: both corpus-proportional, id-keyed
 
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString

@@ -329,6 +329,88 @@ object CorpusOps extends QueryModule {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---- q142: concat-and-chunk sequence packing ----------------------
+
+  /** Context window length (tokens) for the q142 packing plan. */
+  private[operators] val PackLen = 128
+  /** Prefix-sum group width (docs per group) — the two-level exact
+    * prefix sum's fan-out. */
+  private[operators] val PackGroup = 1000
+
+  /** q142 — the training-batch packing plan (GPT-style concat-and-
+    * chunk): documents concatenate in doc_id order into one token
+    * stream cut every PackLen tokens; each doc reports its stream
+    * offset, first/last chunk index, chunks spanned, and whether it
+    * crosses a chunk boundary (the attention-mask/document-boundary
+    * accounting every LLM data loader needs). Pure integer arithmetic
+    * end to end — no parity snap anywhere.
+    *
+    * Scale: the global offset is an exact TWO-LEVEL prefix sum, not a
+    * single-partition window — docs cumsum within doc_id-range groups
+    * (shuffle keyed on the group), group totals (corpus/PackGroup
+    * rows) cumsum in one tiny frame, and each doc adds its group's
+    * offset via a broadcast join. At 100 TB the group frame is the
+    * only sequential structure and it is millions of times smaller
+    * than the corpus (add a third level if it ever isn't — the
+    * standard scan-prefix recursion). */
+  def packChunks(s: SparkSession, dir: String): DataFrame =
+    packChunksOver(
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("n_toks")),
+      PackGroup)
+
+  /** The packing core over any (doc_id, n_toks) frame — the seam the
+    * spec uses to prove the two-level prefix sum equals a naive
+    * single-pass cumsum at a tiny group width (so the groups really
+    * compose, not just degenerate to one). */
+  private[graft] def packChunksOver(docTokens: DataFrame, groupWidth: Int): DataFrame = {
+    val w = Window.partitionBy(col("grp")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = docTokens
+      .withColumn("grp", floor(col("doc_id") / groupWidth).cast(LongType))
+      .withColumn("in_grp", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+    val wg = Window.orderBy(col("grp")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("grp")).agg(sum(col("n_toks")).as("g_total"))
+      .withColumn("g_off", coalesce(sum(col("g_total")).over(wg), lit(0L)))
+      .select(col("grp"), col("g_off"))
+    base.join(broadcast(offsets), "grp")
+      .withColumn("offset", col("g_off") + col("in_grp"))
+      .withColumn("first_chunk",
+        when(col("n_toks") > 0, floor(col("offset") / PackLen).cast(LongType)))
+      .withColumn("last_chunk",
+        when(col("n_toks") > 0,
+          floor((col("offset") + col("n_toks") - 1) / PackLen).cast(LongType)))
+      .select(col("doc_id"), col("n_toks"), col("offset"),
+        col("first_chunk"), col("last_chunk"),
+        when(col("n_toks") > 0, col("last_chunk") - col("first_chunk") + 1)
+          .otherwise(lit(0L)).as("chunks_spanned"),
+        when(col("n_toks") > 0, col("last_chunk") =!= col("first_chunk"))
+          .otherwise(lit(false)).as("crosses_boundary"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val packChunksSql =
+    s"""WITH pk AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |pko AS (
+       |  SELECT doc_id, n_toks,
+       |         CAST(coalesce(sum(n_toks) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+       |  FROM pk)
+       |SELECT doc_id, n_toks, "offset",
+       |       CASE WHEN n_toks > 0 THEN CAST(floor("offset" / $PackLen) AS BIGINT) END AS first_chunk,
+       |       CASE WHEN n_toks > 0 THEN CAST(floor(("offset" + n_toks - 1) / $PackLen) AS BIGINT) END AS last_chunk,
+       |       CASE WHEN n_toks > 0
+       |         THEN CAST(floor(("offset" + n_toks - 1) / $PackLen) AS BIGINT)
+       |            - CAST(floor("offset" / $PackLen) AS BIGINT) + 1
+       |         ELSE 0 END AS chunks_spanned,
+       |       CASE WHEN n_toks > 0
+       |         THEN CAST(floor(("offset" + n_toks - 1) / $PackLen) AS BIGINT)
+       |            <> CAST(floor("offset" / $PackLen) AS BIGINT)
+       |         ELSE false END AS crosses_boundary
+       |FROM pko ORDER BY doc_id""".stripMargin
+
   // ---- q99: end-to-end curation funnel -----------------------------
 
   /** q99 — the WHOLE curation pipeline as one declarative plan, with
@@ -1480,6 +1562,7 @@ object CorpusOps extends QueryModule {
     "q138_zipf_slope" -> zipfSlope,
     "q139_source_jsd" -> sourceJsd,
     "q141_dsir_weights" -> dsirWeights,
+    "q142_pack_chunks" -> packChunks,
     "q92_oov_profile" -> oovProfile,
     "q65_lang_source_matrix" -> langSourceMatrix,
     "q67_pii_redact" -> piiRedact,
@@ -1503,6 +1586,7 @@ object CorpusOps extends QueryModule {
     "q138_zipf_slope" -> zipfSlopeSql,
     "q139_source_jsd" -> sourceJsdSql,
     "q141_dsir_weights" -> dsirWeightsSql,
+    "q142_pack_chunks" -> packChunksSql,
     "q92_oov_profile" -> oovProfileSql,
     "q65_lang_source_matrix" -> langSourceMatrixSql,
     "q67_pii_redact" -> piiRedactSql,

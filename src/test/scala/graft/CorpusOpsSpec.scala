@@ -104,6 +104,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows(1L).getLong(1) == 199L)
   }
 
+  test("pack chunks: offsets, boundary crossing, empty docs, two-level sum composes") {
+    // token counts chosen around the PackLen=128 boundary: doc 1 fills
+    // 0..99, doc 2 spans 100..227 (crosses chunk 0→1), doc 3 is empty,
+    // doc 4 lands exactly on a boundary at 228..355 (crosses 1→2),
+    // doc 5 starts at 356
+    val counts = Seq(1L -> 100L, 2L -> 128L, 3L -> 0L, 4L -> 128L, 5L -> 10L)
+    val dt = counts.toDF("doc_id", "n_toks")
+    // tiny group width (2 docs/group) so the group-offset level is
+    // genuinely exercised, and the result must equal the width-∞
+    // single-group naive cumsum row for row
+    val two = CorpusOps.packChunksOver(dt, groupWidth = 2).collect().map(_.toSeq)
+    val one = CorpusOps.packChunksOver(dt, groupWidth = 1000000).collect().map(_.toSeq)
+    assert(two.toSeq == one.toSeq, "two-level prefix sum diverged from the naive cumsum")
+    val byId = two.map(r => r.head -> r).toMap
+    assert(byId(1L) == Seq(1L, 100L, 0L, 0L, 0L, 1L, false))
+    assert(byId(2L) == Seq(2L, 128L, 100L, 0L, 1L, 2L, true))
+    assert(byId(3L) == Seq(3L, 0L, 228L, null, null, 0L, false))
+    assert(byId(4L) == Seq(4L, 128L, 228L, 1L, 2L, 2L, true))
+    assert(byId(5L) == Seq(5L, 10L, 356L, 2L, 2L, 1L, false))
+  }
+
   test("source JSD: disjoint-vocabulary pairs appear with jsd = ln 2") {
     // three sources: A and B share a token, C is fully disjoint from
     // both — the matrix must still carry (A,C) and (B,C), at exactly

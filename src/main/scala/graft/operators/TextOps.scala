@@ -1616,15 +1616,23 @@ object TextOps extends QueryModule {
   private[graft] def buildPostingsIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val toks = Tables.t(s, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("ts"))
-    val tf = toks
+    (postingsOverToks(toks), toks.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("ts")).cast(LongType)).as("total_dl")))
+  }
+
+  /** The posting rows of a (doc_id, text) batch — the seam the
+    * streaming corpus ingest appends per accepted micro-batch, so the
+    * stored q140 index stays fresh without any corpus re-read. Same
+    * construction as the one-shot build (one definition). */
+  private[graft] def postingsOverDocs(docs: DataFrame): DataFrame =
+    postingsOverToks(docs.select(col("doc_id"), tokens(col("text")).as("ts")))
+
+  private def postingsOverToks(toks: DataFrame): DataFrame =
+    toks
       .select(col("doc_id"), size(col("ts")).cast(LongType).as("dl"),
         explode(col("ts")).as("term"))
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
-    val stats = toks.agg(count(lit(1)).as("n_docs"),
-      sum(size(col("ts")).cast(LongType)).as("total_dl"))
-    (tf, stats)
-  }
 
   private val bm25SearchSql = {
     val qvals = bm25Queries

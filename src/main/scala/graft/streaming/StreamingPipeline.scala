@@ -229,7 +229,23 @@ object StreamingPipeline {
 
   private val CommitsTable = "corpus_ingest_commits"
   private val IngestTables = Seq("corpus_docs", "corpus_seen_bands",
-    "corpus_seen_shingles", "corpus_ingest_log")
+    "corpus_seen_shingles", "corpus_ingest_log", "corpus_postings")
+
+  /** The BM25 scorer over the STREAMING-maintained index: the ingest
+    * appends each accepted batch's posting rows (corpus_postings) and
+    * a per-batch (n_docs, total_dl) stats row (corpus_index_stats) —
+    * summing the stats rows gives the exact corpus totals, so a query
+    * probes the stored postings with NO corpus re-read and ranks
+    * identically to a one-shot index build over the accepted docs
+    * (StreamingCorpusSpec proves it): q140's production retrieval
+    * shape, kept fresh by the stream. */
+  def bm25OverCorpusIndex(store: graft.sources.LayerStore,
+      queries: Seq[(String, String)]): DataFrame = {
+    val tf = store.table("silver", "corpus_postings")
+    val stats = store.table("silver", "corpus_index_stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_dl")).as("total_dl"))
+    graft.operators.TextOps.bm25OverIndex(tf, stats, queries)
+  }
 
   /** One micro-batch of the corpus ingest — also the batch-mode entry
     * (the spec's single-shot twin; batch callers supply their own
@@ -267,11 +283,17 @@ object StreamingPipeline {
       // intent but never finished — remove its partial rows so the
       // re-applied appends cannot double-index, and so the decision
       // probe below cannot see the batch's own leftover bands
-      if (phaseRows("intent").nonEmpty)
+      if (phaseRows("intent").nonEmpty) {
         for (t <- IngestTables if store.exists("silver", t))
           store.overwriteMatching("silver", t,
             store.table("silver", t).limit(0), Seq("doc_id"),
             batch.select(col("doc_id")))
+        // the stats table is batch-keyed, not doc-keyed
+        if (store.exists("silver", "corpus_index_stats"))
+          store.overwriteKeys("silver", "corpus_index_stats",
+            store.table("silver", "corpus_index_stats").limit(0),
+            "batch_id", Seq(batchId))
+      }
       store.append("silver", CommitsTable,
         Seq((batchId, "intent", maxId)).toDF("batch_id", "phase", "max_doc_id"))
       val bands = TextOps.bandsOver(batch)
@@ -281,18 +303,39 @@ object StreamingPipeline {
         if (haveIndex) store.table("silver", "corpus_seen_bands") else bands.limit(0)
       val oldSh =
         if (haveIndex) store.table("silver", "corpus_seen_shingles") else sh.limit(0)
+      // localCheckpoint, not persist: the appends below REFRESH their
+      // parquet paths (Spark's insert refreshes the path cache), which
+      // INVALIDATES any cached plan depending on those paths — a merely
+      // persisted dec would silently recompute against the
+      // just-mutated index when the postings/stats jobs re-evaluate it
+      // (the batch would then match its own freshly-appended bands:
+      // doubled shingle rows, zero Jaccard denominators). Checkpointing
+      // truncates the lineage to materialized blocks, so nothing
+      // downstream can ever re-read the store. (A multi-executor
+      // deployment uses reliable checkpoint() for executor-loss safety.)
       val dec = TextOps.ingestDecisionOver(batch, bands, oldBands,
-        oldSh.unionByName(sh)).persist()
-      dec.count()
+        oldSh.unionByName(sh)).localCheckpoint()
       try {
         store.append("silver", "corpus_ingest_log", dec)
         val acceptedIds = broadcast(dec.filter(col("accepted")).select(col("doc_id")))
-        store.append("silver", "corpus_docs", batch.join(acceptedIds, "doc_id"))
+        val acceptedDocs = batch.join(acceptedIds, "doc_id")
+        store.append("silver", "corpus_docs", acceptedDocs)
         store.append("silver", "corpus_seen_bands", bands)
         store.append("silver", "corpus_seen_shingles", sh)
+        // keep the BM25 retrieval index fresh: accepted docs' posting
+        // rows append (delta-sized tokenize, no corpus re-read) plus a
+        // per-batch stats row whose running sum is the exact corpus
+        // (n_docs, total_dl) the scorer needs
+        val post = TextOps.postingsOverDocs(acceptedDocs)
+        store.append("silver", "corpus_postings", post)
+        val st = acceptedDocs.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(size(graft.functions.TextFunctions.tokens(col("text")))
+            .cast(org.apache.spark.sql.types.LongType)), lit(0L)).as("total_dl"))
+          .select(lit(batchId).as("batch_id"), col("n_docs"), col("total_dl"))
+        store.append("silver", "corpus_index_stats", st)
         store.append("silver", CommitsTable,
           Seq((batchId, "done", maxId)).toDF("batch_id", "phase", "max_doc_id"))
-      } finally { dec.unpersist(); () }
+      } finally { dec.unpersist(); () }  // drops the checkpoint blocks
     } finally { commits.foreach(_.unpersist()); () }
   }
 

@@ -108,6 +108,33 @@ class StreamingCorpusSpec extends SparkSpec {
       "retry double-indexed the crashed batch's bands")
   }
 
+  test("the streaming-maintained BM25 index ranks like a one-shot build over accepted docs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-corpus-bm25").toString
+    val store = new graft.sources.LayerStore(spark, s"$dir/store")
+    // batch-wise ingest: dups (3, 5, 6) are rejected, so the index must
+    // hold ONLY accepted docs' postings
+    Seq(Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)).zipWithIndex.foreach { case (ids, i) =>
+      StreamingPipeline.ingestCorpusBatch(df(ids), store, i.toLong) }
+    val queries = Seq("qa" -> "t1x3 t1x7", "qb" -> "t4x2 t2x9")
+    val viaStream = StreamingPipeline.bm25OverCorpusIndex(store, queries)
+      .collect().map(_.toSeq).toSeq
+    // the one-shot reference: postings + stats built directly over the
+    // ACCEPTED corpus, scored through the same bm25OverIndex code path
+    val accepted = df(Seq(1L, 2L, 4L))
+    val tf = graft.operators.TextOps.postingsOverDocs(accepted)
+    import org.apache.spark.sql.functions.{size, split, count, lit, sum}
+    val stats = accepted.select(size(split($"text", " ")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum($"dl").as("total_dl"))
+    val viaOneShot = graft.operators.TextOps.bm25OverIndex(tf, stats, queries)
+      .collect().map(_.toSeq).toSeq
+    assert(viaStream.nonEmpty && viaStream == viaOneShot,
+      "streaming-maintained index diverged from the one-shot build")
+    // rejected docs never entered the index
+    assert(store.table("silver", "corpus_postings")
+      .filter($"doc_id".isin(3L, 5L, 6L)).count() == 0)
+  }
+
   test("out-of-order doc_id arrival across batches is rejected loudly") {
     val dir = java.nio.file.Files.createTempDirectory("graft-corpus-ooo").toString
     val store = new graft.sources.LayerStore(spark, s"$dir/store")

@@ -411,6 +411,154 @@ object CorpusOps extends QueryModule {
        |         ELSE false END AS crosses_boundary
        |FROM pko ORDER BY doc_id""".stripMargin
 
+  // ---- q143: trained quality classifier (logistic regression) -------
+
+  /** Hashed-feature width of the q143 classifier — 64 buckets keeps
+    * the model broadcast-tiny; production raises it like any
+    * hashing-trick dimension (the weight table stays O(dims), never
+    * corpus-sized). */
+  private[operators] val LrDim = 64
+  /** Full-batch GD epochs — unrolled identically in both engines. */
+  private[operators] val LrEpochs = 3
+
+  /** q143 — trained quality classifier (the GPT-3 data-selection
+    * recipe, Brown et al. 2020 appendix A: a linear classifier scores
+    * every raw document by similarity to a trusted target corpus):
+    * logistic regression over hashed unigram term-frequency features,
+    * trained by LrEpochs full-batch gradient-descent passes with the
+    * eval source as the positive class, then every raw doc scored by
+    * its margin w·x. DSIR (q141) is the importance-RESAMPLING quality
+    * selector; this is the trained-CLASSIFIER selector — the two
+    * canonical filter families, side by side on the same split.
+    *
+    * Parity: feature x = cnt/n_toks is one IEEE division snapped 6dp;
+    * every dot/gradient reduction snaps its terms 6dp and folds
+    * through DECIMAL(38,10) (order-independent under partial
+    * aggregation); the sigmoid's exp is the one libm call and its
+    * output snaps 6dp (the q134 ln rule); weights snap 6dp per epoch —
+    * both engines iterate over IDENTICAL fixed-point states, so the
+    * unrolled recursions cannot drift.
+    *
+    * Scale: the model lives on the driver between epochs — O(LrDim)
+    * rows per collect, the Spark-MLlib iteration contract (JoinAdvisor
+    * precedent for O(K) driver reads) — and re-enters each epoch as a
+    * broadcast join, so plan depth stays CONSTANT in epochs instead of
+    * doubling (the naive lazy recursion re-expands w_{k-1} twice per
+    * epoch). The feature frame persists across the LrEpochs passes and
+    * unpersists once the final weights are collected; each epoch is
+    * one doc-keyed margin aggregation plus one bucket-keyed gradient
+    * aggregation with map-side partial sums — distributed full-batch
+    * GD, no global sort anywhere. */
+  def lrQuality(s: SparkSession, dir: String): DataFrame =
+    lrQualityOver(s, Tables.t(s, dir, "documents"))
+
+  /** Feature plan: (doc_id, y, b, cnt, x) — one tokenize+hash pass. */
+  private def lrFeats(docs: DataFrame): DataFrame = {
+    import graft.util.Parity.snapRound
+    docs
+      .select(col("doc_id"),
+        when(col("source") === EvalSource, lit(1.0)).otherwise(lit(0.0)).as("y"),
+        tokens(col("text")).as("ts"))
+      .select(col("doc_id"), col("y"),
+        size(col("ts")).cast(LongType).as("n_toks"), explode(col("ts")).as("tok"))
+      .groupBy(col("doc_id"), col("y"), col("n_toks"),
+        featureDim(col("tok"), LrDim).as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), col("y"), col("b"), col("cnt"),
+        snapRound(col("cnt").cast(DoubleType) / col("n_toks").cast(DoubleType), 6).as("x"))
+  }
+
+  /** The classifier core over any documents-shaped frame (the seam the
+    * spec uses to plant a separable corpus and watch the margin find
+    * it). */
+  private[graft] def lrQualityOver(s: SparkSession, docs: DataFrame): DataFrame = {
+    import graft.util.Parity.snapRound
+    val feats = lrFeats(docs).persist()
+    val nDocs = docs.select(col("doc_id")).count()
+    // snapped-decimal dot product of a doc's features with the joined
+    // broadcast weights — shared by training margins and final scoring
+    def margin(scale: Int): Column =
+      snapRound(sum(snapRound(col("x") * col("w"), 6)
+        .cast(DecimalType(38, 10))).cast(DoubleType), scale)
+    def weightsDf(w: Seq[(Int, Double)]): DataFrame =
+      s.createDataFrame(w).toDF("b", "w")
+    // the driver-side twin of snapRound/snapRoundSql: decimal(·,10)
+    // then HALF_UP to 6 — the same two-stage snap, or the engines'
+    // fixed-point states would diverge from the driver's
+    def snap6(x: Double): Double =
+      BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var weights: Seq[(Int, Double)] = (0 until LrDim).map(b => (b, 0.0))
+    for (_ <- 1 to LrEpochs) {
+      val errs = feats.join(broadcast(weightsDf(weights)), "b")
+        .groupBy(col("doc_id"), col("y"))
+        .agg(margin(6).as("z"))
+        .select(col("doc_id"),
+          (snapRound(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6) - col("y")).as("err"))
+      val grads = feats.join(errs, "doc_id")
+        .groupBy(col("b"))
+        .agg(snapRound(sum(snapRound(col("x") * col("err"), 6)
+          .cast(DecimalType(38, 10))).cast(DoubleType) / lit(nDocs.toDouble), 6).as("g"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      // lr = 1 exactly: the update is one IEEE subtraction of snapped
+      // 6-dp values (deterministic), then the two-stage re-snap
+      weights = weights.map { case (b, w) =>
+        (b, snap6(w - grads.getOrElse(b, 0.0)))
+      }
+    }
+    feats.unpersist()
+    // scoring re-derives features from the raw frame so the returned
+    // plan owns no reference to the (now released) training cache
+    lrFeats(docs).filter(col("y") === 0.0)
+      .join(broadcast(weightsDf(weights)), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_feats"), margin(4).as("score"))
+      .withColumn("selected", col("score") > 0.0)
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val lrQualitySql = {
+    import graft.util.Parity.snapRoundSql
+    def dot(wcte: String, scale: Int) = snapRoundSql(
+      s"CAST(sum(CAST(${snapRoundSql("f.x * w.w", 6)} AS DECIMAL(38,10))) AS DOUBLE)", scale)
+    val epochs = (1 to LrEpochs).map { k =>
+      s"""lz$k AS (
+         |  SELECT f.doc_id, f.y, ${dot(s"lw${k - 1}", 6)} AS z
+         |  FROM lfx f JOIN lw${k - 1} w ON f.b = w.b GROUP BY 1, 2),
+         |le$k AS (
+         |  SELECT doc_id, ${snapRoundSql("1.0 / (1.0 + exp(-z))", 6)} - y AS err FROM lz$k),
+         |lg$k AS (
+         |  SELECT f.b, ${snapRoundSql(
+        s"CAST(sum(CAST(${snapRoundSql("f.x * e.err", 6)} AS DECIMAL(38,10))) AS DOUBLE)" +
+          " / CAST(n AS DOUBLE)", 6)} AS g
+         |  FROM lfx f JOIN le$k e USING (doc_id), lnd GROUP BY f.b, n),
+         |lw$k AS (
+         |  SELECT w.b, ${snapRoundSql("w.w - coalesce(g.g, 0.0)", 6)} AS w
+         |  FROM lw${k - 1} w LEFT JOIN lg$k g ON w.b = g.b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ltk AS (
+       |  SELECT doc_id,
+       |         CASE WHEN source = '$EvalSource' THEN 1.0 ELSE 0.0 END AS y,
+       |         string_split(text, ' ') AS ts
+       |  FROM documents),
+       |lfx AS (
+       |  SELECT doc_id, y, b, count(1) AS cnt,
+       |         ${snapRoundSql("CAST(count(1) AS DOUBLE) / CAST(n_toks AS DOUBLE)", 6)} AS x
+       |  FROM (SELECT doc_id, y, CAST(len(ts) AS BIGINT) AS n_toks,
+       |               ${featureDimSql("tok", LrDim)} AS b
+       |        FROM (SELECT doc_id, y, ts, unnest(ts) AS tok FROM ltk))
+       |  GROUP BY doc_id, y, n_toks, b),
+       |lnd AS (SELECT count(1) AS n FROM documents),
+       |lw0 AS (SELECT unnest(generate_series(0, ${LrDim - 1})) AS b, 0.0 AS w),
+       |$epochs
+       |SELECT doc_id, n_feats, score, score > 0.0 AS selected FROM (
+       |  SELECT f.doc_id, CAST(sum(f.cnt) AS BIGINT) AS n_feats,
+       |         ${dot(s"lw$LrEpochs", 4)} AS score
+       |  FROM lfx f JOIN lw$LrEpochs w ON f.b = w.b
+       |  WHERE f.y = 0.0 GROUP BY f.doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---- q99: end-to-end curation funnel -----------------------------
 
   /** q99 — the WHOLE curation pipeline as one declarative plan, with
@@ -1563,6 +1711,7 @@ object CorpusOps extends QueryModule {
     "q139_source_jsd" -> sourceJsd,
     "q141_dsir_weights" -> dsirWeights,
     "q142_pack_chunks" -> packChunks,
+    "q143_lr_quality" -> lrQuality,
     "q92_oov_profile" -> oovProfile,
     "q65_lang_source_matrix" -> langSourceMatrix,
     "q67_pii_redact" -> piiRedact,
@@ -1587,6 +1736,7 @@ object CorpusOps extends QueryModule {
     "q139_source_jsd" -> sourceJsdSql,
     "q141_dsir_weights" -> dsirWeightsSql,
     "q142_pack_chunks" -> packChunksSql,
+    "q143_lr_quality" -> lrQualitySql,
     "q92_oov_profile" -> oovProfileSql,
     "q65_lang_source_matrix" -> langSourceMatrixSql,
     "q67_pii_redact" -> piiRedactSql,

@@ -1082,8 +1082,12 @@ object TextOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
-  private[operators] val dedupClustersSql: String = {
-    s"""WITH RECURSIVE $shinglesCte,
+  /** The shared CTE chain ending in comp(doc_id, cluster_id) + csizes
+    * — q54's LSH → verify → transitive-closure pipeline, reused
+    * VERBATIM by q144 so the two queries' cluster definitions can
+    * never drift apart. */
+  private val compCtes: String =
+    s"""$shinglesCte,
        |$sigCtes,
        |bands AS (
        |  $bandRowsSql),
@@ -1113,10 +1117,60 @@ object TextOps extends QueryModule {
        |  UNION
        |  SELECT r.node, e.dst FROM reach r JOIN edges e ON r.reachable = e.src),
        |comp AS (SELECT node AS doc_id, min(reachable) AS cluster_id FROM reach GROUP BY node),
-       |csizes AS (SELECT cluster_id, count(1) AS cluster_size FROM comp GROUP BY 1)
+       |csizes AS (SELECT cluster_id, count(1) AS cluster_size FROM comp GROUP BY 1)""".stripMargin
+
+  private[operators] val dedupClustersSql: String =
+    s"""WITH RECURSIVE $compCtes
        |SELECT doc_id, cluster_id, cluster_size, doc_id = cluster_id AS is_canonical
        |FROM comp JOIN csizes USING (cluster_id)
        |ORDER BY doc_id""".stripMargin
+
+  // ---- q144: leakage-safe split assignment -------------------------
+
+  /** Train/val per-mille cut points — a 90/5/5 split. */
+  private val SplitTrainPm = 900L
+  private val SplitValPm = 950L
+
+  /** q144 — leakage-safe train/val/test assignment. q119's audit
+    * exists because doc-level hash splits let near-duplicates straddle
+    * splits (the classic eval-inflation bug); the fix is to assign at
+    * the near-dup-CLUSTER level: every doc inherits its q54 connected
+    * component's split, decided by the q59 deterministic keyed coin on
+    * the CLUSTER id — a verified near-dup pair (and its transitive
+    * closure) can never be separated, by construction. Closes the q119
+    * monitoring loop with an action, the way retrainIfStale closes
+    * q114's.
+    *
+    * Scale: reuses the session cluster artifact (one CC fit per corpus
+    * build, the q99 precedent); the coin is a narrow map on
+    * cluster_id; the only join is doc-keyed against the artifact.
+    * Integer/string arithmetic end to end — no parity snap. */
+  def splitAssign(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(s, dir, "documents").select(col("doc_id"), col("source"))
+    val comp = dedupClusters(s, dir)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    val bucket = permilleBucket(col("cluster_id"))
+    docs.join(comp, "doc_id")
+      .withColumn("split",
+        when(bucket < SplitTrainPm, lit("train"))
+          .when(bucket < SplitValPm, lit("val"))
+          .otherwise(lit("test")))
+      .select(col("doc_id"), col("source"), col("cluster_id"),
+        col("cluster_size"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val splitAssignSql: String = {
+    val b = permilleBucketSql("c.cluster_id")
+    s"""WITH RECURSIVE $compCtes
+       |SELECT d.doc_id, d.source, c.cluster_id, cs.cluster_size,
+       |       CASE WHEN $b < $SplitTrainPm THEN 'train'
+       |            WHEN $b < $SplitValPm THEN 'val'
+       |            ELSE 'test' END AS "split"
+       |FROM documents d
+       |JOIN comp c ON d.doc_id = c.doc_id
+       |JOIN csizes cs USING (cluster_id)
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   // ---- q58: TF-IDF term ranking ----------------------------------
@@ -1736,6 +1790,7 @@ object TextOps extends QueryModule {
     "q59_stratified_sample" -> stratifiedSample,
     "q60_sequence_pack" -> sequencePack,
     "q54_dedup_clusters" -> dedupClusters,
+    "q144_split_assign" -> splitAssign,
     "q29_poly_fingerprint" -> polyFingerprint,
     "q105_incremental_dedup" -> incrementalDedup,
     "q20_dedup_exact" -> dedupExact,
@@ -1783,6 +1838,7 @@ object TextOps extends QueryModule {
     "q59_stratified_sample" -> stratifiedSampleSql,
     "q60_sequence_pack" -> sequencePackSql,
     "q54_dedup_clusters" -> dedupClustersSql,
+    "q144_split_assign" -> splitAssignSql,
     "q29_poly_fingerprint" -> polyFingerprintSql,
     "q105_incremental_dedup" -> incrementalDedupSql,
     "q20_dedup_exact" -> dedupExactSql,

@@ -148,4 +148,39 @@ class CorpusOpsSpec extends SparkSpec {
       assert(r.getDouble(3) == 0.693147, s"$pair should sit at ln 2 snapped 6dp")
     }
   }
+
+  test("LR quality classifier: margins separate a planted target vocabulary") {
+    // class-balanced fixture (4 eval vs 4 raw) so the 3-epoch margin
+    // crosses zero on the target side: eval docs pull shared-bucket
+    // weights positive, gibberish-only buckets go negative
+    val vocabA = Seq.fill(50)("alpha beta gamma delta").mkString(" ")
+    val vocabB = Seq.fill(50)("omega psi chi tau").mkString(" ")
+    val docs = Seq(
+      (100L, vocabA, "en", "src0", 30L),
+      (101L, vocabA, "en", "src0", 30L),
+      (102L, vocabA, "en", "src0", 30L),
+      (103L, vocabA, "en", "src0", 30L),
+      (1L, vocabA, "en", "srcT", 30L), // target-like raw
+      (2L, Seq.fill(50)("beta gamma delta alpha").mkString(" "), "en", "srcT", 30L),
+      (3L, vocabB, "en", "srcT", 30L), // off-distribution raw
+      (4L, Seq.fill(50)("psi chi tau omega").mkString(" "), "en", "srcT", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = CorpusOps.lrQualityOver(spark, docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L), "raw docs scored, eval docs not")
+    for (id <- Seq(1L, 2L)) {
+      assert(rows(id).getDouble(2) > 0.0, s"target-like doc $id should carry a positive margin")
+      assert(rows(id).getBoolean(3), s"doc $id should be selected")
+    }
+    for (id <- Seq(3L, 4L)) {
+      assert(rows(id).getDouble(2) < 0.0, s"off-distribution doc $id should score negative")
+      assert(!rows(id).getBoolean(3))
+    }
+    // unigram features: 200 tokens per doc = 200 feature occurrences
+    assert(rows(1L).getLong(1) == 200L)
+    // determinism: a second training run lands on the identical model
+    val again = CorpusOps.lrQualityOver(spark, docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rows.map { case (k, r) => k -> r.getDouble(2) } == again)
+  }
 }

@@ -77,7 +77,8 @@ class PlanSweepSpec extends SparkSpec {
     "q118_mirror_matrix", // verified-pair (q23 LSH band) chain + source tag joins: derived-vs-derived, pair side band-bucket-bounded
     "q124_pagerank", // per-iteration edge-contribution joins: edge list and rank vector are both graph-proportional (neither broadcasts at scale)
     "q99_curation_funnel", // stage chains: doc-id-projection semi/anti joins of comparable derived sets
-    "q141_dsir_weights") // raw-doc id projection LEFT JOIN per-doc scores: both corpus-proportional, id-keyed
+    "q141_dsir_weights", // raw-doc id projection LEFT JOIN per-doc scores: both corpus-proportional, id-keyed
+    "q144_split_assign") // documents × cached cluster artifact: both corpus-proportional, doc-id-keyed
 
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString

@@ -559,6 +559,80 @@ object CorpusOps extends QueryModule {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q145: data-constrained mixing plan ---------------------------
+
+  /** Token budget as a multiple of the measured corpus mass — the
+    * "train for 2× the unique data" regime where repetition planning
+    * starts to matter. Run configuration at scale. */
+  private val BudgetMult = 2L
+  /** Repetition half-life R* ≈ 4 epochs (Muennighoff et al. 2023,
+    * "Scaling Data-Constrained Language Models": repeated tokens decay
+    * in value with R*≈4). */
+  private val RStar = 4.0
+
+  /** q145 — the data-constrained mixing plan: given a token budget
+    * (BudgetMult × the measured corpus) split uniformly across the
+    * measured sources, report per source how many EPOCHS of its unique
+    * tokens the target demands and the EFFECTIVE token value of that
+    * repetition under the Muennighoff et al. 2023 diminishing-returns
+    * curve, eff = U·R*·(1 − e^(−R/R*)) — linear in R for R ≪ R*,
+    * saturating at R*·U. `data_constrained` flags sources whose target
+    * exceeds their unique mass (R > 1) — the table a data lead reads
+    * to decide which sources need MORE COLLECTION vs more epochs.
+    * q68/q106 decide what to sample; this decides whether the recipe
+    * is even fundable from the data on hand.
+    *
+    * Parity: targets are exact integer arithmetic (BudgetMult·T div
+    * n_sources); epochs is one IEEE division snapped 6dp; the exp is
+    * the one libm call, snapped 6dp (q134 rule); the outer product
+    * snaps 2dp. Scale: one per-source aggregation (map-side combine),
+    * a 1-row total broadcast back onto the sources-sized frame —
+    * the corpus is touched once, nothing fact-sized shuffles. */
+  def dataBudgetPlan(s: SparkSession, dir: String): DataFrame = {
+    import graft.util.Parity.snapRound
+    val st = Tables.t(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast(LongType)).as("u_tokens"))
+    val tot = st.agg(sum(col("u_tokens")).cast(LongType).as("t"),
+      count(lit(1)).as("ns"))
+    st.crossJoin(broadcast(tot))
+      .withColumn("target_tokens", expr(s"($BudgetMult * t) div ns"))
+      .withColumn("epochs", snapRound(
+        col("target_tokens").cast(DoubleType) / col("u_tokens").cast(DoubleType), 6))
+      .withColumn("eff_tokens", snapRound(
+        col("u_tokens").cast(DoubleType) * lit(RStar) *
+          (lit(1.0) - snapRound(exp(-col("epochs") / lit(RStar)), 6)), 2))
+      .withColumn("data_constrained", col("epochs") > 1.0)
+      .select(col("source"), col("n_docs"), col("u_tokens"), col("target_tokens"),
+        col("epochs"), col("eff_tokens"), col("data_constrained"))
+      .orderBy(col("source"))
+  }
+
+  private lazy val dataBudgetPlanSql = {
+    import graft.util.Parity.snapRoundSql
+    val epochs = snapRoundSql(
+      "CAST(target_tokens AS DOUBLE) / CAST(u_tokens AS DOUBLE)", 6)
+    s"""WITH bst AS (
+       |  SELECT source, count(1) AS n_docs,
+       |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS u_tokens
+       |  FROM documents GROUP BY 1),
+       |btot AS (SELECT CAST(sum(u_tokens) AS BIGINT) AS t, count(1) AS ns FROM bst),
+       |btgt AS (
+       |  SELECT source, n_docs, u_tokens,
+       |         ($BudgetMult * t) // ns AS target_tokens
+       |  FROM bst, btot),
+       |bep AS (
+       |  SELECT source, n_docs, u_tokens, target_tokens, $epochs AS epochs
+       |  FROM btgt)
+       |SELECT source, n_docs, u_tokens, target_tokens, epochs,
+       |       ${snapRoundSql(
+        s"CAST(u_tokens AS DOUBLE) * $RStar * (1.0 - ${snapRoundSql(s"exp(-epochs / $RStar)", 6)})", 2)} AS eff_tokens,
+       |       epochs > 1.0 AS data_constrained
+       |FROM bep
+       |ORDER BY source""".stripMargin
+  }
+
   // ---- q99: end-to-end curation funnel -----------------------------
 
   /** q99 — the WHOLE curation pipeline as one declarative plan, with
@@ -1712,6 +1786,7 @@ object CorpusOps extends QueryModule {
     "q141_dsir_weights" -> dsirWeights,
     "q142_pack_chunks" -> packChunks,
     "q143_lr_quality" -> lrQuality,
+    "q145_data_budget" -> dataBudgetPlan,
     "q92_oov_profile" -> oovProfile,
     "q65_lang_source_matrix" -> langSourceMatrix,
     "q67_pii_redact" -> piiRedact,
@@ -1737,6 +1812,7 @@ object CorpusOps extends QueryModule {
     "q141_dsir_weights" -> dsirWeightsSql,
     "q142_pack_chunks" -> packChunksSql,
     "q143_lr_quality" -> lrQualitySql,
+    "q145_data_budget" -> dataBudgetPlanSql,
     "q92_oov_profile" -> oovProfileSql,
     "q65_lang_source_matrix" -> langSourceMatrixSql,
     "q67_pii_redact" -> piiRedactSql,

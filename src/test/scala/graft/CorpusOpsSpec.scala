@@ -183,4 +183,43 @@ class CorpusOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(rows.map { case (k, r) => k -> r.getDouble(2) } == again)
   }
+
+  test("data-budget plan: epochs and effective tokens follow the measured masses") {
+    // the engine-side snap chain, recomputed independently
+    def snap(x: Double, s: Int): Double =
+      BigDecimal(x).setScale(s + 4, BigDecimal.RoundingMode.HALF_UP)
+        .setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def eff(u: Long, epochs: Double): Double =
+      snap(u.toDouble * 4.0 * (1.0 - snap(math.exp(-epochs / 4.0), 6)), 2)
+    val d = java.nio.file.Files.createTempDirectory("budget_spec").toString
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    Seq(
+      (1L, words(5), "en", "srcA", 10L),
+      (2L, words(5), "en", "srcA", 10L),   // srcA: 10 unique tokens
+      (3L, words(20), "en", "srcB", 40L),  // srcB: 20
+      (4L, words(100), "en", "srcC", 200L),
+      (5L, words(100), "en", "srcC", 200L),
+      (6L, words(100), "en", "srcC", 200L)) // srcC: 300
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    // T = 330, budget = 2T = 660, uniform over 3 sources -> target 220
+    val rows = CorpusOps.dataBudgetPlan(spark, d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    for ((src, u, ep, con) <- Seq(
+        ("srcA", 10L, 22.0, true),
+        ("srcB", 20L, 11.0, true),
+        ("srcC", 300L, snap(220.0 / 300.0, 6), false))) {
+      val r = rows(src)
+      assert(r.getLong(2) == u, s"$src unique mass")
+      assert(r.getLong(3) == 220L, s"$src target")
+      assert(r.getDouble(4) == ep, s"$src epochs")
+      assert(r.getDouble(5) == eff(u, ep), s"$src effective tokens")
+      assert(r.getBoolean(6) == con, s"$src constraint flag")
+      // the diminishing-returns bound: repetition never buys more than
+      // R*·U, and a constrained source's effective mass undershoots
+      // its target
+      assert(r.getDouble(5) <= 4.0 * u)
+      if (con) assert(r.getDouble(5) < 220.0)
+    }
+  }
 }

@@ -106,6 +106,27 @@ object ScalingWitness {
         .srpCandidatesOver(graft.operators.VectorOps.srpBandsOver(etab, rows)).count())
       results += Cell("q51_srp_buckets_scaled", nv, c51w, w51w)
 
+      // q137: containment probe candidates — bottom-k shingle probes
+      // vs the full shingle index behind the probe-side df stoplist.
+      // Measured twice: on the clustered corpus, and with a planted
+      // corpus-wide boilerplate PREFIX on every doc (shingles that
+      // sort before every informative shingle AND sit in every doc —
+      // without the stoplist they fill all k probe slots and the
+      // probe join goes quadratic on those keys)
+      def shOf(d: DataFrame) = d
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions.shinglesOf(col("toks"))).as("s"))
+      val (c137, w137) = timed(graft.operators.TextOps
+        .containmentCandidatesOver(shOf(dtab)).count())
+      results += Cell("q137_containment_candidates", nd, c137, w137)
+      val boiler = dtab.withColumn("text",
+        concat(lit("b0 b1 b2 b3 "), col("text")))
+      val (c137b, w137b) = timed(graft.operators.TextOps
+        .containmentCandidatesOver(shOf(boiler)).count())
+      results += Cell("q137_containment_boilerplate", nd, c137b, w137b)
+
       // q105: the full incremental ingest dedup query on the dir
       // (stored-band probe + exact verify + decisions)
       val (c105, w105) = timed(graft.SparkEntry
@@ -128,7 +149,7 @@ object ScalingWitness {
         pairs
       }
       results += Cell("q109_semdedup_cell_pairs", nd, c109, w109)
-      println(s"scale ${mult}x done: " + results.takeRight(4).mkString(", "))
+      println(s"scale ${mult}x done: " + results.takeRight(6).mkString(", "))
     }
 
     def exp(a: Cell, b: Cell): Double =
@@ -170,6 +191,15 @@ object ScalingWitness {
          |  `q51_srp_buckets_scaled` applies the scale path (band width
          |  grows with log₂ n: 24-bit bands at 10×, buckets ∝ n) and
          |  the exponent returns to ~1.
+         |- q137 counts the containment CANDIDATE stage (bottom-k=8
+         |  smallest shingles probing the full shingle index, df >
+         |  ContainMaxDf shingles dropped from the probe set). The
+         |  `_boilerplate` row prefixes EVERY doc with the same four
+         |  tokens — shingles that sort before all informative ones
+         |  and sit in every doc, so without the stoplist they would
+         |  fill all k probe slots and the probe join would square on
+         |  those keys; the stoplist keeps both rows' candidate counts
+         |  and exponents at the clean corpus's ~linear values.
          |- q105 is the whole incremental-ingest query (stored-band
          |  probe + exact verify + decisions) at each corpus size; its
          |  delta is the top doc_id decile, so delta and stored index

@@ -389,15 +389,15 @@ object CorpusOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
-  private lazy val packChunksSql =
-    s"""WITH pk AS (
-       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
-       |  FROM documents),
-       |pko AS (
+  /** The q142 offset/chunk arithmetic over any CTE providing
+    * (doc_id, n_toks) — ONE SQL definition shared by q142 and the
+    * q146 manifest, mirroring the packChunksOver seam. */
+  private def packSqlOver(src: String): String =
+    s"""pko AS (
        |  SELECT doc_id, n_toks,
        |         CAST(coalesce(sum(n_toks) OVER (ORDER BY doc_id
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
-       |  FROM pk)
+       |  FROM $src)
        |SELECT doc_id, n_toks, "offset",
        |       CASE WHEN n_toks > 0 THEN CAST(floor("offset" / $PackLen) AS BIGINT) END AS first_chunk,
        |       CASE WHEN n_toks > 0 THEN CAST(floor(("offset" + n_toks - 1) / $PackLen) AS BIGINT) END AS last_chunk,
@@ -410,6 +410,12 @@ object CorpusOps extends QueryModule {
        |            <> CAST(floor("offset" / $PackLen) AS BIGINT)
        |         ELSE false END AS crosses_boundary
        |FROM pko ORDER BY doc_id""".stripMargin
+
+  private lazy val packChunksSql =
+    s"""WITH pk AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |${packSqlOver("pk")}""".stripMargin
 
   // ---- q143: trained quality classifier (logistic regression) -------
 
@@ -648,23 +654,30 @@ object CorpusOps extends QueryModule {
     * — prep_dedup_decon builds them; first touch builds lazily
     * elsewhere), so the funnel itself costs the quality gate, the
     * exact-dedup window, and id-keyed joins of per-doc flag frames. */
-  def curationFunnel(s: SparkSession, dir: String): DataFrame = {
-    // one wide per-doc flag frame, then ONE aggregation produces every
-    // stage count — per-stage count() aggregates would re-execute each
-    // prior stage's whole subtree once per stage (measured 6.0 s vs
-    // ~2 s for this shape at sf0.1)
+  /** The wide per-doc curation flag frame — the q99 funnel's input,
+    * shared with the q146 manifest so both read ONE definition of
+    * "survivor" (and one build of the stored stage artifacts). */
+  private def curationFlags(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.t(s, dir, "documents")
-      .select(col("doc_id"), md5(col("text").cast(BinaryType)).as("th"))
+      .select(col("doc_id"), col("source"), md5(col("text").cast(BinaryType)).as("th"))
     val passQ = TextOps.qualityScore(s, dir)
       .select(col("doc_id"), (col("quality") >= 50.0).as("pass_q"))
     val exactKeep = col("pass_q") &&
       col("doc_id") === min(when(col("pass_q"), col("doc_id")))
         .over(Window.partitionBy(col("th")))
-    val flags = docs.join(passQ, "doc_id")
+    docs.join(passQ, "doc_id")
       .withColumn("exact_keep", exactKeep)
       .join(TextOps.dedupClusters(s, dir).select(col("doc_id"), col("is_canonical")), Seq("doc_id"))
       .join(decontaminate(s, dir).select(col("doc_id"), col("is_contaminated")),
         Seq("doc_id"), "left") // eval-source docs have no q62 row — not subject
+  }
+
+  def curationFunnel(s: SparkSession, dir: String): DataFrame = {
+    // one wide per-doc flag frame, then ONE aggregation produces every
+    // stage count — per-stage count() aggregates would re-execute each
+    // prior stage's whole subtree once per stage (measured 6.0 s vs
+    // ~2 s for this shape at sf0.1)
+    val flags = curationFlags(s, dir)
     def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
     val keep4 = col("exact_keep") && col("is_canonical")
     val keep5 = keep4 && !coalesce(col("is_contaminated"), lit(false))
@@ -682,8 +695,12 @@ object CorpusOps extends QueryModule {
       .orderBy(col("stage_idx"))
   }
 
-  private def curationFunnelSql =
-    s"""WITH s2 AS (SELECT doc_id FROM (${TextOps.qualityScoreSql}) WHERE quality >= 50.0),
+  /** The survivor CTE chain (s2 quality → s3 exact dedup → s4
+    * canonical → s5 decontaminated) — q99's stages, shared VERBATIM
+    * with the q146 manifest so both engines hold one definition of a
+    * curation survivor. */
+  private lazy val survivorCtes =
+    s"""s2 AS (SELECT doc_id FROM (${TextOps.qualityScoreSql}) WHERE quality >= 50.0),
       |s3 AS (SELECT min(doc_id) AS doc_id FROM (
       |         SELECT d.doc_id, md5(d.text) AS th FROM documents d JOIN s2 USING (doc_id))
       |       GROUP BY th),
@@ -691,7 +708,10 @@ object CorpusOps extends QueryModule {
       |         ON s3.doc_id = cl.doc_id WHERE cl.is_canonical),
       |s5 AS (SELECT s4.doc_id FROM s4 LEFT JOIN
       |         (SELECT doc_id FROM ($decontaminateSql) WHERE is_contaminated) dc
-      |         ON s4.doc_id = dc.doc_id WHERE dc.doc_id IS NULL),
+      |         ON s4.doc_id = dc.doc_id WHERE dc.doc_id IS NULL)""".stripMargin
+
+  private def curationFunnelSql =
+    s"""WITH $survivorCtes,
       |counts AS (
       |  SELECT 1 AS stage_idx, 'input' AS stage, (SELECT count(1) FROM documents) AS survivors
       |  UNION ALL SELECT 2, 'quality_gate', (SELECT count(1) FROM s2)
@@ -701,6 +721,48 @@ object CorpusOps extends QueryModule {
       |SELECT CAST(stage_idx AS INTEGER) AS stage_idx, stage, survivors,
       |       coalesce(lag(survivors) OVER (ORDER BY stage_idx) - survivors, 0) AS dropped
       |FROM counts ORDER BY stage_idx""".stripMargin
+
+  // ---- q146: the shipping training manifest --------------------------
+
+  /** q146 — the training MANIFEST: the one table a training job
+    * actually reads. Composes the whole pipeline end to end — q99's
+    * curation survivors (quality gate → exact dedup → near-dup
+    * canonical → decontaminated) ∩ q144's leakage-safe TRAIN split,
+    * eval-source docs excluded (they are the benchmark, never
+    * training data) — then lays the survivors out with q142's
+    * concat-and-chunk stream offsets. Every stage is an already
+    * oracle-verified operator; this query proves they COMPOSE: both
+    * engines share the stage definitions verbatim (curationFlags /
+    * survivorCtes, splitAssign, packChunksOver / packSqlOver), so a
+    * drift in any stage breaks this hash too.
+    *
+    * Scale: survivor flags and the split are id-keyed joins of
+    * per-doc frames over stored stage artifacts (the q99/q144 cost
+    * model); the packing is the q142 two-level prefix sum. Nothing
+    * here adds a shuffle the component queries didn't already have. */
+  def trainingManifest(s: SparkSession, dir: String): DataFrame = {
+    val keep = col("exact_keep") && col("is_canonical") &&
+      !coalesce(col("is_contaminated"), lit(false)) &&
+      col("source") =!= EvalSource
+    val kept = curationFlags(s, dir).filter(keep).select(col("doc_id"))
+    val train = TextOps.splitAssign(s, dir)
+      .filter(col("split") === "train").select(col("doc_id"))
+    val docTokens = Tables.t(s, dir, "documents")
+      .join(kept, "doc_id").join(train, "doc_id")
+      .select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("n_toks"))
+    packChunksOver(docTokens, PackGroup)
+  }
+
+  private lazy val trainingManifestSql =
+    s"""WITH $survivorCtes,
+       |mtr AS (SELECT doc_id FROM (${TextOps.splitAssignSql}) WHERE "split" = 'train'),
+       |mtk AS (
+       |  SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_toks
+       |  FROM documents d
+       |  JOIN s5 ON d.doc_id = s5.doc_id
+       |  JOIN mtr ON d.doc_id = mtr.doc_id
+       |  WHERE d.source <> '$EvalSource'),
+       |${packSqlOver("mtk")}""".stripMargin
 
   /** The shared decontamination shape: build eval + training gram
     * frames, delegate the match to `hitsOf(tg, evalGrams)` (the
@@ -1787,6 +1849,7 @@ object CorpusOps extends QueryModule {
     "q142_pack_chunks" -> packChunks,
     "q143_lr_quality" -> lrQuality,
     "q145_data_budget" -> dataBudgetPlan,
+    "q146_training_manifest" -> trainingManifest,
     "q92_oov_profile" -> oovProfile,
     "q65_lang_source_matrix" -> langSourceMatrix,
     "q67_pii_redact" -> piiRedact,
@@ -1813,6 +1876,7 @@ object CorpusOps extends QueryModule {
     "q142_pack_chunks" -> packChunksSql,
     "q143_lr_quality" -> lrQualitySql,
     "q145_data_budget" -> dataBudgetPlanSql,
+    "q146_training_manifest" -> trainingManifestSql,
     "q92_oov_profile" -> oovProfileSql,
     "q65_lang_source_matrix" -> langSourceMatrixSql,
     "q67_pii_redact" -> piiRedactSql,

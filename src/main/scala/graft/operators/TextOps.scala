@@ -1160,7 +1160,7 @@ object TextOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
-  private val splitAssignSql: String = {
+  private[operators] val splitAssignSql: String = {
     val b = permilleBucketSql("c.cluster_id")
     s"""WITH RECURSIVE $compCtes
        |SELECT d.doc_id, d.source, c.cluster_id, cs.cluster_size,

@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.CorpusOps
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 
 /** Semantic pins for the corpus-curation operators on handcrafted
   * documents (written to a temp parquet dir so the queries run their
@@ -220,6 +221,40 @@ class CorpusOpsSpec extends SparkSpec {
       // its target
       assert(r.getDouble(5) <= 4.0 * u)
       if (con) assert(r.getDouble(5) < 220.0)
+    }
+  }
+
+  test("training manifest = funnel survivors ∩ train split, packed in id order") {
+    import graft.operators.TextOps
+    val manifest = CorpusOps.trainingManifest(spark, sf0001).collect()
+    assert(manifest.nonEmpty, "sf0.001 must yield a nonempty manifest")
+    val ids = manifest.map(_.getLong(0))
+    assert(ids.sorted.sameElements(ids), "manifest is doc_id-ordered")
+    // membership recomputed from the COMPONENT queries (the frames the
+    // manifest claims to compose)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text", "source").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    val quality = TextOps.qualityScore(spark, sf0001)
+      .select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val passQ = docs.keySet.filter(id => quality(id) >= 50.0)
+    val exactKeep = passQ.groupBy(id => docs(id)._1).values.map(_.min).toSet
+    val canonical = TextOps.dedupClusters(spark, sf0001)
+      .filter(col("is_canonical")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val contaminated = CorpusOps.decontaminate(spark, sf0001)
+      .filter(col("is_contaminated")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val train = TextOps.splitAssign(spark, sf0001)
+      .filter(col("split") === "train").select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = exactKeep.filter(id => canonical(id) && !contaminated(id) &&
+      train(id) && docs(id)._2 != "src0")
+    assert(ids.toSet == expected,
+      s"manifest composes the stages: got ${ids.size}, expected ${expected.size}")
+    // offsets are the exact running sum of n_toks in doc_id order
+    var run = 0L
+    for (r <- manifest) {
+      assert(r.getLong(2) == run, s"doc ${r.getLong(0)} offset")
+      run += r.getLong(1)
     }
   }
 }

@@ -46,7 +46,8 @@ class PlanSweepSpec extends SparkSpec {
     "q134_bm25_search", // 1-row corpus-stats (n_docs/avgdl) scalar crossJoin onto the probed postings
     "q139_source_jsd", // the sources² pair grid: a < b over two broadcast-tiny marginal frames
     "q140_bm25_stored", // the same stats scalar crossJoin, read from the stored 1-row stats parquet
-    "q141_dsir_weights") // two 1-row total scalars: tt×st and their crossJoin onto the 256-row bucket grid
+    "q141_dsir_weights", // two 1-row total scalars: tt×st and their crossJoin onto the 256-row bucket grid
+    "q145_data_budget") // 1-row (total, n_sources) scalar crossJoin onto the sources-sized frame
 
   /** Queries whose plan legitimately contains Expand: ROLLUP/CUBE are
     * grouping-sets operators — Expand IS their plan shape, bounded at
@@ -78,7 +79,8 @@ class PlanSweepSpec extends SparkSpec {
     "q124_pagerank", // per-iteration edge-contribution joins: edge list and rank vector are both graph-proportional (neither broadcasts at scale)
     "q99_curation_funnel", // stage chains: doc-id-projection semi/anti joins of comparable derived sets
     "q141_dsir_weights", // raw-doc id projection LEFT JOIN per-doc scores: both corpus-proportional, id-keyed
-    "q144_split_assign") // documents × cached cluster artifact: both corpus-proportional, doc-id-keyed
+    "q144_split_assign", // documents × cached cluster artifact: both corpus-proportional, doc-id-keyed
+    "q146_training_manifest") // q99 flags ∩ q144 split: id-keyed joins of corpus-proportional per-doc frames
 
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString

@@ -1032,6 +1032,153 @@ object CorpusOps extends QueryModule {
        |FROM zs ORDER BY source""".stripMargin
   }
 
+  // ---- q147: Heaps'-law vocabulary growth per source -----------------
+
+  /** Equal-token-mass checkpoints the growth curve samples per source.
+    * 10 points is the classic Heaps diagnostic resolution; the cost is
+    * O(points) rows per source regardless of corpus size. */
+  private val HeapsPoints = 10L
+
+  /** q147 — Heaps'-law fit per source: OLS slope β (and r²) of
+    * ln V(n) vs ln n, where V(n) is the number of distinct word types
+    * seen in the source's first n tokens (docs concatenated in doc_id
+    * order). Heaps 1978: natural text grows V(n) ≈ K·n^β with β ≈
+    * 0.4–0.6; β near 1 flags id-like/unbounded vocabularies (bad BPE
+    * inputs), β near 0 flags template spam — the companion diagnostic
+    * to q138's Zipf slope (the two laws are duals). The curve is built
+    * WITHOUT materializing prefixes: each (source, token)'s FIRST
+    * occurrence position is one min-aggregation over the positioned
+    * token stream, the checkpoint a first-occurrence lands in is
+    * integer arithmetic (j = ⌈P·fp/T⌉, exact in 64-bit for corpora to
+    * ~9e17 tokens), and V at checkpoint j is a cumulative sum over the
+    * P-row-per-source dense grid. Parity: both lns are libm calls on
+    * EXACT integer inputs snapped 4-dp then rescaled to exact longs
+    * (the q138 rule); sums fold as codegen'd long adds; the OLS
+    * combines route through DECIMAL(38,0)/HUGEINT (the q138 128-bit
+    * route); the only IEEE steps are the final divisions on identical
+    * integers. Scale: one window cumsum over doc-count rows, one
+    * (source, token) min-agg of the exploded stream (map-side
+    * combine), then everything downstream is P rows per source.
+    * Assumes each source holds ≥ P tokens (any real shard does). */
+  def heapsLaw(s: SparkSession, dir: String): DataFrame =
+    heapsLawOver(s, Tables.t(s, dir, "documents"))
+
+  /** The fit over any documents-shaped frame (the seam the spec uses
+    * to plant all-distinct / fixed-vocab corpora and watch β find 1
+    * and 0). */
+  private[graft] def heapsLawOver(s: SparkSession, docs: DataFrame): DataFrame = {
+    import graft.util.Parity.{asScaled, snapRound}
+    val sized = docs
+      .select(col("source"), col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("source"), col("doc_id"), col("toks"),
+        size(col("toks")).cast(LongType).as("n_toks"))
+    val wOff = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val positioned = sized
+      .withColumn("off", sum(col("n_toks")).over(wOff) - col("n_toks"))
+      .select(col("source"), col("off"), posexplode(col("toks")).as(Seq("i", "token")))
+      .select(col("source"), col("token"), (col("off") + col("i") + lit(1L)).as("pos"))
+    val firstPos = positioned.groupBy(col("source"), col("token"))
+      .agg(min(col("pos")).as("fp"))
+    val totals = sized.groupBy(col("source")).agg(sum(col("n_toks")).as("t_total"))
+    // smallest checkpoint j in 1..P with fp <= floor(j*T/P): exact
+    // integer ceil-division (fp*P < 2^63 for any corpus under ~9e17
+    // tokens per source)
+    val newTypes = firstPos.join(broadcast(totals), "source")
+      .select(col("source"),
+        expr(s"CAST((fp * $HeapsPoints + t_total - 1) DIV t_total AS BIGINT)").as("j"))
+      .groupBy(col("source"), col("j")).agg(count(lit(1)).as("new_types"))
+    // dense P-row grid so checkpoints with no NEW types still emit
+    // their (flat) V point — the fit sees all P samples
+    val grid = totals.select(col("source"), col("t_total"),
+      explode(sequence(lit(1L), lit(HeapsPoints))).as("j"))
+    val curve = grid.join(newTypes, Seq("source", "j"), "left")
+      .na.fill(0L, Seq("new_types"))
+      .withColumn("v", sum(col("new_types")).over(
+        Window.partitionBy(col("source")).orderBy(col("j"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n_at", expr(s"CAST((j * t_total) DIV $HeapsPoints AS BIGINT)"))
+    val xy = curve.select(col("source"), col("t_total"), col("v"),
+      asScaled(snapRound(log(col("n_at").cast(DoubleType)), 4), 4).as("xs"),
+      asScaled(snapRound(log(col("v").cast(DoubleType)), 4), 4).as("ys"))
+    xy.groupBy(col("source")).agg(
+        max(col("t_total")).as("total_tokens"),
+        max(col("v")).as("vocab_size"),
+        count(lit(1)).as("n_points"),
+        sum(col("xs")).as("sx"), sum(col("ys")).as("sy"),
+        sum(col("xs") * col("ys")).as("sxy"), sum(col("xs") * col("xs")).as("sxx"),
+        sum(col("ys") * col("ys")).as("syy"))
+      .withColumn("num", dec128(col("n_points")) * dec128(col("sxy")) -
+        dec128(col("sx")) * dec128(col("sy")))
+      .withColumn("den", dec128(col("n_points")) * dec128(col("sxx")) -
+        dec128(col("sx")) * dec128(col("sx")))
+      .withColumn("deny", dec128(col("n_points")) * dec128(col("syy")) -
+        dec128(col("sy")) * dec128(col("sy")))
+      .select(col("source"), col("total_tokens"), col("vocab_size"),
+        col("n_points"),
+        when(col("den") =!= 0,
+          snapRound(col("num").cast(DoubleType) / col("den").cast(DoubleType), 6))
+          .as("beta"),
+        when(col("den") =!= 0 && col("deny") =!= 0, snapRound(
+          (col("num").cast(DoubleType) / col("den").cast(DoubleType)) *
+            (col("num").cast(DoubleType) / col("deny").cast(DoubleType)), 6)).as("r2"))
+      .orderBy(col("source"))
+  }
+
+  private lazy val heapsLawSql = {
+    import graft.util.Parity.snapRoundSql
+    s"""WITH hd AS (
+       |  SELECT source, doc_id, string_split(text, ' ') AS ts,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |ho AS (
+       |  SELECT source, ts,
+       |         CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks AS BIGINT) AS off
+       |  FROM hd),
+       |hp AS (
+       |  SELECT source, off + unnest(generate_series(1, len(ts))) AS pos,
+       |         unnest(ts) AS token
+       |  FROM ho),
+       |hf AS (SELECT source, token, min(pos) AS fp FROM hp GROUP BY 1, 2),
+       |ht AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS t_total FROM hd GROUP BY 1),
+       |hb AS (
+       |  SELECT f.source, (f.fp * $HeapsPoints + t.t_total - 1) // t.t_total AS j,
+       |         count(1) AS new_types
+       |  FROM hf f JOIN ht t USING (source) GROUP BY 1, 2),
+       |hg AS (SELECT source, t_total, unnest(generate_series(1, $HeapsPoints)) AS j FROM ht),
+       |hv AS (
+       |  SELECT g.source, g.t_total, g.j,
+       |         CAST(sum(coalesce(b.new_types, 0)) OVER (PARTITION BY g.source ORDER BY g.j
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS v,
+       |         (g.j * g.t_total) // $HeapsPoints AS n_at
+       |  FROM hg g LEFT JOIN hb b ON g.source = b.source AND g.j = b.j),
+       |hxy AS (
+       |  SELECT source, t_total, v,
+       |         CAST(round(${snapRoundSql("ln(CAST(n_at AS DOUBLE))", 4)} * 10000) AS BIGINT) AS xs,
+       |         CAST(round(${snapRoundSql("ln(CAST(v AS DOUBLE))", 4)} * 10000) AS BIGINT) AS ys
+       |  FROM hv),
+       |hagg AS (
+       |  SELECT source, max(t_total) AS total_tokens, max(v) AS vocab_size,
+       |         count(1) AS n_points,
+       |         CAST(sum(xs) AS BIGINT) AS sx, CAST(sum(ys) AS BIGINT) AS sy,
+       |         CAST(sum(xs * ys) AS BIGINT) AS sxy,
+       |         CAST(sum(xs * xs) AS BIGINT) AS sxx,
+       |         CAST(sum(ys * ys) AS BIGINT) AS syy
+       |  FROM hxy GROUP BY 1),
+       |hc AS (
+       |  SELECT *, CAST(n_points AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+       |         CAST(n_points AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den,
+       |         CAST(n_points AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS deny
+       |  FROM hagg)
+       |SELECT source, total_tokens, vocab_size, n_points,
+       |       CASE WHEN den <> 0 THEN ${snapRoundSql(
+      "CAST(num AS DOUBLE) / CAST(den AS DOUBLE)", 6)} END AS beta,
+       |       CASE WHEN den <> 0 AND deny <> 0 THEN ${snapRoundSql(
+      "(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) * (CAST(num AS DOUBLE) / CAST(deny AS DOUBLE))", 6)} END AS r2
+       |FROM hc ORDER BY source""".stripMargin
+  }
+
   // ---- q139: source-pair Jensen–Shannon divergence ------------------
 
   /** ln 2 as the same decimal literal on both engines (the JSD
@@ -1844,6 +1991,7 @@ object CorpusOps extends QueryModule {
     "q99_curation_funnel" -> curationFunnel,
     "q63_vocabulary" -> vocabulary,
     "q138_zipf_slope" -> zipfSlope,
+    "q147_heaps_law" -> heapsLaw,
     "q139_source_jsd" -> sourceJsd,
     "q141_dsir_weights" -> dsirWeights,
     "q142_pack_chunks" -> packChunks,
@@ -1871,6 +2019,7 @@ object CorpusOps extends QueryModule {
     "q99_curation_funnel" -> curationFunnelSql,
     "q63_vocabulary" -> vocabularySql,
     "q138_zipf_slope" -> zipfSlopeSql,
+    "q147_heaps_law" -> heapsLawSql,
     "q139_source_jsd" -> sourceJsdSql,
     "q141_dsir_weights" -> dsirWeightsSql,
     "q142_pack_chunks" -> packChunksSql,

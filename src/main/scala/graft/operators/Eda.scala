@@ -900,6 +900,72 @@ object Eda extends QueryModule {
        |FROM t GROUP BY nation_key, segment, is_suppressed
        |ORDER BY is_suppressed, nation_key, segment""".stripMargin
 
+  // ---- q149: l-diversity audit ---------------------------------------
+
+  /** Minimum count of distinct sensitive values a released group needs. */
+  private val LDiversityL = 3
+
+  /** q149 — l-diversity audit (Machanavajjhala et al. 2007), the gap
+    * k-anonymity leaves open: a quasi-identifier group can satisfy
+    * k ≥ KAnonK yet be HOMOGENEOUS in the sensitive attribute, so
+    * membership alone discloses it. Over the q121 QI groups
+    * (nation × market segment) with account-balance BAND as the
+    * sensitive attribute (fixed exact-decimal thresholds — no
+    * data-dependent quantiles, so band edges are engine-identical),
+    * report each group's size, distinct sensitive values, and the
+    * dominant band's share; `at_risk` marks the dangerous quadrant —
+    * groups that PASS k-anonymity but fail l-diversity (l <
+    * LDiversityL), exactly the rows a k-only gate would release.
+    * Scale: two stacked hash aggregations ((QI, band) then QI) — the
+    * user table aggregates once, everything downstream is group-space.
+    * The dominant share is one IEEE division of exact counts. */
+  def lDiversity(s: SparkSession, dir: String): DataFrame = {
+    val band = when(col("c_acctbal") < 0, lit("neg"))
+      .when(col("c_acctbal") < 3000.0, lit("low"))
+      .when(col("c_acctbal") < 7000.0, lit("mid"))
+      .otherwise(lit("high"))
+    Tables.t(s, dir, "customer")
+      .select(col("c_nationkey").as("nation_key"),
+        col("c_mktsegment").as("segment"), band.as("bal_band"))
+      .groupBy(col("nation_key"), col("segment"), col("bal_band"))
+      .agg(count(lit(1)).as("band_n"))
+      .groupBy(col("nation_key"), col("segment"))
+      .agg(sum(col("band_n")).as("n_users"),
+        count(lit(1)).as("n_sensitive_values"),
+        max(col("band_n")).as("top_band_n"))
+      .select(col("nation_key"), col("segment"), col("n_users"),
+        col("n_sensitive_values"),
+        (col("top_band_n").cast(DoubleType) / col("n_users").cast(DoubleType))
+          .as("dominant_share"),
+        (col("n_sensitive_values") >= LDiversityL).as("is_l_diverse"),
+        (col("n_users") >= KAnonK && col("n_sensitive_values") < LDiversityL)
+          .as("at_risk"))
+      .orderBy(col("nation_key"), col("segment"))
+  }
+
+  private val lDiversitySql =
+    s"""WITH ldb AS (
+       |  SELECT c_nationkey AS nation_key, c_mktsegment AS segment,
+       |         CASE WHEN c_acctbal < 0 THEN 'neg'
+       |              WHEN c_acctbal < 3000.0 THEN 'low'
+       |              WHEN c_acctbal < 7000.0 THEN 'mid'
+       |              ELSE 'high' END AS bal_band
+       |  FROM customer),
+       |ldg AS (
+       |  SELECT nation_key, segment, bal_band, count(1) AS band_n
+       |  FROM ldb GROUP BY 1, 2, 3),
+       |lda AS (
+       |  SELECT nation_key, segment,
+       |         CAST(sum(band_n) AS BIGINT) AS n_users,
+       |         count(1) AS n_sensitive_values,
+       |         CAST(max(band_n) AS BIGINT) AS top_band_n
+       |  FROM ldg GROUP BY 1, 2)
+       |SELECT nation_key, segment, n_users, n_sensitive_values,
+       |       CAST(top_band_n AS DOUBLE) / CAST(n_users AS DOUBLE) AS dominant_share,
+       |       n_sensitive_values >= $LDiversityL AS is_l_diverse,
+       |       n_users >= $KAnonK AND n_sensitive_values < $LDiversityL AS at_risk
+       |FROM lda ORDER BY nation_key, segment""".stripMargin
+
   // ---- q131: KMV set algebra (join-size estimation) -----------------
 
   /** q131 — KMV sketch SET OPERATIONS (Beyer et al. 2007), the
@@ -983,6 +1049,7 @@ object Eda extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_kmv_set_ops" -> kmvSetOps,
     "q121_k_anonymity" -> kAnonymity,
+    "q149_l_diversity" -> lDiversity,
     "q95_rfm_segments" -> rfmSegments,
     "q05_topk_customers" -> topkCustomers,
     "q06_pagination" -> pagination,
@@ -1003,6 +1070,7 @@ object Eda extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q131_kmv_set_ops" -> kmvSetOpsSql,
     "q121_k_anonymity" -> kAnonymitySql,
+    "q149_l_diversity" -> lDiversitySql,
     "q19_cast_join" -> castJoinSql,
     "q42_categorical_mode" -> categoricalModeSql,
     "q47_semi_anti_join" -> semiAntiJoinSql,

@@ -1251,6 +1251,69 @@ object TextOps extends QueryModule {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q148: per-cell frequency-cap sampling ------------------------
+
+  /** Multiplier on ceil(sqrt(cell size)) for the cap. */
+  private val CapMult = 3L
+
+  /** q148 — frequency-cap (smoothed) sampling per (source, lang) cell,
+    * the RefinedWeb/CCNet-style anti-domination gate: no cell may
+    * contribute more than CapMult·⌈√n⌉ documents, so a crawl where one
+    * host/language pair is 100× over-represented is pulled toward the
+    * √-smoothed profile instead of drowning the mixture (Penedo et al.
+    * 2023 apply exactly this shape at the host level; q68/q106 mix by
+    * TARGET proportions — this is the complementary SUPPLY-side cap).
+    * Within a cell, survivors are the quota lowest md5(doc_id) keys —
+    * the deterministic keyed coin (q59 rationale): reproducible across
+    * engines, reruns, and partitionings, and uniform because the hash
+    * is uncorrelated with content. Parity: sqrt is IEEE-correctly-
+    * rounded on an exact integer input in both engines, so ceil agrees
+    * everywhere (including perfect squares, where sqrt is exact);
+    * ranks come from a total order (hash, then doc_id). Scale: one
+    * cell-count aggregation (broadcast back — cells are
+    * sources×languages, never corpus-sized) and one per-cell
+    * row_number window; the corpus shuffles once on the cell key. */
+  def freqCapSample(s: SparkSession, dir: String): DataFrame =
+    freqCapSampleOver(s, Tables.t(s, dir, "documents"))
+
+  /** The cap over any documents-shaped frame (the seam the spec uses
+    * to plant a dominated cell and watch the cap bind). */
+  private[graft] def freqCapSampleOver(s: SparkSession, docs: DataFrame): DataFrame = {
+    val keyed = docs.select(col("doc_id"), col("source"), col("lang"))
+      .withColumn("hkey", md5(col("doc_id").cast(StringType).cast(BinaryType)))
+    val cells = keyed.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("cell_n"))
+      .withColumn("quota", least(col("cell_n"),
+        ceil(sqrt(col("cell_n").cast(DoubleType))) * lit(CapMult)))
+    val w = Window.partitionBy(col("source"), col("lang"))
+      .orderBy(col("hkey"), col("doc_id"))
+    keyed.withColumn("cell_rank", row_number().over(w).cast(LongType))
+      .join(broadcast(cells), Seq("source", "lang"))
+      .filter(col("cell_rank") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("lang"), col("cell_n"),
+        col("quota"), col("cell_rank"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val freqCapSampleSql =
+    s"""WITH fc AS (
+       |  SELECT doc_id, source, lang, md5(CAST(doc_id AS VARCHAR)) AS hkey
+       |  FROM documents),
+       |cc AS (
+       |  SELECT source, lang, count(1) AS cell_n,
+       |         least(count(1),
+       |               CAST(ceil(sqrt(CAST(count(1) AS DOUBLE))) AS BIGINT) * $CapMult) AS quota
+       |  FROM fc GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT doc_id, source, lang,
+       |         CAST(row_number() OVER (PARTITION BY source, lang
+       |           ORDER BY hkey, doc_id) AS BIGINT) AS cell_rank
+       |  FROM fc)
+       |SELECT r.doc_id, r.source, r.lang, c.cell_n, c.quota, r.cell_rank
+       |FROM rk r JOIN cc c USING (source, lang)
+       |WHERE r.cell_rank <= c.quota
+       |ORDER BY r.doc_id""".stripMargin
+
   // ---- q60: token-budget sequence packing --------------------------
 
   /** q60 — contiguous greedy packing of documents into fixed
@@ -1788,6 +1851,7 @@ object TextOps extends QueryModule {
     "q123_entity_resolution" -> entityResolution,
     "q58_tfidf_topk" -> tfidfTopk,
     "q59_stratified_sample" -> stratifiedSample,
+    "q148_freq_cap_sample" -> freqCapSample,
     "q60_sequence_pack" -> sequencePack,
     "q54_dedup_clusters" -> dedupClusters,
     "q144_split_assign" -> splitAssign,
@@ -1836,6 +1900,7 @@ object TextOps extends QueryModule {
     "q123_entity_resolution" -> entityResolutionSql,
     "q58_tfidf_topk" -> tfidfTopkSql,
     "q59_stratified_sample" -> stratifiedSampleSql,
+    "q148_freq_cap_sample" -> freqCapSampleSql,
     "q60_sequence_pack" -> sequencePackSql,
     "q54_dedup_clusters" -> dedupClustersSql,
     "q144_split_assign" -> splitAssignSql,

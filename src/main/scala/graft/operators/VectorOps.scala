@@ -1777,6 +1777,95 @@ object VectorOps extends QueryModule {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Z-score below which a member counts as a coherence outlier. */
+  private val OutlierZ = 2.0
+
+  /** q150 — per-member outlier flags for a labeled embedding set, the
+    * actionable follow-up to q93's per-label coherence summary: each
+    * vector's cosine to its label centroid is z-scored against the
+    * label's own mean/σ, and members more than OutlierZ σ BELOW the
+    * mean are flagged as mislabel/contamination candidates (the
+    * standard per-class coherence filter run before training on a
+    * labeled set; per-label normalization matters because tight and
+    * diffuse classes need different absolute cutoffs). Parity: the
+    * per-member cosine snaps 8-dp (the q93 rule) so cos and cos² are
+    * exact decimals; mean and mean-square fold through decimal sums
+    * and snap 6-dp; variance/σ/z are then IEEE steps on identical
+    * inputs in both engines (sqrt is correctly rounded), with σ
+    * floored at 0 against ulp-negative variance. Scale: the q93 shape
+    * — one (label, dim) aggregation, centroids broadcast back, one
+    * label-space stats frame broadcast back again; nothing joins at
+    * collection size. Emits every member (not just outliers) so the
+    * z-spectrum itself is auditable. */
+  def embeddingOutliers(s: SparkSession, dir: String): DataFrame = {
+    val base = withNorm(Tables.t(s, dir, "embeddings"))
+    val cent = base.select(col("label"), posexplode(col("e")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("v").cast(DecimalType(38, 12))).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType)).as("c"))
+    val centroids = cent.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cv"))
+      .withColumn("cnorm2", dot_product(col("cv"), col("cv")))
+    val cos = base.join(broadcast(centroids), "label")
+      .select(col("vec_id"), col("label"),
+        snapRound(dot_product(col("e"), col("cv")) /
+          (sqrt(col("norm2")) * sqrt(col("cnorm2"))), 8).as("cos"))
+    val stats = cos.groupBy(col("label")).agg(
+        snapRound(sum(col("cos").cast(DecimalType(38, 10))).cast(DoubleType) /
+          count(lit(1)), 6).as("mean_cos"),
+        snapRound(sum((col("cos") * col("cos")).cast(DecimalType(38, 12)))
+          .cast(DoubleType) / count(lit(1)), 6).as("mean_sq"))
+      .withColumn("std_cos", snapRound(
+        sqrt(greatest(col("mean_sq") - col("mean_cos") * col("mean_cos"), lit(0.0))), 6))
+    cos.join(broadcast(stats), "label")
+      .select(col("label"), col("vec_id"), col("cos"), col("mean_cos"), col("std_cos"),
+        when(col("std_cos") > 0.0,
+          snapRound((col("cos") - col("mean_cos")) / col("std_cos"), 4)).as("z"))
+      .withColumn("is_outlier",
+        col("z").isNotNull && col("z") < -OutlierZ)
+      .orderBy(col("label"), col("vec_id"))
+  }
+
+  private val embeddingOutliersSql = {
+    val dotVCv = dotSql("v", "cv")
+    val dotCvCv = dotSql("cv", "cv")
+    val dotVV = dotSql("v", "v")
+    s"""WITH e AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |d AS (
+       |  SELECT label, t.pos AS pos, v[t.pos] AS val
+       |  FROM e, unnest(generate_series(1, $DIM)) AS t(pos)),
+       |cent AS (
+       |  SELECT label, pos,
+       |         CAST(sum(CAST(val AS DECIMAL(38,12))) AS DOUBLE) / CAST(count(1) AS DOUBLE) AS c
+       |  FROM d GROUP BY 1, 2),
+       |centroid AS (
+       |  SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY 1),
+       |cn AS (SELECT label, cv, $dotCvCv AS cnorm2 FROM centroid),
+       |cosr AS (
+       |  SELECT e.vec_id, e.label,
+       |         ${snapRoundSql(s"$dotVCv / (sqrt($dotVV) * sqrt(cn.cnorm2))", 8)} AS cos
+       |  FROM e JOIN cn ON e.label = cn.label),
+       |st AS (
+       |  SELECT label,
+       |         ${snapRoundSql("CAST(sum(CAST(cos AS DECIMAL(38,10))) AS DOUBLE) / count(1)", 6)} AS mean_cos,
+       |         ${snapRoundSql("CAST(sum(CAST(cos * cos AS DECIMAL(38,12))) AS DOUBLE) / count(1)", 6)} AS mean_sq
+       |  FROM cosr GROUP BY 1),
+       |sd AS (
+       |  SELECT label, mean_cos,
+       |         ${snapRoundSql("sqrt(greatest(mean_sq - mean_cos * mean_cos, 0.0))", 6)} AS std_cos
+       |  FROM st)
+       |SELECT c.label, c.vec_id, c.cos, s.mean_cos, s.std_cos,
+       |       CASE WHEN s.std_cos > 0.0 THEN ${snapRoundSql(
+      "(c.cos - s.mean_cos) / s.std_cos", 4)} END AS z,
+       |       CASE WHEN s.std_cos > 0.0 THEN ${snapRoundSql(
+      "(c.cos - s.mean_cos) / s.std_cos", 4)} < -$OutlierZ ELSE false END AS is_outlier
+       |FROM cosr c JOIN sd s ON c.label = s.label
+       |ORDER BY c.label, c.vec_id""".stripMargin
+  }
+
   /** q93 — labeled-embedding-set health check: per label, the centroid
     * (per-dimension mean), its norm, and the intra-class coherence
     * (mean and min cosine of members to their centroid) — the
@@ -1846,6 +1935,7 @@ object VectorOps extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q93_label_centroids" -> labelCentroids,
+    "q150_embedding_outliers" -> embeddingOutliers,
     "q101_ann_pq" -> annPq,
     "q102_ann_ivfpq" -> annIvfPq,
     "q30_cosine_topk" -> cosineTopk,
@@ -1866,6 +1956,7 @@ object VectorOps extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q93_label_centroids" -> labelCentroidsSql,
+    "q150_embedding_outliers" -> embeddingOutliersSql,
     "q101_ann_pq" -> annPqSql,
     "q102_ann_ivfpq" -> annIvfPqSql,
     "q30_cosine_topk" -> topkSql(sameCluster = false, 5),

@@ -1,0 +1,116 @@
+package graft
+
+import graft.operators.{CorpusOps, Eda, TextOps, VectorOps}
+import org.apache.spark.sql.functions._
+
+/** Behavioral pins for the round-11 additions beyond their oracle
+  * hashes: q147's Heaps fit on planted all-distinct / fixed-vocab
+  * corpora (where β is exactly 1 and exactly 0), q148's √-cap binding
+  * on a dominated cell plus partitioning-invariance of the kept set,
+  * q149's k-passing-but-homogeneous risk quadrant, and q150 flagging
+  * a planted flipped vector without flagging its coherent peers. */
+class Round11OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- q147: Heaps'-law vocabulary growth ---------------------------
+
+  private def docsDir(rows: Seq[(Long, String, String, String, Long)]): String = {
+    val d = java.nio.file.Files.createTempDirectory("r11_docs").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("q147: all-distinct vocabulary fits beta=1 exactly, fixed vocab beta=0") {
+    // 'uniq': 1000 globally-distinct tokens over 100 docs -> V(n) = n at
+    // every checkpoint, so ln V = ln n pointwise and the OLS slope and
+    // r2 are EXACTLY 1 (ys == xs -> num == den == deny).
+    val uniq = (0 until 100).map { i =>
+      (i.toLong, (0 until 10).map(j => s"u${i}_$j").mkString(" "), "en", "uniq", 1L)
+    }
+    // 'flat': the same 5 tokens in every doc -> all first occurrences
+    // land in checkpoint 1, V is constant, slope exactly 0 and r2 NULL
+    // (deny == 0: no y-variance to explain).
+    val flat = (100 until 140).map { i =>
+      (i.toLong, "t0 t1 t2 t3 t4", "en", "flat", 1L)
+    }
+    val out = CorpusOps.heapsLawOver(spark, Tables.t(spark, docsDir(uniq ++ flat), "documents"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val u = out("uniq")
+    assert(u.getLong(1) == 1000L && u.getLong(2) == 1000L && u.getLong(3) == 10L)
+    assert(u.getDouble(4) == 1.0 && u.getDouble(5) == 1.0)
+    val f = out("flat")
+    assert(f.getLong(1) == 200L && f.getLong(2) == 5L)
+    assert(f.getDouble(4) == 0.0 && f.isNullAt(5))
+  }
+
+  // ---- q148: frequency-cap sampling ---------------------------------
+
+  test("q148: the sqrt cap binds on a dominated cell and passes small cells whole") {
+    // dominated cell: 100 docs -> quota = 3 * ceil(sqrt(100)) = 30
+    val big = (0 until 100).map(i => (i.toLong, "x", "en", "bigsrc", 1L))
+    // small cell: 5 docs -> quota = min(5, 3 * ceil(sqrt(5)) = 9) = 5
+    val small = (100 until 105).map(i => (i.toLong, "x", "en", "smallsrc", 1L))
+    val dir = docsDir(big ++ small)
+    val kept = TextOps.freqCapSampleOver(spark, Tables.t(spark, dir, "documents"))
+      .collect()
+    val byCell = kept.groupBy(_.getString(1))
+    assert(byCell("bigsrc").length == 30)
+    assert(byCell("bigsrc").forall(r => r.getLong(3) == 100L && r.getLong(4) == 30L))
+    assert(byCell("smallsrc").length == 5)
+    assert(byCell("smallsrc").forall(r => r.getLong(4) == 5L))
+    // the kept SET is a pure function of doc ids — partitioning-invariant
+    val rekept = TextOps.freqCapSampleOver(
+        spark, Tables.t(spark, dir, "documents").repartition(7))
+      .collect().map(_.getLong(0)).toSet
+    assert(rekept == kept.map(_.getLong(0)).toSet)
+  }
+
+  // ---- q149: l-diversity --------------------------------------------
+
+  test("q149: k-passing homogeneous group is the at-risk quadrant") {
+    val d = java.nio.file.Files.createTempDirectory("r11_cust").toString
+    val rows =
+      // group (1, HOMOG): 20 users, ONE balance band -> passes k, fails l
+      (0 until 20).map(i => (i.toLong, 1, "HOMOG", 5000.0 + i)) ++
+      // group (2, MIXED): 20 users across 3 bands -> l-diverse
+      (20 until 40).map { i =>
+        val bal = i % 3 match { case 0 => -10.0; case 1 => 100.0; case _ => 8000.0 }
+        (i.toLong, 2, "MIXED", bal)
+      } ++
+      // group (3, TINY): 5 users, one band -> fails k AND l, but k-gate
+      // already suppresses it, so it is NOT the at-risk quadrant
+      (40 until 45).map(i => (i.toLong, 3, "TINY", 100.0))
+    rows.toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$d/customer.parquet")
+    val out = Eda.lDiversity(spark, d).collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r).toMap
+    val h = out((1, "HOMOG"))
+    assert(h.getLong(2) == 20L && h.getLong(3) == 1L)
+    assert(h.getDouble(4) == 1.0 && !h.getBoolean(5) && h.getBoolean(6))
+    val m = out((2, "MIXED"))
+    assert(m.getLong(3) == 3L && m.getBoolean(5) && !m.getBoolean(6))
+    val t = out((3, "TINY"))
+    assert(!t.getBoolean(5) && !t.getBoolean(6))
+  }
+
+  // ---- q150: embedding outliers -------------------------------------
+
+  test("q150: a flipped vector is the only member flagged in its label") {
+    val d = java.nio.file.Files.createTempDirectory("r11_emb").toString
+    // label 0: 19 coherent vectors near +x (distinct small second dims
+    // so the std is nonzero), 1 flipped vector at -x
+    val coherent = (0 until 19).map { i =>
+      (i.toLong, Seq(1.0f, 0.01f * i, 0.0f, 0.0f), 0)
+    }
+    val flipped = Seq((19L, Seq(-1.0f, 0.0f, 0.0f, 0.0f), 0))
+    (coherent ++ flipped).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val out = VectorOps.embeddingOutliers(spark, d).collect()
+    assert(out.length == 20) // every member emitted, not just outliers
+    val flagged = out.filter(_.getBoolean(6)).map(_.getLong(1)).toSeq
+    assert(flagged == Seq(19L))
+    val z19 = out.find(_.getLong(1) == 19L).get.getDouble(5)
+    assert(z19 < -2.0)
+  }
+}

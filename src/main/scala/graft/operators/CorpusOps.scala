@@ -722,6 +722,114 @@ object CorpusOps extends QueryModule {
       |       coalesce(lag(survivors) OVER (ORDER BY stage_idx) - survivors, 0) AS dropped
       |FROM counts ORDER BY stage_idx""".stripMargin
 
+  // ---- q151: UniMax water-filling language allocation ----------------
+
+  /** Per-language epoch cap (UniMax's N). The token budget reuses
+    * q145's BudgetMult (one budget definition for both planners);
+    * BudgetMult < EMaxEpochs guarantees the budget binds
+    * (Σ alloc = B exactly). */
+  private val EMaxEpochs = 4L
+
+  /** q151 — UniMax language allocation (Chung et al. 2023): spend a
+    * token budget B = BudgetMult·ΣU as UNIFORMLY across languages as
+    * the per-language epoch cap (EMaxEpochs·U_l) allows — the
+    * water-filling dual of q106's temperature sampling (temperature
+    * tilts proportions; UniMax equalizes them subject to caps, which
+    * the paper shows dominates tuned temperatures at scale). The water
+    * level θ solves Σ_l min(cap_l, θ) = B in closed form: with caps
+    * sorted ascending and S_i their prefix sums, θ = (B − S_i)/(n − i)
+    * for the unique i where θ lands in [c_i, c_{i+1}) — one rank
+    * window + prefix sum + validity filter over LANGUAGE-cardinality
+    * rows (the global window is over n_langs rows, never the corpus;
+    * the corpus contributes one (lang) aggregation). Capped languages
+    * (c_l ≤ θ) get all their epochs; the rest get θ each. Parity:
+    * U/cap/S/B are exact longs; θ is ONE IEEE division of exact
+    * integers (correctly rounded, bit-identical both engines), so the
+    * validity comparisons and the capped/uncapped split agree
+    * everywhere; outputs snap 4/6-dp. */
+  def unimaxAlloc(s: SparkSession, dir: String): DataFrame =
+    unimaxAllocOver(s, Tables.t(s, dir, "documents"))
+
+  /** The allocator over any documents-shaped frame (the seam the spec
+    * uses to plant skewed language masses and check Σ alloc = B and
+    * the cap/level split against a hand water-fill). */
+  private[graft] def unimaxAllocOver(s: SparkSession, docs: DataFrame): DataFrame = {
+    import graft.util.Parity.snapRound
+    val caps = docs
+      .select(col("lang"), size(tokens(col("text"))).cast(LongType).as("n_toks"))
+      .groupBy(col("lang")).agg(sum(col("n_toks")).as("u"))
+      .withColumn("cap", col("u") * lit(EMaxEpochs))
+    val totals = caps.agg(count(lit(1)).as("n"),
+      (sum(col("u")) * lit(BudgetMult)).as("b"))
+    // ranked caps + prefix sums: n_langs rows, so the global window is
+    // deliberate (q75 rank precedent), not a corpus-sized sort
+    val wRank = Window.orderBy(col("cap"), col("lang"))
+    val ranked = caps
+      .withColumn("i", row_number().over(wRank).cast(LongType))
+      .withColumn("s", sum(col("cap")).over(
+        wRank.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("i"), col("cap"), col("s"))
+    // the i=0 candidate (no language capped): θ = B/n
+    val cand = ranked
+      .unionByName(totals.select(lit(0L).as("i"), lit(0L).as("cap"), lit(0L).as("s")))
+      .crossJoin(broadcast(totals))
+      .withColumn("next_cap", lead(col("cap"), 1).over(Window.orderBy(col("i"))))
+      .withColumn("theta", when(col("i") < col("n"),
+        (col("b") - col("s")).cast(DoubleType) / (col("n") - col("i")).cast(DoubleType)))
+    val pick = cand
+      .filter(col("theta").isNotNull &&
+        col("theta") >= col("cap").cast(DoubleType) &&
+        (col("next_cap").isNull || col("theta") < col("next_cap").cast(DoubleType)))
+      .orderBy(col("i")).limit(1)
+      .select(col("theta"))
+    caps.crossJoin(broadcast(pick))
+      .withColumn("alloc_raw", when(col("cap").cast(DoubleType) <= col("theta"),
+        col("cap").cast(DoubleType)).otherwise(col("theta")))
+      .select(col("lang"), col("u").as("corpus_tokens"), col("cap").as("cap_tokens"),
+        (col("cap").cast(DoubleType) <= col("theta")).as("is_capped"),
+        snapRound(col("alloc_raw"), 4).as("alloc_tokens"),
+        snapRound(col("alloc_raw") / col("u").cast(DoubleType), 6).as("epochs"),
+        snapRound(col("theta"), 4).as("water_level"))
+      .orderBy(col("lang"))
+  }
+
+  private lazy val unimaxAllocSql = {
+    import graft.util.Parity.snapRoundSql
+    s"""WITH uut AS (
+       |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS u
+       |  FROM documents GROUP BY 1),
+       |ucp AS (SELECT lang, u, u * $EMaxEpochs AS cap FROM uut),
+       |utot AS (SELECT count(1) AS n, CAST(sum(u) AS BIGINT) * $BudgetMult AS b FROM ucp),
+       |urk AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY cap, lang) AS BIGINT) AS i, cap,
+       |         CAST(sum(cap) OVER (ORDER BY cap, lang
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+       |  FROM ucp),
+       |uc0 AS (SELECT i, cap, s FROM urk UNION ALL SELECT 0, 0, 0),
+       |ucand AS (
+       |  SELECT c.i, c.cap, t.n, t.b,
+       |         lead(c.cap) OVER (ORDER BY c.i) AS next_cap,
+       |         CASE WHEN c.i < t.n
+       |           THEN CAST(t.b - c.s AS DOUBLE) / CAST(t.n - c.i AS DOUBLE) END AS theta
+       |  FROM uc0 c, utot t),
+       |upick AS (
+       |  SELECT theta FROM ucand
+       |  WHERE theta IS NOT NULL AND theta >= CAST(cap AS DOUBLE)
+       |    AND (next_cap IS NULL OR theta < CAST(next_cap AS DOUBLE))
+       |  ORDER BY i LIMIT 1),
+       |ual AS (
+       |  SELECT c.lang, c.u, c.cap, p.theta,
+       |         CASE WHEN CAST(c.cap AS DOUBLE) <= p.theta
+       |           THEN CAST(c.cap AS DOUBLE) ELSE p.theta END AS alloc_raw
+       |  FROM ucp c, upick p)
+       |SELECT lang, u AS corpus_tokens, cap AS cap_tokens,
+       |       CAST(cap AS DOUBLE) <= theta AS is_capped,
+       |       ${snapRoundSql("alloc_raw", 4)} AS alloc_tokens,
+       |       ${snapRoundSql("alloc_raw / CAST(u AS DOUBLE)", 6)} AS epochs,
+       |       ${snapRoundSql("theta", 4)} AS water_level
+       |FROM ual ORDER BY lang""".stripMargin
+  }
+
   // ---- q146: the shipping training manifest --------------------------
 
   /** q146 — the training MANIFEST: the one table a training job
@@ -1997,6 +2105,7 @@ object CorpusOps extends QueryModule {
     "q142_pack_chunks" -> packChunks,
     "q143_lr_quality" -> lrQuality,
     "q145_data_budget" -> dataBudgetPlan,
+    "q151_unimax_alloc" -> unimaxAlloc,
     "q146_training_manifest" -> trainingManifest,
     "q92_oov_profile" -> oovProfile,
     "q65_lang_source_matrix" -> langSourceMatrix,
@@ -2025,6 +2134,7 @@ object CorpusOps extends QueryModule {
     "q142_pack_chunks" -> packChunksSql,
     "q143_lr_quality" -> lrQualitySql,
     "q145_data_budget" -> dataBudgetPlanSql,
+    "q151_unimax_alloc" -> unimaxAllocSql,
     "q146_training_manifest" -> trainingManifestSql,
     "q92_oov_profile" -> oovProfileSql,
     "q65_lang_source_matrix" -> langSourceMatrixSql,

@@ -94,6 +94,27 @@ class Round11OpsSpec extends SparkSpec {
     assert(!t.getBoolean(5) && !t.getBoolean(6))
   }
 
+  // ---- q151: UniMax water-filling allocation -------------------------
+
+  test("q151: water level matches the hand fill and spends the budget exactly") {
+    // masses 100 / 1000 / 1000 -> B = 4200, caps 400/4000/4000;
+    // hand fill: i=1 is the valid breakpoint, theta = (4200-400)/2 = 1900
+    val docs =
+      (0 until 10).map(i => (i.toLong, Seq.fill(10)("w").mkString(" "), "aa", "s", 1L)) ++
+      (10 until 20).map(i => (i.toLong, Seq.fill(100)("w").mkString(" "), "bb", "s", 1L)) ++
+      (20 until 30).map(i => (i.toLong, Seq.fill(100)("w").mkString(" "), "cc", "s", 1L))
+    val out = CorpusOps.unimaxAllocOver(spark, Tables.t(spark, docsDir(docs), "documents"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.values.forall(_.getDouble(6) == 1900.0)) // water level
+    val a = out("aa")
+    assert(a.getLong(1) == 100L && a.getBoolean(3) &&
+      a.getDouble(4) == 400.0 && a.getDouble(5) == 4.0)
+    val b = out("bb")
+    assert(!b.getBoolean(3) && b.getDouble(4) == 1900.0 && b.getDouble(5) == 1.9)
+    // the budget is spent exactly: sum alloc == 2 * total mass
+    assert(out.values.map(_.getDouble(4)).sum == 4200.0)
+  }
+
   // ---- q150: embedding outliers -------------------------------------
 
   test("q150: a flipped vector is the only member flagged in its label") {

@@ -944,6 +944,139 @@ object CorpusOps extends QueryModule {
       |WHERE t.source <> '$EvalSource'
       |ORDER BY t.doc_id""".stripMargin
 
+  // ---- q152: contamination span excision -----------------------------
+
+  /** Gram width shared with q62 (one contamination definition). */
+  private val SpanN = 5
+
+  /** q152 — span-level contamination EXCISION, the action q62's
+    * doc-level flag approximates: every occurrence of an eval 5-gram
+    * in a training doc marks the token interval [i, i+5); overlapping
+    * and adjacent-hit intervals COALESCE (the classic interval-merge:
+    * consecutive matched grams overlap by 4 tokens, so a contiguous
+    * quoted benchmark passage of any length merges into ONE span) and
+    * the doc reports matched/merged span counts, excised and kept
+    * token mass, and the excision fraction — the surgical alternative
+    * to dropping a 99%-clean doc for one quoted question (the
+    * span-removal decontamination GPT-3 appendix C describes). The
+    * interval merge is windowed per doc: running max of span end over
+    * the start-ordered hits, a new merged span starts where start >
+    * every previous end — one window pass, no self-join, span count
+    * bounded by the doc's gram count. Scale: the eval gram set
+    * broadcasts (benchmarks are thousands of docs); hits are
+    * match-sized; the merge windows partition BY DOC so the corpus
+    * never single-partitions. All integer arithmetic; the one IEEE
+    * division is the output fraction. */
+  def spanExcision(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(s, dir, "documents")
+    val evalG = docs.filter(col("source") === EvalSource)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(explode(shinglesOf(col("toks"), SpanN)).as("g")).distinct()
+    // ordered, NON-distinct grams with their 1-based token start
+    // (tokens pre-projected per the shinglesOf PERF note)
+    val gramArr = expr(
+      s"""CASE WHEN size(toks) >= $SpanN
+         |THEN transform(sequence(1, size(toks) - ${SpanN - 1}),
+         |       i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+         |                      element_at(toks, i + 2), element_at(toks, i + 3),
+         |                      element_at(toks, i + 4)))
+         |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)
+    val tr = docs.filter(col("source") =!= EvalSource)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast(LongType).as("n_tokens"),
+        gramArr.as("grams"))
+    val hits = tr.select(col("doc_id"), posexplode(col("grams")).as(Seq("p", "g")))
+      .join(broadcast(evalG), "g")
+      .select(col("doc_id"), (col("p") + lit(1L)).as("st"),
+        (col("p") + lit(1L + SpanN)).as("en")) // [st, en) in 1-based tokens
+    val wSpan = Window.partitionBy(col("doc_id")).orderBy(col("st"), col("en"))
+    val merged = hits
+      .withColumn("prev_max_en",
+        max(col("en")).over(wSpan.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_span",
+        when(col("prev_max_en").isNull || col("st") > col("prev_max_en"), 1L)
+          .otherwise(0L))
+      .withColumn("span_id", sum(col("new_span")).over(
+        wSpan.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("st")).as("mst"), max(col("en")).as("men"))
+    val perDoc = merged.groupBy(col("doc_id"))
+      .agg(sum(col("n_hits")).as("n_matched_spans"),
+        count(lit(1)).as("n_merged_spans"),
+        sum(col("men") - col("mst")).as("excised_tokens"))
+    tr.select(col("doc_id"), col("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_matched_spans"), lit(0L)).as("n_matched_spans"),
+        coalesce(col("n_merged_spans"), lit(0L)).as("n_merged_spans"),
+        coalesce(col("excised_tokens"), lit(0L)).as("excised_tokens"))
+      .withColumn("kept_tokens", col("n_tokens") - col("excised_tokens"))
+      .withColumn("excision_frac",
+        when(col("n_tokens") > 0,
+          col("excised_tokens").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .otherwise(lit(0.0)))
+      .orderBy(col("doc_id"))
+  }
+
+  private val spanExcisionSql =
+    s"""WITH xg AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS ts
+       |  FROM documents),
+       |xe AS (
+       |  SELECT DISTINCT unnest(CASE WHEN len(ts) >= $SpanN
+       |    THEN list_transform(generate_series(1, len(ts) - ${SpanN - 1}),
+       |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4])
+       |    ELSE [] END) AS g
+       |  FROM xg WHERE source = '$EvalSource'),
+       |xt AS (
+       |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens, ts
+       |  FROM xg WHERE source <> '$EvalSource'),
+       |xp AS (
+       |  SELECT doc_id,
+       |         unnest(CASE WHEN len(ts) >= $SpanN
+       |           THEN generate_series(1, len(ts) - ${SpanN - 1}) ELSE [] END) AS st,
+       |         unnest(CASE WHEN len(ts) >= $SpanN
+       |           THEN list_transform(generate_series(1, len(ts) - ${SpanN - 1}),
+       |             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4])
+       |           ELSE [] END) AS g
+       |  FROM xt),
+       |xh AS (
+       |  SELECT p.doc_id, CAST(p.st AS BIGINT) AS st,
+       |         CAST(p.st + $SpanN AS BIGINT) AS en
+       |  FROM xp p JOIN xe e ON p.g = e.g),
+       |xm AS (
+       |  SELECT doc_id, st, en,
+       |         CASE WHEN max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |              OR st > max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |              THEN 1 ELSE 0 END AS new_span
+       |  FROM xh),
+       |xs AS (
+       |  SELECT doc_id, st, en,
+       |         CAST(sum(new_span) OVER (PARTITION BY doc_id ORDER BY st, en
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS span_id
+       |  FROM xm),
+       |xsp AS (
+       |  SELECT doc_id, span_id, count(1) AS n_hits,
+       |         min(st) AS mst, max(en) AS men
+       |  FROM xs GROUP BY 1, 2),
+       |xpd AS (
+       |  SELECT doc_id, CAST(sum(n_hits) AS BIGINT) AS n_matched_spans,
+       |         count(1) AS n_merged_spans,
+       |         CAST(sum(men - mst) AS BIGINT) AS excised_tokens
+       |  FROM xsp GROUP BY 1)
+       |SELECT t.doc_id, t.n_tokens,
+       |       coalesce(p.n_matched_spans, 0) AS n_matched_spans,
+       |       coalesce(p.n_merged_spans, 0) AS n_merged_spans,
+       |       coalesce(p.excised_tokens, 0) AS excised_tokens,
+       |       t.n_tokens - coalesce(p.excised_tokens, 0) AS kept_tokens,
+       |       CASE WHEN t.n_tokens > 0
+       |            THEN CAST(coalesce(p.excised_tokens, 0) AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)
+       |            ELSE 0.0 END AS excision_frac
+       |FROM xt t LEFT JOIN xpd p ON t.doc_id = p.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
   // ---- q63: vocabulary -------------------------------------------
 
   /** q63 — corpus vocabulary, top 500 tokens by total occurrences
@@ -2106,6 +2239,7 @@ object CorpusOps extends QueryModule {
     "q143_lr_quality" -> lrQuality,
     "q145_data_budget" -> dataBudgetPlan,
     "q151_unimax_alloc" -> unimaxAlloc,
+    "q152_span_excision" -> spanExcision,
     "q146_training_manifest" -> trainingManifest,
     "q92_oov_profile" -> oovProfile,
     "q65_lang_source_matrix" -> langSourceMatrix,
@@ -2135,6 +2269,7 @@ object CorpusOps extends QueryModule {
     "q143_lr_quality" -> lrQualitySql,
     "q145_data_budget" -> dataBudgetPlanSql,
     "q151_unimax_alloc" -> unimaxAllocSql,
+    "q152_span_excision" -> spanExcisionSql,
     "q146_training_manifest" -> trainingManifestSql,
     "q92_oov_profile" -> oovProfileSql,
     "q65_lang_source_matrix" -> langSourceMatrixSql,

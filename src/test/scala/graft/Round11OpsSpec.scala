@@ -115,6 +115,39 @@ class Round11OpsSpec extends SparkSpec {
     assert(out.values.map(_.getDouble(4)).sum == 4200.0)
   }
 
+  // ---- q152: contamination span excision -----------------------------
+
+  test("q152: consecutive hits coalesce into one span, disjoint hits stay two") {
+    // eval doc: "e1 .. e8" (8 tokens -> grams at 1..4) plus a second
+    // passage "f1 .. f5" (one gram)
+    val eval5 = (1 to 8).map(i => s"e$i").mkString(" ")
+    val evalF = (1 to 5).map(i => s"f$i").mkString(" ")
+    val docs = Seq(
+      (100L, eval5 + " " + evalF, "en", "src0", 1L),
+      // doc 1: quotes the full e-passage inside filler — grams at
+      // positions 3..6 overlap pairwise -> ONE merged span of 12..? no:
+      // tokens 3..10 hold e1..e8, hits at st=3,4,5,6, merged [3, 11) = 8 tokens
+      (1L, "a b " + eval5 + " c d", "en", "srcT", 1L),
+      // doc 2: quotes e1..e5 at the start AND f1..f5 at the end with a
+      // gap -> TWO merged spans, 5 tokens each
+      (2L, (1 to 5).map(i => s"e$i").mkString(" ") + " x y z " + evalF, "en", "srcT", 1L),
+      // doc 3: clean
+      (3L, "p q r s t u v w x y", "en", "srcT", 1L))
+    val dir = docsDir(docs)
+    val out = CorpusOps.spanExcision(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(100L)) // eval docs are not scored
+    val d1 = out(1L)
+    assert(d1.getLong(1) == 12L && d1.getLong(2) == 4L && d1.getLong(3) == 1L)
+    assert(d1.getLong(4) == 8L && d1.getLong(5) == 4L)
+    val d2 = out(2L)
+    assert(d2.getLong(2) == 2L && d2.getLong(3) == 2L && d2.getLong(4) == 10L)
+    assert(d2.getDouble(6) == 10.0 / 13.0)
+    val d3 = out(3L)
+    assert(d3.getLong(2) == 0L && d3.getLong(4) == 0L &&
+      d3.getLong(5) == d3.getLong(1) && d3.getDouble(6) == 0.0)
+  }
+
   // ---- q150: embedding outliers -------------------------------------
 
   test("q150: a flipped vector is the only member flagged in its label") {

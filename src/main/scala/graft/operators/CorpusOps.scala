@@ -1297,10 +1297,13 @@ object CorpusOps extends QueryModule {
     * (the q138 rule); sums fold as codegen'd long adds; the OLS
     * combines route through DECIMAL(38,0)/HUGEINT (the q138 128-bit
     * route); the only IEEE steps are the final divisions on identical
-    * integers. Scale: one window cumsum over doc-count rows, one
-    * (source, token) min-agg of the exploded stream (map-side
-    * combine), then everything downstream is P rows per source.
-    * Assumes each source holds ≥ P tokens (any real shard does). */
+    * integers. Scale: doc stream offsets come from the q142 TWO-LEVEL
+    * exact prefix sum (per-(source, doc_id-range-group) cumsum +
+    * broadcast group offsets — never a single-partition-per-source
+    * window over the corpus), then one (source, token) min-agg of the
+    * exploded stream (map-side combine), and everything downstream is
+    * P rows per source. Assumes each source holds ≥ P tokens (any
+    * real shard does). */
   def heapsLaw(s: SparkSession, dir: String): DataFrame =
     heapsLawOver(s, Tables.t(s, dir, "documents"))
 
@@ -1313,10 +1316,23 @@ object CorpusOps extends QueryModule {
       .select(col("source"), col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("source"), col("doc_id"), col("toks"),
         size(col("toks")).cast(LongType).as("n_toks"))
-    val wOff = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val positioned = sized
-      .withColumn("off", sum(col("n_toks")).over(wOff) - col("n_toks"))
+    // per-source doc offsets via the q142 two-level exact prefix sum
+    // (PackGroup-width doc_id groups + broadcast per-(source, group)
+    // offsets); value-identical to a naive per-source cumsum — the
+    // sf0.01 oracle (which uses the naive window) hash-proves it
+    val wIn = Window.partitionBy(col("source"), col("grp")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val grouped = sized
+      .withColumn("grp", floor(col("doc_id") / PackGroup).cast(LongType))
+      .withColumn("in_grp", coalesce(sum(col("n_toks")).over(wIn), lit(0L)))
+    val wg = Window.partitionBy(col("source")).orderBy(col("grp"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val gOffs = grouped.groupBy(col("source"), col("grp"))
+      .agg(sum(col("n_toks")).as("g_total"))
+      .withColumn("g_off", coalesce(sum(col("g_total")).over(wg), lit(0L)))
+      .select(col("source"), col("grp"), col("g_off"))
+    val positioned = grouped.join(broadcast(gOffs), Seq("source", "grp"))
+      .withColumn("off", col("g_off") + col("in_grp"))
       .select(col("source"), col("off"), posexplode(col("toks")).as(Seq("i", "token")))
       .select(col("source"), col("token"), (col("off") + col("i") + lit(1L)).as("pos"))
     val firstPos = positioned.groupBy(col("source"), col("token"))

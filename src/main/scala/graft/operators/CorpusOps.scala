@@ -967,25 +967,36 @@ object CorpusOps extends QueryModule {
     * match-sized; the merge windows partition BY DOC so the corpus
     * never single-partitions. All integer arithmetic; the one IEEE
     * division is the output fraction. */
-  def spanExcision(s: SparkSession, dir: String): DataFrame = {
+  def spanExcision(s: SparkSession, dir: String): DataFrame =
+    spanExcisionStages(s, dir)("full")
+
+  /** Stage frames for tools.ExcisionProfile (and the full query). */
+  private[graft] def spanExcisionStages(
+      s: SparkSession, dir: String): Map[String, DataFrame] = {
     val docs = Tables.t(s, dir, "documents")
     val evalG = docs.filter(col("source") === EvalSource)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(explode(shinglesOf(col("toks"), SpanN)).as("g")).distinct()
-    // ordered, NON-distinct grams with their 1-based token start
-    // (tokens pre-projected per the shinglesOf PERF note)
-    val gramArr = expr(
-      s"""CASE WHEN size(toks) >= $SpanN
-         |THEN transform(sequence(1, size(toks) - ${SpanN - 1}),
-         |       i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
-         |                      element_at(toks, i + 2), element_at(toks, i + 3),
-         |                      element_at(toks, i + 4)))
-         |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)
-    val tr = docs.filter(col("source") =!= EvalSource)
+    // ordered, NON-distinct grams with their 1-based token start:
+    // explode TOKENS (cheap Generate) and assemble each gram from four
+    // lead() columns over the per-doc position window — codegen'd
+    // window + concat, NOT an interpreted transform() lambda (the HOF
+    // route measured ~46µs per gram = 11 s at sf0.1 for this corpus;
+    // the lead chain is ~10×+ cheaper and shares its doc_id
+    // partitioning with the interval-merge window downstream)
+    val trToks = docs.filter(col("source") =!= EvalSource)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), size(col("toks")).cast(LongType).as("n_tokens"),
-        gramArr.as("grams"))
-    val hits = tr.select(col("doc_id"), posexplode(col("grams")).as(Seq("p", "g")))
+    val tr = trToks.select(col("doc_id"),
+      size(col("toks")).cast(LongType).as("n_tokens"))
+    val wTok = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    def lead4(k: Int): Column = lead(col("tok"), k).over(wTok)
+    val grams = trToks
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p", "tok")))
+      .withColumn("g", concat_ws(" ", col("tok") +: (1 until SpanN).map(lead4): _*))
+      .withColumn("last_tok", lead4(SpanN - 1))
+      .filter(col("last_tok").isNotNull) // positions with a full gram only
+      .select(col("doc_id"), col("p"), col("g"))
+    val hits = grams
       .join(broadcast(evalG), "g")
       .select(col("doc_id"), (col("p") + lit(1L)).as("st"),
         (col("p") + lit(1L + SpanN)).as("en")) // [st, en) in 1-based tokens
@@ -1004,7 +1015,7 @@ object CorpusOps extends QueryModule {
       .agg(sum(col("n_hits")).as("n_matched_spans"),
         count(lit(1)).as("n_merged_spans"),
         sum(col("men") - col("mst")).as("excised_tokens"))
-    tr.select(col("doc_id"), col("n_tokens"))
+    val full = tr.select(col("doc_id"), col("n_tokens"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("n_matched_spans"), lit(0L)).as("n_matched_spans"),
@@ -1016,6 +1027,8 @@ object CorpusOps extends QueryModule {
           col("excised_tokens").cast(DoubleType) / col("n_tokens").cast(DoubleType))
           .otherwise(lit(0.0)))
       .orderBy(col("doc_id"))
+    Map("evalG" -> evalG, "grams" -> grams, "hits" -> hits,
+      "merged" -> merged, "full" -> full)
   }
 
   private val spanExcisionSql =

@@ -979,11 +979,14 @@ object CorpusOps extends QueryModule {
       .select(explode(shinglesOf(col("toks"), SpanN)).as("g")).distinct()
     // ordered, NON-distinct grams with their 1-based token start:
     // explode TOKENS (cheap Generate) and assemble each gram from four
-    // lead() columns over the per-doc position window — codegen'd
-    // window + concat, NOT an interpreted transform() lambda (the HOF
-    // route measured ~46µs per gram = 11 s at sf0.1 for this corpus;
-    // the lead chain is ~10×+ cheaper and shares its doc_id
-    // partitioning with the interval-merge window downstream)
+    // lead() columns over the per-doc position window. A transform()
+    // gram ARRAY in its own Project feeding posexplode measured 12×
+    // slower (11 s at sf0.1) — not the lambda itself, but
+    // InferFiltersFromGenerate pushing size(arr) > 0 / isnotnull(arr)
+    // into the scan filter with the whole transform re-inlined, every
+    // element_at re-splitting the text (see shinglesOverDocs /
+    // tools.ShingleProfile). The lead chain sidesteps the trap and
+    // shares its doc_id partitioning with the interval-merge window
     val trToks = docs.filter(col("source") =!= EvalSource)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
     val tr = trToks.select(col("doc_id"),

@@ -214,15 +214,11 @@ object TextOps extends QueryModule {
   // ---- q21: minhash signatures -----------------------------------
 
   /** (doc_id, shingle) exploded rows — shingling computed ONCE here;
-    * inlining the shingle transform into each of the K minhash columns
-    * would make Catalyst's collapsed projection re-shingle per seed.
-    * Tokenization is its own projection so the per-gram element_at
-    * lambda reads a materialized array instead of re-splitting the
-    * document (TextFunctions.shinglesOf PERF note). */
+    * inlining the shingle construction into each of the K minhash
+    * columns would make Catalyst's collapsed projection re-shingle
+    * per seed. */
   private def shingleRows(s: SparkSession, dir: String): DataFrame =
-    Tables.t(s, dir, "documents")
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(shinglesOf(col("toks"))).as("s"))
+    shinglesOverDocs(Tables.t(s, dir, "documents"))
 
   /** One-permutation mixing constants: component i combines the two
     * 32-bit halves of ONE md5 per shingle with fixed odd multipliers
@@ -260,7 +256,13 @@ object TextOps extends QueryModule {
 
   /** Exploded shingle rows of an arbitrary (doc_id, text) frame —
     * shared by bandsOver and the streaming corpus ingest's verify
-    * step. */
+    * step. The shingle transform stays INLINE in the generator select
+    * (never `.select(shinglesOf(...).as("a")).select(explode($"a"))`):
+    * a non-outer Generate over a pre-projected array column triggers
+    * InferFiltersFromGenerate, which pushes size(a) > 0 / isnotnull(a)
+    * into the scan filter WITH THE WHOLE TRANSFORM RE-INLINED — every
+    * element_at re-splits the document inside the filter (measured
+    * 25×: 0.4 s → 11 s at sf0.1, tools.ShingleProfile). */
   private[graft] def shinglesOverDocs(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(shinglesOf(col("toks"))).as("s"))

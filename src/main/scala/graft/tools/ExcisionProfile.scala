@@ -2,7 +2,9 @@ package graft.tools
 
 /** Phase-profile q152 (span excision) at SPARK_GRAFT_SF_DIR. Kept as
   * the measurement harness behind the lead-chain gram build decision
-  * (interpreted transform() ~46µs/gram vs codegen'd lead windows). */
+  * (the projected-transform shape hit the InferFiltersFromGenerate
+  * re-inlining trap — see tools.ShingleProfile; the lead chain is
+  * 12× faster and immune). */
 object ExcisionProfile {
   def main(args: Array[String]): Unit = {
     val (spark, dir) = graft.Bench.session()

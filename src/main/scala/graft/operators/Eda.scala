@@ -966,6 +966,174 @@ object Eda extends QueryModule {
        |       n_users >= $KAnonK AND n_sensitive_values < $LDiversityL AS at_risk
        |FROM lda ORDER BY nation_key, segment""".stripMargin
 
+  // ---- q153: Mann–Kendall trend test ---------------------------------
+
+  /** Two-sided 5% normal critical value for the trend call. */
+  private val MkZCrit = 1.96
+
+  /** q153 — Mann–Kendall monotone-trend test (Mann 1945, Kendall 1975)
+    * per order priority over the daily order-count series: the
+    * nonparametric partner of q128's OLS trend — rank-based, so one
+    * spike can't fake a slope. S = Σ_{i<j} sign(x_j − x_i) and the tie
+    * correction Σ t(t−1)(2t+5) are EXACT integers (bit-identical
+    * cross-engine, no snap anywhere until z); Var(S) divides the exact
+    * numerator by 18.0 once, z applies the ±1 continuity correction
+    * over a correctly-rounded sqrt — both IEEE steps on identical
+    * inputs. Scale: the pair join is per-priority on the DAILY
+    * AGGREGATE (calendar-bounded — days², not orders², and the fact
+    * collapses to days × priorities first); the tie table is
+    * value-group-sized. */
+  def mannKendall(s: SparkSession, dir: String): DataFrame = {
+    import graft.util.Parity.snapRound
+    val daily = Tables.t(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("priority"),
+        col("o_orderdate").cast(DateType).as("d"))
+      .agg(count(lit(1)).as("x"))
+    val a = daily.select(col("priority"), col("d").as("d1"), col("x").as("x1"))
+    val b = daily.select(col("priority"), col("d").as("d2"), col("x").as("x2"))
+    val sStat = a.join(b, Seq("priority")).filter(col("d1") < col("d2"))
+      .groupBy(col("priority"))
+      .agg(sum(signum(col("x2") - col("x1")).cast(LongType)).as("s_stat"))
+    val nDays = daily.groupBy(col("priority")).agg(count(lit(1)).as("n"))
+    val ties = daily.groupBy(col("priority"), col("x"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("priority"))
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tie_term"))
+    nDays.join(sStat, "priority").join(ties, "priority")
+      .withColumn("var_s",
+        (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) - col("tie_term"))
+          .cast(DoubleType) / lit(18.0))
+      .withColumn("z_stat", snapRound(
+        when(col("s_stat") > 0, (col("s_stat") - lit(1)).cast(DoubleType) / sqrt(col("var_s")))
+          .when(col("s_stat") < 0, (col("s_stat") + lit(1)).cast(DoubleType) / sqrt(col("var_s")))
+          .otherwise(lit(0.0)), 6))
+      .select(col("priority"), col("n").as("n_days"), col("s_stat"),
+        col("tie_term"), snapRound(col("var_s"), 4).as("var_s"), col("z_stat"),
+        when(col("z_stat") > MkZCrit, lit("increasing"))
+          .when(col("z_stat") < -MkZCrit, lit("decreasing"))
+          .otherwise(lit("no_trend")).as("trend"))
+      .orderBy(col("priority"))
+  }
+
+  private val mannKendallSql = {
+    import graft.util.Parity.snapRoundSql
+    val zRaw = "CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s) " +
+      "WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s) ELSE 0.0 END"
+    s"""WITH mkd AS (
+       |  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS d,
+       |         count(1) AS x
+       |  FROM orders GROUP BY 1, 2),
+       |mks AS (
+       |  SELECT a.priority,
+       |         CAST(sum(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+       |  FROM mkd a JOIN mkd b ON a.priority = b.priority AND a.d < b.d
+       |  GROUP BY 1),
+       |mkn AS (SELECT priority, count(1) AS n FROM mkd GROUP BY 1),
+       |mkt AS (
+       |  SELECT priority, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+       |  FROM (SELECT priority, x, count(1) AS t FROM mkd GROUP BY 1, 2) GROUP BY 1),
+       |mkv AS (
+       |  SELECT n.priority, n.n, s.s_stat, t.tie_term,
+       |         CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tie_term AS DOUBLE) / 18.0 AS var_s
+       |  FROM mkn n JOIN mks s ON n.priority = s.priority
+       |  JOIN mkt t ON n.priority = t.priority),
+       |mkz AS (SELECT *, ${snapRoundSql(zRaw, 6)} AS z_stat FROM mkv)
+       |SELECT priority, n AS n_days, s_stat, tie_term,
+       |       ${snapRoundSql("var_s", 4)} AS var_s, z_stat,
+       |       CASE WHEN z_stat > $MkZCrit THEN 'increasing'
+       |            WHEN z_stat < -$MkZCrit THEN 'decreasing'
+       |            ELSE 'no_trend' END AS trend
+       |FROM mkz ORDER BY priority""".stripMargin
+  }
+
+  // ---- q154: CUSUM changepoint ---------------------------------------
+
+  /** q154 — CUSUM changepoint per order priority over the daily
+    * revenue series (Page 1954; the retrospective max-|CUSUM| form):
+    * the day i maximizing |n·P_i − i·T| (P = prefix sum, T = total) —
+    * algebraically n·|Σ_{k≤i}(y_k − ȳ)|, but with the mean CLEARED so
+    * the argmax compares EXACT integers (cents), never accumulated
+    * doubles: cross-engine identical by construction, ties broken by
+    * earliest day. The deviation routes through DECIMAL(38,0)/HUGEINT
+    * (n·P overflows 64-bit at planetary revenue; the q138 combine
+    * rule). Reported: the changepoint day, the normalized CUSUM stat
+    * (one exact-integer division), and the exact segment means before/
+    * after (money avgs of cents). The stat's decimal→double edge obeys
+    * Parity rule 5: |n·P| here is ≤ ~5e15 < 2^53 at sf0.1 (exact in
+    * both engines); a deployment at planetary revenue keeps the
+    * division in decimal. Scale: one (priority, day) aggregation,
+    * per-priority calendar-bounded prefix windows, a 1-per-priority
+    * argmax — the fact collapses first, like q153. */
+  def cusumChangepoint(s: SparkSession, dir: String): DataFrame = {
+    import graft.util.Parity.snapRound
+    import org.apache.spark.sql.expressions.Window
+    val cents = round(col("o_totalprice") * 100).cast(LongType)
+    val daily = Tables.t(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("priority"),
+        col("o_orderdate").cast(DateType).as("d"))
+      .agg(sum(cents).as("c"))
+    val w = Window.partitionBy(col("priority")).orderBy(col("d"))
+    val pre = daily
+      .withColumn("i", row_number().over(w).cast(LongType))
+      .withColumn("p", sum(col("c")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    val tot = daily.groupBy(col("priority"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("t"))
+    def d128(c: Column) = c.cast(DecimalType(19, 0))
+    val dev = pre.join(broadcast(tot), "priority")
+      .withColumn("dev", abs(d128(col("n")) * d128(col("p")) -
+        d128(col("i")) * d128(col("t"))))
+    val wPick = Window.partitionBy(col("priority"))
+      .orderBy(col("dev").desc, col("d"))
+    dev.withColumn("rk", row_number().over(wPick)).filter(col("rk") === 1)
+      .select(col("priority"), col("n").as("n_days"), col("d").as("cp_date"),
+        col("i").as("cp_index"),
+        // dev / (n·100): the max |Σ(y−ȳ)| in money units
+        snapRound(col("dev").cast(DoubleType) /
+          (col("n").cast(DoubleType) * lit(100.0)), 4).as("cusum_stat"),
+        snapRound(col("p").cast(DoubleType) /
+          (col("i").cast(DoubleType) * lit(100.0)), 4).as("mean_before"),
+        when(col("n") > col("i"), snapRound(
+          (col("t") - col("p")).cast(DoubleType) /
+            ((col("n") - col("i")).cast(DoubleType) * lit(100.0)), 4))
+          .as("mean_after"))
+      .withColumn("shift",
+        when(col("mean_after").isNotNull,
+          snapRound(col("mean_after") - col("mean_before"), 4)))
+      .orderBy(col("priority"))
+  }
+
+  private val cusumChangepointSql = {
+    import graft.util.Parity.snapRoundSql
+    s"""WITH cud AS (
+       |  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS d,
+       |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+       |  FROM orders GROUP BY 1, 2),
+       |cup AS (
+       |  SELECT priority, d,
+       |         CAST(row_number() OVER (PARTITION BY priority ORDER BY d) AS BIGINT) AS i,
+       |         CAST(sum(c) OVER (PARTITION BY priority ORDER BY d
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+       |  FROM cud),
+       |cut AS (SELECT priority, count(1) AS n, CAST(sum(c) AS BIGINT) AS t FROM cud GROUP BY 1),
+       |cuv AS (
+       |  SELECT cup.priority, cup.d, cup.i, cup.p, cut.n, cut.t,
+       |         abs(CAST(cut.n AS HUGEINT) * cup.p - CAST(cup.i AS HUGEINT) * cut.t) AS dev
+       |  FROM cup JOIN cut ON cup.priority = cut.priority),
+       |cur AS (
+       |  SELECT *, row_number() OVER (PARTITION BY priority ORDER BY dev DESC, d) AS rk
+       |  FROM cuv)
+       |SELECT priority, n AS n_days, d AS cp_date, i AS cp_index,
+       |       ${snapRoundSql("CAST(dev AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0)", 4)} AS cusum_stat,
+       |       ${snapRoundSql("CAST(p AS DOUBLE) / (CAST(i AS DOUBLE) * 100.0)", 4)} AS mean_before,
+       |       CASE WHEN n > i THEN ${snapRoundSql(
+      "CAST(t - p AS DOUBLE) / (CAST(n - i AS DOUBLE) * 100.0)", 4)} END AS mean_after,
+       |       CASE WHEN n > i THEN ${snapRoundSql(
+      s"(${snapRoundSql("CAST(t - p AS DOUBLE) / (CAST(n - i AS DOUBLE) * 100.0)", 4)}) - " +
+        s"(${snapRoundSql("CAST(p AS DOUBLE) / (CAST(i AS DOUBLE) * 100.0)", 4)})", 4)} END AS shift
+       |FROM cur WHERE rk = 1 ORDER BY priority""".stripMargin
+  }
+
   // ---- q131: KMV set algebra (join-size estimation) -----------------
 
   /** q131 — KMV sketch SET OPERATIONS (Beyer et al. 2007), the
@@ -1050,6 +1218,8 @@ object Eda extends QueryModule {
     "q131_kmv_set_ops" -> kmvSetOps,
     "q121_k_anonymity" -> kAnonymity,
     "q149_l_diversity" -> lDiversity,
+    "q153_mann_kendall" -> mannKendall,
+    "q154_cusum_changepoint" -> cusumChangepoint,
     "q95_rfm_segments" -> rfmSegments,
     "q05_topk_customers" -> topkCustomers,
     "q06_pagination" -> pagination,
@@ -1071,6 +1241,8 @@ object Eda extends QueryModule {
     "q131_kmv_set_ops" -> kmvSetOpsSql,
     "q121_k_anonymity" -> kAnonymitySql,
     "q149_l_diversity" -> lDiversitySql,
+    "q153_mann_kendall" -> mannKendallSql,
+    "q154_cusum_changepoint" -> cusumChangepointSql,
     "q19_cast_join" -> castJoinSql,
     "q42_categorical_mode" -> categoricalModeSql,
     "q47_semi_anti_join" -> semiAntiJoinSql,

@@ -148,6 +148,50 @@ class Round11OpsSpec extends SparkSpec {
       d3.getLong(5) == d3.getLong(1) && d3.getDouble(6) == 0.0)
   }
 
+  // ---- q153/q154: trend test + changepoint ----------------------------
+
+  private def ordersDir(rows: Seq[(Long, Long, String, Double, java.sql.Timestamp, String)]): String = {
+    val d = java.nio.file.Files.createTempDirectory("r11_orders").toString
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    d
+  }
+
+  private def ts(day: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+
+  test("q153: monotone counts trend, constant series is all ties with z=0") {
+    var key = 0L
+    val rows =
+      // UP: day k has k orders -> S = n(n-1)/2, no ties, z >> 1.96
+      (1 to 30).flatMap(k => (1 to k).map { _ =>
+        key += 1; (key, 1L, "F", 10.0, ts(k), "UP") }) ++
+      // FLAT: 2 orders every day -> S = 0, one big tie group, var_s = 0
+      (1 to 30).flatMap(k => (1 to 2).map { _ =>
+        key += 1; (key, 1L, "F", 10.0, ts(k), "FLAT") })
+    val out = Eda.mannKendall(spark, ordersDir(rows)).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val up = out("UP")
+    assert(up.getLong(1) == 30L && up.getLong(2) == 435L && up.getLong(3) == 0L)
+    assert(up.getString(6) == "increasing")
+    val flat = out("FLAT")
+    assert(flat.getLong(2) == 0L && flat.getDouble(4) == 0.0 &&
+      flat.getDouble(5) == 0.0 && flat.getString(6) == "no_trend")
+  }
+
+  test("q154: a planted level shift is found at the step day with exact means") {
+    var key = 0L
+    val rows = (1 to 20).map { k =>
+      key += 1; (key, 1L, "F", if (k <= 10) 100.0 else 200.0, ts(k), "STEP")
+    }
+    val r = Eda.cusumChangepoint(spark, ordersDir(rows)).collect().head
+    assert(r.getLong(1) == 20L && r.getDate(2).toString == "2024-01-10" &&
+      r.getLong(3) == 10L)
+    assert(r.getDouble(4) == 500.0) // max |sum(y - mean)| = 10 * |100 - 150|
+    assert(r.getDouble(5) == 100.0 && r.getDouble(6) == 200.0 && r.getDouble(7) == 100.0)
+  }
+
   // ---- q150: embedding outliers -------------------------------------
 
   test("q150: a flipped vector is the only member flagged in its label") {

@@ -274,20 +274,24 @@ object Backtest extends QueryModule {
     // serial materialization per large group at sf0.1
     val cut = series.groupBy(col("entity"))
       .agg(date_sub(max(col(dateCol)), stepDays * h).as("cutoff")).persist()
+    cut.count() // eager: see the sharedFit cache-fill-race note below
     val j = series.join(broadcast(cut), "entity")
     val trunc = j.filter(col(dateCol) <= col("cutoff"))
       .select(col("entity"), col(dateCol).as("week"), col("y"))
     val hold = j.filter(col(dateCol) > col("cutoff"))
       .select(col("entity"), col(dateCol).as("ds"), col("y")).persist()
+    hold.count()
     // ONE OLS fit per group, persisted (entity-count-sized): linear,
     // seasonal_trend, and seasonal_naive's gate all consume it, so the
     // fit's full-series groupBy pass runs once instead of three times.
-    // No eager count(): the two scoring jobs below materialize it on
-    // first touch through the cache's per-block locks (the second job
-    // waits for the first's fill instead of recomputing), and skipping
-    // the serial barrier lets both jobs enter the FAIR scheduler at
-    // group start
+    // EAGER count(): lazily-persisted frames shared by the two
+    // concurrent scoring jobs made them race on cache-fill block locks
+    // — with 4 group threads × 2 job threads, 8 jobs contending on
+    // lazy fills measured a 9 s → 65 s prep lottery across otherwise
+    // clean bench windows; the eager barrier costs one entity-sized
+    // job per group and pins the variance down
     val sharedFit = Forecast.olsFit(trunc, Forecasting.minSeriesLen).persist()
+    sharedFit.count()
     try {
       // two independent jobs over the shared persisted split + fit,
       // materialized concurrently: the FUSED per-entity scoring (all

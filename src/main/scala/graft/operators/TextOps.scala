@@ -1753,14 +1753,17 @@ object TextOps extends QueryModule {
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
 
-  private val bm25SearchSql = {
+  /** The shared probe→score→rank CTE chain (binds toks/tf/stats/q/
+    * posted/dft/agg/rk) — ONE definition feeding q134/q140 and q156's
+    * fusion so the rankers can never drift per-query. */
+  private lazy val bm25Ctes = {
     val qvals = bm25Queries
       .flatMap { case (qid, text) => text.split(' ').distinct.map(t => s"('$qid', '$t')") }
       .mkString(", ")
     val idf = snapRoundSql("ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)", 6)
     val tfnorm =
       "CAST(tf AS DOUBLE) * 2.2 / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
        |tf AS (
        |  SELECT term, doc_id, dl, count(1) AS tf FROM (
        |    SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl, unnest(ts) AS term FROM toks)
@@ -1780,9 +1783,149 @@ object TextOps extends QueryModule {
        |  FROM scored GROUP BY 1, 2),
        |rk AS (
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
-       |  FROM agg)
+       |  FROM agg)""".stripMargin
+  }
+
+  private lazy val bm25SearchSql =
+    s"""WITH $bm25Ctes
        |SELECT query_id, rank, doc_id, score, n_terms
        |FROM rk WHERE rank <= $Bm25TopK
+       |ORDER BY query_id, rank""".stripMargin
+
+  // ---- q155: weighted sample (Efraimidis–Spirakis A-ES) --------------
+
+  /** Sample size of the q155 weighted draw. */
+  private val WSampleK = 100
+
+  /** q155 — deterministic weighted sampling WITHOUT replacement
+    * (Efraimidis & Spirakis 2006, algorithm A-ES): every doc draws u
+    * from its md5 keyed coin and competes with key −ln(u)/w — the
+    * exponential race whose k smallest keys are exactly a w-weighted
+    * sample without replacement (here w = n_chars: the size-
+    * proportional draw a token-budgeted corpus sample wants; any
+    * per-doc quality column slots in). The coin is md5(doc_id) (the
+    * q59/q148 rationale), so the sample is reproducible across
+    * engines, reruns, and partitionings — the property a random()
+    * sampler loses and a curation audit needs. Parity: u =
+    * (h52 + 1)/(2^52 + 1) is one IEEE division of exact integers
+    * (md5's first 13 hex chars = exact 52-bit int in both engines);
+    * ln snaps 6-dp (the q134 libm rule); the key is one more IEEE
+    * division snapped 8-dp; ranks come from a total order. Scale: a
+    * narrow map then a global top-k — Spark plans orderBy+limit as
+    * TakeOrdered (per-partition heaps + driver merge of k), no full
+    * sort ever materializes. */
+  def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast(StringType).cast(BinaryType)),
+      1, 13), 16, 10).cast(LongType)
+    val u = (h + lit(1L)).cast(DoubleType) / lit(4503599627370497.0) // 2^52 + 1
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars").as("weight"),
+        snapRound(-snapRound(log(u), 6) / col("n_chars").cast(DoubleType), 8)
+          .as("es_key"))
+      .orderBy(col("es_key"), col("doc_id")).limit(WSampleK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("es_key"), col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("source"), col("weight"), col("es_key"))
+      .orderBy(col("rank"))
+  }
+
+  private lazy val weightedSampleSql = {
+    val key = snapRoundSql(
+      s"-(${snapRoundSql("ln(u)", 6)}) / CAST(weight AS DOUBLE)", 8)
+    s"""WITH wsu AS (
+       |  SELECT doc_id, source, n_chars AS weight,
+       |         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1)
+       |           / 4503599627370497.0 AS u
+       |  FROM documents),
+       |wsk AS (SELECT doc_id, source, weight, $key AS es_key FROM wsu),
+       |wst AS (SELECT * FROM wsk ORDER BY es_key, doc_id LIMIT $WSampleK)
+       |SELECT CAST(row_number() OVER (ORDER BY es_key, doc_id) AS INTEGER) AS rank,
+       |       doc_id, source, weight, es_key
+       |FROM wst ORDER BY rank""".stripMargin
+  }
+
+  // ---- q156: reciprocal-rank fusion ---------------------------------
+
+  /** RRF's rank-smoothing constant (the k=60 of Cormack et al.). */
+  private val RrfK = 60
+
+  /** q156 — reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009),
+    * the standard hybrid-retrieval combiner: for the same fixed probes,
+    * fuse the q134 BM25 top-10 with a raw term-frequency top-10 by
+    * RRF(d) = Σ_s 1/(RrfK + rank_s(d)) over the systems that ranked d
+    * — rank-only fusion, so the two systems' incomparable score scales
+    * never meet (exactly why RRF beats score interpolation without
+    * tuning, and the same shape used to fuse keyword with ANN lists in
+    * a hybrid RAG stack). Emits each fused doc's per-system ranks so
+    * the disagreement itself is auditable. Parity: ranks are exact
+    * integers from total orders; each 1/(K+r) is one IEEE division
+    * snapped 8-dp; the fold is an exact decimal sum. Scale: both
+    * rankers are index probes (the corpus-sized tf frame filters to
+    * the broadcast query-term set before anything ranks); the fusion
+    * operates on ≤ 2·topK rows per query. */
+  def rrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val (tf, _) = buildPostingsIndex(s, dir)
+    val sess = tf.sparkSession
+    import sess.implicits._
+    val qterms = bm25Queries
+      .flatMap { case (qid, text) => text.split(' ').distinct.map(qid -> _) }
+      .toDF("query_id", "term")
+    val bm = bm25Search(s, dir)
+      .select(col("query_id"), col("doc_id"), col("rank"), lit("bm25").as("sys"))
+    val wTf = Window.partitionBy(col("query_id"))
+      .orderBy(col("tf_sum").desc, col("doc_id"))
+    val tfr = tf.join(broadcast(qterms), "term")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("tf")).as("tf_sum"))
+      .withColumn("rank", row_number().over(wTf))
+      .filter(col("rank") <= Bm25TopK)
+      .select(col("query_id"), col("doc_id"), col("rank"), lit("tf").as("sys"))
+    val wRrf = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    bm.unionByName(tfr)
+      .withColumn("contrib",
+        snapRound(lit(1.0) / (col("rank") + lit(RrfK)).cast(DoubleType), 8))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(snapRound(sum(col("contrib").cast(DecimalType(38, 10)))
+          .cast(DoubleType), 8).as("rrf_score"),
+        count(lit(1)).as("n_systems"),
+        max(when(col("sys") === "bm25", col("rank"))).as("bm25_rank"),
+        max(when(col("sys") === "tf", col("rank"))).as("tf_rank"))
+      .withColumn("rank", row_number().over(wRrf))
+      .filter(col("rank") <= Bm25TopK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf_score"),
+        col("n_systems"), col("bm25_rank"), col("tf_rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private lazy val rrfFusionSql = {
+    val contrib = snapRoundSql(s"1.0 / CAST(rank + $RrfK AS DOUBLE)", 8)
+    s"""WITH $bm25Ctes,
+       |bmsel AS (SELECT query_id, doc_id, rank FROM rk WHERE rank <= $Bm25TopK),
+       |tfagg AS (
+       |  SELECT query_id, doc_id, CAST(sum(tf) AS BIGINT) AS tf_sum
+       |  FROM posted JOIN q USING (term) GROUP BY 1, 2),
+       |tfrk AS (
+       |  SELECT query_id, doc_id,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY tf_sum DESC, doc_id) AS rank
+       |  FROM tfagg),
+       |uni AS (
+       |  SELECT query_id, doc_id, rank, 'bm25' AS sys FROM bmsel
+       |  UNION ALL
+       |  SELECT query_id, doc_id, rank, 'tf' FROM tfrk WHERE rank <= $Bm25TopK),
+       |fu AS (
+       |  SELECT query_id, doc_id,
+       |         ${snapRoundSql(
+      s"CAST(sum(CAST(($contrib) AS DECIMAL(38,10))) AS DOUBLE)", 8)} AS rrf_score,
+       |         count(1) AS n_systems,
+       |         max(CASE WHEN sys = 'bm25' THEN rank END) AS bm25_rank,
+       |         max(CASE WHEN sys = 'tf' THEN rank END) AS tf_rank
+       |  FROM uni GROUP BY 1, 2),
+       |fr AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank
+       |  FROM fu)
+       |SELECT query_id, rank, doc_id, rrf_score, n_systems, bm25_rank, tf_rank
+       |FROM fr WHERE rank <= $Bm25TopK
        |ORDER BY query_id, rank""".stripMargin
   }
 
@@ -1854,6 +1997,8 @@ object TextOps extends QueryModule {
     "q58_tfidf_topk" -> tfidfTopk,
     "q59_stratified_sample" -> stratifiedSample,
     "q148_freq_cap_sample" -> freqCapSample,
+    "q155_weighted_sample" -> weightedSample,
+    "q156_rrf_fusion" -> rrfFusion,
     "q60_sequence_pack" -> sequencePack,
     "q54_dedup_clusters" -> dedupClusters,
     "q144_split_assign" -> splitAssign,
@@ -1903,6 +2048,8 @@ object TextOps extends QueryModule {
     "q58_tfidf_topk" -> tfidfTopkSql,
     "q59_stratified_sample" -> stratifiedSampleSql,
     "q148_freq_cap_sample" -> freqCapSampleSql,
+    "q155_weighted_sample" -> weightedSampleSql,
+    "q156_rrf_fusion" -> rrfFusionSql,
     "q60_sequence_pack" -> sequencePackSql,
     "q54_dedup_clusters" -> dedupClustersSql,
     "q144_split_assign" -> splitAssignSql,

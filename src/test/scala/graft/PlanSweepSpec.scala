@@ -48,7 +48,8 @@ class PlanSweepSpec extends SparkSpec {
     "q140_bm25_stored", // the same stats scalar crossJoin, read from the stored 1-row stats parquet
     "q141_dsir_weights", // two 1-row total scalars: tt×st and their crossJoin onto the 256-row bucket grid
     "q145_data_budget", // 1-row (total, n_sources) scalar crossJoin onto the sources-sized frame
-    "q151_unimax_alloc") // 1-row (n, B) totals + 1-row water-level θ crossJoins onto lang-cardinality rows
+    "q151_unimax_alloc", // 1-row (n, B) totals + 1-row water-level θ crossJoins onto lang-cardinality rows
+    "q156_rrf_fusion") // inherits q134's 1-row corpus-stats scalar crossJoin inside the fused BM25 branch
 
   /** Queries whose plan legitimately contains Expand: ROLLUP/CUBE are
     * grouping-sets operators — Expand IS their plan shape, bounded at

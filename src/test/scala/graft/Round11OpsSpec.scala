@@ -192,6 +192,55 @@ class Round11OpsSpec extends SparkSpec {
     assert(r.getDouble(5) == 100.0 && r.getDouble(6) == 200.0 && r.getDouble(7) == 100.0)
   }
 
+  // ---- q155: weighted sampling ----------------------------------------
+
+  private def snap(x: Double, s: Int): Double =
+    BigDecimal(x).setScale(s + 4, BigDecimal.RoundingMode.HALF_UP)
+      .setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("q155: the draw equals an independent A-ES reference and favors weight") {
+    // weight column is n_chars: 75 heavy (1e5) vs 75 light (1)
+    val docs = (0 until 150).map { i =>
+      (i.toLong, "x", "en", "s", if (i % 2 == 0) 100000L else 1L)
+    }
+    val out = TextOps.weightedSample(spark, docsDir(docs)).collect()
+    assert(out.length == 100)
+    def md5hex(str: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ref = docs.map { case (id, _, _, _, w) =>
+      val h = java.lang.Long.parseLong(md5hex(id.toString).take(13), 16)
+      val u = (h + 1).toDouble / 4503599627370497.0
+      (snap(-snap(math.log(u), 6) / w.toDouble, 8), id)
+    }.sortBy(identity).take(100)
+    assert(out.map(_.getLong(1)).toSeq == ref.map(_._2))
+    // the exponential race all but guarantees every heavy doc wins
+    assert(out.count(_.getLong(3) == 100000L) == 75)
+  }
+
+  // ---- q156: reciprocal-rank fusion ------------------------------------
+
+  test("q156: fusion scores are exactly the sum of per-system rank contributions") {
+    val out = TextOps.rrfFusion(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val contribs = Seq(5, 6).flatMap(i =>
+        if (r.isNullAt(i)) None else Some(r.getInt(i)))
+      assert(r.getLong(4) == contribs.size) // n_systems = present ranks
+      val expect = snap(
+        contribs.map(k => BigDecimal(snap(1.0 / (k + 60), 8))).sum.toDouble, 8)
+      assert(r.getDouble(3) == expect)
+    }
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length))
+    }
+    // the bm25_rank column mirrors q134's ranking exactly
+    val bm = TextOps.bm25Search(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(2)) -> r.getInt(1)).toMap
+    out.filter(!_.isNullAt(5)).foreach { r =>
+      assert(bm((r.getString(0), r.getLong(2))) == r.getInt(5))
+    }
+  }
+
   // ---- q150: embedding outliers -------------------------------------
 
   test("q150: a flipped vector is the only member flagged in its label") {

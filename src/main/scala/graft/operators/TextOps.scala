@@ -1814,14 +1814,24 @@ object TextOps extends QueryModule {
     * narrow map then a global top-k — Spark plans orderBy+limit as
     * TakeOrdered (per-partition heaps + driver merge of k), no full
     * sort ever materializes. */
-  def weightedSample(s: SparkSession, dir: String): DataFrame = {
+  /** The per-doc race keys over any (doc_id, source, n_chars) frame —
+    * stateless, which is what makes the sampler ONLINE: the streaming
+    * ingest (StreamingPipeline.sampleIngest) computes the same keys
+    * per micro-batch and merges k-smallest tables. */
+  private[graft] def esKeys(docs: DataFrame): DataFrame = {
     val h = conv(substring(md5(col("doc_id").cast(StringType).cast(BinaryType)),
       1, 13), 16, 10).cast(LongType)
     val u = (h + lit(1L)).cast(DoubleType) / lit(4503599627370497.0) // 2^52 + 1
-    Tables.t(s, dir, "documents")
-      .select(col("doc_id"), col("source"), col("n_chars").as("weight"),
-        snapRound(-snapRound(log(u), 6) / col("n_chars").cast(DoubleType), 8)
-          .as("es_key"))
+    docs.select(col("doc_id"), col("source"), col("n_chars").as("weight"),
+      snapRound(-snapRound(log(u), 6) / col("n_chars").cast(DoubleType), 8)
+        .as("es_key"))
+  }
+
+  /** Sample size of the q155/streaming weighted draw. */
+  private[graft] val wSampleK: Int = WSampleK
+
+  def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    esKeys(Tables.t(s, dir, "documents"))
       .orderBy(col("es_key"), col("doc_id")).limit(WSampleK)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("es_key"), col("doc_id"))))

@@ -227,6 +227,54 @@ object StreamingPipeline {
       }
       .start()
 
+  /** q155's A-ES weighted sampler as a STREAM: the race key −ln(u)/w
+    * is a stateless pure function of the doc, so "the k smallest keys"
+    * is a MERGEABLE sketch — each micro-batch computes its own keys
+    * and the stored state collapses to the k smallest of
+    * (state ∪ batch). The final table over ANY micro-batch split
+    * equals the one-shot batch draw (StreamingCorpusSpec proves
+    * one-shot == uneven splits), which is the 100-TB property: a
+    * corpus-wide weighted sample stays fresh AT INGEST in a k-row
+    * table instead of re-reading everything post-hoc. Unlike
+    * corpusIngest, NO commit protocol is needed: the merge is
+    * idempotent under batch replay (dropDuplicates on doc_id — a
+    * replayed doc re-derives the identical key), so a crash between
+    * append and checkpoint just re-merges harmlessly. */
+  def sampleIngest(docs: DataFrame, store: graft.sources.LayerStore,
+      checkpoint: String, k: Int = graft.operators.TextOps.wSampleK)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sampleBatch(batch.toDF(), store, k)
+      }
+      .start()
+
+  private val SampleTable = "corpus_sample"
+
+  /** One micro-batch of the streaming sample — also the spec's
+    * batch-mode entry. */
+  private[graft] def sampleBatch(batchRaw: DataFrame,
+      store: graft.sources.LayerStore, k: Int): Unit = {
+    if (batchRaw.isEmpty) return
+    val cand = graft.operators.TextOps.esKeys(
+      batchRaw.select(col("doc_id"), col("source"), col("n_chars")))
+    val merged =
+      if (store.exists("silver", SampleTable))
+        store.table("silver", SampleTable).unionByName(cand)
+      else cand
+    // k + batch rows at most: dedup (replay safety), keep the k
+    // smallest, swap the tiny state table atomically
+    val topk = merged.dropDuplicates("doc_id")
+      .orderBy(col("es_key"), col("doc_id")).limit(k)
+      .persist()
+    topk.count()
+    store.write("silver", SampleTable, topk)
+    topk.unpersist()
+    ()
+  }
+
   private val CommitsTable = "corpus_ingest_commits"
   private val IngestTables = Seq("corpus_docs", "corpus_seen_bands",
     "corpus_seen_shingles", "corpus_ingest_log", "corpus_postings")

@@ -144,4 +144,62 @@ class StreamingCorpusSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("monotone doc_id"))
   }
+
+  // ---- streaming A-ES weighted sample --------------------------------
+
+  private val sampleDocs: Seq[(Long, String, String, String, Long)] =
+    (0 until 150).map(i =>
+      (i.toLong, "x", "en", "s", if (i % 2 == 0) 100000L else 1L))
+
+  private def sampleState(store: graft.sources.LayerStore): Seq[(Long, Double)] = {
+    import org.apache.spark.sql.functions.col
+    store.table("silver", "corpus_sample")
+      .orderBy(col("es_key"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+  }
+
+  private def runSample(splits: Seq[Seq[Long]]): Seq[(Long, Double)] = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sample").toString
+    val store = new graft.sources.LayerStore(spark, s"$dir/store")
+    splits.zipWithIndex.foreach { case (ids, i) =>
+      sampleDocs.filter(d => ids.contains(d._1))
+        .map(d => (d._1, d._4, d._5))
+        .toDF("doc_id", "source", "n_chars")
+        .coalesce(1).write.parquet(s"$dir/in/b$i")
+    }
+    val schema = spark.read.parquet(s"$dir/in/b0").schema
+    val q = StreamingPipeline.sampleIngest(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/in/*"),
+      store, s"$dir/ckpt")
+    q.processAllAvailable(); q.stop()
+    sampleState(store)
+  }
+
+  test("streaming A-ES sample: any split equals the one-shot batch draw") {
+    val all = sampleDocs.map(_._1)
+    val oneShot = runSample(Seq(all))
+    assert(oneShot.length == 100)
+    // lopsided micro-batches produce the IDENTICAL k-row state
+    assert(runSample(Seq(all.take(7), all.slice(7, 100), all.drop(100))) == oneShot)
+    // ...and it equals the q155 batch query over the same docs written
+    // as a documents table (stream == batch, exactly)
+    val bdir = java.nio.file.Files.createTempDirectory("graft-sample-b").toString
+    sampleDocs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$bdir/documents.parquet")
+    val batch = graft.operators.TextOps.weightedSample(spark, bdir)
+      .collect().map(r => (r.getLong(1), r.getDouble(4))).toSeq
+    assert(batch == oneShot)
+  }
+
+  test("streaming A-ES sample: batch replay is a no-op (idempotent merge)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sample-r").toString
+    val store = new graft.sources.LayerStore(spark, s"$dir/store")
+    val b = sampleDocs.take(120).map(d => (d._1, d._4, d._5))
+      .toDF("doc_id", "source", "n_chars")
+    StreamingPipeline.sampleBatch(b, store, 100)
+    val once = sampleState(store)
+    StreamingPipeline.sampleBatch(b, store, 100) // retry after a crash
+    assert(sampleState(store) == once)
+  }
 }

@@ -204,6 +204,81 @@ object VectorOps extends QueryModule {
        |FROM ranked WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
 
+  // ---- q157: measured ANN recall report ------------------------------
+
+  /** The IVF configurations the recall report measures (the q43/q52/
+    * q80 dial points). */
+  private val RecallConfigs: Seq[(String, Int, Int)] = Seq(
+    ("cells08_probe1", 1, N_CELLS),
+    ("cells08_probe2", 2, N_CELLS),
+    ("cells32_probe4", 4, 32))
+
+  /** q157 — the ANN recall dial MEASURED as a first-class query: for
+    * each IVF configuration, recall@3 of the approximate neighbors
+    * against the exact brute-force top-3 (q30's truth), reported as
+    * mean and worst-query recall over the query batch — the number an
+    * index operator actually watches when trading scanned fraction for
+    * quality (RecallCurve plots this offline; q114/retrainIfStale act
+    * on its decay; THIS makes the measurement itself oracle-verified).
+    * Composition of already-verified operators: the exact side is the
+    * q30 plan at k=3, each approximate side is the q43/q52/q80 annIvf
+    * plan — one shared definition per engine, so the report can't
+    * drift from the queries it audits. Parity: hit counts are exact
+    * integers from id-equality joins; per-query recall is one IEEE
+    * division snapped 6-dp; the mean folds through an exact decimal
+    * sum. Scale: the joins are on (query_id, neighbor_id) over
+    * batch×k rows — the report costs the component searches plus
+    * nothing. */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = topk(s, dir, sameCluster = false, k = 3)
+      .select(col("query_id"), col("neighbor_id"))
+    RecallConfigs.map { case (name, probe, cells) =>
+      val approx = annIvf(s, dir, probe, cells)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"),
+          count(lit(1)).as("n_exact"))
+        .select(col("query_id"), snapRound(
+          col("n_hit").cast(DoubleType) / col("n_exact").cast(DoubleType), 6)
+          .as("recall"))
+        .agg(count(lit(1)).as("n_queries"),
+          snapRound(sum(col("recall").cast(DecimalType(38, 10)))
+            .cast(DoubleType) / count(lit(1)), 6).as("mean_recall"),
+          snapRound(min(col("recall")), 6).as("min_recall"))
+        .select(lit(name).as("config"), lit(3L).as("k"), col("n_queries"),
+          col("mean_recall"), col("min_recall"))
+    }.reduce(_ unionByName _).orderBy(col("config"))
+  }
+
+  private lazy val annRecallSql = {
+    val blocks = RecallConfigs.map { case (name, probe, cells) =>
+      s"""h_$name AS (
+         |  SELECT e.query_id,
+         |         CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+         |         count(1) AS n_exact
+         |  FROM ex e LEFT JOIN (${annIvfSql(probe, cells)}) a
+         |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+         |  GROUP BY 1),
+         |s_$name AS (
+         |  SELECT query_id,
+         |         ${snapRoundSql("CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE)", 6)} AS recall
+         |  FROM h_$name),
+         |g_$name AS (
+         |  SELECT '$name' AS config, CAST(3 AS BIGINT) AS k, count(1) AS n_queries,
+         |         ${snapRoundSql(
+        "CAST(sum(CAST(recall AS DECIMAL(38,10))) AS DOUBLE) / count(1)", 6)} AS mean_recall,
+         |         ${snapRoundSql("min(recall)", 6)} AS min_recall
+         |  FROM s_$name)""".stripMargin
+    }.mkString(",\n")
+    val union = RecallConfigs.map { case (name, _, _) => s"SELECT * FROM g_$name" }
+      .mkString("\nUNION ALL\n")
+    s"""WITH ex AS (${topkSql(sameCluster = false, k = 3)}),
+       |$blocks
+       |$union
+       |ORDER BY config""".stripMargin
+  }
+
   private def topkSql(sameCluster: Boolean, k: Int): String = {
     val clusterPred = if (sameCluster) "AND q.label = c.label" else ""
     s"""WITH n AS (
@@ -1936,6 +2011,7 @@ object VectorOps extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q93_label_centroids" -> labelCentroids,
     "q150_embedding_outliers" -> embeddingOutliers,
+    "q157_ann_recall" -> annRecall,
     "q101_ann_pq" -> annPq,
     "q102_ann_ivfpq" -> annIvfPq,
     "q30_cosine_topk" -> cosineTopk,
@@ -1957,6 +2033,7 @@ object VectorOps extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q93_label_centroids" -> labelCentroidsSql,
     "q150_embedding_outliers" -> embeddingOutliersSql,
+    "q157_ann_recall" -> annRecallSql,
     "q101_ann_pq" -> annPqSql,
     "q102_ann_ivfpq" -> annIvfPqSql,
     "q30_cosine_topk" -> topkSql(sameCluster = false, 5),

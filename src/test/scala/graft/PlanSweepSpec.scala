@@ -49,7 +49,8 @@ class PlanSweepSpec extends SparkSpec {
     "q141_dsir_weights", // two 1-row total scalars: tt×st and their crossJoin onto the 256-row bucket grid
     "q145_data_budget", // 1-row (total, n_sources) scalar crossJoin onto the sources-sized frame
     "q151_unimax_alloc", // 1-row (n, B) totals + 1-row water-level θ crossJoins onto lang-cardinality rows
-    "q156_rrf_fusion") // inherits q134's 1-row corpus-stats scalar crossJoin inside the fused BM25 branch
+    "q156_rrf_fusion", // inherits q134's 1-row corpus-stats scalar crossJoin inside the fused BM25 branch
+    "q157_ann_recall") // composes q30 + three annIvf branches: the bounded query-batch broadcasts those queries are allowlisted for, times four
 
   /** Queries whose plan legitimately contains Expand: ROLLUP/CUBE are
     * grouping-sets operators — Expand IS their plan shape, bounded at
@@ -82,7 +83,8 @@ class PlanSweepSpec extends SparkSpec {
     "q99_curation_funnel", // stage chains: doc-id-projection semi/anti joins of comparable derived sets
     "q141_dsir_weights", // raw-doc id projection LEFT JOIN per-doc scores: both corpus-proportional, id-keyed
     "q144_split_assign", // documents × cached cluster artifact: both corpus-proportional, doc-id-keyed
-    "q146_training_manifest") // q99 flags ∩ q144 split: id-keyed joins of corpus-proportional per-doc frames
+    "q146_training_manifest", // q99 flags ∩ q144 split: id-keyed joins of corpus-proportional per-doc frames
+    "q157_ann_recall") // per-config exact-vs-approx LEFT joins: derived batch×k-row frames on (query_id, neighbor_id), both sides comparable and bounded by the query batch
 
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString

@@ -241,6 +241,26 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- q157: measured ANN recall --------------------------------------
+
+  test("q157: the recall dial is monotone across the IVF configurations") {
+    val rows = VectorOps.annRecall(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.size == 3)
+    val p1 = rows("cells08_probe1").getDouble(3)
+    val p2 = rows("cells08_probe2").getDouble(3)
+    val c32 = rows("cells32_probe4").getDouble(3)
+    // more probes (same cells) and finer cells both buy recall — the
+    // q52/q80 scaladoc claims, now measured at the oracle surface
+    assert(p1 <= p2 && p2 <= c32)
+    assert(c32 >= 0.9) // the production point's ScaleSpec floor
+    rows.values.foreach { r =>
+      assert(r.getLong(2) == 20L)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(4) <= r.getDouble(3)) // min <= mean
+    }
+  }
+
   // ---- q150: embedding outliers -------------------------------------
 
   test("q150: a flipped vector is the only member flagged in its label") {

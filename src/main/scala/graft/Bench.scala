@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Benchmark main (driver contract): runs every SparkEntry query on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
@@ -134,6 +135,40 @@ object Bench {
       ts.foreach(_.join())
       if (err.get != null) throw err.get
     }))
+
+  /** Per-prep content probes: the stored frames each prep stage
+    * materializes, for the prep_hashes fingerprint in bench_out.json.
+    * Query results are hash-checked against the DuckDB oracle every
+    * round, but prep artifacts were only checked INDIRECTLY through
+    * the queries that consume them — a prep-affecting refactor should
+    * be caught at the prep itself. */
+  val prepProbes: Seq[(String, (SparkSession, String) => Seq[DataFrame])] = Seq(
+    "prep_text_lsh" -> ((s, d) => graft.operators.TextOps.prepProbe(s, d)),
+    "prep_dedup_decon" -> ((s, d) => Seq(
+      graft.operators.TextOps.dedupClusters(s, d),
+      graft.operators.CorpusOps.decontaminate(s, d))),
+    "prep_gold_marts" -> ((s, d) => graft.operators.DqChecks.prepProbe(s, d)),
+    "prep_demand_series" -> ((s, d) => graft.operators.Forecast.prepProbe(s, d)),
+    "prep_forecast_backtest" -> ((s, d) => graft.operators.Backtest.prepProbe(s, d)),
+    "prep_forecast_dispatch" -> ((s, d) => Seq(graft.operators.Forecasting.forecastDispatch(s, d))),
+    "prep_full_dispatch" -> ((s, d) => Seq(graft.operators.Forecasting.fullDispatch(s, d))),
+    "prep_bm25_index" -> ((s, d) => {
+      val (p, st) = graft.operators.TextOps.storedPostingsIndex(s, d); Seq(p, st)
+    }),
+    "prep_srp_bands" -> ((s, d) => graft.operators.VectorOps.prepProbe(s, d)),
+    "prep_kmeans" -> ((s, d) => graft.operators.VectorOps.kmeansProbe(s, d)))
+
+  /** Canonical order-independent content hash of a frame: columns
+    * sorted by name (the driver's compare rule), each row rendered to
+    * JSON and xxhash64'd, rows folded with bit_xor (no row order, no
+    * ANSI sum overflow), row count appended. */
+  def frameHash(df: DataFrame): String = {
+    val cols = df.columns.sorted.map(col)
+    val r = df.select(xxhash64(to_json(struct(cols: _*))).as("h"))
+      .agg(expr("bit_xor(h)").as("x"), count(lit(1)).as("n")).head
+    val x = if (r.isNullAt(0)) 0L else r.getLong(0)
+    f"$x%016x:${r.getLong(1)}"
+  }
 
   /** The bench's session, shared with TimeIt. */
   def session(): (SparkSession, String) = {
@@ -351,7 +386,76 @@ object Bench {
       toRetry = stillDirty()
       toRetry.foreach(allRetried.add)
     }
+
+    // ---- prep re-timing (round-12 ask #1): preps whose every bracket
+    // ran contended are re-MEASURED by rebuilding the entire prep chain
+    // into a throwaway namespace. All prep memos key on the dir STRING,
+    // so a symlink alias of sfDir yields fresh keys over the same bytes:
+    // the re-run does identical work while the real artifacts (which
+    // every query consumes) stay untouched. Chain order is preserved —
+    // later preps consume earlier stages' artifacts, so each stage's
+    // re-timed cost has the same shape as its original measurement.
+    // Prep writes never land under dir (stored indexes go to fresh temp
+    // dirs), so reading through the symlink is side-effect-free. The
+    // alias namespace's cached blocks unpersist when the pass ends.
+    def dirtyPreps(): Seq[String] = samples.toSeq.collect {
+      case (label, ss) if label.startsWith("prep_") && !failedNow(label) &&
+        ss.forall { case (_, seg) => isDirty(seg) } => label
+    }
+    val forcePrepRetime = sys.env.contains("SPARK_GRAFT_PREP_RETIME")
+    var prepPass = 0
+    while ((dirtyPreps().nonEmpty || (forcePrepRetime && prepPass == 0)) && prepPass < 2) {
+      dirtyPreps().foreach(allRetried.add)
+      waitForCleanWindow()
+      val aliasRoot = java.nio.file.Files.createTempDirectory("graft_retime")
+      val alias = aliasRoot.resolve("sf").toString
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(alias), java.nio.file.Paths.get(sfDir))
+      val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+      var sinceSpin = 0
+      prepStages.foreach { case (label, prep) =>
+        val segIdx = segCals.size - 1
+        val t0 = System.nanoTime()
+        // a retime failure must not mark the REAL prep failed (its
+        // original artifact built fine) — log and drop the sample
+        val ok = try { prep(spark, alias); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] prep retime $label FAILED: ${e.getMessage}")
+            false
+        }
+        val v = (System.nanoTime() - t0) / 1e9
+        if (ok) samples(label) = samples.getOrElse(label, Nil) :+ ((v, segIdx))
+        sinceSpin += 1
+        // tighter spin cadence than the main pass: a burst should dirty
+        // at most 2 re-timed preps, not a 6-entry segment
+        if (sinceSpin >= 2) { segCals += calibrationSpin(); sinceSpin = 0 }
+      }
+      if (sinceSpin > 0) segCals += calibrationSpin()
+      // free the throwaway namespace's cached blocks; the real
+      // namespace's artifacts were persisted before the snapshot
+      val persistedAfter = spark.sparkContext.getPersistentRDDs
+      persistedAfter.foreach { case (id, rdd) =>
+        if (!persistedBefore(id)) rdd.unpersist(false)
+      }
+      try java.nio.file.Files.delete(java.nio.file.Paths.get(alias))
+      catch { case _: Throwable => () }
+      try java.nio.file.Files.delete(aliasRoot)
+      catch { case _: Throwable => () }
+      prepPass += 1
+    }
     val retryNames = allRetried.toSeq
+
+    // per-prep content fingerprints over the REAL namespace's stored
+    // artifacts (round-12 ask #8): untimed, after all measurement. A
+    // cross-round change in a prep hash flags a prep-affecting
+    // regression at the prep itself, not only via downstream queries.
+    val prepHashes: Seq[(String, String)] = prepProbes.map { case (label, probe) =>
+      label -> (try probe(spark, sfDir).map(frameHash).mkString("|")
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] prep hash $label FAILED: ${e.getMessage}")
+          "err"
+        })
+    }
 
     // merged value = min over samples; dirty = every sample contended
     val all = samples.toSeq.map { case (label, ss) =>
@@ -381,7 +485,12 @@ object Bench {
       // list is always in bench_out.json via the identity-key writer)
       val dirtyShown = if (full) dirtyEntries else dirtyEntries.take(20)
       val dirty = dirtyShown.map("\"" + key(_) + "\"").mkString("[", ",", "]")
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$failed,"cal0":${num(cal0)},"cal1":${num(cal1)},"cals":$cals,"retried":$retried,"dirty":$dirty,"dirty_n":${dirtyEntries.size},"cal_threads":$calThreads,"sf":"$sfDir"}"""
+      // prep_hashes ride only in the full (file) record — the printed
+      // line must stay inside the driver's ~2000-char tail window
+      val prepH = if (!full) "" else
+        prepHashes.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+          .mkString(",\"prep_hashes\":{", ",", "}")
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$failed,"cal0":${num(cal0)},"cal1":${num(cal1)},"cals":$cals,"retried":$retried,"dirty":$dirty,"dirty_n":${dirtyEntries.size},"cal_threads":$calThreads$prepH,"sf":"$sfDir"}"""
     }
     // full-precision, full-name record for humans and tools
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),

@@ -219,6 +219,10 @@ object Backtest extends QueryModule {
     * already persisted). */
   def prepareArtifacts(s: SparkSession, dir: String): Unit = { backtestMetrics(s, dir); () }
 
+  /** Bench prep-hash probe: the stored backtest-metrics frame. */
+  private[graft] def prepProbe(s: SparkSession, dir: String): Seq[DataFrame] =
+    Seq(backtestMetrics(s, dir))
+
   private def backtestMetrics(s: SparkSession, dir: String): DataFrame =
     metricsCache.getOrBuild((s, dir), {
       // one group per (granularity, level): the three models of a

@@ -82,6 +82,11 @@ object DqChecks extends QueryModule {
     }
   }
 
+  /** Bench prep-hash probe: the two stored mart frames. */
+  private[graft] def prepProbe(s: SparkSession, dir: String): Seq[DataFrame] = Seq(
+    cachedMart(s, dir, "monthly_sales", GoldMarts.monthlySales(s, dir)),
+    cachedMart(s, dir, "supplier_monthly", GoldMarts.supplierMonthly(s, dir)))
+
   /** All 12 checks over caller-supplied mart frames — the product
     * surface `Pipeline.runGold` runs over the gold tables it just
     * WROTE (the reference validates the stored gold layer,

@@ -77,6 +77,11 @@ object Forecast extends QueryModule {
     }
   }
 
+  /** Bench prep-hash probe: the four stored series frames. */
+  private[graft] def prepProbe(s: SparkSession, dir: String): Seq[DataFrame] =
+    Seq(dailySeries(s, dir), weekly(s, dir),
+      weeklyAt(s, dir, "product"), weeklyAt(s, dir, "region"))
+
   /** Daily demand per supplier with gap-filled calendar (W3):
     * lag + sequence-explode of each gap run (see gapFill). */
   private def buildDailySeries(s: SparkSession, dir: String): DataFrame =

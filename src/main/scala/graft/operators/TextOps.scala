@@ -68,6 +68,15 @@ object TextOps extends QueryModule {
   def prepareArtifacts(s: SparkSession, dir: String): Unit = {
     sharedBands(s, dir)
     prGraph(s, dir)
+    sharedContainProbes(s, dir)
+  }
+
+  /** Bench prep-hash probe: the frames prep_text_lsh materializes
+    * (content fingerprints catch a prep-affecting regression directly,
+    * not only through downstream query hashes). */
+  private[graft] def prepProbe(s: SparkSession, dir: String): Seq[DataFrame] = {
+    val (nodes, edges) = prGraph(s, dir)
+    Seq(sharedBands(s, dir), nodes, edges, sharedContainProbes(s, dir))
   }
 
   // ---- q20: exact dedup ------------------------------------------
@@ -443,7 +452,26 @@ object TextOps extends QueryModule {
     * pigeonhole argument, now conditional on one informative
     * shingle); only a doc built entirely of boilerplate opts out. */
   def containment(s: SparkSession, dir: String): DataFrame =
-    containmentOver(sharedShingles(s, dir))
+    containmentFromProbes(sharedContainProbes(s, dir), sharedShingles(s, dir))
+
+  /** Session-lifetime STORED probe set (round-12 ask #3): the
+    * df-stoplisted bottom-k probe rows are a written sidecar of the
+    * shingle index in a deployment — the df aggregation + per-doc
+    * bottom-k selection runs once at prep_text_lsh (ingest) time, and
+    * q137 probes the stored set like q140 probes the BM25 postings.
+    * Rebuilding it per query was the only real r11 query regression
+    * (1.10 → 1.94 s). */
+  private val containProbeCache =
+    collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def sharedContainProbes(s: SparkSession, dir: String): DataFrame =
+    containProbeCache.synchronized {
+      containProbeCache.getOrElseUpdate((s, dir), {
+        val p = containProbesOver(sharedShingles(s, dir)).persist()
+        p.count()
+        p
+      })
+    }
 
   /** The containment core over any (doc_id, s) shingle-SET frame —
     * the seam ContainmentSpec uses to prove the subset-recall
@@ -453,17 +481,28 @@ object TextOps extends QueryModule {
     * when a corpus-wide boilerplate shingle is planted (the final
     * output would look linear either way, because the exact verify
     * stage filters the junk pairs — at quadratic cost). */
-  private[graft] def containmentCandidatesOver(sh: DataFrame): DataFrame = {
-    // probe-side stoplist: df per shingle (vocabulary-sized, shuffled
-    // on the same key the probe join uses), high-df shingles removed
-    // BEFORE bottom-k so the k probe slots go to informative shingles
+  private[graft] def containmentCandidatesOver(sh: DataFrame): DataFrame =
+    candidatesFromProbes(containProbesOver(sh), sh)
+
+  /** The probe-set build: df per shingle (vocabulary-sized, shuffled
+    * on the same key the probe join uses), high-df shingles removed
+    * BEFORE bottom-k so the k probe slots go to informative shingles.
+    * Output (a, s): doc a probes shingle s. Stored as a prep artifact
+    * (sharedContainProbes) in the bench/deployment path. */
+  private[graft] def containProbesOver(sh: DataFrame): DataFrame = {
     val dfOk = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= ContainMaxDf).select(col("s"))
     val wk = Window.partitionBy(col("doc_id")).orderBy(col("s"))
-    val probes = sh.join(dfOk, "s")
+    sh.join(dfOk, "s")
       .withColumn("rn", row_number().over(wk))
       .filter(col("rn") <= ContainK)
       .select(col("doc_id").as("a"), col("s"))
+  }
+
+  /** Candidate pairs from a (stored or freshly built) probe set: each
+    * probe row joins the shingle index on its key; a pair survives
+    * when ≥ half of a's probes hit b. */
+  private def candidatesFromProbes(probes: DataFrame, sh: DataFrame): DataFrame = {
     val nProbes = probes.groupBy(col("a")).agg(count(lit(1)).as("n_probes"))
     probes.as("p")
       .join(sh.as("idx"),
@@ -475,9 +514,16 @@ object TextOps extends QueryModule {
       .select(col("a"), col("b"))
   }
 
-  private[graft] def containmentOver(sh: DataFrame): DataFrame = {
+  /** Exact containment+Jaccard verify over candidates from a caller-
+    * supplied probe set (the stored-sidecar path q137 serves from). */
+  private def containmentFromProbes(probes: DataFrame, sh: DataFrame): DataFrame =
+    containmentVerify(candidatesFromProbes(probes, sh), sh)
+
+  private[graft] def containmentOver(sh: DataFrame): DataFrame =
+    containmentVerify(containmentCandidatesOver(sh), sh)
+
+  private def containmentVerify(cand: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val cand = containmentCandidatesOver(sh)
     val inter = cand
       .join(sh.as("sa"), col("a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))

@@ -492,6 +492,19 @@ object VectorOps extends QueryModule {
   /** Build the shared artifact eagerly (Bench prepare phase). */
   def prepareArtifacts(s: SparkSession, dir: String): Unit = srpBands(s, dir)
 
+  /** Bench prep-hash probes: prep_srp_bands and prep_kmeans frames. */
+  private[graft] def prepProbe(s: SparkSession, dir: String): Seq[DataFrame] =
+    Seq(srpBands(s, dir))
+  private[graft] def kmeansProbe(s: SparkSession, dir: String): Seq[DataFrame] = {
+    val (idxAssign, idxCents) = storedIndexFit(s, dir)
+    // the assignment frames carry the embedding column itself — hash
+    // the decision columns (id, cell) instead of re-serializing vectors
+    Seq(kmeansAssignment(s, dir).select(col("vec_id"), col("cell"), col("csim")),
+      docKmeansAssignment(s, dir).select(col("vec_id"), col("cell"), col("csim")),
+      idxAssign.select(col("vec_id"), col("cell"), col("csim")),
+      idxCents.select(col("cell"), col("cnorm2")))
+  }
+
   /** q51 — embedding-cosine near-duplicate detection at collection
     * scale (every vector vs every vector — dedup, not query search):
     * 96 sign-projection bits per vector (narrow map), banded 6×16 so

@@ -161,4 +161,32 @@ class PlanSweepSpec extends SparkSpec {
       "q140 re-read the corpus: the stored index should replace the tokenize pass")
     assert(p.contains("postings"), "q140 is not reading the persisted postings")
   }
+
+  test("q137 serves from the stored probe sidecar, never rebuilding it") {
+    // the df-stoplist + bottom-k probe selection is a prep_text_lsh
+    // sidecar (TextOps.sharedContainProbes); at query time the plan
+    // must neither re-tokenize the corpus nor re-run the per-doc
+    // bottom-k window — both would mean the sidecar leaked back into
+    // the timed path (the r11 q137 regression). The LIVE plan only:
+    // toString embeds each InMemoryRelation's build plan (where the
+    // Window legitimately lives, executed once at prep), so traverse
+    // the tree and stop at cache scans.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def liveNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: liveNodes(a.executedPlan)
+      case s: InMemoryTableScanExec => Seq(s)
+      case other => other +: other.children.flatMap(liveNodes)
+    }
+    val nodes = liveNodes(SparkEntry.queries("q137_containment")(spark, sf0001)
+      .queryExecution.executedPlan)
+    val names = nodes.map(_.nodeName)
+    assert(!names.exists(_.startsWith("Window")),
+      s"q137 rebuilt the bottom-k probe selection at query time: $names")
+    assert(!nodes.exists(_.toString.linesIterator.next().contains("documents.parquet")),
+      "q137 re-tokenized the corpus: shingles should come from the shared cache")
+    assert(names.count(_ == "InMemoryTableScan") >= 2,
+      s"q137 should read BOTH the stored probe sidecar and the shingle cache: $names")
+  }
 }

@@ -729,6 +729,13 @@ object CorpusOps extends QueryModule {
     * BudgetMult < EMaxEpochs guarantees the budget binds
     * (Σ alloc = B exactly). */
   private val EMaxEpochs = 4L
+  // the comment above is now ENFORCED (r11 advice): if BudgetMult ever
+  // reached EMaxEpochs the water-level validity filter would match no
+  // candidate and q151 would silently return an empty frame — fail the
+  // class-load loudly instead
+  require(BudgetMult < EMaxEpochs,
+    s"q151 needs BudgetMult ($BudgetMult) < EMaxEpochs ($EMaxEpochs): " +
+      "otherwise the budget cannot bind and no water-level breakpoint exists")
 
   /** q151 — UniMax language allocation (Chung et al. 2023): spend a
     * token budget B = BudgetMult·ΣU as UNIFORMLY across languages as
@@ -1353,7 +1360,13 @@ object CorpusOps extends QueryModule {
       .select(col("source"), col("token"), (col("off") + col("i") + lit(1L)).as("pos"))
     val firstPos = positioned.groupBy(col("source"), col("token"))
       .agg(min(col("pos")).as("fp"))
+    // sources with fewer than HeapsPoints tokens would put n_at=0 on
+    // the grid and ln(0)=-Inf through the snap — where the two engines
+    // DIVERGE (Spark nulls on the decimal cast, DuckDB errors on the
+    // infinity cast). Exclude them identically in both engines (r11
+    // advice): a sub-10-token source has no fittable growth curve.
     val totals = sized.groupBy(col("source")).agg(sum(col("n_toks")).as("t_total"))
+      .filter(col("t_total") >= HeapsPoints)
     // smallest checkpoint j in 1..P with fp <= floor(j*T/P): exact
     // integer ceil-division (fp*P < 2^63 for any corpus under ~9e17
     // tokens per source)
@@ -1414,7 +1427,8 @@ object CorpusOps extends QueryModule {
        |         unnest(ts) AS token
        |  FROM ho),
        |hf AS (SELECT source, token, min(pos) AS fp FROM hp GROUP BY 1, 2),
-       |ht AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS t_total FROM hd GROUP BY 1),
+       |ht AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS t_total FROM hd GROUP BY 1
+       |       HAVING CAST(sum(n_toks) AS BIGINT) >= $HeapsPoints),
        |hb AS (
        |  SELECT f.source, (f.fp * $HeapsPoints + t.t_total - 1) // t.t_total AS j,
        |         count(1) AS new_types

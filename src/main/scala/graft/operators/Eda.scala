@@ -999,7 +999,13 @@ object Eda extends QueryModule {
       .agg(count(lit(1)).as("t"))
       .groupBy(col("priority"))
       .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tie_term"))
-    nDays.join(sStat, "priority").join(ties, "priority")
+    // LEFT join + coalesce (r11 advice): a priority observed on only
+    // one day has no (d1 < d2) pair, so an inner join would silently
+    // drop it; report it as n_days=1, S=0, no_trend instead (var_s=0
+    // and the z branch for S=0 is the constant 0.0 — no division)
+    nDays.join(sStat, Seq("priority"), "left")
+      .na.fill(0L, Seq("s_stat"))
+      .join(ties, "priority")
       .withColumn("var_s",
         (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) - col("tie_term"))
           .cast(DoubleType) / lit(18.0))
@@ -1033,9 +1039,9 @@ object Eda extends QueryModule {
        |  SELECT priority, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
        |  FROM (SELECT priority, x, count(1) AS t FROM mkd GROUP BY 1, 2) GROUP BY 1),
        |mkv AS (
-       |  SELECT n.priority, n.n, s.s_stat, t.tie_term,
+       |  SELECT n.priority, n.n, CAST(coalesce(s.s_stat, 0) AS BIGINT) AS s_stat, t.tie_term,
        |         CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tie_term AS DOUBLE) / 18.0 AS var_s
-       |  FROM mkn n JOIN mks s ON n.priority = s.priority
+       |  FROM mkn n LEFT JOIN mks s ON n.priority = s.priority
        |  JOIN mkt t ON n.priority = t.priority),
        |mkz AS (SELECT *, ${snapRoundSql(zRaw, 6)} AS z_stat FROM mkv)
        |SELECT priority, n AS n_days, s_stat, tie_term,

@@ -1869,7 +1869,15 @@ object TextOps extends QueryModule {
       1, 13), 16, 10).cast(LongType)
     val u = (h + lit(1L)).cast(DoubleType) / lit(4503599627370497.0) // 2^52 + 1
     docs.select(col("doc_id"), col("source"), col("n_chars").as("weight"),
-      snapRound(-snapRound(log(u), 6) / col("n_chars").cast(DoubleType), 8)
+      // 12-dp snaps (r11 advice): a 6-dp ln snap mapped any u within
+      // ~5e-7 of 1 to ln=0 and the 8-dp key snap collapsed heavy-weight
+      // keys into few buckets, degrading the draw toward a doc_id
+      // lottery on large corpora. At 12-dp the snap is still safely
+      // above libm's cross-engine ulp (|ln u| ≤ 37 ⇒ ulp ≤ 2^-46 ≈
+      // 1.4e-14 < 5e-13) while quantization bias needs u within 5e-13
+      // of 1 — with 52-bit u that's ~N·5e-13 expected collisions, i.e.
+      // negligible below ~10^11 docs (the documented validity bound).
+      snapRound(-snapRound(log(u), 12) / col("n_chars").cast(DoubleType), 12)
         .as("es_key"))
   }
 
@@ -1887,7 +1895,7 @@ object TextOps extends QueryModule {
 
   private lazy val weightedSampleSql = {
     val key = snapRoundSql(
-      s"-(${snapRoundSql("ln(u)", 6)}) / CAST(weight AS DOUBLE)", 8)
+      s"-(${snapRoundSql("ln(u)", 12)}) / CAST(weight AS DOUBLE)", 12)
     s"""WITH wsu AS (
        |  SELECT doc_id, source, n_chars AS weight,
        |         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1)

@@ -1900,10 +1900,15 @@ object VectorOps extends QueryModule {
         snapRound(dot_product(col("e"), col("cv")) /
           (sqrt(col("norm2")) * sqrt(col("cnorm2"))), 8).as("cos"))
     val stats = cos.groupBy(col("label")).agg(
+        // 10-dp (r11 advice): a 6-dp snap before the E[x2]-E[x]2
+        // cancellation zeroed the variance of any label tighter than
+        // ~1e-6, silently disabling the detector on exactly the
+        // tightest clusters; 10-dp keeps the cancellation alive down
+        // to sigma ~ 1e-10 while staying above decimal-fold exactness
         snapRound(sum(col("cos").cast(DecimalType(38, 10))).cast(DoubleType) /
-          count(lit(1)), 6).as("mean_cos"),
+          count(lit(1)), 10).as("mean_cos"),
         snapRound(sum((col("cos") * col("cos")).cast(DecimalType(38, 12)))
-          .cast(DoubleType) / count(lit(1)), 6).as("mean_sq"))
+          .cast(DoubleType) / count(lit(1)), 10).as("mean_sq"))
       .withColumn("std_cos", snapRound(
         sqrt(greatest(col("mean_sq") - col("mean_cos") * col("mean_cos"), lit(0.0))), 6))
     cos.join(broadcast(stats), "label")
@@ -1938,8 +1943,8 @@ object VectorOps extends QueryModule {
        |  FROM e JOIN cn ON e.label = cn.label),
        |st AS (
        |  SELECT label,
-       |         ${snapRoundSql("CAST(sum(CAST(cos AS DECIMAL(38,10))) AS DOUBLE) / count(1)", 6)} AS mean_cos,
-       |         ${snapRoundSql("CAST(sum(CAST(cos * cos AS DECIMAL(38,12))) AS DOUBLE) / count(1)", 6)} AS mean_sq
+       |         ${snapRoundSql("CAST(sum(CAST(cos AS DECIMAL(38,10))) AS DOUBLE) / count(1)", 10)} AS mean_cos,
+       |         ${snapRoundSql("CAST(sum(CAST(cos * cos AS DECIMAL(38,12))) AS DOUBLE) / count(1)", 10)} AS mean_sq
        |  FROM cosr GROUP BY 1),
        |sd AS (
        |  SELECT label, mean_cos,

@@ -1100,6 +1100,107 @@ object CorpusOps extends QueryModule {
        |FROM xt t LEFT JOIN xpd p ON t.doc_id = p.doc_id
        |ORDER BY t.doc_id""".stripMargin
 
+  // ---- q158: C4 line-level cleaning ----------------------------------
+
+  /** Tokens per rendered "line" — the fixture's line renderer: the
+    * synthetic corpus carries no newlines, so lines are fixed
+    * LineWidth-token windows (the q72 chunking rule at line grain;
+    * the same fixture stand-in precedent as the Sheets ingest). */
+  private val LineWidth = 10L
+  /** C4's "at least 5 words" line gate (Raffel et al. 2020 §2.2). */
+  private val MinLineWords = 5L
+  /** C4's "at least 3 sentences" page gate, at line grain. */
+  private val MinDocLines = 3L
+  /** C4 keeps only lines ending in terminal punctuation. The corpus
+    * has no punctuation, so these frequent "noun-like" tokens stand in
+    * as sentence enders — the RULE (judge the line by its final
+    * token) is C4's; only the alphabet is the fixture's. */
+  private[graft] val LineTerminals =
+    Seq("data", "row", "table", "line", "batch", "stream", "query", "value")
+  /** C4's blocklist/boilerplate line removal ("javascript", lorem
+    * ipsum, policy lines). The real entries ride along verbatim;
+    * "dup" is the corpus token that makes the rule observable. */
+  private[graft] val LineBlocklist = Seq("dup", "javascript", "lorem", "ipsum")
+
+  /** q158 — C4's LINE-level cleaning pass (Raffel et al. 2020 §2.2),
+    * the line-granularity complement of q152's span excision: each
+    * line drops if it contains a blocklisted token, has fewer than
+    * MinLineWords words, or does not end in a terminal marker (rules
+    * applied in that priority so every dropped line has exactly ONE
+    * recorded reason); a doc survives when ≥ MinDocLines lines remain
+    * (C4's three-sentence page rule). Emits per-doc kept/dropped line
+    * counts by reason plus token accounting — the audit frame a
+    * curation run keeps. Parity: all integer counts from exact
+    * aggregations; the line's final token is max_by over unique
+    * positions (total order, no tie). Scale: the q152 shape — one
+    * posexplode of tokens, one (doc, line) aggregation, one doc
+    * rollup; everything shuffles on doc_id, no window, no join. */
+  def lineClean(s: SparkSession, dir: String): DataFrame =
+    lineCleanOver(Tables.t(s, dir, "documents"))
+
+  /** The pass over any documents-shaped frame (the spec's seam for
+    * planted blocklist/short/terminal lines). */
+  private[graft] def lineCleanOver(docs: DataFrame): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p", "tok")))
+      .withColumn("line_id", floor(col("p") / LineWidth).cast(LongType))
+      .groupBy(col("doc_id"), col("line_id"))
+      .agg(count(lit(1)).as("n_words"),
+        expr("max_by(tok, p)").as("last_tok"),
+        max(col("tok").isin(LineBlocklist: _*).cast(IntegerType)).as("has_block"))
+    val judged = lines.select(col("doc_id"), col("n_words"),
+      when(col("has_block") === 1, lit("blocklist"))
+        .when(col("n_words") < MinLineWords, lit("short"))
+        .when(!col("last_tok").isin(LineTerminals: _*), lit("no_terminal"))
+        .otherwise(lit("kept")).as("verdict"))
+    def cnt(v: String): Column =
+      sum(when(col("verdict") === v, 1L).otherwise(0L))
+    judged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        cnt("kept").as("kept_lines"),
+        cnt("blocklist").as("dropped_blocklist"),
+        cnt("short").as("dropped_short"),
+        cnt("no_terminal").as("dropped_no_terminal"),
+        sum(col("n_words")).as("n_tokens"),
+        sum(when(col("verdict") === "kept", col("n_words")).otherwise(0L))
+          .as("kept_tokens"))
+      .withColumn("doc_kept", col("kept_lines") >= MinDocLines)
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val lineCleanSql = {
+    val terms = LineTerminals.map(t => s"'$t'").mkString(", ")
+    val block = LineBlocklist.map(t => s"'$t'").mkString(", ")
+    s"""WITH lct AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |lcp AS (
+       |  SELECT doc_id, unnest(generate_series(1, len(ts))) AS p, unnest(ts) AS tok
+       |  FROM lct),
+       |lcl AS (
+       |  SELECT doc_id, CAST((p - 1) // $LineWidth AS BIGINT) AS line_id,
+       |         CAST(count(1) AS BIGINT) AS n_words,
+       |         max_by(tok, p) AS last_tok,
+       |         max(CASE WHEN tok IN ($block) THEN 1 ELSE 0 END) AS has_block
+       |  FROM lcp GROUP BY 1, 2),
+       |lcj AS (
+       |  SELECT doc_id, n_words,
+       |         CASE WHEN has_block = 1 THEN 'blocklist'
+       |              WHEN n_words < $MinLineWords THEN 'short'
+       |              WHEN last_tok NOT IN ($terms) THEN 'no_terminal'
+       |              ELSE 'kept' END AS verdict
+       |  FROM lcl)
+       |SELECT doc_id, count(1) AS n_lines,
+       |       CAST(sum(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS kept_lines,
+       |       CAST(sum(CASE WHEN verdict = 'blocklist' THEN 1 ELSE 0 END) AS BIGINT) AS dropped_blocklist,
+       |       CAST(sum(CASE WHEN verdict = 'short' THEN 1 ELSE 0 END) AS BIGINT) AS dropped_short,
+       |       CAST(sum(CASE WHEN verdict = 'no_terminal' THEN 1 ELSE 0 END) AS BIGINT) AS dropped_no_terminal,
+       |       CAST(sum(n_words) AS BIGINT) AS n_tokens,
+       |       CAST(sum(CASE WHEN verdict = 'kept' THEN n_words ELSE 0 END) AS BIGINT) AS kept_tokens,
+       |       CAST(sum(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END) AS BIGINT) >= $MinDocLines AS doc_kept
+       |FROM lcj GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---- q63: vocabulary -------------------------------------------
 
   /** q63 — corpus vocabulary, top 500 tokens by total occurrences
@@ -2286,6 +2387,7 @@ object CorpusOps extends QueryModule {
     "q145_data_budget" -> dataBudgetPlan,
     "q151_unimax_alloc" -> unimaxAlloc,
     "q152_span_excision" -> spanExcision,
+    "q158_line_clean" -> lineClean,
     "q146_training_manifest" -> trainingManifest,
     "q92_oov_profile" -> oovProfile,
     "q65_lang_source_matrix" -> langSourceMatrix,
@@ -2316,6 +2418,7 @@ object CorpusOps extends QueryModule {
     "q145_data_budget" -> dataBudgetPlanSql,
     "q151_unimax_alloc" -> unimaxAllocSql,
     "q152_span_excision" -> spanExcisionSql,
+    "q158_line_clean" -> lineCleanSql,
     "q146_training_manifest" -> trainingManifestSql,
     "q92_oov_profile" -> oovProfileSql,
     "q65_lang_source_matrix" -> langSourceMatrixSql,

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.CorpusOps
+import org.apache.spark.sql.functions._
+
+/** Behavioral pins for the round-12 additions beyond their oracle
+  * hashes: q158's C4 line-cleaning rules on planted lines (one line
+  * per rule, reason accounting exactly one per dropped line, C4's
+  * 3-line page gate). */
+class Round12OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDir(rows: Seq[(Long, String, String, String, Long)]): String = {
+    val d = java.nio.file.Files.createTempDirectory("r12_docs").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  // a kept line: 10 words, last is a terminal marker
+  private val keptLine = "a b c d e f g h i data"
+  // blocklist wins over every other rule (priority accounting): this
+  // line also ends non-terminal, but must count ONLY as blocklist
+  private val blockLine = "a b c d e f g h dup x"
+  // ends terminal but fails the word gate at the doc tail (4 words)
+  private val shortTail = "a b c data"
+  // full-width line that fails only the terminal rule
+  private val noTermLine = "a b c d e f g h i x"
+
+  test("q158: each planted line drops for exactly its own reason") {
+    val text = Seq(keptLine, blockLine, noTermLine, keptLine).mkString(" ") +
+      " " + shortTail // 4 full lines + a 4-token tail line
+    val dir = docsDir(Seq((1L, text, "en", "s", 1L)))
+    val r = CorpusOps.lineCleanOver(Tables.t(spark, dir, "documents")).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(row.fieldIndex("n_lines")) == 5L)
+    assert(row.getLong(row.fieldIndex("kept_lines")) == 2L)
+    assert(row.getLong(row.fieldIndex("dropped_blocklist")) == 1L)
+    assert(row.getLong(row.fieldIndex("dropped_short")) == 1L)
+    assert(row.getLong(row.fieldIndex("dropped_no_terminal")) == 1L)
+    assert(row.getLong(row.fieldIndex("n_tokens")) == 44L)
+    assert(row.getLong(row.fieldIndex("kept_tokens")) == 20L)
+    // C4's >=3-sentence page rule at line grain: 2 kept lines < 3
+    assert(!row.getBoolean(row.fieldIndex("doc_kept")))
+  }
+
+  test("q158: the page gate keeps a doc at exactly MinDocLines kept lines") {
+    val keptDoc = Seq(keptLine, keptLine, keptLine).mkString(" ")
+    val dropDoc = Seq(keptLine, keptLine, noTermLine).mkString(" ")
+    val dir = docsDir(Seq(
+      (1L, keptDoc, "en", "s", 1L), (2L, dropDoc, "en", "s", 1L)))
+    val m = CorpusOps.lineCleanOver(Tables.t(spark, dir, "documents"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getBoolean(m(1L).fieldIndex("doc_kept")))
+    assert(m(1L).getLong(m(1L).fieldIndex("kept_tokens")) == 30L)
+    assert(!m(2L).getBoolean(m(2L).fieldIndex("doc_kept")))
+  }
+}

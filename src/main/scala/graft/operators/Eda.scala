@@ -797,6 +797,32 @@ object Eda extends QueryModule {
 
   // ---- q95: RFM customer segmentation ------------------------------
 
+  /** The per-customer R/F/M frame q95 ranks and q159 buckets: recency
+    * (days since last order vs the corpus max date), frequency (order
+    * count), monetary (exact money sum). */
+  private def rfmPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.t(s, dir, "orders")
+    val ref = o.agg(max(col("o_orderdate").cast(DateType)).as("ref_date"))
+    o.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate").cast(DateType)).as("last_order"),
+        count(lit(1)).as("frequency"),
+        moneySum(col("o_totalprice")).as("monetary"))
+      .crossJoin(broadcast(ref)) // 1-row scalar — the allow-listed shape
+      .select(col("o_custkey").as("custkey"),
+        datediff(col("ref_date"), col("last_order")).cast(LongType).as("recency_days"),
+        col("frequency"), col("monetary"))
+  }
+
+  /** Shared per-customer CTEs of the q95/q159 oracle SQL. */
+  private val rfmPerSql =
+    """ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref_date FROM orders),
+      |per AS (
+      |  SELECT o_custkey AS custkey,
+      |         CAST(datediff('day', max(CAST(o_orderdate AS DATE)), (SELECT ref_date FROM ref)) AS BIGINT) AS recency_days,
+      |         count(1) AS frequency,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS monetary
+      |  FROM orders GROUP BY 1)""".stripMargin
+
   /** q95 — RFM segmentation over the order history: per customer,
     * recency (days since last order, against the corpus max date),
     * frequency (order count), monetary (exact money sum), each cut
@@ -806,20 +832,11 @@ object Eda extends QueryModule {
     * the classic R-F-M segment label. Scale: the per-customer frame
     * is a derived aggregate ≪ the fact; the three global ntile
     * windows sort that frame once each — at extreme customer
-    * cardinality the dial is sample-based thresholds
-    * (functions.HashSample, the q12 approx mode) in place of the
-    * global rank. */
+    * cardinality the dial is q159 (rfmSketchSegments): sample-based
+    * cutpoint thresholds in place of the global rank, built and
+    * disagreement-bounded by RfmSketchSpec. */
   def rfmSegments(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.t(s, dir, "orders")
-    val ref = o.agg(max(col("o_orderdate").cast(DateType)).as("ref_date"))
-    val per = o.groupBy(col("o_custkey"))
-      .agg(max(col("o_orderdate").cast(DateType)).as("last_order"),
-        count(lit(1)).as("frequency"),
-        moneySum(col("o_totalprice")).as("monetary"))
-      .crossJoin(broadcast(ref)) // 1-row scalar — the allow-listed shape
-      .select(col("o_custkey").as("custkey"),
-        datediff(col("ref_date"), col("last_order")).cast(LongType).as("recency_days"),
-        col("frequency"), col("monetary"))
+    val per = rfmPerCustomer(s, dir)
     import org.apache.spark.sql.expressions.Window
     val rQ = ntile(4).over(Window.orderBy(col("recency_days"), col("custkey")))
     val fQ = ntile(4).over(Window.orderBy(col("frequency").desc, col("custkey")))
@@ -833,13 +850,7 @@ object Eda extends QueryModule {
   }
 
   private val rfmSegmentsSql =
-    """WITH ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref_date FROM orders),
-      |per AS (
-      |  SELECT o_custkey AS custkey,
-      |         CAST(datediff('day', max(CAST(o_orderdate AS DATE)), (SELECT ref_date FROM ref)) AS BIGINT) AS recency_days,
-      |         count(1) AS frequency,
-      |         CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS monetary
-      |  FROM orders GROUP BY 1),
+    s"""WITH $rfmPerSql,
       |q AS (
       |  SELECT *,
       |         ntile(4) OVER (ORDER BY recency_days, custkey) AS r_quartile,
@@ -852,6 +863,91 @@ object Eda extends QueryModule {
       |       CAST(m_quartile AS INTEGER) AS m_quartile,
       |       CAST(r_quartile AS VARCHAR) || '-' || CAST(f_quartile AS VARCHAR) || '-' || CAST(m_quartile AS VARCHAR) AS segment
       |FROM q ORDER BY custkey""".stripMargin
+
+  // ---- q159: RFM segmentation via sketch cutpoints -------------------
+
+  /** Sample size of the q159 cutpoint sketch (the q88 K). */
+  private val RfmSketchK = 1024
+
+  /** q159 — the 100-TB-scale path for q95 (round-12 ask #5): the three
+    * exact global ntile windows funnel every customer through ONE task
+    * — correct, but a single-task sort at extreme customer cardinality.
+    * This variant ranks against QUARTILE CUTPOINTS taken from a
+    * K=1024 deterministic hash sample (md5-keyed, the q59/q88 coin):
+    * per metric, the sample's exact nearest-rank quantiles at
+    * .25/.50/.75 (the q127 rule — an ORDER STATISTIC of the sample,
+    * never an interpolated float) become broadcast bounds, and each
+    * customer's quartile is 1 + (#cutpoints passed) — a narrow map, no
+    * global window anywhere, so the plan scales to any cardinality.
+    * By the DKW inequality the sample rank error is ≤ ~sqrt(ln(2/δ)/2K)
+    * ≈ 4% at K=1024 with 95% confidence — RfmSketchSpec measures the
+    * realized quartile agreement against q95's exact ntile. Parity:
+    * cutpoints are exact sampled VALUES; every comparison is exact;
+    * the md5 sample order is engine-identical. Scale: one derived
+    * aggregate (as q95), one K-row TakeOrdered, one broadcast — the
+    * documented dial (`Eda.scala` q95 scaladoc) actually built. */
+  def rfmSketchSegments(s: SparkSession, dir: String): DataFrame = {
+    val per = rfmPerCustomer(s, dir)
+    val sample = per
+      .withColumn("h", md5(col("custkey").cast(StringType).cast(BinaryType)))
+      .orderBy(col("h"), col("custkey")).limit(RfmSketchK)
+    val agg = sample.agg(
+      sort_array(collect_list(col("recency_days"))).as("sr"),
+      sort_array(collect_list(col("frequency"))).as("sf"),
+      sort_array(collect_list(col("monetary"))).as("sm"),
+      count(lit(1)).as("n"))
+    def cut(arr: String, q: Double): Column = element_at(col(arr),
+      greatest(lit(1L), ceil(lit(q) * col("n")).cast(LongType)).cast(IntegerType))
+    val bounds = agg.select(col("n").as("sample_n"),
+      cut("sr", 0.25).as("r25"), cut("sr", 0.50).as("r50"), cut("sr", 0.75).as("r75"),
+      cut("sf", 0.25).as("f25"), cut("sf", 0.50).as("f50"), cut("sf", 0.75).as("f75"),
+      cut("sm", 0.25).as("m25"), cut("sm", 0.50).as("m50"), cut("sm", 0.75).as("m75"))
+    def asc(v: Column, c25: Column, c50: Column, c75: Column): Column =
+      (lit(1) + (v > c25).cast(IntegerType) + (v > c50).cast(IntegerType) +
+        (v > c75).cast(IntegerType))
+    // descending metrics (q95 ranks frequency/monetary DESC: top 25% →
+    // quartile 1): count the cutpoints the value does NOT exceed
+    def desc(v: Column, c25: Column, c50: Column, c75: Column): Column =
+      (lit(1) + (v <= c75).cast(IntegerType) + (v <= c50).cast(IntegerType) +
+        (v <= c25).cast(IntegerType))
+    per.crossJoin(broadcast(bounds))
+      .select(col("custkey"), col("recency_days"), col("frequency"), col("monetary"),
+        col("sample_n"),
+        asc(col("recency_days"), col("r25"), col("r50"), col("r75")).as("r_quartile"),
+        desc(col("frequency"), col("f25"), col("f50"), col("f75")).as("f_quartile"),
+        desc(col("monetary"), col("m25"), col("m50"), col("m75")).as("m_quartile"))
+      .withColumn("segment", concat_ws("-",
+        col("r_quartile"), col("f_quartile"), col("m_quartile")))
+      .orderBy(col("custkey"))
+  }
+
+  private val rfmSketchSegmentsSql = {
+    def cutSql(arr: String, q: String) =
+      s"$arr[CAST(greatest(1, ceil($q * n)) AS BIGINT)]"
+    def ascSql(v: String, p: String) =
+      s"CAST(1 + (CASE WHEN $v > b.${p}25 THEN 1 ELSE 0 END) + (CASE WHEN $v > b.${p}50 THEN 1 ELSE 0 END) + (CASE WHEN $v > b.${p}75 THEN 1 ELSE 0 END) AS INTEGER)"
+    def descSql(v: String, p: String) =
+      s"CAST(1 + (CASE WHEN $v <= b.${p}75 THEN 1 ELSE 0 END) + (CASE WHEN $v <= b.${p}50 THEN 1 ELSE 0 END) + (CASE WHEN $v <= b.${p}25 THEN 1 ELSE 0 END) AS INTEGER)"
+    s"""WITH $rfmPerSql,
+      |sk AS (SELECT * FROM per ORDER BY md5(CAST(custkey AS VARCHAR)), custkey LIMIT $RfmSketchK),
+      |ag AS (SELECT list_sort(list(recency_days)) AS sr, list_sort(list(frequency)) AS sf,
+      |              list_sort(list(monetary)) AS sm, count(*) AS n FROM sk),
+      |b AS (SELECT CAST(n AS BIGINT) AS sample_n,
+      |        ${cutSql("sr", "0.25")} AS r25, ${cutSql("sr", "0.50")} AS r50, ${cutSql("sr", "0.75")} AS r75,
+      |        ${cutSql("sf", "0.25")} AS f25, ${cutSql("sf", "0.50")} AS f50, ${cutSql("sf", "0.75")} AS f75,
+      |        ${cutSql("sm", "0.25")} AS m25, ${cutSql("sm", "0.50")} AS m50, ${cutSql("sm", "0.75")} AS m75
+      |      FROM ag),
+      |qq AS (
+      |  SELECT p.custkey, p.recency_days, p.frequency, p.monetary, b.sample_n,
+      |         ${ascSql("p.recency_days", "r")} AS r_quartile,
+      |         ${descSql("p.frequency", "f")} AS f_quartile,
+      |         ${descSql("p.monetary", "m")} AS m_quartile
+      |  FROM per p, b)
+      |SELECT custkey, recency_days, frequency, monetary, sample_n,
+      |       r_quartile, f_quartile, m_quartile,
+      |       CAST(r_quartile AS VARCHAR) || '-' || CAST(f_quartile AS VARCHAR) || '-' || CAST(m_quartile AS VARCHAR) AS segment
+      |FROM qq ORDER BY custkey""".stripMargin
+  }
 
   // ---- q121: k-anonymity suppression --------------------------------
 
@@ -1003,7 +1099,7 @@ object Eda extends QueryModule {
     // one day has no (d1 < d2) pair, so an inner join would silently
     // drop it; report it as n_days=1, S=0, no_trend instead (var_s=0
     // and the z branch for S=0 is the constant 0.0 — no division)
-    nDays.join(sStat, Seq("priority"), "left")
+    nDays.join(broadcast(sStat), Seq("priority"), "left") // priority-cardinality side
       .na.fill(0L, Seq("s_stat"))
       .join(ties, "priority")
       .withColumn("var_s",
@@ -1227,6 +1323,7 @@ object Eda extends QueryModule {
     "q153_mann_kendall" -> mannKendall,
     "q154_cusum_changepoint" -> cusumChangepoint,
     "q95_rfm_segments" -> rfmSegments,
+    "q159_rfm_sketch" -> rfmSketchSegments,
     "q05_topk_customers" -> topkCustomers,
     "q06_pagination" -> pagination,
     "q07_distinct_entities" -> distinctEntities,
@@ -1264,5 +1361,6 @@ object Eda extends QueryModule {
     "q14_latest_wins_upsert" -> latestWinsUpsertSql,
     "q78_kmv_distinct" -> kmvDistinctSql,
     "q95_rfm_segments" -> rfmSegmentsSql,
+    "q159_rfm_sketch" -> rfmSketchSegmentsSql,
     "q88_sample_quantiles" -> sampleQuantilesSql)
 }

@@ -94,13 +94,13 @@ object Bench {
     "prep_gold_marts" -> ((s, d) => graft.operators.DqChecks.prepareArtifacts(s, d)),
     "prep_demand_series" -> ((s, d) => graft.operators.Forecast.prepareArtifacts(s, d)),
     "prep_forecast_backtest" -> ((s, d) => graft.operators.Backtest.prepareArtifacts(s, d)),
-    // the memoized weekly dispatch frame (q66 builds it lazily
-    // otherwise, and min-of-3 reporting would hide the build cost
-    // entirely instead of attributing it to a prep)
-    "prep_forecast_dispatch" -> ((s, d) => { graft.operators.Forecasting.forecastDispatch(s, d); () }),
-    // the FULL dispatch artifact (all levels + daily) q103 filters —
-    // includes the q66 frame, so it runs after prep_forecast_dispatch
+    // the FULL dispatch artifact (all levels + daily, shared-fit
+    // groups) — THE build of the dispatch family since r12
     "prep_full_dispatch" -> ((s, d) => { graft.operators.Forecasting.fullDispatch(s, d); () }),
+    // the memoized weekly dispatch frame q66/q90 read — now a filter
+    // of the full artifact, so it runs after prep_full_dispatch and
+    // costs one cached-pass sort
+    "prep_forecast_dispatch" -> ((s, d) => { graft.operators.Forecasting.forecastDispatch(s, d); () }),
     // the PERSISTED BM25 postings parquet q140 probes — written once
     // at "ingest" like a deployment's keyword index
     "prep_bm25_index" -> ((s, d) => { graft.operators.TextOps.storedPostingsIndex(s, d); () }),

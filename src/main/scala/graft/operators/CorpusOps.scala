@@ -1201,6 +1201,164 @@ object CorpusOps extends QueryModule {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q160: Gopher repetition battery -------------------------------
+
+  /** Gopher table-A1 repetition thresholds (Rae et al. 2021): a doc
+    * is repetition-filtered when any stat exceeds its bound. */
+  private val DupLineMax = 0.30
+  private val Top2Max = 0.20
+  private val Top3Max = 0.18
+  private val Top4Max = 0.16
+  private val Dup5Max = 0.15
+
+  /** q160 — the FULL Gopher repetition battery (Rae et al. 2021 table
+    * A1), completing q61's two stats: duplicate-line fraction (lines
+    * are the q158 fixture rule — LineWidth-token windows), top
+    * 2/3/4-gram token share, duplicate-5-gram token share, and the
+    * composite `repetitive` gate at the paper's thresholds. Fractions
+    * are token-grain (the paper's are character-grain; tokens are the
+    * fixture's unit, as in q158's word gates). The dup-5-gram share
+    * counts every occurrence of a gram seen more than once —
+    * overlapping grams double-count tokens, so it is clamped to 1
+    * (the Dolma/NeMo-Curator reading of the stat).
+    *
+    * Scale: ONE posexplode of tokens feeds both passes; n-grams for
+    * all four n come from a single lead-chain window (the q152 rule —
+    * a transform() gram array in its own Project re-inlines the
+    * tokenizer into the scan filter via InferFiltersFromGenerate,
+    * measured 12×), exploded as 4 tagged rows per position, then two
+    * hash aggregations keyed (doc, n, gram) → (doc, n). Lines are one
+    * (doc, line_id) aggregation. Everything shuffles on doc-prefixed
+    * keys; no corpus-wide window, no join except the final
+    * entity-sized assembles. */
+  def gopherRepetition(s: SparkSession, dir: String): DataFrame =
+    gopherRepetitionOver(Tables.t(s, dir, "documents"))
+
+  /** The battery over any documents-shaped frame (the spec's seam for
+    * planted repetitive docs). */
+  private[graft] def gopherRepetitionOver(docs: DataFrame): DataFrame = {
+    import graft.util.Parity.snapRound
+    val ex = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p", "tok")))
+    val wTok = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    def ld(k: Int): Column = lead(col("tok"), k).over(wTok)
+    val leads = ex.select(col("doc_id"), col("p"), col("tok"),
+      ld(1).as("l1"), ld(2).as("l2"), ld(3).as("l3"), ld(4).as("l4"))
+    // four tagged gram rows per position; a position without a full
+    // n-gram contributes NULL (filtered) — when() gates on the LAST
+    // lead because concat_ws would silently skip interior nulls
+    val gramRows = leads.select(col("doc_id"), explode(array(
+      struct(lit(2L).as("n"), when(col("l1").isNotNull,
+        concat_ws(" ", col("tok"), col("l1"))).as("g")),
+      struct(lit(3L).as("n"), when(col("l2").isNotNull,
+        concat_ws(" ", col("tok"), col("l1"), col("l2"))).as("g")),
+      struct(lit(4L).as("n"), when(col("l3").isNotNull,
+        concat_ws(" ", col("tok"), col("l1"), col("l2"), col("l3"))).as("g")),
+      struct(lit(5L).as("n"), when(col("l4").isNotNull,
+        concat_ws(" ", col("tok"), col("l1"), col("l2"), col("l3"), col("l4"))).as("g")))).as("r"))
+      .select(col("doc_id"), col("r.n").as("n"), col("r.g").as("g"))
+      .filter(col("g").isNotNull)
+    val gstat = gramRows
+      .groupBy(col("doc_id"), col("n"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(max(col("c")).as("topc"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dupc"))
+    val gramFeat = gstat.groupBy(col("doc_id")).agg(
+      max(when(col("n") === 2, col("topc"))).as("top2c"),
+      max(when(col("n") === 3, col("topc"))).as("top3c"),
+      max(when(col("n") === 4, col("topc"))).as("top4c"),
+      max(when(col("n") === 5, col("dupc"))).as("dup5c"))
+    // line identity: the ordered tokens of each LineWidth window
+    // (sort_array over unique positions — deterministic; collect_list
+    // order alone is not)
+    val lineFeat = ex
+      .withColumn("line_id", floor(col("p") / LineWidth).cast(LongType))
+      .groupBy(col("doc_id"), col("line_id"))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+          x => x.getField("tok"))).as("line"))
+      .groupBy(col("doc_id"), col("line")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_lines"), sum(col("c") - 1).as("dup_lines"))
+    val nTok = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+    def share(c: Column, n: Int): Column =
+      snapRound(c.cast(DoubleType) * n / col("n_tokens"), 6)
+    nTok.join(lineFeat, "doc_id")
+      .join(gramFeat, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_lines"),
+        snapRound(col("dup_lines").cast(DoubleType) / col("n_lines"), 6)
+          .as("dup_line_frac"),
+        share(coalesce(col("top2c"), lit(0L)), 2).as("top_2gram_frac"),
+        share(coalesce(col("top3c"), lit(0L)), 3).as("top_3gram_frac"),
+        share(coalesce(col("top4c"), lit(0L)), 4).as("top_4gram_frac"),
+        least(lit(1.0), share(coalesce(col("dup5c"), lit(0L)), 5))
+          .as("dup_5gram_frac"))
+      .withColumn("repetitive",
+        col("dup_line_frac") > DupLineMax || col("top_2gram_frac") > Top2Max ||
+        col("top_3gram_frac") > Top3Max || col("top_4gram_frac") > Top4Max ||
+        col("dup_5gram_frac") > Dup5Max)
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val gopherRepetitionSql = {
+    import graft.util.Parity.snapRoundSql
+    s"""WITH grt AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |grp AS (
+       |  SELECT doc_id, unnest(generate_series(1, len(ts))) AS p, unnest(ts) AS tok
+       |  FROM grt),
+       |grl AS (
+       |  SELECT doc_id, p, tok,
+       |         lead(tok, 1) OVER w AS l1, lead(tok, 2) OVER w AS l2,
+       |         lead(tok, 3) OVER w AS l3, lead(tok, 4) OVER w AS l4
+       |  FROM grp WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+       |grg AS (
+       |  SELECT doc_id, 2 AS n, tok || ' ' || l1 AS g FROM grl WHERE l1 IS NOT NULL
+       |  UNION ALL
+       |  SELECT doc_id, 3, tok || ' ' || l1 || ' ' || l2 FROM grl WHERE l2 IS NOT NULL
+       |  UNION ALL
+       |  SELECT doc_id, 4, tok || ' ' || l1 || ' ' || l2 || ' ' || l3 FROM grl WHERE l3 IS NOT NULL
+       |  UNION ALL
+       |  SELECT doc_id, 5, tok || ' ' || l1 || ' ' || l2 || ' ' || l3 || ' ' || l4 FROM grl WHERE l4 IS NOT NULL),
+       |grs AS (
+       |  SELECT doc_id, n, max(c) AS topc,
+       |         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dupc
+       |  FROM (SELECT doc_id, n, g, CAST(count(1) AS BIGINT) AS c FROM grg GROUP BY 1, 2, 3)
+       |  GROUP BY 1, 2),
+       |grf AS (
+       |  SELECT doc_id,
+       |         max(CASE WHEN n = 2 THEN topc END) AS top2c,
+       |         max(CASE WHEN n = 3 THEN topc END) AS top3c,
+       |         max(CASE WHEN n = 4 THEN topc END) AS top4c,
+       |         max(CASE WHEN n = 5 THEN dupc END) AS dup5c
+       |  FROM grs GROUP BY 1),
+       |lns AS (
+       |  SELECT doc_id, CAST((p - 1) // $LineWidth AS BIGINT) AS line_id,
+       |         string_agg(tok, ' ' ORDER BY p) AS line
+       |  FROM grp GROUP BY 1, 2),
+       |lnf AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+       |         CAST(sum(c - 1) AS BIGINT) AS dup_lines
+       |  FROM (SELECT doc_id, line, count(1) AS c FROM lns GROUP BY 1, 2)
+       |  GROUP BY 1),
+       |ntk AS (SELECT doc_id, CAST(count(1) AS BIGINT) AS n_tokens FROM grp GROUP BY 1),
+       |rep AS (
+       |  SELECT ntk.doc_id, n_tokens, n_lines,
+       |         ${snapRoundSql("CAST(dup_lines AS DOUBLE) / n_lines", 6)} AS dup_line_frac,
+       |         ${snapRoundSql("CAST(coalesce(top2c, 0) AS DOUBLE) * 2 / n_tokens", 6)} AS top_2gram_frac,
+       |         ${snapRoundSql("CAST(coalesce(top3c, 0) AS DOUBLE) * 3 / n_tokens", 6)} AS top_3gram_frac,
+       |         ${snapRoundSql("CAST(coalesce(top4c, 0) AS DOUBLE) * 4 / n_tokens", 6)} AS top_4gram_frac,
+       |         least(1.0, ${snapRoundSql("CAST(coalesce(dup5c, 0) AS DOUBLE) * 5 / n_tokens", 6)}) AS dup_5gram_frac
+       |  FROM ntk JOIN lnf ON ntk.doc_id = lnf.doc_id
+       |  LEFT JOIN grf ON ntk.doc_id = grf.doc_id)
+       |SELECT doc_id, n_tokens, n_lines, dup_line_frac, top_2gram_frac,
+       |       top_3gram_frac, top_4gram_frac, dup_5gram_frac,
+       |       (dup_line_frac > $DupLineMax OR top_2gram_frac > $Top2Max
+       |        OR top_3gram_frac > $Top3Max OR top_4gram_frac > $Top4Max
+       |        OR dup_5gram_frac > $Dup5Max) AS repetitive
+       |FROM rep
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---- q63: vocabulary -------------------------------------------
 
   /** q63 — corpus vocabulary, top 500 tokens by total occurrences
@@ -2388,6 +2546,7 @@ object CorpusOps extends QueryModule {
     "q151_unimax_alloc" -> unimaxAlloc,
     "q152_span_excision" -> spanExcision,
     "q158_line_clean" -> lineClean,
+    "q160_gopher_repetition" -> gopherRepetition,
     "q146_training_manifest" -> trainingManifest,
     "q92_oov_profile" -> oovProfile,
     "q65_lang_source_matrix" -> langSourceMatrix,
@@ -2419,6 +2578,7 @@ object CorpusOps extends QueryModule {
     "q151_unimax_alloc" -> unimaxAllocSql,
     "q152_span_excision" -> spanExcisionSql,
     "q158_line_clean" -> lineCleanSql,
+    "q160_gopher_repetition" -> gopherRepetitionSql,
     "q146_training_manifest" -> trainingManifestSql,
     "q92_oov_profile" -> oovProfileSql,
     "q65_lang_source_matrix" -> langSourceMatrixSql,

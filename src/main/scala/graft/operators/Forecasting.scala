@@ -189,7 +189,17 @@ object Forecasting extends QueryModule {
   /** Session-lifetime memo of the weekly dispatch frame: q66 builds
     * it, q90 (champion application) re-reads it — the stored
     * gold.forecasts design, so applying the selection doesn't re-fit
-    * four models. */
+    * four models.
+    *
+    * Since round 12 the frame is DERIVED from the full dispatch
+    * artifact (filter on granularity/level + the q66 total order)
+    * instead of being built by its own four fits: fullDispatch's
+    * supplier-weekly group unions exactly these four frames (the
+    * FromFit seams are value-identical to the public model paths by
+    * construction — they delegate), so the filter returns the same
+    * rows and the forecast prep family pays ONE build instead of
+    * two overlapping ones (the r12 ask: dispatch 27.3 s + full 19.1 s
+    * in the r11 window for largely shared work). */
   private val dispatchCache = new graft.util.Memo[(SparkSession, String), DataFrame](_._1.sparkContext.isStopped)
 
   /** q66 — the dispatch surface end-to-end: every weekly-capable model
@@ -197,10 +207,8 @@ object Forecasting extends QueryModule {
     * column. */
   def forecastDispatch(s: SparkSession, dir: String): DataFrame =
     dispatchCache.getOrBuild((s, dir), {
-      val d = run(s, dir, "linear")
-        .unionByName(run(s, dir, "seasonal_naive"))
-        .unionByName(run(s, dir, "seasonal_trend"))
-        .unionByName(run(s, dir, "global_ar", "weekly"))
+      val d = fullDispatch(s, dir)
+        .filter(col("granularity") === "weekly" && col("level") === "supplier")
         .orderBy(col("model"), col("entity_id"), col("ds"))
         .persist()
       d.count()
@@ -227,15 +235,41 @@ object Forecasting extends QueryModule {
        |ORDER BY model, entity_id, ds""".stripMargin
   }
 
+  /** Run independent named builds on daemon threads; the first
+    * failure propagates (later ones ride as suppressed so a
+    * multi-branch breakage surfaces every diagnostic). */
+  private def runAll(jobs: Seq[(String, () => Unit)]): Unit = {
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val threads = jobs.map { case (tag, body) =>
+      val t = new Thread(() =>
+        try body() catch {
+          case e: Throwable =>
+            if (!err.compareAndSet(null, e)) err.get.addSuppressed(e)
+        }, s"dispatch-$tag")
+      t.setDaemon(true); t.start(); t
+    }
+    threads.foreach(_.join())
+    if (err.get != null) throw err.get
+  }
+
   /** Session-lifetime FULL dispatch artifact: every (model ×
     * granularity × level) combination the backtest scores — the four
     * models weekly at all three levels plus daily at the artifact
     * level (supplier) — in the one forecasts interface. The champion
     * application (q103) filters THIS frame by the q82 selection, so
     * serving the measured-best model per series costs a broadcast
-    * join, not a refit. Reuses the q66 weekly-supplier artifact and
-    * the memoized series; the remaining 12 fits materialize once in
-    * the Bench prep phase. */
+    * join, not a refit.
+    *
+    * This is THE build of the dispatch family (q66's weekly-supplier
+    * frame is a filter of it, see forecastDispatch). Structure is the
+    * backtest's fit-group shape: one (level, granularity) group per
+    * series artifact, the group's three per-entity models consuming
+    * ONE shared OLS fit through the FromFit/FromGate seams (value-
+    * identical to the public model paths by construction — those
+    * delegate here), so the full-series fit groupBy runs once per
+    * group instead of three times. The four pooled global_ar arms
+    * stay separate branches — the recorded r9 lesson: fusing AR fits
+    * couples their driver-side solves and loses, not wins. */
   private val fullDispatchCache = new graft.util.Memo[(SparkSession, String), DataFrame](_._1.sparkContext.isStopped)
 
   def fullDispatch(s: SparkSession, dir: String): DataFrame =
@@ -247,53 +281,81 @@ object Forecasting extends QueryModule {
           println(f"DISPATCHPROBE $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
           r
         } else body
+      // one fit group per (level, granularity); knobs mirror run()'s
+      // arms exactly: weekly supplier is the ungated q66 surface
+      // (minLen 0, horizon 4, naive period 4, trend period 52), the
+      // other levels gate at MIN_SERIES_LEN, daily runs the 90-day
+      // trend horizon and 7-day seasonal period
+      case class Group(level: String, gran: String, series: DataFrame,
+        minLen: Int, stepDays: Int, linHorizon: Int, naivePeriod: Int,
+        trendHorizon: Int, trendPeriod: Int)
+      val groups = Seq(
+        Group("supplier", "weekly", Forecast.weekly(s, dir), 0, 7, 4, 4, 4, 52),
+        Group("product", "weekly", Forecast.weeklyAt(s, dir, "product"),
+          minSeriesLen, 7, 4, 4, 4, 52),
+        Group("region", "weekly", Forecast.weeklyAt(s, dir, "region"),
+          minSeriesLen, 7, 4, 4, 4, 52),
+        Group("supplier", "daily", dailyAsWeekCols(Forecast.dailySeries(s, dir)),
+          minSeriesLen, 1, 90, 7, 90, 7))
+      // phase 1: the four shared fits, materialized EAGERLY before any
+      // consumer thread launches (the Backtest.groupParts rule: lazily
+      // persisted frames shared by concurrent jobs race on cache-fill
+      // block locks — a measured 9 s → 65 s prep lottery). Entity-
+      // count-sized; the four fits overlap on their own threads.
+      val fits = new Array[DataFrame](groups.size)
+      runAll(groups.zipWithIndex.map { case (g, i) =>
+        s"fit:${g.gran}:${g.level}" -> (() => probe(s"fit ${g.gran}:${g.level}") {
+          val f = Forecast.olsFit(g.series, g.minLen).persist()
+          f.count()
+          fits(i) = f
+        })
+      })
+      // phase 2: 16 branches (4 groups × 3 per-entity models + 4
+      // pooled AR arms), each building AND materializing on its own
+      // thread (the prep_kmeans pattern): a branch's output is tiny
+      // (entities × horizon), so persist+count per branch overlaps
+      // all fits on the 32 cores instead of leaving the parallelism
+      // to one union job's stage scheduler.
       val branchBuilds: Seq[(String, () => DataFrame)] =
-        (for {
-          lv <- levels.filterNot(_ == "supplier")
-          m <- models.keys.toSeq.sorted
-        } yield s"weekly:$lv:$m" -> (() => weeklyFitAt(s, dir, lv, m))) ++
-        models.keys.toSeq.sorted.map(m =>
-          s"daily:$m" -> (() => run(s, dir, m, "daily")))
-      // Each branch builds AND materializes on its own thread (the
-      // prep_kmeans pattern, extended): a branch is an independent
-      // chain — eager pooled fit for the global_ar arms, then the
-      // forecast plan — and its output is tiny (entities × horizon),
-      // so persist+count per branch overlaps ALL 16 fits on the 32
-      // cores instead of leaving the parallelism to one union job's
-      // stage scheduler. Measured at sf0.1 (tools.DispatchProfile):
-      // the single-job union materialized in ~10 s while the serial
-      // branch sum was ~15.7 s — per-branch overlap bounds the wall
-      // by the slowest branch (~3 s product:global_ar) + the cached
-      // union pass. Union order stays the declared order (results
-      // land by index), and a thread's failure propagates.
+        groups.zipWithIndex.flatMap { case (g, i) =>
+          def fit = fits(i)
+          Seq(
+            s"${g.gran}:${g.level}:linear" -> (() =>
+              conform(Forecast.forecastLinearFromFit(fit, g.stepDays, g.linHorizon),
+                "linear", g.gran, g.level)),
+            s"${g.gran}:${g.level}:seasonal_naive" -> (() =>
+              conform(Forecast.forecastSeasonalNaiveFromGate(g.series,
+                fit.select(col("entity"), col("last_week")), g.stepDays, g.naivePeriod),
+                "seasonal_naive", g.gran, g.level)),
+            s"${g.gran}:${g.level}:seasonal_trend" -> (() =>
+              conform(Forecast.forecastSeasonalTrendFromFit(g.series, fit,
+                g.stepDays, g.trendHorizon, g.trendPeriod),
+                "seasonal_trend", g.gran, g.level)))
+        } ++ Seq(
+          "weekly:supplier:global_ar" -> (() => run(s, dir, "global_ar", "weekly")),
+          "weekly:product:global_ar" -> (() => weeklyFitAt(s, dir, "product", "global_ar")),
+          "weekly:region:global_ar" -> (() => weeklyFitAt(s, dir, "region", "global_ar")),
+          "daily:supplier:global_ar" -> (() => run(s, dir, "global_ar", "daily")))
       val built = new Array[DataFrame](branchBuilds.size)
-      val err = new java.util.concurrent.atomic.AtomicReference[Throwable]
-      val threads = branchBuilds.zipWithIndex.map { case ((tag, b), i) =>
-        val t = new Thread(() =>
-          try built(i) = probe(s"build+mat $tag") {
+      runAll(branchBuilds.zipWithIndex.map { case ((tag, b), i) =>
+        tag -> (() => {
+          built(i) = probe(s"build+mat $tag") {
             val p = b().persist(); p.count(); p
           }
-          catch {
-            case e: Throwable =>
-              // first failure wins; later ones ride as suppressed so
-              // a multi-branch breakage surfaces every diagnostic
-              if (!err.compareAndSet(null, e)) err.get.addSuppressed(e)
-          })
-        t.setDaemon(true); t.start(); t
-      }
-      threads.foreach(_.join())
-      if (err.get != null) throw err.get
+        })
+      })
       // repartition(16), not coalesce: the final artifact collapses
-      // from 17 × shuffle.partitions task-launch units to 16; the
+      // from 16 × shuffle.partitions task-launch units to 16; the
       // pass reads the per-branch caches, so it only pays the tiny
-      // shuffle. The branch caches release afterwards — the artifact
-      // is its own storage.
-      val d = (forecastDispatch(s, dir) +: built.toSeq)
+      // shuffle. The branch + fit caches release afterwards — the
+      // artifact is its own storage.
+      val d = built.toSeq
         .reduce(_ unionByName _)
         .repartition(16)
         .persist()
       probe("materialize union")(d.count())
       built.foreach(_.unpersist(false))
+      fits.foreach(_.unpersist(false))
       d
     })
 

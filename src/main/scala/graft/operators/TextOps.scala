@@ -237,10 +237,11 @@ object TextOps extends QueryModule {
     * quality). Multipliers are < 2^30 so the mixed sum is provably
     * < 2^63: max 2·(2^32−1)(2^30−1) + (2^30−1) < Long.MaxValue — no
     * ANSI overflow in Spark, no BIGINT overflow in DuckDB. */
-  private val MIX: Seq[(Long, Long, Long)] = (0 until K).map { i =>
+  private def mixFor(k: Int): Seq[(Long, Long, Long)] = (0 until k).map { i =>
     def lcg(x: Long): Long = ((x * 1103515245L + 12345L) >>> 8) & 0x3fffffffL
     (lcg(3 * i + 1) | 1L, lcg(3 * i + 2) | 1L, lcg(3 * i + 3))
   }
+  private val MIX: Seq[(Long, Long, Long)] = mixFor(K)
 
   /** Per-doc MinHash signature from exploded shingle rows: one md5
     * per shingle, split into two 32-bit halves, K multiply-add mixed
@@ -250,12 +251,16 @@ object TextOps extends QueryModule {
   private def signatures(s: SparkSession, dir: String, sh: DataFrame): DataFrame =
     signaturesOver(Tables.t(s, dir, "documents"), sh)
 
-  private def signaturesOver(docs: DataFrame, sh: DataFrame): DataFrame = {
+  private def signaturesOver(docs: DataFrame, sh: DataFrame): DataFrame =
+    signaturesOverMix(docs, sh, MIX)
+
+  private def signaturesOverMix(docs: DataFrame, sh: DataFrame,
+      mix: Seq[(Long, Long, Long)]): DataFrame = {
     val hex = md5(col("s").cast(BinaryType))
     val based = sh.select(col("doc_id"),
       conv(substring(hex, 1, 8), 16, 10).cast(LongType).as("b1"),
       conv(substring(hex, 9, 8), 16, 10).cast(LongType).as("b2"))
-    val mins = MIX.zipWithIndex.map { case ((a, b, c), i) =>
+    val mins = mix.zipWithIndex.map { case ((a, b, c), i) =>
       min((col("b1") * lit(a) + col("b2") * lit(b) + lit(c))
         .bitwiseAND(lit(0xffffffffL))).as(s"mh$i")
     }
@@ -281,6 +286,34 @@ object TextOps extends QueryModule {
     * growth on synthetic corpora of controlled size. */
   private[graft] def bandsOver(docs: DataFrame): DataFrame =
     bandsOf(signaturesOver(docs, shinglesOverDocs(docs)))
+
+  /** The r12 MinHash scale dial (SCALING.md `q22_minhash_scaled`) —
+    * the q51 band-width-∝-log n path applied to MinHash: rows per
+    * band grow with log₂ n (and the signature widens to keep the
+    * band count), so the per-band false-collision probability s₀^r
+    * shrinks as ~1/n and expected cross-cluster bucket pairs
+    * n²·B·s₀^r stay linear. The fixed production setting (K=8, 4
+    * bands × 2 rows) is the oracle-pinned q21/q22 surface; this
+    * parametrized chain is the deployment dial for corpora that
+    * outgrow it, measured by tools.ScalingWitness. Same shingle,
+    * same one-md5-per-shingle mixing family (mixFor), same
+    * bucket-local candidate join. */
+  private[graft] def bandsOverScaled(docs: DataFrame, rowsPerBand: Int,
+      numBands: Int = BANDS): DataFrame = {
+    val sig = signaturesOverMix(docs, shinglesOverDocs(docs),
+      mixFor(rowsPerBand * numBands))
+    (0 until numBands).map { b =>
+      val parts = (0 until rowsPerBand)
+        .map(r => col(s"mh${rowsPerBand * b + r}").cast(StringType))
+      // fold with explicit '|' concat (NULL-propagating, like the
+      // production bandsOf — concat_ws would SKIP null components and
+      // alias shingle-less docs into one bucket)
+      val joined = parts.tail.foldLeft(parts.head)((acc, p) =>
+        concat(acc, lit("|"), p))
+      sig.select(col("doc_id"), lit(b).as("band"),
+        md5(joined.cast(BinaryType)).as("band_sig"))
+    }.reduce(_.unionByName(_))
+  }
 
   /** Shared oracle fragments for the signature chain (used by q21/q22/
     * q23/q48/q54 — kept in ONE place so the two engines can never

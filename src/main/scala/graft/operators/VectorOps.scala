@@ -1171,6 +1171,29 @@ object VectorOps extends QueryModule {
   private[graft] def kmFit(base0: DataFrame, k: Int, intValued: Boolean): DataFrame =
     kmFitFull(base0, k, intValued)._1
 
+  /** The production-scale fit (SCALING.md `q109_semdedup_sampled`):
+    * Lloyd trains on a FIXED-size sample (the sampleN smallest
+    * vec_ids — deterministic, the same seeding family as the flat
+    * fit's init), then the frozen centroids assign the FULL corpus in
+    * ONE pass. This is the SemDeDup/FAISS deployment recipe — the
+    * iterative N·K·R fit cost drops to sample·K·R and the corpus pays
+    * a single broadcast-assign scan; the flat kmFitFull stays the
+    * spec-pinned exact path (and the witness's honest worst case). */
+  private[graft] def kmFitSampled(base0: DataFrame, k: Int, sampleN: Long,
+      intValued: Boolean): DataFrame = {
+    val base = base0.persist()
+    val sample = base.filter(col("vec_id") < sampleN)
+    var cents = sample.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cell"), col("e").as("cv"), col("norm2").as("cnorm2"))
+    for (_ <- 1 to KM_ITERS)
+      cents = kmUpdate(kmAssign(sample, cents), intValued)
+        .coalesce(1).localCheckpoint()
+    val fin = kmAssign(base, cents).persist()
+    fin.count()
+    base.unpersist()
+    fin
+  }
+
   /** kmFit, also returning the FROZEN final centroid frame (cell, cv,
     * cnorm2) — the trained index a serving path (the streaming ingest
     * twin) assigns against. */

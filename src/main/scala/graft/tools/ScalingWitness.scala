@@ -90,6 +90,15 @@ object ScalingWitness {
         .candidatePairsOver(graft.operators.TextOps.bandsOver(
           dtab.select(col("doc_id"), col("text")))).count())
       results += Cell("q22_minhash_lsh_candidates", nd, c22, w22)
+      // the r12 scale dial: rows-per-band grow with log₂ n (2 at 1×,
+      // 3 at 10× — the q51 band-width path applied to MinHash), so
+      // per-band false-collision probability shrinks ~1/n and the
+      // bucket join's key populations stay bounded
+      val rpb = if (mult == 1L) 2 else 3
+      val (c22w, w22w) = timed(graft.operators.TextOps
+        .candidatePairsOver(graft.operators.TextOps.bandsOverScaled(
+          dtab.select(col("doc_id"), col("text")), rpb)).count())
+      results += Cell("q22_minhash_scaled", nd, c22w, w22w)
 
       // q51: SRP-LSH band candidates over the embeddings — measured at
       // the fixed production band width (16 bits -> 65,536 buckets per
@@ -149,7 +158,24 @@ object ScalingWitness {
         pairs
       }
       results += Cell("q109_semdedup_cell_pairs", nd, c109, w109)
-      println(s"scale ${mult}x done: " + results.takeRight(6).mkString(", "))
+
+      // q109 PRODUCTION fit (the r12 ask): Lloyd on a FIXED-size
+      // sample (the base corpus size at both scales), then ONE
+      // frozen-centroid assignment pass over the full corpus — the
+      // SemDeDup/FAISS deployment recipe. Same K ∝ N cell budget and
+      // the same within-cell pair count downstream.
+      val (c109s, w109s) = timed {
+        val v = graft.operators.VectorOps.docVectors(spark, dir)
+        val asg = graft.operators.VectorOps.kmFitSampled(v, k, baseDocs, intValued = true)
+        val ids = asg.select(col("cell"), col("vec_id"))
+        val pairs = ids.as("a").join(ids.as("b"),
+          col("a.cell") === col("b.cell") &&
+            col("a.vec_id") < col("b.vec_id")).count()
+        asg.unpersist()
+        pairs
+      }
+      results += Cell("q109_semdedup_sampled", nd, c109s, w109s)
+      println(s"scale ${mult}x done: " + results.takeRight(8).mkString(", "))
     }
 
     def exp(a: Cell, b: Cell): Double =
@@ -184,6 +210,14 @@ object ScalingWitness {
          |- q22/q51 count the CANDIDATE stage (bands → bucket-local
          |  self-join) — the stage that would go quadratic without
          |  banding; exact verification downstream is candidate-sized.
+         |- q22 appears twice: the fixed production setting (K=8,
+         |  4 bands × 2 rows — the oracle-pinned q21/q22 surface),
+         |  and `q22_minhash_scaled`, the deployment dial where rows
+         |  per band grow with log₂ n (2 rows at 1×, 3 at 10×, the
+         |  signature widening to keep 4 bands) so per-band
+         |  false-collision probability s₀^r shrinks ~1/n and the
+         |  bucket join's key populations stay bounded as the corpus
+         |  grows — the q51 band-width path applied to MinHash.
          |- q51 appears twice: at the FIXED production band width
          |  (16-bit bands, 65,536 buckets) birthday cross-collisions
          |  grow ~n²/buckets, so its exponent drifts above 1 once n
@@ -212,10 +246,15 @@ object ScalingWitness {
          |- q109's WALL exponent is the flat Lloyd fit at K ∝ N:
          |  assignment work is N·K per round, so the fit itself is
          |  superlinear even though the pair scope (the dedup stage's
-         |  real cost driver) measures ~1. The production fit trains
-         |  on a fixed-size sample and runs ONE assignment pass over
-         |  the corpus (linear); the witness keeps the flat fit so the
-         |  number is the worst case, not the tuned one.
+         |  real cost driver) measures ~1. `q109_semdedup_sampled` is
+         |  the MEASURED production path (the r12 ask): Lloyd trains
+         |  on a fixed-size sample (the base corpus size at both
+         |  scales) and the frozen centroids assign the full corpus in
+         |  ONE pass — the iterative N·K·R cost drops to sample·K·R
+         |  plus a single N·K broadcast-assign scan. At K ∝ N that
+         |  scan's FLOP count still grows N·K; past this witness's top
+         |  scale the assignment itself moves onto the SRP-bucketed
+         |  centroid probe (the q52 path) to stay linear.
          |- Walls include each stage's one-time artifact builds
          |  (tokenize, minhash chains, Lloyd fit) — the honest
          |  end-to-end cost at that scale on this host; a contended

@@ -6,7 +6,9 @@ import org.apache.spark.sql.functions._
 /** Behavioral pins for the round-12 additions beyond their oracle
   * hashes: q158's C4 line-cleaning rules on planted lines (one line
   * per rule, reason accounting exactly one per dropped line, C4's
-  * 3-line page gate). */
+  * 3-line page gate), and q160's Gopher repetition battery (exact
+  * stats on a planted repeated line, the 0.20 top-2-gram boundary,
+  * clean/degenerate docs unflagged). */
 class Round12OpsSpec extends SparkSpec {
   import spark.implicits._
 
@@ -55,5 +57,44 @@ class Round12OpsSpec extends SparkSpec {
     assert(m(1L).getBoolean(m(1L).fieldIndex("doc_kept")))
     assert(m(1L).getLong(m(1L).fieldIndex("kept_tokens")) == 30L)
     assert(!m(2L).getBoolean(m(2L).fieldIndex("doc_kept")))
+  }
+
+  // ---- q160: the Gopher repetition battery -------------------------
+
+  test("q160: a thrice-repeated line trips the battery with exact stats") {
+    // 3 identical 10-token lines: dup_line_frac = 2/3; every 5-gram
+    // position repeats (period 10 < window span), so the dup-5-gram
+    // share clamps to 1; the top 2-gram covers exactly 3*2/30 = 0.2
+    // of tokens — NOT strictly over Gopher's 0.20 bound (boundary pin)
+    val text = Seq(keptLine, keptLine, keptLine).mkString(" ")
+    val dir = docsDir(Seq((1L, text, "en", "s", 1L)))
+    val r = CorpusOps.gopherRepetitionOver(Tables.t(spark, dir, "documents")).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(row.fieldIndex("n_tokens")) == 30L)
+    assert(row.getLong(row.fieldIndex("n_lines")) == 3L)
+    assert(row.getDouble(row.fieldIndex("dup_line_frac")) == 0.666667)
+    assert(row.getDouble(row.fieldIndex("top_2gram_frac")) == 0.2)
+    assert(row.getDouble(row.fieldIndex("dup_5gram_frac")) == 1.0)
+    assert(row.getBoolean(row.fieldIndex("repetitive")))
+  }
+
+  test("q160: an all-distinct doc passes clean; a 1-token doc degrades to zeros") {
+    val clean = (0 until 50).map(i => s"w$i").mkString(" ")
+    val dir = docsDir(Seq((1L, clean, "en", "s", 1L), (2L, "solo", "en", "s", 1L)))
+    val m = CorpusOps.gopherRepetitionOver(Tables.t(spark, dir, "documents"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val c = m(1L)
+    assert(c.getLong(c.fieldIndex("n_lines")) == 5L)
+    assert(c.getDouble(c.fieldIndex("dup_line_frac")) == 0.0)
+    assert(c.getDouble(c.fieldIndex("top_4gram_frac")) == 0.08)
+    assert(c.getDouble(c.fieldIndex("dup_5gram_frac")) == 0.0)
+    assert(!c.getBoolean(c.fieldIndex("repetitive")))
+    val s = m(2L) // no n-gram of any order exists: every share is 0
+    assert(s.getLong(s.fieldIndex("n_tokens")) == 1L)
+    assert(s.getDouble(s.fieldIndex("dup_line_frac")) == 0.0)
+    assert(s.getDouble(s.fieldIndex("top_2gram_frac")) == 0.0)
+    assert(s.getDouble(s.fieldIndex("dup_5gram_frac")) == 0.0)
+    assert(!s.getBoolean(s.fieldIndex("repetitive")))
   }
 }

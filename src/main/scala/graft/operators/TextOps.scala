@@ -532,6 +532,10 @@ object TextOps extends QueryModule {
       .select(col("doc_id").as("a"), col("s"))
   }
 
+  /** tools.ContainSkewLab's window into the private candidate join. */
+  private[graft] def candidatesFromProbesForLab(probes: DataFrame,
+      sh: DataFrame): DataFrame = candidatesFromProbes(probes, sh)
+
   /** Candidate pairs from a (stored or freshly built) probe set: each
     * probe row joins the shingle index on its key; a pair survives
     * when ≥ half of a's probes hit b. */

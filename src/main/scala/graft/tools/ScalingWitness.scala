@@ -60,7 +60,17 @@ object ScalingWitness {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
-  case class Cell(op: String, scale: Long, count: Long, wall: Double)
+  /** The Bench calibration spin, run before each cell: the r12 first
+    * witness run landed its whole 1× phase in a host contention burst
+    * and produced NEGATIVE wall exponents (1× walls 3-5× inflated);
+    * recording the spin beside every wall makes that failure mode
+    * visible in the artifact instead of silently corrupting the
+    * exponents. Walls are only comparable when the two cells' cals
+    * agree (~0.3-0.4 s clean on 32 threads). */
+  private def cal(): Double = graft.Bench.calibrationSpin()
+
+  case class Cell(op: String, scale: Long, count: Long, wall: Double,
+    cal: Double)
 
   def main(args: Array[String]): Unit = {
     val baseDocs = args.lift(0).map(_.toLong).getOrElse(50000L)
@@ -75,7 +85,32 @@ object ScalingWitness {
 
     val results = collection.mutable.ArrayBuffer.empty[Cell]
 
+    /** Run one stage behind a bounded wait-for-clean-window (the
+      * Bench retry rule): the spin must read near the host's clean
+      * floor (~0.3-0.4 s) before the stage starts, so a contention
+      * burst delays the measurement instead of corrupting it. The
+      * spin that opened the window rides into the table. */
+    var cellRuns = 2
+    def addCell(op: String, scale: Long)(body: => Long): Unit = {
+      var c0 = cal()
+      var tries = 0
+      while (c0 > 0.5 && tries < 18) { Thread.sleep(10000); c0 = cal(); tries += 1 }
+      // min-of-N (the Bench timeit rule), N=4 at the cheap 1× scale,
+      // 2 at 10×: a stage's FIRST execution at scale pays JIT +
+      // heap-growth costs the steady state never sees again —
+      // tools.ContainSkewLab measured the q137 boilerplate probe
+      // build at 58-75 s first run vs 7 s warm in the same session —
+      // and this host's ambient bursts are invisible to the ALU spin
+      // (memory-bandwidth neighbors), so a burst spanning one run
+      // must not own the cell; min over more samples only improves.
+      val samples = (1 to cellRuns).map(_ => timed(body))
+      require(samples.map(_._1).distinct.size == 1,
+        s"$op nondeterministic: ${samples.map(_._1)}")
+      results += Cell(op, scale, samples.head._1, samples.map(_._2).min, c0)
+    }
+
     for (mult <- Seq(1L, 10L)) {
+      cellRuns = if (mult == 1L) 4 else 2
       val nd = baseDocs * mult
       val nv = baseVecs * mult
       // materialize the corpora to parquet so every stage reads the
@@ -86,19 +121,17 @@ object ScalingWitness {
 
       // q22: MinHash-LSH band candidates
       val dtab = spark.read.parquet(s"$dir/documents.parquet")
-      val (c22, w22) = timed(graft.operators.TextOps
+      addCell("q22_minhash_lsh_candidates", nd)(graft.operators.TextOps
         .candidatePairsOver(graft.operators.TextOps.bandsOver(
           dtab.select(col("doc_id"), col("text")))).count())
-      results += Cell("q22_minhash_lsh_candidates", nd, c22, w22)
       // the r12 scale dial: rows-per-band grow with log₂ n (2 at 1×,
       // 3 at 10× — the q51 band-width path applied to MinHash), so
       // per-band false-collision probability shrinks ~1/n and the
       // bucket join's key populations stay bounded
       val rpb = if (mult == 1L) 2 else 3
-      val (c22w, w22w) = timed(graft.operators.TextOps
+      addCell("q22_minhash_scaled", nd)(graft.operators.TextOps
         .candidatePairsOver(graft.operators.TextOps.bandsOverScaled(
           dtab.select(col("doc_id"), col("text")), rpb)).count())
-      results += Cell("q22_minhash_scaled", nd, c22w, w22w)
 
       // q51: SRP-LSH band candidates over the embeddings — measured at
       // the fixed production band width (16 bits -> 65,536 buckets per
@@ -107,13 +140,11 @@ object ScalingWitness {
       // the widened setting the scale path prescribes (buckets ∝ n:
       // 24-bit bands at 10× hold collisions linear)
       val etab = spark.read.parquet(s"$dir/embeddings.parquet")
-      val (c51, w51) = timed(graft.operators.VectorOps
+      addCell("q51_srp_lsh_candidates", nv)(graft.operators.VectorOps
         .srpCandidatesOver(graft.operators.VectorOps.srpBandsOver(etab)).count())
-      results += Cell("q51_srp_lsh_candidates", nv, c51, w51)
       val rows = if (mult == 1L) 16 else 24
-      val (c51w, w51w) = timed(graft.operators.VectorOps
+      addCell("q51_srp_buckets_scaled", nv)(graft.operators.VectorOps
         .srpCandidatesOver(graft.operators.VectorOps.srpBandsOver(etab, rows)).count())
-      results += Cell("q51_srp_buckets_scaled", nv, c51w, w51w)
 
       // q137: containment probe candidates — bottom-k shingle probes
       // vs the full shingle index behind the probe-side df stoplist.
@@ -127,29 +158,35 @@ object ScalingWitness {
           graft.functions.TextFunctions.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
           explode(graft.functions.TextFunctions.shinglesOf(col("toks"))).as("s"))
-      val (c137, w137) = timed(graft.operators.TextOps
+      addCell("q137_containment_candidates", nd)(graft.operators.TextOps
         .containmentCandidatesOver(shOf(dtab)).count())
-      results += Cell("q137_containment_candidates", nd, c137, w137)
       val boiler = dtab.withColumn("text",
         concat(lit("b0 b1 b2 b3 "), col("text")))
-      val (c137b, w137b) = timed(graft.operators.TextOps
+      addCell("q137_containment_boilerplate", nd)(graft.operators.TextOps
         .containmentCandidatesOver(shOf(boiler)).count())
-      results += Cell("q137_containment_boilerplate", nd, c137b, w137b)
 
       // q105: the full incremental ingest dedup query on the dir
-      // (stored-band probe + exact verify + decisions)
-      val (c105, w105) = timed(graft.SparkEntry
-        .queries("q105_incremental_dedup")(spark, dir).count())
-      results += Cell("q105_incremental_dedup_rows", nd, c105, w105)
+      // (stored-band probe + exact verify + decisions). Each timing
+      // runs against a FRESH symlink alias of the dir (the Bench
+      // prep-retime trick): q105's stored index is a session memo
+      // keyed on the dir string, so a bare second run would time a
+      // cache hit instead of the whole query.
+      addCell("q105_incremental_dedup_rows", nd) {
+        val aliasRoot = java.nio.file.Files.createTempDirectory("scaling_alias")
+        val alias = aliasRoot.resolve("sf").toString
+        java.nio.file.Files.createSymbolicLink(
+          java.nio.file.Paths.get(alias), java.nio.file.Paths.get(dir))
+        graft.SparkEntry.queries("q105_incremental_dedup")(spark, alias).count()
+      }
 
       // q109: SemDeDup pair scope with K ∝ N (the paper's recipe —
       // fixed K makes within-cell pairs quadratic BY DESIGN; the scale
       // path grows the cell count with the corpus). Count the actual
       // within-cell candidate pairs the dedup stage would score.
       val k = (64L * mult).toInt
-      val (c109, w109) = timed {
+      addCell("q109_semdedup_cell_pairs", nd) {
         val v = graft.operators.VectorOps.docVectors(spark, dir)
-        val (asg, cents) = graft.operators.VectorOps.kmFitFull(v, k, intValued = true)
+        val (asg, _) = graft.operators.VectorOps.kmFitFull(v, k, intValued = true)
         val ids = asg.select(col("cell"), col("vec_id"))
         val pairs = ids.as("a").join(ids.as("b"),
           col("a.cell") === col("b.cell") &&
@@ -157,14 +194,13 @@ object ScalingWitness {
         asg.unpersist()
         pairs
       }
-      results += Cell("q109_semdedup_cell_pairs", nd, c109, w109)
 
       // q109 PRODUCTION fit (the r12 ask): Lloyd on a FIXED-size
       // sample (the base corpus size at both scales), then ONE
       // frozen-centroid assignment pass over the full corpus — the
       // SemDeDup/FAISS deployment recipe. Same K ∝ N cell budget and
       // the same within-cell pair count downstream.
-      val (c109s, w109s) = timed {
+      addCell("q109_semdedup_sampled", nd) {
         val v = graft.operators.VectorOps.docVectors(spark, dir)
         val asg = graft.operators.VectorOps.kmFitSampled(v, k, baseDocs, intValued = true)
         val ids = asg.select(col("cell"), col("vec_id"))
@@ -174,7 +210,6 @@ object ScalingWitness {
         asg.unpersist()
         pairs
       }
-      results += Cell("q109_semdedup_sampled", nd, c109s, w109s)
       println(s"scale ${mult}x done: " + results.takeRight(8).mkString(", "))
     }
 
@@ -186,7 +221,7 @@ object ScalingWitness {
     val ops = results.map(_.op).distinct
     val lines = ops.map { op =>
       val Seq(a, b) = results.filter(_.op == op).toSeq
-      f"| $op | ${a.scale}%,d | ${a.count}%,d | ${a.wall}%.1f | ${b.scale}%,d | ${b.count}%,d | ${b.wall}%.1f | ${exp(a, b)}%.2f | ${wexp(a, b)}%.2f |"
+      f"| $op | ${a.scale}%,d | ${a.count}%,d | ${a.wall}%.1f | ${a.cal}%.2f | ${b.scale}%,d | ${b.count}%,d | ${b.wall}%.1f | ${b.cal}%.2f | ${exp(a, b)}%.2f | ${wexp(a, b)}%.2f |"
     }
     // table rows are spliced AFTER stripMargin (their leading '|' is
     // markdown, not a margin — stripMargin would eat it)
@@ -202,8 +237,8 @@ object ScalingWitness {
          |claim), ~2 = quadratic (the failure mode the band/bucket
          |designs exist to avoid).
          |
-         || stage | N | candidates | wall s | 10N | candidates | wall s | count exp | wall exp |
-         ||---|---|---|---|---|---|---|---|---|
+         || stage | N | candidates | wall s | cal | 10N | candidates | wall s | cal | count exp | wall exp |
+         ||---|---|---|---|---|---|---|---|---|---|---|
          |TABLE_ROWS_PLACEHOLDER
          |
          |Notes:
@@ -258,7 +293,17 @@ object ScalingWitness {
          |- Walls include each stage's one-time artifact builds
          |  (tokenize, minhash chains, Lloyd fit) — the honest
          |  end-to-end cost at that scale on this host; a contended
-         |  host inflates walls, not counts.
+         |  host inflates walls, not counts. Each cell records the
+         |  calibration spin (`cal`, ~0.3-0.4 s clean at 32 threads)
+         |  that opened its bounded wait-for-clean-window; a wall is
+         |  only trustworthy when both cells' cals sit near the
+         |  floor. Walls are min-of-N (the bench's timeit rule; N=4
+         |  at 1×, 2 at 10×): a plan's FIRST execution at scale pays
+         |  JIT + heap-growth costs the steady state never repays —
+         |  measured 58-75 s first run vs 7 s warm on the q137
+         |  boilerplate probe build (tools.ContainSkewLab) — and this
+         |  host's ambient bursts are invisible to the ALU spin, so
+         |  one burst-owned run must not own a cell.
          |- Top scale = 500k docs / 200k vectors — 100× the sf0.1
          |  bench corpus documents table.
          |""".stripMargin

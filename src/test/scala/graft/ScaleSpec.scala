@@ -223,6 +223,79 @@ class ScaleSpec extends SparkSpec {
       f"within-cluster pair scope ${pairScope / (total * total)}%.3f of all-pairs — clustering is not bounding the quadratic")
   }
 
+  test("sampled-fit k-means (q109 production path) keeps the planted partition pure") {
+    // the r12 scale path: Lloyd trains on a FIXED-size sample, the
+    // frozen centroids assign the full corpus in one pass. With the
+    // id % nC layout the half-corpus sample covers every planted
+    // cluster (and the first-nC init seeds one member per cluster),
+    // so the one-pass assignment must still put each planted
+    // cluster's members into one pure cell — the invariant SemDeDup's
+    // within-cell pair scope depends on.
+    val nC = 10
+    val n = 400
+    def mix(x: Long): Long = {
+      var z = x + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val rows = (0 until n).map { i =>
+      val c = i % nC
+      val v = (0 until 64).map { d =>
+        val m = mix(c.toLong * 64 + d)
+        val amp = (1.0 + ((m >>> 10) & 3) * 0.25) *
+          (if (((m >>> 13) & 1) == 0) 1.0 else -1.0)
+        val center = if (((m >>> 7) & 7) == 0) amp else 0.0
+        center + (mix(i.toLong * 7919 + d) % 1009) * 2e-5
+      }.toArray
+      (i.toLong, v, c)
+    }
+    val base = rows.toDF("vec_id", "e", "planted")
+      .withColumn("norm2", graft.plans.DotProduct.dot_product(col("e"), col("e")))
+    val fit = graft.operators.VectorOps.kmFitSampled(
+      base.select("vec_id", "e", "norm2"), nC, sampleN = n / 2, intValued = false)
+    val asg = fit.select(col("vec_id"), col("cell"))
+      .join(rows.toDF("vec_id", "e", "planted").select("vec_id", "planted"), "vec_id")
+    val cells = asg.groupBy(col("cell"), col("planted")).count().collect()
+    assert(cells.map(_.getAs[Long]("cell")).distinct.length == nC,
+      "sampled fit lost cells on a well-separated fixture")
+    assert(cells.groupBy(_.getAs[Long]("cell")).forall(_._2.length == 1),
+      "a sampled-fit cell mixes planted clusters")
+    fit.unpersist()
+  }
+
+  test("MinHash scale dial (bandsOverScaled): wider bands keep recall, never add candidates") {
+    // the r12 q22 dial: rows-per-band 3 (signature widened to 12, 4
+    // bands kept). On the clustered fixture within-cluster Jaccard is
+    // ~0.8, so 3-row bands still catch essentially every cluster
+    // (J³ ≈ 0.5 per band, 4 bands), while unrelated docs' per-band
+    // collision odds drop with the extra row — the dial must not
+    // DISCOVER candidates the production setting misses en masse.
+    val clusterSize = 5
+    def docs(n: Int) = {
+      val rows = (0 until n).map { i =>
+        val c = i / clusterSize
+        val text = (0 until 30).map(j =>
+          s"t${c}x${if (j == (i % clusterSize) * 6) s"v$i" else j.toString}").mkString(" ")
+        (i.toLong, text)
+      }
+      rows.toDF("doc_id", "text")
+    }
+    def pairsAt(n: Int, scaled: Boolean): Long = graft.operators.TextOps
+      .candidatePairsOver(
+        if (scaled) graft.operators.TextOps.bandsOverScaled(docs(n), rowsPerBand = 3)
+        else graft.operators.TextOps.bandsOver(docs(n))).count()
+    val prod = pairsAt(400, scaled = false)
+    val dial = pairsAt(400, scaled = true)
+    assert(dial >= 400 / clusterSize, s"scaled-band candidates implausibly few: $dial")
+    assert(dial >= (prod * 8) / 10 && dial <= prod + prod / 20,
+      s"scaled dial should trade a little recall for tighter buckets: prod=$prod dial=$dial")
+    // and the dial's growth stays ~linear like the production row
+    val dial10 = pairsAt(4000, scaled = true)
+    assert(dial10 <= 20 * dial,
+      s"scaled-band candidate growth super-linear: $dial -> $dial10 at 10× data")
+  }
+
   test("salted join == plain join on a skewed fact") {
     // 90% of fact rows hit one key — the classic hot-key shape
     val fact = (1 to 10000).map(i =>

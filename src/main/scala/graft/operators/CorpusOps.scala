@@ -1359,6 +1359,72 @@ object CorpusOps extends QueryModule {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q161: lexical diversity ----------------------------------------
+
+  /** q161 — per-doc lexical diversity: unigram Shannon entropy (nats),
+    * type-token ratio, and hapax-legomenon fraction — the standard
+    * trio distinguishing natural text (entropy near ln of the doc's
+    * effective vocabulary, TTR well below 1, a healthy hapax tail)
+    * from template spam (low entropy, tiny TTR) and id-like noise
+    * (TTR → 1 with no repeated structure); complements q160's
+    * repetition battery from the distributional side.
+    *
+    * Parity: H = ln n − (Σ c·ln c)/n with each ln on an EXACT integer
+    * snapped 6-dp (the q134 libm rule), so every c·ln(c) term is an
+    * exact 6-dp rational; folding through DECIMAL(38,6) is exact and
+    * order-independent, and its double conversion is safe while
+    * Σ c·ln c < 2^53/10^6 ≈ 9e9 — a ~6×10^8-token single document,
+    * far past any real doc. The remaining steps are single IEEE ops
+    * on identical doubles, snapped 6-dp at the output.
+    *
+    * Scale: one (doc, token) count, one per-doc rollup — two hash
+    * aggregations keyed on doc-prefixed keys, no window, no join. */
+  def lexicalDiversity(s: SparkSession, dir: String): DataFrame =
+    lexicalDiversityOver(Tables.t(s, dir, "documents"))
+
+  private[graft] def lexicalDiversityOver(docs: DataFrame): DataFrame = {
+    import graft.util.Parity.snapRound
+    val tokc = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    tokc.groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum((col("c").cast(DoubleType) * snapRound(log(col("c").cast(DoubleType)), 6))
+          .cast(DecimalType(38, 6))).cast(DoubleType).as("sum_clnc"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        snapRound(snapRound(log(col("n_tokens").cast(DoubleType)), 6) -
+          col("sum_clnc") / col("n_tokens"), 6).as("entropy"),
+        snapRound(col("n_types").cast(DoubleType) / col("n_tokens"), 6).as("ttr"),
+        snapRound(col("n_hapax").cast(DoubleType) / col("n_tokens"), 6).as("hapax_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val lexicalDiversitySql = {
+    import graft.util.Parity.snapRoundSql
+    val lnC = snapRoundSql("ln(CAST(c AS DOUBLE))", 6)
+    val lnN = snapRoundSql("ln(CAST(n_tokens AS DOUBLE))", 6)
+    s"""WITH ldt AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |ldp AS (SELECT doc_id, unnest(ts) AS tok FROM ldt),
+       |ldc AS (SELECT doc_id, tok, CAST(count(1) AS BIGINT) AS c
+       |        FROM ldp GROUP BY 1, 2),
+       |lda AS (
+       |  SELECT doc_id,
+       |         CAST(sum(c) AS BIGINT) AS n_tokens,
+       |         CAST(count(1) AS BIGINT) AS n_types,
+       |         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       |         CAST(sum(CAST(CAST(c AS DOUBLE) * $lnC AS DECIMAL(38,6))) AS DOUBLE) AS sum_clnc
+       |  FROM ldc GROUP BY 1)
+       |SELECT doc_id, n_tokens, n_types, n_hapax,
+       |       ${snapRoundSql(s"$lnN - sum_clnc / n_tokens", 6)} AS entropy,
+       |       ${snapRoundSql("CAST(n_types AS DOUBLE) / n_tokens", 6)} AS ttr,
+       |       ${snapRoundSql("CAST(n_hapax AS DOUBLE) / n_tokens", 6)} AS hapax_frac
+       |FROM lda
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---- q63: vocabulary -------------------------------------------
 
   /** q63 — corpus vocabulary, top 500 tokens by total occurrences
@@ -2547,6 +2613,7 @@ object CorpusOps extends QueryModule {
     "q152_span_excision" -> spanExcision,
     "q158_line_clean" -> lineClean,
     "q160_gopher_repetition" -> gopherRepetition,
+    "q161_lexical_diversity" -> lexicalDiversity,
     "q146_training_manifest" -> trainingManifest,
     "q92_oov_profile" -> oovProfile,
     "q65_lang_source_matrix" -> langSourceMatrix,
@@ -2579,6 +2646,7 @@ object CorpusOps extends QueryModule {
     "q152_span_excision" -> spanExcisionSql,
     "q158_line_clean" -> lineCleanSql,
     "q160_gopher_repetition" -> gopherRepetitionSql,
+    "q161_lexical_diversity" -> lexicalDiversitySql,
     "q146_training_manifest" -> trainingManifestSql,
     "q92_oov_profile" -> oovProfileSql,
     "q65_lang_source_matrix" -> langSourceMatrixSql,

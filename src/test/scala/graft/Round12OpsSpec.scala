@@ -97,4 +97,23 @@ class Round12OpsSpec extends SparkSpec {
     assert(s.getDouble(s.fieldIndex("dup_5gram_frac")) == 0.0)
     assert(!s.getBoolean(s.fieldIndex("repetitive")))
   }
+
+  // ---- q161: lexical diversity --------------------------------------
+
+  test("q161: entropy/TTR/hapax take their exact closed-form values") {
+    val dir = docsDir(Seq(
+      (1L, "x y z", "en", "s", 1L), // all-distinct: H = ln 3, TTR = hapax = 1
+      (2L, "a a a a", "en", "s", 1L), // one type: H = 0 exactly
+      (3L, "a a b b c c d d", "en", "s", 1L))) // 4 types × 2: H = ln 8 − ln 2
+    val m = CorpusOps.lexicalDiversityOver(Tables.t(spark, dir, "documents"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def d(id: Long, f: String) = m(id).getDouble(m(id).fieldIndex(f))
+    assert(d(1L, "entropy") == 1.098612)
+    assert(d(1L, "ttr") == 1.0 && d(1L, "hapax_frac") == 1.0)
+    assert(d(2L, "entropy") == 0.0)
+    assert(d(2L, "ttr") == 0.25 && d(2L, "hapax_frac") == 0.0)
+    assert(d(3L, "entropy") == 1.386295) // snapped ln 8 − ln 2 at 6 dp
+    assert(d(3L, "ttr") == 0.5 && d(3L, "hapax_frac") == 0.0)
+    assert(m(3L).getLong(m(3L).fieldIndex("n_hapax")) == 0L)
+  }
 }

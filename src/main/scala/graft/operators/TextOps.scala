@@ -904,7 +904,8 @@ object TextOps extends QueryModule {
     * where interpolated quantiles differ in the last ulp whenever the
     * cut falls between two distinct values. Scale: one window
     * partitioned by source (the corpus shuffles once on source — at
-    * heavy skew, pre-aggregate score histograms instead), then a tiny
+    * heavy skew, q162 qualityGateHist IS the pre-aggregated-histogram
+    * path: value-lattice-bounded windows, built r12), then a tiny
     * rollup. Reuses q26's exact scored frame — one definition of
     * quality. */
   def qualityGate(s: SparkSession, dir: String): DataFrame = {
@@ -933,6 +934,90 @@ object TextOps extends QueryModule {
        |FROM r
        |GROUP BY 1, 2
        |ORDER BY source, quartile""".stripMargin
+
+  // ---- q162: quality gate via exact per-source histograms -----------
+
+  /** q162 — the heavy-skew scale path q77's scaladoc names but never
+    * built ("at heavy skew, pre-aggregate score histograms instead"),
+    * completing the r12 q95→q159 pattern for the OTHER ntile watch
+    * item: per-source VALUE-quantile cutpoints from the exact score
+    * histogram, and the "drop strictly below the bottom-quartile
+    * value" verdict. quality is a 2-dp-snapped score in [0, 100], so
+    * the (source, quality) histogram is bounded by the value lattice
+    * (≤ 10,001 rows per source) REGARDLESS of document count — the
+    * per-source cumulative window runs over histogram rows, never
+    * documents, and no source's documents ever funnel through one
+    * task the way q77's per-source ntile sort does on a dominant
+    * source. Nearest-rank on values (v_p = smallest value with
+    * cum ≥ ⌈p·n⌉) also makes the gate tie-safe: equal scores land on
+    * one side of the cut together, where ntile splits ties across
+    * quartiles by doc_id. Parity: counts and cumulative sums exact
+    * integers, cut values exact 2-dp doubles, one snapped division.
+    * Scale: two hash aggs keyed (source, quality) with map-side
+    * combine, a lattice-bounded window, source-cardinality joins. */
+  def qualityGateHist(s: SparkSession, dir: String): DataFrame = {
+    val scored = qualityScore(s, dir).select(col("doc_id"), col("quality"))
+    val src = Tables.t(s, dir, "documents").select(col("doc_id"), col("source"))
+    qualityGateHistOver(scored.join(src, "doc_id"))
+  }
+
+  /** The histogram gate over any (source, quality) frame — the spec's
+    * seam for exact-cutpoint and tie-safety fixtures. */
+  private[graft] def qualityGateHistOver(sq: DataFrame): DataFrame = {
+    val hist = sq
+      .groupBy(col("source"), col("quality")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("source")).orderBy(col("quality"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // explicit broadcasts: every build side below is source-cardinality
+    // (n_docs totals, cutpoint rows, drop counts) — Catalyst's size
+    // estimate for aggregate-derived frames exceeds the auto threshold
+    // and would sort-merge the lattice frame instead
+    val cum = hist.withColumn("cum", sum(col("c")).over(w))
+      .join(broadcast(hist.groupBy(col("source")).agg(sum(col("c")).as("n_docs"))),
+        "source")
+    def vAt(p: Double): org.apache.spark.sql.Column =
+      min(when(col("cum") >= ceil(lit(p) * col("n_docs")), col("quality")))
+    val cuts = cum.groupBy(col("source"), col("n_docs")).agg(
+      vAt(0.25).as("v25"), vAt(0.50).as("v50"), vAt(0.75).as("v75"))
+    val dropped = hist
+      .join(broadcast(cuts.select(col("source"), col("v25"))), "source")
+      .groupBy(col("source"))
+      .agg(sum(when(col("quality") < col("v25"), col("c")).otherwise(0L)).as("n_dropped"))
+    cuts.join(broadcast(dropped), "source")
+      .select(col("source"), col("n_docs"), col("v25"), col("v50"), col("v75"),
+        col("n_dropped"),
+        snapRound(col("n_dropped").cast(DoubleType) / col("n_docs"), 6).as("drop_frac"))
+      .orderBy(col("source"))
+  }
+
+  private def qualityGateHistSql: String = {
+    def vAt(p: String) =
+      s"min(CASE WHEN cum >= ceil($p * n_docs) THEN quality END)"
+    s"""WITH qgh_scored AS (SELECT doc_id, quality FROM ($qualityScoreSql)),
+       |qgh_hist AS (
+       |  SELECT d.source, s.quality, CAST(count(1) AS BIGINT) AS c
+       |  FROM qgh_scored s JOIN documents d ON s.doc_id = d.doc_id
+       |  GROUP BY 1, 2),
+       |qgh_cum AS (
+       |  SELECT source, quality, c,
+       |         CAST(sum(c) OVER (PARTITION BY source ORDER BY quality
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+       |         CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n_docs
+       |  FROM qgh_hist),
+       |qgh_cuts AS (
+       |  SELECT source, n_docs, ${vAt("0.25")} AS v25, ${vAt("0.50")} AS v50,
+       |         ${vAt("0.75")} AS v75
+       |  FROM qgh_cum GROUP BY 1, 2),
+       |qgh_drop AS (
+       |  SELECT h.source,
+       |         CAST(sum(CASE WHEN h.quality < k.v25 THEN h.c ELSE 0 END) AS BIGINT) AS n_dropped
+       |  FROM qgh_hist h JOIN qgh_cuts k ON h.source = k.source
+       |  GROUP BY 1)
+       |SELECT k.source, k.n_docs, k.v25, k.v50, k.v75, d.n_dropped,
+       |       ${snapRoundSql("CAST(d.n_dropped AS DOUBLE) / k.n_docs", 6)} AS drop_frac
+       |FROM qgh_cuts k JOIN qgh_drop d ON k.source = d.source
+       |ORDER BY k.source""".stripMargin
+  }
 
   // ---- q86: per-source distribution drift --------------------------
 
@@ -2117,6 +2202,7 @@ object TextOps extends QueryModule {
     "q26_text_quality" -> qualityScore,
     "q111_quality_budget" -> qualityBudget,
     "q77_quality_gate" -> qualityGate,
+    "q162_quality_gate_hist" -> qualityGateHist,
     "q86_source_drift" -> sourceDrift,
     "q27_token_count" -> tokenCount,
     "q28_fingerprint" -> fingerprint)
@@ -2168,6 +2254,7 @@ object TextOps extends QueryModule {
     "q26_text_quality" -> qualityScoreSql,
     "q111_quality_budget" -> qualityBudgetSql,
     "q77_quality_gate" -> qualityGateSql,
+    "q162_quality_gate_hist" -> qualityGateHistSql,
     "q86_source_drift" -> sourceDriftSql,
     "q27_token_count" -> tokenCountSql,
     "q28_fingerprint" -> fingerprintSql)

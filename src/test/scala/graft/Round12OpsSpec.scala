@@ -116,4 +116,25 @@ class Round12OpsSpec extends SparkSpec {
     assert(d(3L, "ttr") == 0.5 && d(3L, "hapax_frac") == 0.0)
     assert(m(3L).getLong(m(3L).fieldIndex("n_hapax")) == 0L)
   }
+
+  // ---- q162: histogram quality gate ---------------------------------
+
+  test("q162: nearest-rank value cutpoints and tie-safety on planted histograms") {
+    val sq = ((1 to 8).map(q => ("a", q.toDouble)) ++
+      (1 to 6).map(_ => ("b", 50.0))).toDF("source", "quality")
+    val m = graft.operators.TextOps.qualityGateHistOver(sq)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = m("a") // 8 distinct values 1..8: cuts at ranks 2/4/6
+    assert(a.getLong(a.fieldIndex("n_docs")) == 8L)
+    assert(a.getDouble(a.fieldIndex("v25")) == 2.0)
+    assert(a.getDouble(a.fieldIndex("v50")) == 4.0)
+    assert(a.getDouble(a.fieldIndex("v75")) == 6.0)
+    assert(a.getLong(a.fieldIndex("n_dropped")) == 1L) // only quality 1 < v25
+    assert(a.getDouble(a.fieldIndex("drop_frac")) == 0.125)
+    val b = m("b") // all-ties source: the gate drops NOTHING (ntile
+    // would split the tie across quartiles by doc_id)
+    assert(b.getDouble(b.fieldIndex("v25")) == 50.0)
+    assert(b.getLong(b.fieldIndex("n_dropped")) == 0L)
+    assert(b.getDouble(b.fieldIndex("drop_frac")) == 0.0)
+  }
 }

@@ -856,8 +856,12 @@ object TextOps extends QueryModule {
 
   /** q26 — document quality: length/punctuation/stopword components
     * with a weighted score. */
-  def qualityScore(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.t(s, dir, "documents")
+  def qualityScore(s: SparkSession, dir: String): DataFrame =
+    qualityScoreOver(Tables.t(s, dir, "documents"))
+
+  /** The scorer over any documents-shaped frame — the streaming
+    * ingest's seam (quality histograms maintained at ingest). */
+  private[graft] def qualityScoreOver(d: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val nTok = size(toks).cast(DoubleType)
     val nChars = length(col("text")).cast(DoubleType)
@@ -963,9 +967,17 @@ object TextOps extends QueryModule {
 
   /** The histogram gate over any (source, quality) frame — the spec's
     * seam for exact-cutpoint and tie-safety fixtures. */
-  private[graft] def qualityGateHistOver(sq: DataFrame): DataFrame = {
-    val hist = sq
-      .groupBy(col("source"), col("quality")).agg(count(lit(1)).as("c"))
+  private[graft] def qualityGateHistOver(sq: DataFrame): DataFrame =
+    qualityGateFromHist(
+      sq.groupBy(col("source"), col("quality")).agg(count(lit(1)).as("c")))
+
+  /** The gate from an ALREADY-AGGREGATED (source, quality, c)
+    * histogram — the streaming ingest's read path: per-batch partial
+    * histograms are mergeable by simple addition, so the stored rows
+    * sum into this exact frame (stream == batch by construction of
+    * the merge, proven by StreamingCorpusSpec). */
+  private[graft] def qualityGateFromHist(hist0: DataFrame): DataFrame = {
+    val hist = hist0
     val w = Window.partitionBy(col("source")).orderBy(col("quality"))
       .rowsBetween(Window.unboundedPreceding, 0)
     // explicit broadcasts: every build side below is source-cardinality

@@ -295,6 +295,18 @@ object StreamingPipeline {
     graft.operators.TextOps.bm25OverIndex(tf, stats, queries)
   }
 
+  /** The q162 quality gate over the STREAMING-maintained histogram:
+    * per-batch partial (source, quality) counts merge by addition
+    * into exactly the one-shot corpus histogram (StreamingCorpusSpec
+    * proves the gate equal under lopsided splits), so the per-source
+    * cutpoints and drop verdicts stay fresh AT INGEST from
+    * lattice-bounded stored rows — no corpus re-scan, no re-scoring. */
+  def qualityGateOverHist(store: graft.sources.LayerStore): DataFrame =
+    graft.operators.TextOps.qualityGateFromHist(
+      store.table("silver", "corpus_quality_hist")
+        .groupBy(col("source"), col("quality"))
+        .agg(sum(col("c")).as("c")))
+
   /** One micro-batch of the corpus ingest — also the batch-mode entry
     * (the spec's single-shot twin; batch callers supply their own
     * monotonically increasing batchId). Decisions MATERIALIZE before
@@ -336,11 +348,12 @@ object StreamingPipeline {
           store.overwriteMatching("silver", t,
             store.table("silver", t).limit(0), Seq("doc_id"),
             batch.select(col("doc_id")))
-        // the stats table is batch-keyed, not doc-keyed
-        if (store.exists("silver", "corpus_index_stats"))
-          store.overwriteKeys("silver", "corpus_index_stats",
-            store.table("silver", "corpus_index_stats").limit(0),
-            "batch_id", Seq(batchId))
+        // the stats + quality-histogram tables are batch-keyed, not
+        // doc-keyed
+        for (t <- Seq("corpus_index_stats", "corpus_quality_hist")
+             if store.exists("silver", t))
+          store.overwriteKeys("silver", t,
+            store.table("silver", t).limit(0), "batch_id", Seq(batchId))
       }
       store.append("silver", CommitsTable,
         Seq((batchId, "intent", maxId)).toDF("batch_id", "phase", "max_doc_id"))
@@ -381,6 +394,21 @@ object StreamingPipeline {
             .cast(org.apache.spark.sql.types.LongType)), lit(0L)).as("total_dl"))
           .select(lit(batchId).as("batch_id"), col("n_docs"), col("total_dl"))
         store.append("silver", "corpus_index_stats", st)
+        // keep the q162 quality gate fresh: accepted docs' per-(source,
+        // quality) partial histogram appends batch-keyed (histograms
+        // merge by ADDITION, so the stored rows sum to exactly the
+        // one-shot corpus histogram under any micro-batch split — the
+        // same mergeable-state argument as the A-ES sample). A
+        // source-less input (the minimal ingest contract is (doc_id,
+        // text)) degrades to one 'all' bucket rather than failing.
+        val srcCol = if (batchRaw.columns.contains("source"))
+          col("source") else lit("all")
+        val hist = TextOps.qualityScoreOver(acceptedDocs)
+          .select(col("doc_id"), col("quality"))
+          .join(batchRaw.select(col("doc_id"), srcCol.as("source")), "doc_id")
+          .groupBy(col("source"), col("quality")).agg(count(lit(1)).as("c"))
+          .select(lit(batchId).as("batch_id"), col("source"), col("quality"), col("c"))
+        store.append("silver", "corpus_quality_hist", hist)
         store.append("silver", CommitsTable,
           Seq((batchId, "done", maxId)).toDF("batch_id", "phase", "max_doc_id"))
       } finally { dec.unpersist(); () }  // drops the checkpoint blocks

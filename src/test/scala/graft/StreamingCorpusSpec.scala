@@ -67,6 +67,41 @@ class StreamingCorpusSpec extends SparkSpec {
       s"split-dependent state: one=$oneShot each=$perDoc lop=$lopsided")
   }
 
+  test("quality-gate histogram merges to the one-shot q162 gate under any split") {
+    import org.apache.spark.sql.functions.col
+    // source-bearing corpus: 12 distinct docs of varied length (all
+    // accepted, quality varies with token count), plus doc 13 — a
+    // cross-batch duplicate of doc 1 that must stay OUT of the gate
+    val sdocs = (1 to 12).map { i =>
+      (i.toLong, (0 until (5 + i * 3)).map(j => s"s${i}w$j").mkString(" "),
+        if (i % 2 == 0) "web" else "code")
+    } :+ ((13L, (0 until 8).map(j => s"s1w$j").mkString(" "), "web"))
+    def sdf(ids: Seq[Long]) = sdocs.filter(d => ids.contains(d._1))
+      .toDF("doc_id", "text", "source")
+    def gateRows(splits: Seq[Seq[Long]], tag: String): Seq[String] = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-qhist-$tag").toString
+      val store = new graft.sources.LayerStore(spark, s"$dir/store")
+      splits.zipWithIndex.foreach { case (ids, i) =>
+        StreamingPipeline.ingestCorpusBatch(sdf(ids), store, i.toLong) }
+      StreamingPipeline.qualityGateOverHist(store)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    val all = (1L to 13L).map(Seq(_)) // one doc per micro-batch
+    val even = gateRows(Seq((1L to 5L), (6L to 9L), (10L to 13L)), "even")
+    val perDoc = gateRows(all, "each")
+    assert(even == perDoc, s"split-dependent gate: even=$even each=$perDoc")
+    // == the batch q162 gate over exactly the ACCEPTED docs' scores
+    val acc = sdf((1L to 12L))
+    val batchGate = graft.operators.TextOps.qualityGateHistOver(
+      graft.operators.TextOps.qualityScoreOver(acc)
+        .select(col("doc_id"), col("quality"))
+        .join(acc.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"), col("quality")))
+      .collect().map(_.toString).sorted.toSeq
+    assert(even == batchGate,
+      s"stream gate != one-shot batch gate:\n  stream=$even\n  batch=$batchGate")
+  }
+
   test("a re-delivered committed batch is skipped whole") {
     val dir = java.nio.file.Files.createTempDirectory("graft-corpus-replay").toString
     val store = new graft.sources.LayerStore(spark, s"$dir/store")

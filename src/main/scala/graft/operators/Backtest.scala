@@ -214,14 +214,31 @@ object Backtest extends QueryModule {
     * three pooled-AR driver fetches overlap instead of serializing. */
   private val metricsCache = new graft.util.Memo[(SparkSession, String), DataFrame](_._1.sparkContext.isStopped)
 
-  /** Build the backtest artifact eagerly (Bench prepare phase; runs
+  /** Build the backtest artifacts eagerly (Bench prepare phase; runs
     * after prep_demand_series, so the series artifacts it refits are
-    * already persisted). */
-  def prepareArtifacts(s: SparkSession, dir: String): Unit = { backtestMetrics(s, dir); () }
+    * already persisted). Builds BOTH stored tables of the family:
+    * gold.forecast_metrics and the champion selection derived from it
+    * (gold.model_selection) — r12's bench showed every champion
+    * consumer (q82/q90/q103) re-paying the selection window ~1.5-2 s
+    * per run because only the metrics frame was stored. */
+  def prepareArtifacts(s: SparkSession, dir: String): Unit = { championTable(s, dir); () }
 
-  /** Bench prep-hash probe: the stored backtest-metrics frame. */
+  /** Bench prep-hash probe: the stored backtest-metrics frame and the
+    * stored champion-selection table. */
   private[graft] def prepProbe(s: SparkSession, dir: String): Seq[DataFrame] =
-    Seq(backtestMetrics(s, dir))
+    Seq(backtestMetrics(s, dir), championTable(s, dir))
+
+  /** Session-lifetime champion-selection artifact — the stored
+    * gold.model_selection table (Pipeline.runGold writes the real
+    * thing): one row per backtested (granularity, level, entity_id)
+    * naming the measured-best model. q82 serves it, q90/q103 filter
+    * their dispatch artifacts by it. Entity-count-sized; coalesce(1)
+    * because consumers broadcast it. */
+  private val championCache = new graft.util.Memo[(SparkSession, String), DataFrame](_._1.sparkContext.isStopped)
+
+  private def championTable(s: SparkSession, dir: String): DataFrame =
+    championCache.getOrBuild((s, dir),
+      championOver(backtestMetrics(s, dir)).coalesce(1).localCheckpoint())
 
   private def backtestMetrics(s: SparkSession, dir: String): DataFrame =
     metricsCache.getOrBuild((s, dir), {
@@ -260,9 +277,14 @@ object Backtest extends QueryModule {
       // cached partitions, and consumers then pay ~500 task launches
       // per job over entity-count-sized data (parts are already
       // persisted here, so the collapse costs one cheap pass)
+      // eager localCheckpoint, not persist+count: same materialization
+      // barrier, but the memoized frame's plan becomes a LogicalRDD
+      // leaf — consumers (q79/q82/q83 and the champion build) stop
+      // re-paying Catalyst analysis of the 16-branch refit lineage on
+      // every run (measured ~1 s/run driver-side at sf0.1), matching
+      // the stored gold.forecast_metrics semantics.
       val flat = parts.flatten
-      val unioned = flat.reduce(_ unionByName _).coalesce(8).persist()
-      unioned.count()
+      val unioned = flat.reduce(_ unionByName _).coalesce(8).localCheckpoint()
       flat.foreach(_.unpersist())
       unioned
     })
@@ -377,10 +399,13 @@ object Backtest extends QueryModule {
       .orderBy(col("granularity"), col("level"), col("entity_id"))
   }
 
-  /** q82 — the champion-model selection over the stored backtest
-    * artifact. (granularity, level, entity_id) is the unique key. */
+  /** q82 — the champion-model selection: serves the STORED selection
+    * table (the orderBy re-asserts the output's total order — cache
+    * partition order is not a contract). (granularity, level,
+    * entity_id) is the unique key. */
   def modelSelection(s: SparkSession, dir: String): DataFrame =
-    championOver(backtestMetrics(s, dir))
+    championTable(s, dir)
+      .orderBy(col("granularity"), col("level"), col("entity_id"))
 
   /** Aggregate accuracy per (granularity, level, model): mean
     * per-entity sMAPE/MAE as exact decimal folds (the per-entity
@@ -502,7 +527,7 @@ object Backtest extends QueryModule {
     * an artifact. Scale: the champion table is entity-count-sized —
     * broadcast against the dispatch output; no new shuffle. */
   def championForecasts(s: SparkSession, dir: String): DataFrame = {
-    val champ = championOver(backtestMetrics(s, dir))
+    val champ = championTable(s, dir)
       .filter(col("granularity") === "weekly" && col("level") === "supplier")
       .select(col("entity_id").as("champ_entity"), col("best_model"),
         col("smape"), col("mae"))
@@ -538,7 +563,7 @@ object Backtest extends QueryModule {
     * champion table is entity-count-sized and broadcasts against the
     * stored full-dispatch artifact; no refit, no new shuffle. */
   def championForecastsAll(s: SparkSession, dir: String): DataFrame = {
-    val champ = championOver(backtestMetrics(s, dir))
+    val champ = championTable(s, dir)
       .select(col("granularity").as("c_g"), col("level").as("c_l"),
         col("entity_id").as("c_e"), col("best_model"), col("smape"), col("mae"))
     Forecasting.fullDispatch(s, dir)

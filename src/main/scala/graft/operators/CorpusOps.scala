@@ -1206,27 +1206,37 @@ object CorpusOps extends QueryModule {
   /** Gopher table-A1 repetition thresholds (Rae et al. 2021): a doc
     * is repetition-filtered when any stat exceeds its bound. */
   private val DupLineMax = 0.30
+  private val DupParaMax = 0.30
   private val Top2Max = 0.20
   private val Top3Max = 0.18
   private val Top4Max = 0.16
-  private val Dup5Max = 0.15
+  /** dup-n-gram bounds for n = 5..10 (A1's 0.15 down to 0.10). */
+  private val DupNMax: Map[Int, Double] =
+    (5 to 10).map(n => n -> ((20 - n) / 100.0)).toMap
+  /** "Paragraphs" at the fixture's grain: three LineWidth lines. */
+  private val ParaWidth = 3 * LineWidth
 
   /** q160 — the FULL Gopher repetition battery (Rae et al. 2021 table
-    * A1), completing q61's two stats: duplicate-line fraction (lines
-    * are the q158 fixture rule — LineWidth-token windows), top
-    * 2/3/4-gram token share, duplicate-5-gram token share, and the
-    * composite `repetitive` gate at the paper's thresholds. Fractions
-    * are token-grain (the paper's are character-grain; tokens are the
-    * fixture's unit, as in q158's word gates). The dup-5-gram share
-    * counts every occurrence of a gram seen more than once —
-    * overlapping grams double-count tokens, so it is clamped to 1
-    * (the Dolma/NeMo-Curator reading of the stat).
+    * A1) at token grain, completing q61's two stats: duplicate-line
+    * and duplicate-paragraph fractions (lines are the q158 fixture
+    * rule — LineWidth-token windows; paragraphs are ParaWidth
+    * windows, three lines — the corpus carries no newlines, so both
+    * grains are fixture renderings of the paper's line/paragraph
+    * split), top 2/3/4-gram token share, duplicate-n-gram token share
+    * for every n in 5..10 at the paper's per-n thresholds, and the
+    * composite `repetitive` gate. Documented grain deviation: the
+    * paper's line/paragraph/dup-gram fractions are CHARACTER-grain;
+    * tokens are the fixture's unit (as in q158's word gates), so all
+    * fractions here are token-grain. Each dup-n-gram share counts
+    * every occurrence of a gram seen more than once — overlapping
+    * grams double-count tokens, so shares clamp to 1 (the
+    * Dolma/NeMo-Curator reading of the stat).
     *
-    * Scale: ONE posexplode of tokens feeds both passes; n-grams for
-    * all four n come from a single lead-chain window (the q152 rule —
+    * Scale: ONE posexplode of tokens feeds every pass; n-grams for
+    * all nine n come from a single lead-chain window (the q152 rule —
     * a transform() gram array in its own Project re-inlines the
     * tokenizer into the scan filter via InferFiltersFromGenerate,
-    * measured 12×), exploded as 4 tagged rows per position, then two
+    * measured 12×), exploded as 9 tagged rows per position, then two
     * hash aggregations keyed (doc, n, gram) → (doc, n). Lines are one
     * (doc, line_id) aggregation. Everything shuffles on doc-prefixed
     * keys; no corpus-wide window, no join except the final
@@ -1242,20 +1252,20 @@ object CorpusOps extends QueryModule {
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p", "tok")))
     val wTok = Window.partitionBy(col("doc_id")).orderBy(col("p"))
     def ld(k: Int): Column = lead(col("tok"), k).over(wTok)
-    val leads = ex.select(col("doc_id"), col("p"), col("tok"),
-      ld(1).as("l1"), ld(2).as("l2"), ld(3).as("l3"), ld(4).as("l4"))
-    // four tagged gram rows per position; a position without a full
-    // n-gram contributes NULL (filtered) — when() gates on the LAST
-    // lead because concat_ws would silently skip interior nulls
-    val gramRows = leads.select(col("doc_id"), explode(array(
-      struct(lit(2L).as("n"), when(col("l1").isNotNull,
-        concat_ws(" ", col("tok"), col("l1"))).as("g")),
-      struct(lit(3L).as("n"), when(col("l2").isNotNull,
-        concat_ws(" ", col("tok"), col("l1"), col("l2"))).as("g")),
-      struct(lit(4L).as("n"), when(col("l3").isNotNull,
-        concat_ws(" ", col("tok"), col("l1"), col("l2"), col("l3"))).as("g")),
-      struct(lit(5L).as("n"), when(col("l4").isNotNull,
-        concat_ws(" ", col("tok"), col("l1"), col("l2"), col("l3"), col("l4"))).as("g")))).as("r"))
+    val leads = ex.select(
+      Seq(col("doc_id"), col("p"), col("tok")) ++
+        (1 to 9).map(k => ld(k).as(s"l$k")): _*)
+    // nine tagged gram rows per position (n = 2..10); a position
+    // without a full n-gram contributes NULL (filtered) — when()
+    // gates on the LAST lead because concat_ws would silently skip
+    // interior nulls
+    def gramOf(n: Int): Column = {
+      val parts = col("tok") +: (1 until n).map(k => col(s"l$k"))
+      struct(lit(n.toLong).as("n"),
+        when(col(s"l${n - 1}").isNotNull, concat_ws(" ", parts: _*)).as("g"))
+    }
+    val gramRows = leads
+      .select(col("doc_id"), explode(array((2 to 10).map(gramOf): _*)).as("r"))
       .select(col("doc_id"), col("r.n").as("n"), col("r.g").as("g"))
       .filter(col("g").isNotNull)
     val gstat = gramRows
@@ -1263,62 +1273,80 @@ object CorpusOps extends QueryModule {
       .groupBy(col("doc_id"), col("n"))
       .agg(max(col("c")).as("topc"),
         sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dupc"))
-    val gramFeat = gstat.groupBy(col("doc_id")).agg(
-      max(when(col("n") === 2, col("topc"))).as("top2c"),
-      max(when(col("n") === 3, col("topc"))).as("top3c"),
-      max(when(col("n") === 4, col("topc"))).as("top4c"),
-      max(when(col("n") === 5, col("dupc"))).as("dup5c"))
-    // line identity: the ordered tokens of each LineWidth window
-    // (sort_array over unique positions — deterministic; collect_list
-    // order alone is not)
-    val lineFeat = ex
-      .withColumn("line_id", floor(col("p") / LineWidth).cast(LongType))
-      .groupBy(col("doc_id"), col("line_id"))
+    val gramFeatCols =
+      Seq(2, 3, 4).map(n => max(when(col("n") === n, col("topc"))).as(s"top${n}c")) ++
+        (5 to 10).map(n => max(when(col("n") === n, col("dupc"))).as(s"dup${n}c"))
+    val gramFeat = gstat.groupBy(col("doc_id"))
+      .agg(gramFeatCols.head, gramFeatCols.tail: _*)
+    // line/paragraph identity: the ordered tokens of each fixed-width
+    // window (sort_array over unique positions — deterministic;
+    // collect_list order alone is not)
+    def windowDups(width: Long, unit: String) = ex
+      .withColumn("win_id", floor(col("p") / width).cast(LongType))
+      .groupBy(col("doc_id"), col("win_id"))
       .agg(concat_ws(" ",
         transform(array_sort(collect_list(struct(col("p"), col("tok")))),
-          x => x.getField("tok"))).as("line"))
-      .groupBy(col("doc_id"), col("line")).agg(count(lit(1)).as("c"))
+          x => x.getField("tok"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_lines"), sum(col("c") - 1).as("dup_lines"))
+      .agg(sum(col("c")).as(s"n_$unit"), sum(col("c") - 1).as(s"dup_$unit"))
+    val lineFeat = windowDups(LineWidth, "lines")
+    val paraFeat = windowDups(ParaWidth, "paras")
     val nTok = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
     def share(c: Column, n: Int): Column =
       snapRound(c.cast(DoubleType) * n / col("n_tokens"), 6)
+    val dupShares = (5 to 10).map(n =>
+      least(lit(1.0), share(coalesce(col(s"dup${n}c"), lit(0L)), n))
+        .as(s"dup_${n}gram_frac"))
+    val repetitive =
+      (Seq(col("dup_line_frac") > DupLineMax,
+        col("dup_para_frac") > DupParaMax,
+        col("top_2gram_frac") > Top2Max,
+        col("top_3gram_frac") > Top3Max,
+        col("top_4gram_frac") > Top4Max) ++
+        (5 to 10).map(n => col(s"dup_${n}gram_frac") > DupNMax(n)))
+        .reduce(_ || _)
     nTok.join(lineFeat, "doc_id")
+      .join(paraFeat, "doc_id")
       .join(gramFeat, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"), col("n_lines"),
+      .select(Seq(col("doc_id"), col("n_tokens"), col("n_lines"),
         snapRound(col("dup_lines").cast(DoubleType) / col("n_lines"), 6)
           .as("dup_line_frac"),
+        col("n_paras"),
+        snapRound(col("dup_paras").cast(DoubleType) / col("n_paras"), 6)
+          .as("dup_para_frac"),
         share(coalesce(col("top2c"), lit(0L)), 2).as("top_2gram_frac"),
         share(coalesce(col("top3c"), lit(0L)), 3).as("top_3gram_frac"),
-        share(coalesce(col("top4c"), lit(0L)), 4).as("top_4gram_frac"),
-        least(lit(1.0), share(coalesce(col("dup5c"), lit(0L)), 5))
-          .as("dup_5gram_frac"))
-      .withColumn("repetitive",
-        col("dup_line_frac") > DupLineMax || col("top_2gram_frac") > Top2Max ||
-        col("top_3gram_frac") > Top3Max || col("top_4gram_frac") > Top4Max ||
-        col("dup_5gram_frac") > Dup5Max)
+        share(coalesce(col("top4c"), lit(0L)), 4).as("top_4gram_frac")) ++
+        dupShares: _*)
+      .withColumn("repetitive", repetitive)
       .orderBy(col("doc_id"))
   }
 
   private lazy val gopherRepetitionSql = {
     import graft.util.Parity.snapRoundSql
+    val leadCols = (1 to 9).map(k => s"lead(tok, $k) OVER w AS l$k").mkString(",\n       |         ")
+    val gramArms = (2 to 10).map { n =>
+      val parts = "tok" +: (1 until n).map(k => s"l$k")
+      s"SELECT doc_id, $n AS n, ${parts.mkString(" || ' ' || ")} AS g FROM grl WHERE l${n - 1} IS NOT NULL"
+    }.mkString("\n       |  UNION ALL\n       |  ")
+    val grfCols = Seq(2, 3, 4).map(n =>
+      s"max(CASE WHEN n = $n THEN topc END) AS top${n}c") ++
+      (5 to 10).map(n => s"max(CASE WHEN n = $n THEN dupc END) AS dup${n}c")
+    val dupFracCols = (5 to 10).map(n =>
+      s"least(1.0, ${snapRoundSql(s"CAST(coalesce(dup${n}c, 0) AS DOUBLE) * $n / n_tokens", 6)}) AS dup_${n}gram_frac")
+    val dupFracNames = (5 to 10).map(n => s"dup_${n}gram_frac").mkString(", ")
+    val dupGates = (5 to 10).map(n => s"dup_${n}gram_frac > ${DupNMax(n)}").mkString("\n       |        OR ")
     s"""WITH grt AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
        |grp AS (
        |  SELECT doc_id, unnest(generate_series(1, len(ts))) AS p, unnest(ts) AS tok
        |  FROM grt),
        |grl AS (
        |  SELECT doc_id, p, tok,
-       |         lead(tok, 1) OVER w AS l1, lead(tok, 2) OVER w AS l2,
-       |         lead(tok, 3) OVER w AS l3, lead(tok, 4) OVER w AS l4
+       |         $leadCols
        |  FROM grp WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
        |grg AS (
-       |  SELECT doc_id, 2 AS n, tok || ' ' || l1 AS g FROM grl WHERE l1 IS NOT NULL
-       |  UNION ALL
-       |  SELECT doc_id, 3, tok || ' ' || l1 || ' ' || l2 FROM grl WHERE l2 IS NOT NULL
-       |  UNION ALL
-       |  SELECT doc_id, 4, tok || ' ' || l1 || ' ' || l2 || ' ' || l3 FROM grl WHERE l3 IS NOT NULL
-       |  UNION ALL
-       |  SELECT doc_id, 5, tok || ' ' || l1 || ' ' || l2 || ' ' || l3 || ' ' || l4 FROM grl WHERE l4 IS NOT NULL),
+       |  $gramArms),
        |grs AS (
        |  SELECT doc_id, n, max(c) AS topc,
        |         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dupc
@@ -1326,10 +1354,7 @@ object CorpusOps extends QueryModule {
        |  GROUP BY 1, 2),
        |grf AS (
        |  SELECT doc_id,
-       |         max(CASE WHEN n = 2 THEN topc END) AS top2c,
-       |         max(CASE WHEN n = 3 THEN topc END) AS top3c,
-       |         max(CASE WHEN n = 4 THEN topc END) AS top4c,
-       |         max(CASE WHEN n = 5 THEN dupc END) AS dup5c
+       |         ${grfCols.mkString(",\n       |         ")}
        |  FROM grs GROUP BY 1),
        |lns AS (
        |  SELECT doc_id, CAST((p - 1) // $LineWidth AS BIGINT) AS line_id,
@@ -1340,21 +1365,34 @@ object CorpusOps extends QueryModule {
        |         CAST(sum(c - 1) AS BIGINT) AS dup_lines
        |  FROM (SELECT doc_id, line, count(1) AS c FROM lns GROUP BY 1, 2)
        |  GROUP BY 1),
+       |pns AS (
+       |  SELECT doc_id, CAST((p - 1) // $ParaWidth AS BIGINT) AS para_id,
+       |         string_agg(tok, ' ' ORDER BY p) AS para
+       |  FROM grp GROUP BY 1, 2),
+       |pnf AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_paras,
+       |         CAST(sum(c - 1) AS BIGINT) AS dup_paras
+       |  FROM (SELECT doc_id, para, count(1) AS c FROM pns GROUP BY 1, 2)
+       |  GROUP BY 1),
        |ntk AS (SELECT doc_id, CAST(count(1) AS BIGINT) AS n_tokens FROM grp GROUP BY 1),
        |rep AS (
        |  SELECT ntk.doc_id, n_tokens, n_lines,
        |         ${snapRoundSql("CAST(dup_lines AS DOUBLE) / n_lines", 6)} AS dup_line_frac,
+       |         n_paras,
+       |         ${snapRoundSql("CAST(dup_paras AS DOUBLE) / n_paras", 6)} AS dup_para_frac,
        |         ${snapRoundSql("CAST(coalesce(top2c, 0) AS DOUBLE) * 2 / n_tokens", 6)} AS top_2gram_frac,
        |         ${snapRoundSql("CAST(coalesce(top3c, 0) AS DOUBLE) * 3 / n_tokens", 6)} AS top_3gram_frac,
        |         ${snapRoundSql("CAST(coalesce(top4c, 0) AS DOUBLE) * 4 / n_tokens", 6)} AS top_4gram_frac,
-       |         least(1.0, ${snapRoundSql("CAST(coalesce(dup5c, 0) AS DOUBLE) * 5 / n_tokens", 6)}) AS dup_5gram_frac
+       |         ${dupFracCols.mkString(",\n       |         ")}
        |  FROM ntk JOIN lnf ON ntk.doc_id = lnf.doc_id
+       |  JOIN pnf ON ntk.doc_id = pnf.doc_id
        |  LEFT JOIN grf ON ntk.doc_id = grf.doc_id)
-       |SELECT doc_id, n_tokens, n_lines, dup_line_frac, top_2gram_frac,
-       |       top_3gram_frac, top_4gram_frac, dup_5gram_frac,
-       |       (dup_line_frac > $DupLineMax OR top_2gram_frac > $Top2Max
+       |SELECT doc_id, n_tokens, n_lines, dup_line_frac, n_paras, dup_para_frac,
+       |       top_2gram_frac, top_3gram_frac, top_4gram_frac, $dupFracNames,
+       |       (dup_line_frac > $DupLineMax OR dup_para_frac > $DupParaMax
+       |        OR top_2gram_frac > $Top2Max
        |        OR top_3gram_frac > $Top3Max OR top_4gram_frac > $Top4Max
-       |        OR dup_5gram_frac > $Dup5Max) AS repetitive
+       |        OR $dupGates) AS repetitive
        |FROM rep
        |ORDER BY doc_id""".stripMargin
   }

@@ -1062,6 +1062,85 @@ object Eda extends QueryModule {
        |       n_users >= $KAnonK AND n_sensitive_values < $LDiversityL AS at_risk
        |FROM lda ORDER BY nation_key, segment""".stripMargin
 
+  // ---- q164: t-closeness audit ---------------------------------------
+
+  /** Maximum Earth-Mover's Distance a released group's sensitive
+    * distribution may sit from the corpus distribution (Li et al.'s
+    * canonical example threshold). */
+  private val TCloseT = 0.2
+
+  /** q164 — t-closeness audit (Li, Li & Venkatasubramanian 2007), the
+    * gap l-diversity leaves open: a group can carry ≥ l distinct
+    * sensitive values yet be heavily SKEWED toward one of them, and
+    * skew relative to the corpus is itself a disclosure. Over the
+    * q121 QI groups with q149's ordered balance-band ladder (neg <
+    * low < mid < high) as the sensitive attribute, each group's EMD
+    * from the corpus distribution uses the ordered-attribute formula
+    * EMD = Σᵢ |Pᵢ − Qᵢ| / (m−1) over cumulative shares. Exactness on
+    * the band lattice (the q162 histogram argument): Pᵢ − Qᵢ =
+    * (cumᵢ·N − Cᵢ·n) / (n·N) has an INTEGER numerator, so the sum
+    * folds exact longs and pays ONE IEEE division, snapped 6dp —
+    * bit-identical cross-engine. `at_risk` marks groups k-anonymity
+    * would release (n ≥ KAnonK) whose EMD exceeds TCloseT — with
+    * q121 + q149 this completes the standard release-gate triad.
+    * Scale: one hash aggregation to group space (the four cumulative
+    * counts fold map-side), a 1-row corpus total broadcast — nothing
+    * downstream touches user rows. */
+  def tCloseness(s: SparkSession, dir: String): DataFrame = {
+    val ord = when(col("c_acctbal") < 0, lit(1))
+      .when(col("c_acctbal") < 3000.0, lit(2))
+      .when(col("c_acctbal") < 7000.0, lit(3))
+      .otherwise(lit(4))
+    val rows = Tables.t(s, dir, "customer")
+      .select(col("c_nationkey").as("nation_key"),
+        col("c_mktsegment").as("segment"), ord.as("ord"))
+    def cums(prefix: String) = (1 to 3).map(i =>
+      sum(when(col("ord") <= i, 1L).otherwise(0L)).as(s"$prefix$i"))
+    val g = rows.groupBy(col("nation_key"), col("segment"))
+      .agg(count(lit(1)).as("n_users"), cums("cum1to"): _*)
+    val tot = rows.agg(count(lit(1)).as("n_total"), cums("tot1to"): _*)
+    val num = (1 to 3).map(i =>
+      abs(col(s"cum1to$i") * col("n_total") - col(s"tot1to$i") * col("n_users")))
+      .reduce(_ + _)
+    g.crossJoin(broadcast(tot))
+      .select(col("nation_key"), col("segment"), col("n_users"),
+        snapRound(num.cast(DoubleType) /
+          (col("n_users") * col("n_total") * lit(3)).cast(DoubleType), 6).as("emd"))
+      .select(col("nation_key"), col("segment"), col("n_users"), col("emd"),
+        (col("emd") <= TCloseT).as("is_t_close"),
+        (col("n_users") >= KAnonK && col("emd") > TCloseT).as("at_risk"))
+      .orderBy(col("nation_key"), col("segment"))
+  }
+
+  private val tClosenessSql = {
+    val cumsG = (1 to 3).map(i =>
+      s"CAST(sum(CASE WHEN ord <= $i THEN 1 ELSE 0 END) AS BIGINT) AS cum1to$i").mkString(", ")
+    val cumsT = (1 to 3).map(i =>
+      s"CAST(sum(CASE WHEN ord <= $i THEN 1 ELSE 0 END) AS BIGINT) AS tot1to$i").mkString(", ")
+    val num = (1 to 3).map(i => s"abs(cum1to$i * n_total - tot1to$i * n_users)")
+      .mkString(" + ")
+    s"""WITH tcb AS (
+       |  SELECT c_nationkey AS nation_key, c_mktsegment AS segment,
+       |         CASE WHEN c_acctbal < 0 THEN 1
+       |              WHEN c_acctbal < 3000.0 THEN 2
+       |              WHEN c_acctbal < 7000.0 THEN 3
+       |              ELSE 4 END AS ord
+       |  FROM customer),
+       |tcg AS (
+       |  SELECT nation_key, segment, CAST(count(1) AS BIGINT) AS n_users, $cumsG
+       |  FROM tcb GROUP BY 1, 2),
+       |tct AS (
+       |  SELECT CAST(count(1) AS BIGINT) AS n_total, $cumsT FROM tcb),
+       |tce AS (
+       |  SELECT nation_key, segment, n_users,
+       |         ${snapRoundSql(s"CAST($num AS DOUBLE) / CAST(n_users * n_total * 3 AS DOUBLE)", 6)} AS emd
+       |  FROM tcg CROSS JOIN tct)
+       |SELECT nation_key, segment, n_users, emd,
+       |       emd <= $TCloseT AS is_t_close,
+       |       n_users >= $KAnonK AND emd > $TCloseT AS at_risk
+       |FROM tce ORDER BY nation_key, segment""".stripMargin
+  }
+
   // ---- q153: Mann–Kendall trend test ---------------------------------
 
   /** Two-sided 5% normal critical value for the trend call. */
@@ -1320,6 +1399,7 @@ object Eda extends QueryModule {
     "q131_kmv_set_ops" -> kmvSetOps,
     "q121_k_anonymity" -> kAnonymity,
     "q149_l_diversity" -> lDiversity,
+    "q164_t_closeness" -> tCloseness,
     "q153_mann_kendall" -> mannKendall,
     "q154_cusum_changepoint" -> cusumChangepoint,
     "q95_rfm_segments" -> rfmSegments,
@@ -1344,6 +1424,7 @@ object Eda extends QueryModule {
     "q131_kmv_set_ops" -> kmvSetOpsSql,
     "q121_k_anonymity" -> kAnonymitySql,
     "q149_l_diversity" -> lDiversitySql,
+    "q164_t_closeness" -> tClosenessSql,
     "q153_mann_kendall" -> mannKendallSql,
     "q154_cusum_changepoint" -> cusumChangepointSql,
     "q19_cast_join" -> castJoinSql,

@@ -207,12 +207,17 @@ object Forecasting extends QueryModule {
     * column. */
   def forecastDispatch(s: SparkSession, dir: String): DataFrame =
     dispatchCache.getOrBuild((s, dir), {
-      val d = fullDispatch(s, dir)
+      // eager localCheckpoint, not persist: it pins the rows AND
+      // truncates the logical plan to a LogicalRDD leaf. The stored
+      // artifacts' caches were already hit, but consumers re-paid
+      // Catalyst analysis of the full 16-branch lineage on every
+      // execution (~1 s/run driver-side at sf0.1, the r12 q90
+      // regression) — a stored table's consumers should see a leaf,
+      // exactly as if it were the written gold.forecasts parquet.
+      fullDispatch(s, dir)
         .filter(col("granularity") === "weekly" && col("level") === "supplier")
         .orderBy(col("model"), col("entity_id"), col("ds"))
-        .persist()
-      d.count()
-      d
+        .localCheckpoint()
     })
 
   private def conformSql(inner: String, model: String,
@@ -348,12 +353,16 @@ object Forecasting extends QueryModule {
       // from 16 × shuffle.partitions task-launch units to 16; the
       // pass reads the per-branch caches, so it only pays the tiny
       // shuffle. The branch + fit caches release afterwards — the
-      // artifact is its own storage.
-      val d = built.toSeq
+      // artifact is its own storage. Eager localCheckpoint instead of
+      // persist+count: same materialization, but the memoized frame's
+      // plan becomes a LogicalRDD LEAF, so consumers (q66/q90/q103 and
+      // the champion joins) stop re-paying Catalyst analysis of the
+      // 16-branch lineage on every run — the stored-table semantics a
+      // written gold.forecasts would have.
+      val d = probe("materialize union")(built.toSeq
         .reduce(_ unionByName _)
         .repartition(16)
-        .persist()
-      probe("materialize union")(d.count())
+        .localCheckpoint())
       built.foreach(_.unpersist(false))
       fits.foreach(_.unpersist(false))
       d

@@ -99,11 +99,109 @@ object Multimodal extends QueryModule {
        |       CAST(len(list_filter(bytes, v -> v = 32)) AS BIGINT) AS n_silent
        |FROM b ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Hex-digit value of one lowercase md5 hex char, as a SQL snippet
+    * usable in both engines (the TextFunctions.hexDigit rule). */
+  private def hexDigSql(c: String): String =
+    s"(CASE WHEN ascii($c) >= 97 THEN ascii($c) - 87 ELSE ascii($c) - 48 END)"
+
+  /** The deterministic 8×8 grayscale fixture each document renders:
+    * group g = doc_id DIV 4 picks a base image (pixel i = first two
+    * md5 hex chars of 'img|g|i' → 0..255, the featureDim recipe
+    * without the mod), and the three non-zero group members perturb
+    * ONE pixel (index (r·17) % 64, value +120 mod 256) — so each
+    * group of four documents holds near-duplicate images a perceptual
+    * hash must catch and byte-exact dedup would miss. One scalar
+    * expression, rendered per engine (md5 takes BINARY in Spark,
+    * VARCHAR in DuckDB; `iRef` is the pixel-index reference; group
+    * division is DIV vs //). Parity-critical pair — the two
+    * renderings must stay the same integer math. */
+  private def pixelValueSql(md5Of: String => String, div: String,
+      iRef: String): String = {
+    val base = {
+      val h = md5Of(s"concat('img|', CAST(doc_id $div 4 AS STRING), '|', CAST($iRef AS STRING))")
+      s"(${hexDigSql(s"substring($h, 1, 1)")} * 16 + ${hexDigSql(s"substring($h, 2, 1)")})"
+    }
+    s"""CASE WHEN doc_id % 4 <> 0 AND $iRef = ((doc_id % 4) * 17) % 64
+       |     THEN ($base + 120) % 256 ELSE $base END""".stripMargin
+  }
+
+  /** q163 — perceptual image near-duplicate pairs through the REAL
+    * codec: each document's fixture grid renders to an actual PNG
+    * (TYPE_INT_RGB, r=g=b so BT.601 luma is exact), the payload
+    * decodes back through javax.imageio (MediaPipeline.decodeAll — the
+    * mapPartitions batch-decode seam), aHash-64 fingerprints the 8×8
+    * luma sample, and near-dup pairs verify at Hamming ≤ 7 via the
+    * banded join (8 bands × 8 bits: pigeonhole makes recall EXACT at
+    * ≤ 7, not probabilistic — the visual twin of q21-q23's MinHash
+    * with a stronger guarantee). The DuckDB oracle recomputes the
+    * same integers from the fixture definition (encode→decode is an
+    * exact luma round trip), so the whole modality is hash-verified
+    * end to end like the text dedup family. Scale: one 8-rows-per-
+    * image explode, a bucket-keyed self-join (never all-pairs),
+    * candidate-bounded popcount verify; the PNG encode stage is
+    * partition-local with no shuffle. */
+  def imageNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.MediaPipeline
+    val px = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), expr(
+        s"transform(sequence(0, 63), i -> ${pixelValueSql(m => s"md5(CAST($m AS BINARY))", "DIV", "i")})").as("px"))
+      .as[(Long, Array[Int])]
+    val media = px.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { case (id, p) =>
+        val img = new java.awt.image.BufferedImage(8, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until 8; x <- 0 until 8) {
+          val v = p(y * 8 + x) & 0xff
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaPipeline.MediaRow(id, "image/png", bos.toByteArray)
+      }
+    }
+    MediaPipeline.imageNearDup(MediaPipeline.imageHashes(media))
+  }
+
+  private val imageNearDupSql = {
+    val pixel = pixelValueSql(m => s"md5($m)", "//", "idx.i")
+    s"""WITH idx AS (SELECT unnest(generate_series(0, 63)) AS i),
+       |px AS (
+       |  SELECT d.doc_id, idx.i,
+       |         $pixel AS v
+       |  FROM documents d CROSS JOIN idx),
+       |m AS (SELECT doc_id, CAST(sum(v) AS BIGINT) // 64 AS mean FROM px GROUP BY 1),
+       |bits AS (
+       |  SELECT p.doc_id, p.i, CASE WHEN p.v >= m.mean THEN 1 ELSE 0 END AS b
+       |  FROM px p JOIN m ON p.doc_id = m.doc_id),
+       |bands AS (
+       |  SELECT doc_id, i // 8 AS band,
+       |         CAST(sum(b * (1 << (i % 8))) AS BIGINT) AS key
+       |  FROM bits GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+       |ham AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |         CAST(sum(CASE WHEN ba.b <> bb.b THEN 1 ELSE 0 END) AS INTEGER) AS hamming
+       |  FROM cand c
+       |  JOIN bits ba ON ba.doc_id = c.doc_a
+       |  JOIN bits bb ON bb.doc_id = c.doc_b AND bb.i = ba.i
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, hamming FROM ham
+       |WHERE hamming <= 7
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_multimodal_features" -> binaryFeatures,
-    "q120_frame_energy" -> frameEnergy)
+    "q120_frame_energy" -> frameEnergy,
+    "q163_image_near_dup" -> imageNearDupPairs)
 
   override def oracles: Map[String, String] = Map(
     "q39_multimodal_features" -> binaryFeaturesSql,
-    "q120_frame_energy" -> frameEnergySql)
+    "q120_frame_energy" -> frameEnergySql,
+    "q163_image_near_dup" -> imageNearDupSql)
 }

@@ -658,13 +658,17 @@ object TextOps extends QueryModule {
     ingestDecisionOver(newDocs, bandsOver(newDocs), oldBands, sharedShingles(s, dir))
   }
 
-  /** The incremental ingest decision over EXPLICIT frames — shared by
-    * q105 (batch over stored artifacts) and the streaming corpus
-    * ingest (StreamingPipeline.corpusIngest), so the two can never
-    * drift: `newBands` probe `oldBands` plus earlier-in-batch
-    * newBands; candidates verify with exact Jaccard over `allSh`
-    * (shingle rows covering every doc either side references). */
-  private[graft] def ingestDecisionOver(newDocs: DataFrame, newBands: DataFrame,
+  /** Scored LSH candidate pairs between an arriving delta and the
+    * stored index, in BOTH id directions: cross pairs (new doc ×
+    * stored doc sharing a band, regardless of which id is smaller —
+    * an out-of-order ingest needs the match_id > new_id direction to
+    * detect retractions) plus within-batch pairs (smaller id as
+    * match). Jaccard is exact over `allSh` (shingle rows covering
+    * every doc either side references); a candidate pair with no
+    * shared shingles scores 0.0. Scale: shuffles only the delta's
+    * band rows; the stored side streams; verify touches candidate
+    * pairs only. */
+  private[graft] def ingestScoredPairs(newBands: DataFrame,
       oldBands: DataFrame, allSh: DataFrame): DataFrame = {
     val cross = newBands.as("n")
       .join(oldBands.as("o"),
@@ -686,11 +690,24 @@ object TextOps extends QueryModule {
       .select(col("new_id"), col("match_id"),
         snapRound(col("inter").cast(DoubleType) /
           (col("na.n") + col("nb.n") - col("inter")).cast(DoubleType), 6).as("jaccard"))
-    val perDoc = cand.join(scored, Seq("new_id", "match_id"), "left")
+    cand.join(scored, Seq("new_id", "match_id"), "left")
+      .select(col("new_id"), col("match_id"),
+        coalesce(col("jaccard"), lit(0.0)).as("jaccard"))
+  }
+
+  /** Per-arriving-doc ingest decision from scored pairs: the pure-SET
+    * predicate `accepted(D) ⟺ no near-dup E with E.id < D.id exists
+    * among everything ever seen` — only SMALLER-id matches count, so
+    * the final accepted set is a function of the doc set alone, not
+    * of arrival order (the conservative q105 rule; under monotone
+    * arrival every stored id is smaller, so this is exactly the
+    * historical behavior). */
+  private[graft] def ingestDecisionFromPairs(newDocs: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    val perDoc = pairs.filter(col("match_id") < col("new_id"))
       .groupBy(col("new_id"))
       .agg(count(lit(1)).as("n_candidates"),
-        max(struct(coalesce(col("jaccard"), lit(0.0)).as("j"),
-          col("match_id").as("m"))).as("best"))
+        max(struct(col("jaccard").as("j"), col("match_id").as("m"))).as("best"))
     newDocs.select(col("doc_id"))
       .join(perDoc.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -700,6 +717,28 @@ object TextOps extends QueryModule {
         coalesce(col("best.j") < 0.7, lit(true)).as("accepted"))
       .orderBy(col("doc_id"))
   }
+
+  /** Stored docs RETRACTED by this delta under the set predicate: a
+    * stored doc with a verified near-dup (jaccard ≥ 0.7) of SMALLER
+    * arriving id is no longer accepted — the late arrival wins the id
+    * tiebreak the one-shot batch build would have applied. One row
+    * per retracted stored doc, naming its best retracting witness. */
+  private[graft] def ingestRetractionsFromPairs(pairs: DataFrame): DataFrame =
+    pairs.filter(col("match_id") > col("new_id") && col("jaccard") >= 0.7)
+      .groupBy(col("match_id").as("doc_id"))
+      .agg(max(struct(col("jaccard").as("j"), (-col("new_id")).as("negId"))).as("best"))
+      .select(col("doc_id"), (-col("best.negId")).as("retracted_by"),
+        col("best.j").as("jaccard"))
+
+  /** The incremental ingest decision over EXPLICIT frames — shared by
+    * q105 (batch over stored artifacts) and the streaming corpus
+    * ingest (StreamingPipeline.corpusIngest), so the two can never
+    * drift: `newBands` probe `oldBands` plus earlier-in-batch
+    * newBands; candidates verify with exact Jaccard over `allSh`
+    * (shingle rows covering every doc either side references). */
+  private[graft] def ingestDecisionOver(newDocs: DataFrame, newBands: DataFrame,
+      oldBands: DataFrame, allSh: DataFrame): DataFrame =
+    ingestDecisionFromPairs(newDocs, ingestScoredPairs(newBands, oldBands, allSh))
 
   private val incrementalDedupSql =
     s"""WITH $shinglesCte,

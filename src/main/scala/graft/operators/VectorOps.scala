@@ -251,6 +251,42 @@ object VectorOps extends QueryModule {
     }.reduce(_ unionByName _).orderBy(col("config"))
   }
 
+  /** One IVF configuration's (recall@1, recall@3, scanned fraction)
+    * against the brute-force truth over any dir — the ScalingWitness
+    * seam (q157 pins the oracle-verified report at the fixture scale;
+    * this measures the same numbers at witness scales with the K ∝ N
+    * cell dial). Id-equality hits like q157; scanned fraction is the
+    * mean share of the collection inside the queries' probed cells. */
+  private[graft] def recallAt(s: SparkSession, dir: String, probe: Int,
+      cells: Int): (Double, Double, Double) = {
+    val exact = topk(s, dir, sameCluster = false, k = 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id")).persist()
+    val approx = annIvf(s, dir, probe, cells)
+      .select(col("query_id"), col("rank"), col("neighbor_id")).persist()
+    def recallK(k: Int): Double = {
+      val hits = exact.filter(col("rank") <= k)
+        .join(approx.filter(col("rank") <= k).withColumn("hit", lit(1L))
+          .select(col("query_id"), col("neighbor_id"), col("hit")),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(sum(coalesce(col("hit"), lit(0L))), count(lit(1))).head()
+      hits.getLong(0).toDouble / hits.getLong(1)
+    }
+    val (r1, r3) = (recallK(1), recallK(3))
+    val ranked = ivfAssign(s, dir, cells).persist()
+    val sizes = ranked.filter(col("rn") === 1)
+      .groupBy(col("centroid_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = sizes.values.sum.toDouble
+    val probed = ranked.filter(col("vec_id") < N_QUERIES && col("rn") <= probe)
+      .select(col("vec_id"), col("centroid_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nq = probed.map(_._1).distinct.size
+    val scanned = probed.groupBy(_._1).values
+      .map(_.map(p => sizes.getOrElse(p._2, 0L)).sum).sum.toDouble / (nq * total)
+    exact.unpersist(); approx.unpersist(); ranked.unpersist()
+    (r1, r3, scanned)
+  }
+
   private lazy val annRecallSql = {
     val blocks = RecallConfigs.map { case (name, probe, cells) =>
       s"""h_$name AS (
@@ -1181,6 +1217,10 @@ object VectorOps extends QueryModule {
     * spec-pinned exact path (and the witness's honest worst case). */
   private[graft] def kmFitSampled(base0: DataFrame, k: Int, sampleN: Long,
       intValued: Boolean): DataFrame = {
+    // the seeding rule (like kmFitFull's) assumes dense vec_ids from
+    // 0: the first k of the first sampleN ids are the init centroids
+    require(k <= sampleN,
+      s"kmFitSampled: k=$k centroids cannot seed from a sample of $sampleN vectors")
     val base = base0.persist()
     val sample = base.filter(col("vec_id") < sampleN)
     var cents = sample.filter(col("vec_id") < k)
@@ -1189,6 +1229,87 @@ object VectorOps extends QueryModule {
       cents = kmUpdate(kmAssign(sample, cents), intValued)
         .coalesce(1).localCheckpoint()
     val fin = kmAssign(base, cents).persist()
+    fin.count()
+    base.unpersist()
+    fin
+  }
+
+  /** SRP band values (id, band, band_val) of any (idCol, vecCol)
+    * rows at a given band width — the q51 hyperplane family, shared
+    * by the doc and centroid sides of the bucketed assignment so both
+    * hash against identical planes. Bits are computed once in a
+    * single projection; the band values are integer folds of them. */
+  private def srpBandValsFor(df: DataFrame, idCols: Seq[String],
+      vecCol: String, rowsPerBand: Int): DataFrame = {
+    require(SRP_BITS % rowsPerBand == 0, s"rowsPerBand must divide $SRP_BITS")
+    val bits = (0 until SRP_BITS).map { h =>
+      (dot_product(col(vecCol), srpPlane(h)) >= 0).cast(IntegerType).as(s"bit$h")
+    }
+    val sig = df.select(idCols.map(col) ++ bits: _*)
+    val bandVals = (0 until SRP_BITS / rowsPerBand).map { b =>
+      (0 until rowsPerBand).map(j =>
+        col(s"bit${b * rowsPerBand + j}").cast(LongType) *
+          lit(1L << (rowsPerBand - 1 - j))).reduce(_ + _)
+    }
+    sig.select(idCols.map(col) :+
+      posexplode(array(bandVals: _*)).as(Seq("band", "band_val")): _*)
+  }
+
+  /** SRP-bucketed frozen-centroid assignment — the q52 probe shape
+    * applied to the Lloyd assign, the scale dial past kmFitSampled:
+    * at K ∝ N the one-pass broadcast assign still pays N·K cosine
+    * FLOPs; here each vector pays SRP_BITS signature dots plus only
+    * the centroids sharing one of its band buckets (expected
+    * candidates ≈ K·bands/2^rows — the q51 band-width dial: pick
+    * rowsPerBand ≈ log₂(K·bands/C) for a candidate budget C, so
+    * per-vector work stays ~constant as K grows), plus an EXACT
+    * full-K fallback for the rare vector colliding with no centroid
+    * (P ≈ e^-C), so every vector always gets a cell. Approximation is one-sided: a vector whose
+    * true-argmax centroid shares a bucket assigns identically to
+    * kmAssign (the candidate max is the true max); disagreements are
+    * bounded by the probe's recall (KmeansSpec pins exact parity on
+    * the clustered fixture shape). Output columns match kmAssign. */
+  private[graft] def kmAssignSrp(base: DataFrame, cents: DataFrame,
+      rowsPerBand: Int): DataFrame = {
+    val cb = srpBandValsFor(cents.withColumnRenamed("cv", "cvv"),
+      Seq("cell"), "cvv", rowsPerBand)
+    val db = srpBandValsFor(base, Seq("vec_id"), "e", rowsPerBand)
+    val candIds = db.join(broadcast(cb), Seq("band", "band_val"))
+      .select(col("vec_id"), col("cell")).distinct()
+    val sim = (dot_product(col("e"), col("cv")) /
+      (sqrt(col("norm2")) * sqrt(col("cnorm2")))).as("csim")
+    val assigned = candIds
+      .join(broadcast(cents), "cell")
+      .join(base, "vec_id")
+      .select(col("vec_id"), col("e"), col("norm2"), col("cell"), col("cnorm2"), sim)
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("e"), col("norm2"), col("cell"), col("cnorm2"), col("csim")),
+        struct(col("csim"), (-col("cell")).as("negcell"))).as("b"))
+      .select(col("vec_id"), col("b.e").as("e"), col("b.norm2").as("norm2"),
+        col("b.cell").as("cell"), col("b.cnorm2").as("cnorm2"), col("b.csim").as("csim"))
+    val missed = base.join(candIds.select(col("vec_id")).distinct(),
+      Seq("vec_id"), "left_anti")
+    assigned.unionByName(kmAssign(missed, cents))
+  }
+
+  /** kmFitSampled with the SRP-bucketed full-corpus assignment — the
+    * measured `q109_semdedup_srp_assign` production path: Lloyd on a
+    * fixed sample, frozen centroids hashed into SRP buckets, the
+    * corpus pays ~K·bands/2^rows (bounded) cosines per vector instead
+    * of K. */
+  private[graft] def kmFitSampledSrp(base0: DataFrame, k: Int, sampleN: Long,
+      intValued: Boolean, rowsPerBand: Int): DataFrame = {
+    require(k <= sampleN,
+      s"kmFitSampledSrp: k=$k centroids cannot seed from a sample of $sampleN vectors")
+    val base = base0.persist()
+    val sample = base.filter(col("vec_id") < sampleN)
+    var cents = sample.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cell"), col("e").as("cv"), col("norm2").as("cnorm2"))
+    for (_ <- 1 to KM_ITERS)
+      cents = kmUpdate(kmAssign(sample, cents), intValued)
+        .coalesce(1).localCheckpoint()
+    val fin = kmAssignSrp(base, cents, rowsPerBand).persist()
     fin.count()
     base.unpersist()
     fin

@@ -190,19 +190,26 @@ object StreamingPipeline {
     * corpus and EVERY doc's bands+shingles to the seen index.
     *
     * Indexing rejected docs too is what makes the final state a pure
-    * function of the arriving doc-id order, independent of how docs
-    * split into micro-batches (proven in StreamingCorpusSpec): the
-    * decision "is there a near-dup with smaller id?" never depends on
-    * whether that earlier doc was itself accepted — the q105
-    * conservative rule, extended across batches. PRECONDITION
-    * (asserted per batch): doc_ids arrive cross-batch monotone — every
-    * id in batch N+1 exceeds every id in batches ≤ N. Without it the
-    * invariant genuinely fails: the within-batch rule blocks the
-    * LARGER id of a near-dup pair while the cross-batch probe blocks
-    * the NEWCOMER whatever its id, so arrival [100] then [50] and
-    * arrival [50, 100] would keep different docs. Crawl pipelines
-    * assign ingest-ordered ids, so the assert encodes the deployment
-    * contract instead of silently producing split-dependent state.
+    * function of the SET of docs seen, independent of how docs split
+    * into micro-batches AND of their arrival order (proven in
+    * StreamingCorpusSpec): acceptance is the set predicate "no
+    * near-dup with a smaller doc_id exists among everything ever
+    * seen", which never depends on whether that other doc was itself
+    * accepted — the q105 conservative rule, extended across batches.
+    * Under monotone ingest-ordered ids (the common crawl shape) every
+    * stored doc has a smaller id than every arrival, so decisions are
+    * final at arrival. A LATE batch (ids below the high-watermark —
+    * a delayed crawl shard) is handled by RETRACTION: an arriving doc
+    * that near-dups an already-ACCEPTED stored doc of larger id wins
+    * the id tiebreak the one-shot build would have applied, so the
+    * stored doc is retracted — deleted from corpus_docs and
+    * corpus_postings, with batch-keyed NEGATIVE correction rows
+    * appended to corpus_index_stats and corpus_quality_hist (both are
+    * summed by their consumers, so corrections merge by addition) and
+    * an audit row in corpus_retractions. Retraction never cascades:
+    * the predicate is existence-based, not acceptance-based. The only
+    * remaining contract is doc_id UNIQUENESS across the stream
+    * (asserted per batch against the decision log).
     *
     * A per-batch decision log lands in `corpus_ingest_log` for audit.
     *
@@ -276,6 +283,7 @@ object StreamingPipeline {
   }
 
   private val CommitsTable = "corpus_ingest_commits"
+  private val RetractionsTable = "corpus_retractions"
   private val IngestTables = Seq("corpus_docs", "corpus_seen_bands",
     "corpus_seen_shingles", "corpus_ingest_log", "corpus_postings")
 
@@ -294,6 +302,26 @@ object StreamingPipeline {
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_dl")).as("total_dl"))
     graft.operators.TextOps.bm25OverIndex(tf, stats, queries)
   }
+
+  /** Freeze the CURRENT q162 quality gate into a stored cutpoint
+    * table (`corpus_quality_gate`) that subsequent ingest batches
+    * FILTER under — the assignStream/frozen-centroid recipe applied
+    * to quality curation: the gate a batch enforces is a pinned
+    * artifact, not a moving quantile, so admission is a pure per-doc
+    * function and the final corpus stays independent of micro-batch
+    * splits and arrival order (proven in StreamingCorpusSpec). The
+    * operational loop: ingest → freeze (periodically, e.g. per crawl
+    * snapshot) → subsequent batches drop arriving docs whose quality
+    * sits below their source's frozen v25, with the verdict logged
+    * beside the dedup decision. Sources with no frozen row (first
+    * sighting) pass — the gate can't judge a distribution it has
+    * never seen. */
+  def freezeQualityGate(store: graft.sources.LayerStore): Unit = {
+    store.write("silver", GateTable, qualityGateOverHist(store))
+    ()
+  }
+
+  private val GateTable = "corpus_quality_gate"
 
   /** The q162 quality gate over the STREAMING-maintained histogram:
     * per-batch partial (source, quality) counts merge by addition
@@ -327,22 +355,17 @@ object StreamingPipeline {
         _.filter(col("batch_id") === batchId && col("phase") === phase)
           .collect())
       if (phaseRows("done").nonEmpty) return // replay of an applied batch
-      val ext = batch.agg(min(col("doc_id")), max(col("doc_id"))).head()
-      val (minId, maxId) = (ext.getLong(0), ext.getLong(1))
-      // cross-batch monotone-arrival precondition (the split-invariance
-      // contract): compare against the high-watermark of DONE batches
-      commits.foreach { c =>
-        val wm = c.filter(col("phase") === "done").agg(max(col("max_doc_id"))).head()
-        if (!wm.isNullAt(0)) require(minId > wm.getLong(0),
-          s"corpus ingest batch $batchId breaks the monotone doc_id contract: " +
-            s"min arriving id $minId <= high-watermark ${wm.getLong(0)} of " +
-            "already-committed batches; the split-invariant dedup state is " +
-            "only defined for ingest-ordered ids")
-      }
+      val maxId = batch.agg(max(col("doc_id"))).head().getLong(0)
       // crash-retry scrub: a prior attempt of THIS batch declared
       // intent but never finished — remove its partial rows so the
       // re-applied appends cannot double-index, and so the decision
-      // probe below cannot see the batch's own leftover bands
+      // probe below cannot see the batch's own leftover bands.
+      // corpus_retractions is scrubbed ONLY below the `retract`
+      // marker: once the marker exists the batch's retraction rows
+      // are complete and become the durable source the re-applied
+      // corrections/deletions derive from (the retracted docs' text
+      // may already be deleted from corpus_docs, so they could not be
+      // recomputed) — see the retraction block below.
       if (phaseRows("intent").nonEmpty) {
         for (t <- IngestTables if store.exists("silver", t))
           store.overwriteMatching("silver", t,
@@ -354,6 +377,21 @@ object StreamingPipeline {
              if store.exists("silver", t))
           store.overwriteKeys("silver", t,
             store.table("silver", t).limit(0), "batch_id", Seq(batchId))
+        if (phaseRows("retract").isEmpty && store.exists("silver", RetractionsTable))
+          store.overwriteKeys("silver", RetractionsTable,
+            store.table("silver", RetractionsTable).limit(0), "batch_id", Seq(batchId))
+      }
+      // the one remaining arrival contract: doc_ids are unique across
+      // the stream (the set predicate is undefined for a re-used id).
+      // The decision log holds every id ever decided; the scrub above
+      // already removed THIS batch's own crash-retry leftovers.
+      if (store.exists("silver", "corpus_ingest_log")) {
+        val dup = store.table("silver", "corpus_ingest_log")
+          .join(broadcast(batch.select(col("doc_id"))), "doc_id")
+          .limit(1).collect()
+        require(dup.isEmpty,
+          s"corpus ingest batch $batchId re-uses doc_id ${dup.head.getAs[Long]("doc_id")} " +
+            "already decided by an earlier batch; doc_ids must be unique across the stream")
       }
       store.append("silver", CommitsTable,
         Seq((batchId, "intent", maxId)).toDF("batch_id", "phase", "max_doc_id"))
@@ -366,20 +404,124 @@ object StreamingPipeline {
         if (haveIndex) store.table("silver", "corpus_seen_shingles") else sh.limit(0)
       // localCheckpoint, not persist: the appends below REFRESH their
       // parquet paths (Spark's insert refreshes the path cache), which
-      // INVALIDATES any cached plan depending on those paths — a merely
-      // persisted dec would silently recompute against the
-      // just-mutated index when the postings/stats jobs re-evaluate it
-      // (the batch would then match its own freshly-appended bands:
-      // doubled shingle rows, zero Jaccard denominators). Checkpointing
-      // truncates the lineage to materialized blocks, so nothing
-      // downstream can ever re-read the store. (A multi-executor
-      // deployment uses reliable checkpoint() for executor-loss safety.)
-      val dec = TextOps.ingestDecisionOver(batch, bands, oldBands,
+      // INVALIDATES any cached plan depending on those paths — merely
+      // persisted pairs/decisions would silently recompute against the
+      // just-mutated index when the postings/stats jobs re-evaluate
+      // them (the batch would then match its own freshly-appended
+      // bands: doubled shingle rows, zero Jaccard denominators).
+      // Checkpointing truncates the lineage to materialized blocks, so
+      // nothing downstream can ever re-read the store. (A
+      // multi-executor deployment uses reliable checkpoint() for
+      // executor-loss safety.)
+      val pairs = TextOps.ingestScoredPairs(bands, oldBands,
         oldSh.unionByName(sh)).localCheckpoint()
+      val batchSrc = if (batchRaw.columns.contains("source"))
+        col("source") else lit("all").as("source")
+      // the q162 quality-gate verdict rides BESIDE the dedup decision
+      // in one log row per doc: quality is scored for every arriving
+      // doc, and when a FROZEN gate exists (freezeQualityGate) the
+      // doc's source cutpoint and pass verdict are stamped — admission
+      // to the corpus requires accepted AND gate_passed. Without a
+      // frozen gate every doc passes (gate_v25 null), so the columns
+      // are always present and the log schema never forks.
+      val gate = if (store.exists("silver", GateTable))
+        store.table("silver", GateTable).select(col("source"), col("v25"))
+      else batch.limit(0).select(lit("").as("source"), lit(0.0).as("v25"))
+      val dec = TextOps.ingestDecisionFromPairs(batch, pairs)
+        .join(TextOps.qualityScoreOver(batch).select(col("doc_id"), col("quality")), "doc_id")
+        .join(batchRaw.select(col("doc_id"), batchSrc), "doc_id")
+        .join(broadcast(gate.withColumnRenamed("v25", "gate_v25")), Seq("source"), "left")
+        .withColumn("gate_passed",
+          col("gate_v25").isNull || col("quality") >= col("gate_v25"))
+        .select(col("doc_id"), col("n_candidates"), col("best_match_id"),
+          col("best_jaccard"), col("accepted"), col("source"), col("quality"),
+          col("gate_v25"), col("gate_passed"))
+        .localCheckpoint()
       try {
+        // ---- retraction (late-batch arrivals only): stored docs that
+        // an arriving SMALLER-id near-dup retracts under the set
+        // predicate. Monotone arrival yields no match_id > new_id
+        // pairs, so this whole block is one cheap filter on the
+        // checkpointed pairs in the common case.
+        // rids derives from the checkpointed pairs leaf — already
+        // immune to the store mutations below, no checkpoint needed
+        val rids = TextOps.ingestRetractionsFromPairs(pairs)
+        // corpus_docs can be absent with candidates present (every
+        // prior doc rejected) — nothing to retract then
+        if (rids.head(1).nonEmpty && store.exists("silver", "corpus_docs")) {
+          // only CURRENTLY-accepted docs retract: rejected-at-arrival
+          // docs contributed nothing, already-retracted docs were
+          // corrected by their retracting batch (log + retraction
+          // rows of other docs are immutable, so this set is stable
+          // across crash-retries of this batch)
+          val details: DataFrame =
+            if (phaseRows("retract").nonEmpty)
+              // a prior attempt of THIS batch durably recorded its
+              // retractions before any deletion; the retracted docs'
+              // text may be gone from corpus_docs by now — reuse
+              store.table("silver", RetractionsTable)
+                .filter(col("batch_id") === batchId).localCheckpoint()
+            else {
+              // "currently in the corpus" = dedup-accepted AND past
+              // the gate (older logs without the gate column predate
+              // gating — everything in them passed)
+              val log = store.table("silver", "corpus_ingest_log")
+              val accepted = (if (log.columns.contains("gate_passed"))
+                log.filter(col("accepted") && col("gate_passed"))
+              else log.filter(col("accepted"))).select(col("doc_id"))
+              val prior = if (store.exists("silver", RetractionsTable))
+                store.table("silver", RetractionsTable).select(col("doc_id"))
+              else rids.select(col("doc_id")).limit(0)
+              val toRetract = rids.join(accepted, "doc_id")
+                .join(prior, Seq("doc_id"), "left_anti")
+              // capture everything the corrections need (source,
+              // quality, token count) from corpus_docs BEFORE any
+              // deletion, and make it durable FIRST — the `retract`
+              // marker then proves the rows are complete
+              val docRows = store.table("silver", "corpus_docs")
+                .join(broadcast(toRetract.select(col("doc_id"))), "doc_id")
+              val d = TextOps.qualityScoreOver(docRows)
+                .select(col("doc_id"), col("quality"))
+                .join(docRows.select(col("doc_id"), col("source"),
+                  size(graft.functions.TextFunctions.tokens(col("text")))
+                    .cast(org.apache.spark.sql.types.LongType).as("dl")), "doc_id")
+                .join(toRetract, "doc_id")
+                .select(lit(batchId).as("batch_id"), col("doc_id"),
+                  col("retracted_by"), col("jaccard"), col("source"),
+                  col("quality"), col("dl"))
+                .localCheckpoint()
+              store.append("silver", RetractionsTable, d)
+              store.append("silver", CommitsTable,
+                Seq((batchId, "retract", maxId)).toDF("batch_id", "phase", "max_doc_id"))
+              d
+            }
+          if (details.head(1).nonEmpty) {
+            // negative corrections merge by addition into the same
+            // sums the consumers fold (batch-keyed: the crash-retry
+            // scrub removes and re-derives them)
+            store.append("silver", "corpus_index_stats", details
+              .agg((-count(lit(1))).as("n_docs"), (-sum(col("dl"))).as("total_dl"))
+              .select(lit(batchId).as("batch_id"), col("n_docs"), col("total_dl")))
+            store.append("silver", "corpus_quality_hist", details
+              .groupBy(col("source"), col("quality"))
+              .agg((-count(lit(1))).as("c"))
+              .select(lit(batchId).as("batch_id"), col("source"), col("quality"), col("c")))
+            // idempotent deletions, LAST: corpus + retrieval index
+            // forget the retracted docs
+            for (t <- Seq("corpus_docs", "corpus_postings") if store.exists("silver", t))
+              store.overwriteMatching("silver", t,
+                store.table("silver", t).limit(0), Seq("doc_id"),
+                details.select(col("doc_id")))
+          }
+        }
         store.append("silver", "corpus_ingest_log", dec)
-        val acceptedIds = broadcast(dec.filter(col("accepted")).select(col("doc_id")))
-        val acceptedDocs = batch.join(acceptedIds, "doc_id")
+        // admission = dedup-accepted AND past the frozen quality gate;
+        // corpus_docs carries the doc's source (degrading to 'all'
+        // like the histogram below): retraction corrections need it
+        val acceptedIds = broadcast(
+          dec.filter(col("accepted") && col("gate_passed")).select(col("doc_id")))
+        val acceptedDocs = batchRaw.select(col("doc_id"), col("text"), batchSrc)
+          .join(acceptedIds, "doc_id")
         store.append("silver", "corpus_docs", acceptedDocs)
         store.append("silver", "corpus_seen_bands", bands)
         store.append("silver", "corpus_seen_shingles", sh)
@@ -394,24 +536,20 @@ object StreamingPipeline {
             .cast(org.apache.spark.sql.types.LongType)), lit(0L)).as("total_dl"))
           .select(lit(batchId).as("batch_id"), col("n_docs"), col("total_dl"))
         store.append("silver", "corpus_index_stats", st)
-        // keep the q162 quality gate fresh: accepted docs' per-(source,
-        // quality) partial histogram appends batch-keyed (histograms
-        // merge by ADDITION, so the stored rows sum to exactly the
-        // one-shot corpus histogram under any micro-batch split — the
-        // same mergeable-state argument as the A-ES sample). A
-        // source-less input (the minimal ingest contract is (doc_id,
-        // text)) degrades to one 'all' bucket rather than failing.
-        val srcCol = if (batchRaw.columns.contains("source"))
-          col("source") else lit("all")
-        val hist = TextOps.qualityScoreOver(acceptedDocs)
-          .select(col("doc_id"), col("quality"))
-          .join(batchRaw.select(col("doc_id"), srcCol.as("source")), "doc_id")
+        // keep the q162 quality histogram fresh: ADMITTED docs'
+        // per-(source, quality) partial counts append batch-keyed
+        // (histograms merge by ADDITION, so the stored rows sum to
+        // exactly the one-shot corpus histogram under any micro-batch
+        // split — the same mergeable-state argument as the A-ES
+        // sample). Scores and sources ride in the checkpointed
+        // decision frame, so this is one group-by over delta rows.
+        val hist = dec.filter(col("accepted") && col("gate_passed"))
           .groupBy(col("source"), col("quality")).agg(count(lit(1)).as("c"))
           .select(lit(batchId).as("batch_id"), col("source"), col("quality"), col("c"))
         store.append("silver", "corpus_quality_hist", hist)
         store.append("silver", CommitsTable,
           Seq((batchId, "done", maxId)).toDF("batch_id", "phase", "max_doc_id"))
-      } finally { dec.unpersist(); () }  // drops the checkpoint blocks
+      } finally { dec.unpersist(); pairs.unpersist(); () }  // drops the checkpoint blocks
     } finally { commits.foreach(_.unpersist()); () }
   }
 

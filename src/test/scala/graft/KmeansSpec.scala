@@ -73,4 +73,60 @@ class KmeansSpec extends SparkSpec {
     assert(out.forall(_.getAs[Double]("cosine") >= 0.9),
       "a drop below the SemDeDup threshold")
   }
+
+  test("SRP-bucketed assignment (the q109 scale dial) matches the flat sampled fit") {
+    import spark.implicits._
+    // the ScalingWitness clustered-embedding shape: tight clusters of
+    // 5 around well-separated sparse centers — a doc and its center
+    // agree on nearly every SRP bit, so the bucketed probe recovers
+    // the exact argmax centroid for every vector (and any bucketless
+    // vector falls back to the exact full-K scan, so equality is the
+    // invariant, not a recall floor)
+    // id % nC layout (the ScaleSpec purity-test shape): the sampled
+    // Lloyd fit converges to one pure centroid per planted cluster,
+    // so every vector sits a hair from its own centroid — the regime
+    // SemDeDup's K ∝ N cells put a real corpus in
+    def mix(x: Long): Long = {
+      var z = x + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val n = 600
+    val nC = 16
+    val base = (0 until n).map { i =>
+      val c = i % nC
+      val v = (0 until 64).map { d =>
+        val m = mix(c.toLong * 64 + d)
+        val amp = (1.0 + ((m >>> 10) & 3) * 0.25) *
+          (if (((m >>> 13) & 1) == 0) 1.0 else -1.0)
+        val center = if (((m >>> 7) & 7) == 0) amp else 0.0
+        center + (mix(i.toLong * 7919 + d) % 1009) * 2e-5
+      }
+      (i.toLong, v, v.map(x => x * x).sum)
+    }.toDF("vec_id", "e", "norm2")
+    val flat = VectorOps.kmFitSampled(base, 16, 300L, intValued = false)
+      .select("vec_id", "cell", "csim").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val srp = VectorOps.kmFitSampledSrp(base, 16, 300L, intValued = false,
+      rowsPerBand = 8)
+      .select("vec_id", "cell", "csim").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(srp.keySet == flat.keySet, "SRP assignment lost or duplicated vectors")
+    val disagree = flat.collect { case (id, fc) if srp(id) != fc => id }.toSeq.sorted
+    assert(disagree.isEmpty,
+      s"SRP-bucketed assignment diverged from the flat fit on ${disagree.size} vectors: ${disagree.take(10)}")
+  }
+
+  test("SRP-bucketed assignment requires a fit-sized sample") {
+    import spark.implicits._
+    val base = (0 until 8).map(i =>
+      (i.toLong, Seq.fill(64)(1.0), 64.0)).toDF("vec_id", "e", "norm2")
+    intercept[IllegalArgumentException] {
+      VectorOps.kmFitSampled(base, 16, 8L, intValued = false)
+    }
+    intercept[IllegalArgumentException] {
+      VectorOps.kmFitSampledSrp(base, 16, 8L, intValued = false, rowsPerBand = 8)
+    }
+  }
 }

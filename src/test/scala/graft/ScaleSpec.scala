@@ -484,6 +484,45 @@ class ScaleSpec extends SparkSpec {
     assert(scanned <= 0.25, f"scanned fraction $scanned%.3f not << brute force")
   }
 
+  test("ANN recall floor survives a decade of growth at constant scanned fraction (K ∝ N)") {
+    // the q80 production claim at TWO scales a decade apart: cells ∝ N
+    // and probe ∝ cells hold the scanned FRACTION at ~probe/cells =
+    // 1/8 while the 0.9 recall floor must survive. Same clustered
+    // shape as the ScalingWitness corpora (tight clusters of 5 around
+    // well-separated sparse centers), written as embeddings.parquet so
+    // the q43/q80 plans run their real scan path. ScalingWitness
+    // measures the same numbers at 20k/200k vectors into SCALING.md.
+    def mix(x: Long): Long = {
+      var h = x * -7046029254386353131L
+      h ^= (h >>> 32); h *= -4417276706812531889L; h ^= (h >>> 29); h
+    }
+    def embsDir(n: Int): String = {
+      val rows = (0 until n).map { i =>
+        val c = i / 5
+        val v = (0 until 64).map { d =>
+          val m = mix(c.toLong * 64 + d)
+          val amp = (1.0f + ((m >>> 10) & 3) * 0.25f) *
+            (if (((m >>> 13) & 1) == 0) 1.0f else -1.0f)
+          val center = if (((m >>> 7) & 7) == 0) amp else 0.0f
+          center + (mix(i.toLong * 7919 + d) % 1009) * 2e-5f
+        }.toArray
+        (i.toLong, v, (i % 4))
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-recall-$n").toString
+      rows.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+    for ((n, cells, probe) <- Seq((2000, 32, 4), (20000, 320, 40))) {
+      val (r1, r3, scanned) = graft.operators.VectorOps.recallAt(
+        spark, embsDir(n), probe, cells)
+      info(f"n=$n cells=$cells probe=$probe recall@1=$r1%.2f recall@3=$r3%.2f scanned=$scanned%.3f")
+      assert(r1 >= 0.9, f"recall@1 $r1%.2f below the 0.9 floor at n=$n")
+      assert(r3 >= 0.9, f"recall@3 $r3%.2f below the 0.9 floor at n=$n")
+      assert(scanned <= 0.25, f"scanned fraction $scanned%.3f not << brute at n=$n")
+    }
+  }
+
   test("SQ8 quantized search (q87): rank-1 neighbors match brute force") {
     // 8-bit scalar quantization stores 64 bytes instead of 64 floats
     // (4x memory at 100 TB); with 256 levels per dimension the

@@ -170,14 +170,174 @@ class StreamingCorpusSpec extends SparkSpec {
       .filter($"doc_id".isin(3L, 5L, 6L)).count() == 0)
   }
 
-  test("out-of-order doc_id arrival across batches is rejected loudly") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-corpus-ooo").toString
+  test("out-of-order doc_id arrival converges to the one-shot build via retraction") {
+    import org.apache.spark.sql.functions.col
+    def run(splits: Seq[Seq[Long]], tag: String) = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-corpus-ooo-$tag").toString
+      val store = new graft.sources.LayerStore(spark, s"$dir/store")
+      splits.zipWithIndex.foreach { case (ids, i) =>
+        StreamingPipeline.ingestCorpusBatch(df(ids), store, i.toLong) }
+      (store, acceptedOf(store))
+    }
+    val (_, oneShot) = run(Seq(Seq(1L, 2L, 3L, 4L, 5L, 6L)), "one")
+    // late shard: [4,5,6] lands first, so 5 (dup of the unseen 2) is
+    // accepted at arrival and must be RETRACTED when 2 arrives
+    val (st1, late) = run(Seq(Seq(4L, 5L, 6L), Seq(1L, 2L, 3L)), "late")
+    assert(late == oneShot, s"late shard diverged: late=$late oneShot=$oneShot")
+    // fully reversed per-doc arrival: every original arrives after its
+    // duplicate — three retractions (6 by 4, 5 by 2, 3 by 1)
+    val (st2, rev) = run(docs.map(d => Seq(d._1)).reverse, "rev")
+    assert(rev == oneShot, s"reversed arrival diverged: rev=$rev oneShot=$oneShot")
+    val retr = st2.table("silver", "corpus_retractions")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("retracted_by")).toMap
+    assert(retr == Map(6L -> 4L, 5L -> 2L, 3L -> 1L), s"unexpected retractions: $retr")
+    // the retrieval index forgot the retracted doc: postings + summed
+    // stats equal a one-shot build over the surviving accepted docs
+    assert(st1.table("silver", "corpus_postings")
+      .filter(col("doc_id").isin(3L, 5L, 6L)).count() == 0,
+      "retracted/rejected docs left postings behind")
+    val stSum = st1.table("silver", "corpus_index_stats")
+      .agg(org.apache.spark.sql.functions.sum(col("n_docs")),
+        org.apache.spark.sql.functions.sum(col("total_dl"))).head()
+    assert(stSum.getLong(0) == 3L, s"stats n_docs after retraction: ${stSum.getLong(0)}")
+    val queries = Seq("qa" -> "t1x3 t1x7", "qb" -> "t4x2 t2x9")
+    val viaStream = StreamingPipeline.bm25OverCorpusIndex(st1, queries)
+      .collect().map(_.toSeq).toSeq
+    import spark.implicits._
+    val accepted = df(Seq(1L, 2L, 4L))
+    import org.apache.spark.sql.functions.{size, split, count, lit, sum}
+    val tf = graft.operators.TextOps.postingsOverDocs(accepted)
+    val stats = accepted.select(size(split($"text", " ")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum($"dl").as("total_dl"))
+    val viaOneShot = graft.operators.TextOps.bm25OverIndex(tf, stats, queries)
+      .collect().map(_.toSeq).toSeq
+    assert(viaStream == viaOneShot,
+      "BM25 over the retraction-corrected index diverged from the one-shot build")
+  }
+
+  test("retraction keeps the quality gate equal to the one-shot batch gate") {
+    import org.apache.spark.sql.functions.col
+    // doc 13 (duplicate of doc 1, source web) arrives FIRST: accepted
+    // at arrival, retracted when doc 1 lands — the gate must end up
+    // exactly the batch gate over docs 1..12
+    val sdocs = (1 to 12).map { i =>
+      (i.toLong, (0 until (5 + i * 3)).map(j => s"s${i}w$j").mkString(" "),
+        if (i % 2 == 0) "web" else "code")
+    } :+ ((13L, (0 until 8).map(j => s"s1w$j").mkString(" "), "web"))
+    def sdf(ids: Seq[Long]) = sdocs.filter(d => ids.contains(d._1))
+      .toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("graft-qhist-ooo").toString
+    val store = new graft.sources.LayerStore(spark, s"$dir/store")
+    Seq(Seq(13L), (7L to 12L), (1L to 6L)).zipWithIndex.foreach { case (ids, i) =>
+      StreamingPipeline.ingestCorpusBatch(sdf(ids.toSeq), store, i.toLong) }
+    val streamGate = StreamingPipeline.qualityGateOverHist(store)
+      .collect().map(_.toString).sorted.toSeq
+    val acc = sdf((1L to 12L))
+    val batchGate = graft.operators.TextOps.qualityGateHistOver(
+      graft.operators.TextOps.qualityScoreOver(acc)
+        .select(col("doc_id"), col("quality"))
+        .join(acc.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"), col("quality")))
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamGate == batchGate,
+      s"retraction-corrected gate != one-shot gate:\n  stream=$streamGate\n  batch=$batchGate")
+  }
+
+  test("a crash mid-retraction converges on retry through the durable retraction rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-corpus-rcrash").toString
     val store = new graft.sources.LayerStore(spark, s"$dir/store")
     StreamingPipeline.ingestCorpusBatch(df(Seq(4L, 5L, 6L)), store, 0L)
-    val e = intercept[IllegalArgumentException] {
-      StreamingPipeline.ingestCorpusBatch(df(Seq(1L)), store, 1L)
+    // simulate batch 1 ([1,2,3]) crashing AFTER durably recording its
+    // retraction of doc 5 and deleting it from corpus_docs, but BEFORE
+    // any of its own appends: intent + retract marker + retraction row
+    // + the corpus_docs deletion landed, nothing else
+    val b1 = df(Seq(1L, 2L, 3L))
+    store.append("silver", "corpus_ingest_commits",
+      Seq((1L, "intent", 3L)).toDF("batch_id", "phase", "max_doc_id"))
+    val five = store.table("silver", "corpus_docs").filter(col("doc_id") === 5L)
+    val fiveQ = graft.operators.TextOps.qualityScoreOver(five)
+      .select(col("quality")).head().getDouble(0)
+    val fiveDl = five.select(
+      org.apache.spark.sql.functions.size(
+        graft.functions.TextFunctions.tokens(col("text"))).cast("long"))
+      .head().getLong(0)
+    store.append("silver", "corpus_retractions",
+      Seq((1L, 5L, 2L, 1.0, "all", fiveQ, fiveDl))
+        .toDF("batch_id", "doc_id", "retracted_by", "jaccard", "source", "quality", "dl"))
+    store.append("silver", "corpus_ingest_commits",
+      Seq((1L, "retract", 3L)).toDF("batch_id", "phase", "max_doc_id"))
+    store.overwriteMatching("silver", "corpus_docs",
+      store.table("silver", "corpus_docs").limit(0), Seq("doc_id"),
+      Seq(5L).toDF("doc_id"))
+    // the retry: doc 5's text is GONE from corpus_docs, so convergence
+    // requires reusing the durable retraction row, not recomputing it
+    StreamingPipeline.ingestCorpusBatch(b1, store, 1L)
+    assert(acceptedOf(store) == Seq(1L, 2L, 4L), "retry diverged after mid-retraction crash")
+    val stSum = store.table("silver", "corpus_index_stats")
+      .agg(org.apache.spark.sql.functions.sum(col("n_docs"))).head().getLong(0)
+    assert(stSum == 3L, s"stats double-corrected after retry: n_docs=$stSum")
+    assert(store.table("silver", "corpus_retractions")
+      .filter(col("batch_id") === 1L).count() == 1L,
+      "retry duplicated the retraction rows")
+  }
+
+  test("frozen quality gate at ingest: reject-below-gate, split- and order-invariant") {
+    import org.apache.spark.sql.functions.col
+    // seed corpus: 12 distinct docs of varied length (quality varies
+    // with token count) establish the per-source histograms
+    val seed = (1 to 12).map { i =>
+      (i.toLong, (0 until (5 + i * 3)).map(j => s"g${i}w$j").mkString(" "),
+        if (i % 2 == 0) "web" else "code")
     }
-    assert(e.getMessage.contains("monotone doc_id"))
+    // arrivals: per source, one doc far longer than the seed docs
+    // (above any v25) and one 2-token stub (below v25)
+    val arrivals = Seq(
+      (21L, (0 until 50).map(j => s"a21w$j").mkString(" "), "web"),
+      (22L, "a22w0 a22w1", "web"),
+      (23L, (0 until 50).map(j => s"a23w$j").mkString(" "), "code"),
+      (24L, "a24w0 a24w1", "code"))
+    def ddf(rows: Seq[(Long, String, String)]) = rows.toDF("doc_id", "text", "source")
+    def run(splits: Seq[Seq[Long]], tag: String) = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-gate-$tag").toString
+      val store = new graft.sources.LayerStore(spark, s"$dir/store")
+      StreamingPipeline.ingestCorpusBatch(ddf(seed), store, 0L)
+      StreamingPipeline.freezeQualityGate(store)
+      splits.zipWithIndex.foreach { case (ids, i) =>
+        StreamingPipeline.ingestCorpusBatch(
+          ddf(arrivals.filter(a => ids.contains(a._1))), store, i + 1L) }
+      (store, acceptedOf(store))
+    }
+    val (st1, oneShot) = run(Seq(arrivals.map(_._1)), "one")
+    // the stubs are gate-dropped, the long docs admitted
+    assert(oneShot == ((1L to 12L) ++ Seq(21L, 23L)),
+      s"gate admitted the wrong set: $oneShot")
+    // verdicts logged beside the dedup decision
+    val log = st1.table("silver", "corpus_ingest_log")
+      .filter(col("doc_id") >= 21L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("accepted"), r.getAs[Boolean]("gate_passed")))).toMap
+    assert(log(22L) == ((true, false)) && log(24L) == ((true, false)),
+      s"stubs should be dedup-accepted but gate-dropped: $log")
+    assert(log(21L) == ((true, true)) && log(23L) == ((true, true)))
+    // gate-dropped docs never reach the retrieval index or histogram
+    assert(st1.table("silver", "corpus_postings")
+      .filter(col("doc_id").isin(22L, 24L)).count() == 0)
+    // split/order invariance under the FROZEN gate: per-doc batches,
+    // reversed arrival order, same final corpus
+    assert(run(arrivals.map(a => Seq(a._1)), "each")._2 == oneShot)
+    assert(run(arrivals.map(a => Seq(a._1)).reverse, "rev")._2 == oneShot)
+  }
+
+  test("a re-used doc_id across batches is rejected loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-corpus-dupid").toString
+    val store = new graft.sources.LayerStore(spark, s"$dir/store")
+    StreamingPipeline.ingestCorpusBatch(df(Seq(1L, 2L)), store, 0L)
+    val e = intercept[IllegalArgumentException] {
+      StreamingPipeline.ingestCorpusBatch(df(Seq(2L, 3L)), store, 1L)
+    }
+    assert(e.getMessage.contains("re-uses doc_id"))
   }
 
   // ---- streaming A-ES weighted sample --------------------------------

@@ -128,29 +128,50 @@ object VectorOps extends QueryModule {
   def annIvfProbe4(s: SparkSession, dir: String): DataFrame =
     annIvf(s, dir, probe = 4, cells = 32)
 
-  /** Centroid-similarity ranking per vector: (vec_id, e, norm2,
-    * centroid_id, rn) with rn=1 the vector's own cell — the shared
-    * core of the inverted file and the query-probe fan-out. */
-  private[graft] def ivfAssign(s: SparkSession, dir: String, cells: Int): DataFrame = {
-    val all = withNorm(Tables.t(s, dir, "embeddings"))
-    val cents = all.filter(col("vec_id") < cells)
+  /** Centroid-similarity scoring of a (vec_id, e, norm2) frame against
+    * the first-`cells` sampled centroids: (vec_id, e, norm2,
+    * centroid_id, csim) — the shared probe core. */
+  private def ivfScored(s: SparkSession, dir: String, cells: Int,
+      onlyQueries: Boolean): DataFrame = {
+    val all0 = withNorm(Tables.t(s, dir, "embeddings"))
+    val cents = all0.filter(col("vec_id") < cells)
       .select(col("vec_id").as("centroid_id"), col("e").as("ce"), col("norm2").as("cnorm2"))
+    val all = if (onlyQueries) all0.filter(col("vec_id") < N_QUERIES) else all0
     val sim = (dot_product(col("e"), col("ce"))
       / (sqrt(col("norm2")) * sqrt(col("cnorm2")))).as("csim")
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("centroid_id"))
     all.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("e"), col("norm2"), col("centroid_id"), sim)
-      .withColumn("rn", row_number().over(wAssign))
+  }
+
+  /** The inverted file: every vector's ONE nearest cell (argmax cosine,
+    * ties to the smallest centroid_id — the historical window-rank-1
+    * rule). max_by, NOT a rank window: the window shape shuffled the
+    * full N×cells fan-out (64M rows at the 10× witness scale — an OOM,
+    * the kmAssign lesson re-learned), while the aggregate collapses
+    * K→1 map-side and shuffles N rows. */
+  private[graft] def ivfFile(s: SparkSession, dir: String, cells: Int): DataFrame =
+    ivfScored(s, dir, cells, onlyQueries = false)
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("e"), col("norm2"), col("centroid_id")),
+        struct(col("csim"), (-col("centroid_id")).as("negc"))).as("b"))
+      .select(col("vec_id"), col("b.e").as("e"), col("b.norm2").as("norm2"),
+        col("b.centroid_id").as("cell"))
+
+  /** Ranked cells for the QUERY batch only (vec_id < N_QUERIES): the
+    * multi-probe fan-out needs a rank, but only over batch×cells rows
+    * — never the whole collection. */
+  private[graft] def ivfQueryProbes(s: SparkSession, dir: String, cells: Int): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("centroid_id"))
+    ivfScored(s, dir, cells, onlyQueries = true)
+      .withColumn("rn", row_number().over(w))
   }
 
   private[graft] def annIvf(s: SparkSession, dir: String, probe: Int,
       cells: Int = N_CELLS): DataFrame = {
-    val ranked = ivfAssign(s, dir, cells)
-    // the inverted file: every vector lives in its ONE nearest cell
-    val assigned = ranked.filter(col("rn") === 1)
-      .select(col("vec_id"), col("e"), col("norm2"), col("centroid_id").as("cell"))
+    val assigned = ivfFile(s, dir, cells)
     // query side probes its `probe` nearest cells
-    val q = ranked.filter(col("vec_id") < N_QUERIES && col("rn") <= probe)
+    val q = ivfQueryProbes(s, dir, cells).filter(col("rn") <= probe)
       .select(col("vec_id").as("qid"), col("e").as("qe"),
         col("norm2").as("qnorm2"), col("centroid_id").as("qcell"))
     val c = assigned.select(col("vec_id").as("cid"), col("e").as("ce2"),
@@ -272,18 +293,17 @@ object VectorOps extends QueryModule {
       hits.getLong(0).toDouble / hits.getLong(1)
     }
     val (r1, r3) = (recallK(1), recallK(3))
-    val ranked = ivfAssign(s, dir, cells).persist()
-    val sizes = ranked.filter(col("rn") === 1)
-      .groupBy(col("centroid_id")).count()
+    val sizes = ivfFile(s, dir, cells)
+      .groupBy(col("cell")).count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val total = sizes.values.sum.toDouble
-    val probed = ranked.filter(col("vec_id") < N_QUERIES && col("rn") <= probe)
+    val probed = ivfQueryProbes(s, dir, cells).filter(col("rn") <= probe)
       .select(col("vec_id"), col("centroid_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val nq = probed.map(_._1).distinct.size
     val scanned = probed.groupBy(_._1).values
       .map(_.map(p => sizes.getOrElse(p._2, 0L)).sum).sum.toDouble / (nq * total)
-    exact.unpersist(); approx.unpersist(); ranked.unpersist()
+    exact.unpersist(); approx.unpersist()
     (r1, r3, scanned)
   }
 
@@ -881,14 +901,14 @@ object VectorOps extends QueryModule {
     * codes). */
   private def ivfPqParts(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val ranked = ivfAssign(s, dir, IVFPQ_CELLS)
+    val ranked = ivfQueryProbes(s, dir, IVFPQ_CELLS)
     val all = withNorm(Tables.t(s, dir, "embeddings"))
     val cents = all.filter(col("vec_id") < IVFPQ_CELLS)
       .select(col("vec_id").as("cell"), col("e").as("ce"), col("norm2").as("cnorm2c"))
     val mIdx = explode(sequence(lit(0), lit(PQ_M - 1))).as("m")
     // residuals r = x − c(cell) over the inverted file
-    val resid = ranked.filter(col("rn") === 1)
-      .select(col("vec_id"), col("e"), col("centroid_id").as("cell"))
+    val resid = ivfFile(s, dir, IVFPQ_CELLS)
+      .select(col("vec_id"), col("e"), col("cell"))
       .join(broadcast(cents), "cell")
       .select(col("vec_id"), col("cell"),
         zip_with(col("e"), col("ce"), (x, y) => x - y).as("r"))
@@ -1237,22 +1257,24 @@ object VectorOps extends QueryModule {
   /** SRP band values (id, band, band_val) of any (idCol, vecCol)
     * rows at a given band width — the q51 hyperplane family, shared
     * by the doc and centroid sides of the bucketed assignment so both
-    * hash against identical planes. Bits are computed once in a
-    * single projection; the band values are integer folds of them. */
+    * hash against identical planes. One SELECT per band unioned (the
+    * srpBandsOver shape), NOT one projection of all SRP_BITS dots: a
+    * single projection carrying 96 dot folds of 64-literal planes
+    * overflows whole-stage codegen's method budget and the whole scan
+    * falls back to interpreted eval — measured 24.5 s vs ~2 s for the
+    * same FLOPs at 50k rows; per-band branches column-prune to
+    * rowsPerBand dots each and stay compiled. */
   private def srpBandValsFor(df: DataFrame, idCols: Seq[String],
       vecCol: String, rowsPerBand: Int): DataFrame = {
     require(SRP_BITS % rowsPerBand == 0, s"rowsPerBand must divide $SRP_BITS")
-    val bits = (0 until SRP_BITS).map { h =>
-      (dot_product(col(vecCol), srpPlane(h)) >= 0).cast(IntegerType).as(s"bit$h")
-    }
-    val sig = df.select(idCols.map(col) ++ bits: _*)
-    val bandVals = (0 until SRP_BITS / rowsPerBand).map { b =>
-      (0 until rowsPerBand).map(j =>
-        col(s"bit${b * rowsPerBand + j}").cast(LongType) *
-          lit(1L << (rowsPerBand - 1 - j))).reduce(_ + _)
-    }
-    sig.select(idCols.map(col) :+
-      posexplode(array(bandVals: _*)).as(Seq("band", "band_val")): _*)
+    (0 until SRP_BITS / rowsPerBand).map { b =>
+      val bandVal = (0 until rowsPerBand).map { j =>
+        val h = b * rowsPerBand + j
+        (dot_product(col(vecCol), srpPlane(h)) >= 0).cast(LongType) *
+          lit(1L << (rowsPerBand - 1 - j))
+      }.reduce(_ + _)
+      df.select(idCols.map(col) :+ lit(b).as("band") :+ bandVal.as("band_val"): _*)
+    }.reduce(_.unionByName(_))
   }
 
   /** SRP-bucketed frozen-centroid assignment — the q52 probe shape
@@ -1274,8 +1296,12 @@ object VectorOps extends QueryModule {
     val cb = srpBandValsFor(cents.withColumnRenamed("cv", "cvv"),
       Seq("cell"), "cvv", rowsPerBand)
     val db = srpBandValsFor(base, Seq("vec_id"), "e", rowsPerBand)
+    // eager localCheckpoint: candIds feeds BOTH the scored assignment
+    // and the fallback anti-join — left lazy, the second consumer
+    // recomputes the whole signature chain (~N·SRP_BITS dots)
     val candIds = db.join(broadcast(cb), Seq("band", "band_val"))
       .select(col("vec_id"), col("cell")).distinct()
+      .localCheckpoint()
     val sim = (dot_product(col("e"), col("cv")) /
       (sqrt(col("norm2")) * sqrt(col("cnorm2")))).as("csim")
     val assigned = candIds
@@ -1291,6 +1317,64 @@ object VectorOps extends QueryModule {
     val missed = base.join(candIds.select(col("vec_id")).distinct(),
       Seq("vec_id"), "left_anti")
     assigned.unionByName(kmAssign(missed, cents))
+  }
+
+  /** tools.SrpAssignProfile's window: stage-by-stage timings and
+    * volumes of the bucketed assignment. */
+  private[graft] def profileSrpAssign(base0: DataFrame, k: Int,
+      sampleN: Long, rowsPerBand: Int): Unit = {
+    def t[A](label: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"SRPPROF $label%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    val base = base0.persist()
+    val sample = base.filter(col("vec_id") < sampleN)
+    var cents = sample.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cell"), col("e").as("cv"), col("norm2").as("cnorm2"))
+    t("lloyd fit") {
+      for (_ <- 1 to KM_ITERS)
+        cents = kmUpdate(kmAssign(sample, cents), intValued = true)
+          .coalesce(1).localCheckpoint()
+    }
+    val cb = srpBandValsFor(cents.withColumnRenamed("cv", "cvv"),
+      Seq("cell"), "cvv", rowsPerBand).persist()
+    t("centroid bands")(println("  rows=" + cb.count()))
+    println("  centroid bucket skew: " + cb.groupBy(col("band"), col("band_val"))
+      .count().agg(max(col("count")), avg(col("count"))).head())
+    val db = srpBandValsFor(base, Seq("vec_id"), "e", rowsPerBand).persist()
+    t("doc bands")(println("  rows=" + db.count()))
+    val candIds = db.join(broadcast(cb), Seq("band", "band_val"))
+      .select(col("vec_id"), col("cell")).distinct().persist()
+    t("candidates")(println("  rows=" + candIds.count() +
+      " (= " + (candIds.count().toDouble / base.count()) + " per doc)"))
+    val sim = (dot_product(col("e"), col("cv")) /
+      (sqrt(col("norm2")) * sqrt(col("cnorm2")))).as("csim")
+    val assigned = t("scored assign") {
+      val a = candIds
+        .join(broadcast(cents), "cell")
+        .join(base, "vec_id")
+        .select(col("vec_id"), col("e"), col("norm2"), col("cell"), col("cnorm2"), sim)
+        .groupBy(col("vec_id"))
+        .agg(max_by(
+          struct(col("e"), col("norm2"), col("cell"), col("cnorm2"), col("csim")),
+          struct(col("csim"), (-col("cell")).as("negcell"))).as("b"))
+        .select(col("vec_id"), col("b.cell").as("cell")).persist()
+      a.count()
+      a
+    }
+    val missed = t("missed fallback") {
+      val m = base.join(candIds.select(col("vec_id")).distinct(),
+        Seq("vec_id"), "left_anti").persist()
+      println("  missed=" + m.count())
+      m
+    }
+    t("fallback assign")(kmAssign(missed, cents)
+      .write.format("noop").mode("overwrite").save())
+    Seq(cb, db, candIds, assigned, missed).foreach(_.unpersist())
+    base.unpersist()
+    ()
   }
 
   /** kmFitSampled with the SRP-bucketed full-corpus assignment — the

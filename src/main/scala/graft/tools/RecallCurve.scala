@@ -23,11 +23,11 @@ object RecallCurve {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     println(f"collection=$total queries=$nQueries")
     for (cells <- Seq(8, 16, 32); probe <- Seq(1, 2, 4, 8, 12) if probe <= cells) {
-      val ranked = graft.operators.VectorOps.ivfAssign(spark, dir, cells)
-      val sizes = ranked.filter(col("rn") === 1)
-        .groupBy(col("centroid_id")).count()
+      val sizes = graft.operators.VectorOps.ivfFile(spark, dir, cells)
+        .groupBy(col("cell")).count()
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val probed = ranked.filter(col("vec_id") < nQueries && col("rn") <= probe)
+      val probed = graft.operators.VectorOps.ivfQueryProbes(spark, dir, cells)
+        .filter(col("vec_id") < nQueries && col("rn") <= probe)
         .select(col("vec_id"), col("centroid_id"))
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       val scanned = probed.groupBy(_._1).values

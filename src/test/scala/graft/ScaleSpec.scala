@@ -471,11 +471,12 @@ class ScaleSpec extends SparkSpec {
     assert(r32 >= r8, "finer cells must not lose recall at the same scanned fraction")
     // candidate bound: the probed cells hold well under half the
     // collection per query (measured ~12.5%; assert with headroom)
-    val ranked = VectorOps.ivfAssign(spark, sf0001, cells = 32)
-    val sizes = ranked.filter($"rn" === 1).groupBy($"centroid_id").count()
+    val sizes = VectorOps.ivfFile(spark, sf0001, cells = 32)
+      .groupBy($"cell").count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val total = sizes.values.sum.toDouble
-    val scanned = ranked.filter($"vec_id" < nQueries && $"rn" <= 4)
+    val scanned = VectorOps.ivfQueryProbes(spark, sf0001, cells = 32)
+      .filter($"vec_id" < nQueries && $"rn" <= 4)
       .select($"vec_id", $"centroid_id").collect()
       .groupBy(_.getLong(0)).values
       .map(_.map(r => sizes.getOrElse(r.getLong(1), 0L)).sum).sum /
@@ -584,11 +585,12 @@ class ScaleSpec extends SparkSpec {
     // scanned fraction: probed-cell population share (the q80
     // measurement) × the PQ code-vs-float read ratio
     val nQueries = 20
-    val ranked = VectorOps.ivfAssign(spark, sf0001, cells = 32)
-    val sizes = ranked.filter($"rn" === 1).groupBy($"centroid_id").count()
+    val sizes = VectorOps.ivfFile(spark, sf0001, cells = 32)
+      .groupBy($"cell").count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val total = sizes.values.sum.toDouble
-    val cellFraction = ranked.filter($"vec_id" < nQueries && $"rn" <= 4)
+    val cellFraction = VectorOps.ivfQueryProbes(spark, sf0001, cells = 32)
+      .filter($"vec_id" < nQueries && $"rn" <= 4)
       .select($"vec_id", $"centroid_id").collect()
       .groupBy(_.getLong(0)).values
       .map(_.map(r => sizes.getOrElse(r.getLong(1), 0L)).sum).sum /

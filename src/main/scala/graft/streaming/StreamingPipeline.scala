@@ -317,6 +317,10 @@ object StreamingPipeline {
     * sighting) pass — the gate can't judge a distribution it has
     * never seen. */
   def freezeQualityGate(store: graft.sources.LayerStore): Unit = {
+    require(store.exists("silver", "corpus_quality_hist"),
+      "freezeQualityGate: no corpus_quality_hist yet — ingest at least one " +
+        "batch before freezing a gate (a gate frozen from nothing would " +
+        "judge every source it has never seen)")
     store.write("silver", GateTable, qualityGateOverHist(store))
     ()
   }

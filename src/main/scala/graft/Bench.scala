@@ -411,7 +411,10 @@ object Bench {
       case (label, ss) if label.startsWith("prep_") && !failedNow(label) &&
         ss.forall { case (_, seg) => isDirty(seg) } => label
     }
-    val forcePrepRetime = sys.env.get("SPARK_GRAFT_PREP_RETIME").forall(_ != "0")
+    // default ON; any usual falsy spelling opts out (a bare `=false`
+    // must not silently force the pass the variable exists to skip)
+    val forcePrepRetime = sys.env.get("SPARK_GRAFT_PREP_RETIME")
+      .forall(v => !Set("0", "false", "no", "off").contains(v.trim.toLowerCase))
     var prepPass = 0
     while ((dirtyPreps().nonEmpty || (forcePrepRetime && prepPass == 0)) && prepPass < 2) {
       dirtyPreps().foreach(allRetried.add)
@@ -499,7 +502,19 @@ object Bench {
       val prepH = if (!full) "" else
         prepHashes.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
           .mkString(",\"prep_hashes\":{", ",", "}")
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$failed,"cal0":${num(cal0)},"cal1":${num(cal1)},"cals":$cals,"retried":$retried,"dirty":$dirty,"dirty_n":${dirtyEntries.size},"cal_threads":$calThreads$prepH,"sf":"$sfDir"}"""
+      // per-entry raw samples (round-13 ask #7): every measurement in
+      // wall order with the index of its opening calibration spin, so
+      // min-of-N is VERIFIABLE from the artifact — the reported value
+      // is provably min(samples), n_samples is the list length, and
+      // each sample's cal bracket is segCals[seg]..segCals[seg+1].
+      // File record only (a 164-entry map would blow the tail window).
+      val samplesJson = if (!full) "" else
+        samples.toSeq.map { case (k, ss) =>
+          "\"" + k + "\":[" + ss.map { case (v, seg) =>
+            s"[$v,$seg]"
+          }.mkString(",") + "]"
+        }.mkString(",\"samples\":{", ",", "}")
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$failed,"cal0":${num(cal0)},"cal1":${num(cal1)},"cals":$cals,"retried":$retried,"dirty":$dirty,"dirty_n":${dirtyEntries.size},"cal_threads":$calThreads$prepH$samplesJson,"sf":"$sfDir"}"""
     }
     // full-precision, full-name record for humans and tools
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),

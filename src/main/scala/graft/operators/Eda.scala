@@ -1337,7 +1337,15 @@ object Eda extends QueryModule {
   def kmvSetOps(s: SparkSession, dir: String): DataFrame = {
     def pair(label: String, dfA: DataFrame, cA: String,
         dfB: DataFrame, cB: String): DataFrame = {
-      val hsA = kmvHashSet(dfA, cA); val hsB = kmvHashSet(dfB, cB)
+      // eager localCheckpoint (round-13 ask #3): each hash set feeds
+      // THREE consumers below (its TakeOrdered minima, the exact
+      // count, the exact intersection) — left lazy, the distinct-md5
+      // shuffle recomputes per consumer and this is the slowest query
+      // on the board; checkpointed, each side's set materializes once
+      // per call (the q90 lineage-truncation rule — a plain persist
+      // would still re-pay Catalyst analysis per run)
+      val hsA = kmvHashSet(dfA, cA).localCheckpoint()
+      val hsB = kmvHashSet(dfB, cB).localCheckpoint()
       val aMin = hsA.orderBy(col("h")).limit(KmvK)
       val bMin = hsB.orderBy(col("h")).limit(KmvK)
       val merged = aMin.unionByName(bMin).distinct().orderBy(col("h")).limit(KmvK)

@@ -1291,20 +1291,26 @@ object VectorOps extends QueryModule {
     * kmAssign (the candidate max is the true max); disagreements are
     * bounded by the probe's recall (KmeansSpec pins exact parity on
     * the clustered fixture shape). Output columns match kmAssign. */
-  private[graft] def kmAssignSrp(base: DataFrame, cents: DataFrame,
-      rowsPerBand: Int): DataFrame = {
-    val cb = srpBandValsFor(cents.withColumnRenamed("cv", "cvv"),
+  /** Stage helpers shared by [[kmAssignSrp]] (production) and
+    * [[profileSrpAssign]] (its stage-by-stage profiler) — ONE
+    * definition of each stage, so a change to the tie-break struct or
+    * the fallback anti-join can never drift from what the profiler
+    * measures. */
+  private def srpCentroidBands(cents: DataFrame, rowsPerBand: Int): DataFrame =
+    srpBandValsFor(cents.withColumnRenamed("cv", "cvv"),
       Seq("cell"), "cvv", rowsPerBand)
-    val db = srpBandValsFor(base, Seq("vec_id"), "e", rowsPerBand)
-    // eager localCheckpoint: candIds feeds BOTH the scored assignment
-    // and the fallback anti-join — left lazy, the second consumer
-    // recomputes the whole signature chain (~N·SRP_BITS dots)
-    val candIds = db.join(broadcast(cb), Seq("band", "band_val"))
+
+  private def srpCandIdsOver(db: DataFrame, cb: DataFrame): DataFrame =
+    db.join(broadcast(cb), Seq("band", "band_val"))
       .select(col("vec_id"), col("cell")).distinct()
-      .localCheckpoint()
+
+  /** Exact cosine argmax over each vector's bucket-sharing candidate
+    * centroids (ties to the lower cell — kmAssign's total order). */
+  private def srpScoredAssign(candIds: DataFrame, cents: DataFrame,
+      base: DataFrame): DataFrame = {
     val sim = (dot_product(col("e"), col("cv")) /
       (sqrt(col("norm2")) * sqrt(col("cnorm2")))).as("csim")
-    val assigned = candIds
+    candIds
       .join(broadcast(cents), "cell")
       .join(base, "vec_id")
       .select(col("vec_id"), col("e"), col("norm2"), col("cell"), col("cnorm2"), sim)
@@ -1314,9 +1320,24 @@ object VectorOps extends QueryModule {
         struct(col("csim"), (-col("cell")).as("negcell"))).as("b"))
       .select(col("vec_id"), col("b.e").as("e"), col("b.norm2").as("norm2"),
         col("b.cell").as("cell"), col("b.cnorm2").as("cnorm2"), col("b.csim").as("csim"))
-    val missed = base.join(candIds.select(col("vec_id")).distinct(),
+  }
+
+  /** Vectors whose bands collided with NO centroid bucket (P ≈ e^-C)
+    * — the exact full-K fallback's input. */
+  private def srpMissed(base: DataFrame, candIds: DataFrame): DataFrame =
+    base.join(candIds.select(col("vec_id")).distinct(),
       Seq("vec_id"), "left_anti")
-    assigned.unionByName(kmAssign(missed, cents))
+
+  private[graft] def kmAssignSrp(base: DataFrame, cents: DataFrame,
+      rowsPerBand: Int): DataFrame = {
+    val cb = srpCentroidBands(cents, rowsPerBand)
+    val db = srpBandValsFor(base, Seq("vec_id"), "e", rowsPerBand)
+    // eager localCheckpoint: candIds feeds BOTH the scored assignment
+    // and the fallback anti-join — left lazy, the second consumer
+    // recomputes the whole signature chain (~N·SRP_BITS dots)
+    val candIds = srpCandIdsOver(db, cb).localCheckpoint()
+    srpScoredAssign(candIds, cents, base)
+      .unionByName(kmAssign(srpMissed(base, candIds), cents))
   }
 
   /** tools.SrpAssignProfile's window: stage-by-stage timings and
@@ -1338,35 +1359,23 @@ object VectorOps extends QueryModule {
         cents = kmUpdate(kmAssign(sample, cents), intValued = true)
           .coalesce(1).localCheckpoint()
     }
-    val cb = srpBandValsFor(cents.withColumnRenamed("cv", "cvv"),
-      Seq("cell"), "cvv", rowsPerBand).persist()
+    val cb = srpCentroidBands(cents, rowsPerBand).persist()
     t("centroid bands")(println("  rows=" + cb.count()))
     println("  centroid bucket skew: " + cb.groupBy(col("band"), col("band_val"))
       .count().agg(max(col("count")), avg(col("count"))).head())
     val db = srpBandValsFor(base, Seq("vec_id"), "e", rowsPerBand).persist()
     t("doc bands")(println("  rows=" + db.count()))
-    val candIds = db.join(broadcast(cb), Seq("band", "band_val"))
-      .select(col("vec_id"), col("cell")).distinct().persist()
+    val candIds = srpCandIdsOver(db, cb).persist()
     t("candidates")(println("  rows=" + candIds.count() +
       " (= " + (candIds.count().toDouble / base.count()) + " per doc)"))
-    val sim = (dot_product(col("e"), col("cv")) /
-      (sqrt(col("norm2")) * sqrt(col("cnorm2")))).as("csim")
     val assigned = t("scored assign") {
-      val a = candIds
-        .join(broadcast(cents), "cell")
-        .join(base, "vec_id")
-        .select(col("vec_id"), col("e"), col("norm2"), col("cell"), col("cnorm2"), sim)
-        .groupBy(col("vec_id"))
-        .agg(max_by(
-          struct(col("e"), col("norm2"), col("cell"), col("cnorm2"), col("csim")),
-          struct(col("csim"), (-col("cell")).as("negcell"))).as("b"))
-        .select(col("vec_id"), col("b.cell").as("cell")).persist()
+      val a = srpScoredAssign(candIds, cents, base)
+        .select(col("vec_id"), col("cell")).persist()
       a.count()
       a
     }
     val missed = t("missed fallback") {
-      val m = base.join(candIds.select(col("vec_id")).distinct(),
-        Seq("vec_id"), "left_anti").persist()
+      val m = srpMissed(base, candIds).persist()
       println("  missed=" + m.count())
       m
     }

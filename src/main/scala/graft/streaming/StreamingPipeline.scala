@@ -359,7 +359,9 @@ object StreamingPipeline {
         _.filter(col("batch_id") === batchId && col("phase") === phase)
           .collect())
       if (phaseRows("done").nonEmpty) return // replay of an applied batch
-      val maxId = batch.agg(max(col("doc_id"))).head().getLong(0)
+      val idRange = batch.agg(max(col("doc_id")), min(col("doc_id"))).head()
+      val maxId = idRange.getLong(0)
+      val minId = idRange.getLong(1)
       // crash-retry scrub: a prior attempt of THIS batch declared
       // intent but never finished — remove its partial rows so the
       // re-applied appends cannot double-index, and so the decision
@@ -389,7 +391,18 @@ object StreamingPipeline {
       // the stream (the set predicate is undefined for a re-used id).
       // The decision log holds every id ever decided; the scrub above
       // already removed THIS batch's own crash-retry leftovers.
-      if (store.exists("silver", "corpus_ingest_log")) {
+      // High-watermark fast path: every commit marker (intent AND
+      // done — intent covers a crashed batch's partial log rows)
+      // carries its batch's max_doc_id, so when this batch's MIN id
+      // exceeds the store-wide max — the common monotone-arrival case
+      // — no earlier batch can have decided any of these ids and the
+      // full log join is skipped. Per-batch probe cost then stays
+      // O(commits), not O(total stream length).
+      val idWatermark = commits
+        .flatMap(c => Option(c.agg(max(col("max_doc_id"))).head().get(0)))
+        .map(_.asInstanceOf[Long])
+      if (idWatermark.forall(minId <= _) &&
+          store.exists("silver", "corpus_ingest_log")) {
         val dup = store.table("silver", "corpus_ingest_log")
           .join(broadcast(batch.select(col("doc_id"))), "doc_id")
           .limit(1).collect()
@@ -467,11 +480,19 @@ object StreamingPipeline {
                 .filter(col("batch_id") === batchId).localCheckpoint()
             else {
               // "currently in the corpus" = dedup-accepted AND past
-              // the gate (older logs without the gate column predate
-              // gating — everything in them passed)
-              val log = store.table("silver", "corpus_ingest_log")
+              // the gate. Pre-gating stores need TWO layers of
+              // defense: tableMerged (union schema across every
+              // footer — a plain read takes ONE file's schema, so on
+              // a store mixing old and new files whether gate_passed
+              // even appears would be footer-sampling-order
+              // dependent), and a per-row coalesce(gate_passed, true)
+              // — rows written before gating read NULL, and
+              // `NULL && true` is NULL, which a bare filter drops:
+              // those docs would silently never be retractable.
+              val log = store.tableMerged("silver", "corpus_ingest_log")
               val accepted = (if (log.columns.contains("gate_passed"))
-                log.filter(col("accepted") && col("gate_passed"))
+                log.filter(col("accepted") &&
+                  coalesce(col("gate_passed"), lit(true)))
               else log.filter(col("accepted"))).select(col("doc_id"))
               val prior = if (store.exists("silver", RetractionsTable))
                 store.table("silver", RetractionsTable).select(col("doc_id"))
@@ -481,8 +502,16 @@ object StreamingPipeline {
               // capture everything the corrections need (source,
               // quality, token count) from corpus_docs BEFORE any
               // deletion, and make it durable FIRST — the `retract`
-              // marker then proves the rows are complete
-              val docRows = store.table("silver", "corpus_docs")
+              // marker then proves the rows are complete. Same
+              // pre-upgrade defense as the log read: merged schema
+              // (rows written before the source column existed read
+              // NULL) and a per-row degrade to 'all' — the sentinel
+              // the histogram uses for sourceless batches.
+              val docsTbl = store.tableMerged("silver", "corpus_docs")
+              val docRows = (if (docsTbl.columns.contains("source"))
+                docsTbl.withColumn("source",
+                  coalesce(col("source"), lit("all")))
+              else docsTbl.withColumn("source", lit("all")))
                 .join(broadcast(toRetract.select(col("doc_id"))), "doc_id")
               val d = TextOps.qualityScoreOver(docRows)
                 .select(col("doc_id"), col("quality"))

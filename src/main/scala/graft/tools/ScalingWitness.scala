@@ -255,7 +255,12 @@ object ScalingWitness {
       // brute-force truth over the 20-query batch, plus the measured
       // scanned fraction — evidence the 0.9 floor survives a decade
       // of growth at constant scanned FRACTION.
-      val (cells, probe) = if (mult == 1L) (32, 4) else (320, 40)
+      // derived from the multiplier (not a two-point special case):
+      // cells ∝ N and probe = cells/8 hold the scanned fraction at
+      // ~1/8 for ANY witness scale, so an ad-hoc 3× or 30× run
+      // measures the K ∝ N regime it claims to
+      val cells = (32L * mult).toInt
+      val probe = math.max(1, cells / 8)
       locally {
         var c0 = cal()
         var tries = 0

@@ -330,6 +330,45 @@ class StreamingCorpusSpec extends SparkSpec {
     assert(run(arrivals.map(a => Seq(a._1)).reverse, "rev")._2 == oneShot)
   }
 
+  test("a pre-gating store's rows stay retractable after the schema upgrade") {
+    import org.apache.spark.sql.functions.col
+    // Build the store with the CURRENT code, then rewrite its two
+    // evolving tables WITHOUT the post-upgrade columns — exactly the
+    // bytes a pre-gating/pre-source version left on disk. The next
+    // (late, retracting) batch appends new-schema files beside them:
+    // a mixed-footer store. Docs 4,5,6 arrive first; doc 1 (dup of 3
+    // = text(1)... use the shared fixture: 3 duplicates 1) — late
+    // batch [1] must retract the earlier-accepted 3.
+    val dir = java.nio.file.Files.createTempDirectory("graft-corpus-upg").toString
+    val store = new graft.sources.LayerStore(spark, s"$dir/store")
+    StreamingPipeline.ingestCorpusBatch(df(Seq(3L, 4L)), store, 0L)
+    // strip the gate columns from the log and source from corpus_docs
+    // — the pre-upgrade on-disk shape (old rows will read NULL under
+    // the merged schema once new-schema files append beside them)
+    store.write("silver", "corpus_ingest_log",
+      store.table("silver", "corpus_ingest_log")
+        .select(col("doc_id"), col("n_candidates"), col("best_match_id"),
+          col("best_jaccard"), col("accepted")))
+    store.write("silver", "corpus_docs",
+      store.table("silver", "corpus_docs").select(col("doc_id"), col("text")))
+    // late batch: doc 1 near-dups stored doc 3 (same text(1) seed)
+    // and wins the id tiebreak — 3 must be retracted even though its
+    // log row reads gate_passed = NULL under the merged schema
+    StreamingPipeline.ingestCorpusBatch(df(Seq(1L)), store, 1L)
+    assert(acceptedOf(store) == Seq(1L, 4L),
+      s"pre-upgrade row was not retracted: ${acceptedOf(store)}")
+    val retr = store.table("silver", "corpus_retractions")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("retracted_by"), r.getAs[String]("source")))
+    // the correction degraded the absent source to the 'all' sentinel
+    assert(retr.toSeq == Seq((3L, 1L, "all")), s"retractions: ${retr.toSeq}")
+    // negative corrections kept the summed stats equal to a one-shot
+    // build over the survivors (docs 1 and 4)
+    val stSum = store.table("silver", "corpus_index_stats")
+      .agg(org.apache.spark.sql.functions.sum(col("n_docs"))).head()
+    assert(stSum.getLong(0) == 2L, s"n_docs after upgrade retraction: $stSum")
+  }
+
   test("a re-used doc_id across batches is rejected loudly") {
     val dir = java.nio.file.Files.createTempDirectory("graft-corpus-dupid").toString
     val store = new graft.sources.LayerStore(spark, s"$dir/store")

@@ -326,6 +326,89 @@ object StreamingPipeline {
   }
 
   private val GateTable = "corpus_quality_gate"
+  private val GateScheduleTable = "corpus_gate_schedule"
+
+  /** The automated freeze cadence (round-13 ask #4): the operational
+    * loop freezeQualityGate's scaladoc describes ("freeze
+    * periodically, e.g. per crawl snapshot"), made executable and
+    * SPLIT-INVARIANT. The schedule is expressed in doc-id BLOCKS
+    * (block b = ids [b·blockSize, (b+1)·blockSize)), not in batch
+    * counts: "every N batches" would tie the gate a doc faces to how
+    * the stream happened to micro-batch, while an id-block boundary
+    * is a property of the DOC SET — under monotone arrival every doc
+    * in block b is gated by the gate frozen from exactly the admitted
+    * docs of blocks < b, whatever the batch split (proven in
+    * StreamingCorpusSpec with lopsided and per-doc splits).
+    *
+    * Mechanics: the arriving batch splits at block boundaries and
+    * each sub-batch runs through the ordinary commit-protocol ingest
+    * under a derived sub-batch id; before a sub-batch whose block
+    * exceeds the last frozen block, the gate re-freezes from the
+    * streaming histogram. Crash-safety composes from the pieces: the
+    * schedule pointer is a stage-swapped 1-row table, a retry
+    * re-freezes from the SAME histogram (earlier sub-batches are
+    * commit-marked, later ones scrubbed), so the re-frozen gate is
+    * bit-identical. Late (non-monotone) arrivals keep every LATER
+    * freeze exact — retraction corrections repair the histogram — but
+    * an already-frozen gate is a pinned artifact and does not
+    * retro-update: the frozen-gate semantic, now on a schedule. */
+  def corpusIngestGated(docs: DataFrame, store: graft.sources.LayerStore,
+      checkpoint: String, blockSize: Long)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        ingestCorpusBatchGated(batch.toDF(), store, batchId, blockSize)
+      }
+      .start()
+
+  /** One gated micro-batch — also the batch-mode entry (the spec's
+    * twin). Sub-batch ids derive as batchId·4096 + ordinal, so the
+    * commit protocol sees a strictly increasing unique id per
+    * sub-batch and a crash replay of the outer batch skips exactly
+    * the sub-batches whose `done` markers landed. */
+  private[graft] def ingestCorpusBatchGated(batchRaw: DataFrame,
+      store: graft.sources.LayerStore, batchId: Long, blockSize: Long): Unit = {
+    require(blockSize > 0, "blockSize must be positive")
+    val s = batchRaw.sparkSession
+    import s.implicits._
+    val blocks = batchRaw.select(expr(s"doc_id DIV $blockSize").as("b"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    require(blocks.length < 4096,
+      s"batch $batchId spans ${blocks.length} id blocks; raise blockSize")
+    def lastFrozen: Long =
+      if (store.exists("silver", GateScheduleTable))
+        store.table("silver", GateScheduleTable).head().getLong(0)
+      else -1L
+    // the highest block any DECIDED doc has reached (from the commit
+    // markers' max_doc_id — O(commits), no log scan): the gate at
+    // boundary b freezes only when crossing INTO a block nothing has
+    // reached, because its histogram must be exactly the admitted
+    // docs with id < b·blockSize. Without this guard, a block whose
+    // docs span two micro-batches would freeze a gate mid-block from
+    // a partial histogram and the final corpus would depend on the
+    // split.
+    def decidedBlock: Long =
+      if (store.exists("silver", CommitsTable))
+        Option(store.table("silver", CommitsTable)
+          .agg(max(col("max_doc_id"))).head().get(0))
+          .map(_.asInstanceOf[Long] / blockSize).getOrElse(-1L)
+      else -1L
+    blocks.zipWithIndex.foreach { case (b, ord) =>
+      if (b > lastFrozen && b > decidedBlock &&
+          store.exists("silver", "corpus_quality_hist")) {
+        // one freeze with the CURRENT histogram covers every crossed
+        // boundary at once: boundaries with no docs in between would
+        // freeze an identical gate (the histogram didn't change)
+        freezeQualityGate(store)
+        store.write("silver", GateScheduleTable, Seq(b).toDF("last_frozen_block"))
+      }
+      ingestCorpusBatch(
+        batchRaw.filter(expr(s"doc_id DIV $blockSize") === b),
+        store, batchId * 4096L + ord)
+    }
+  }
 
   /** The q162 quality gate over the STREAMING-maintained histogram:
     * per-batch partial (source, quality) counts merge by addition

@@ -330,6 +330,54 @@ class StreamingCorpusSpec extends SparkSpec {
     assert(run(arrivals.map(a => Seq(a._1)).reverse, "rev")._2 == oneShot)
   }
 
+  test("scheduled gate freezes (id-block cadence) are split-invariant") {
+    import org.apache.spark.sql.functions.col
+    // blockSize 10: ids 1..8 are block 0 (ungated — nothing frozen
+    // before the first block), 11..14 block 1 (gated by the freeze
+    // over block 0's admitted docs), 21..24 block 2 (gated by the
+    // freeze over blocks 0-1). Per source, each gated block carries
+    // one long doc (above any v25) and one 2-token stub (below).
+    val all = (1 to 8).map { i =>
+      (i.toLong, (0 until (5 + i * 3)).map(j => s"c${i}w$j").mkString(" "),
+        if (i % 2 == 0) "web" else "code")
+    } ++ Seq(
+      (11L, (0 until 50).map(j => s"c11w$j").mkString(" "), "web"),
+      (12L, "c12w0 c12w1", "web"),
+      (13L, (0 until 50).map(j => s"c13w$j").mkString(" "), "code"),
+      (14L, "c14w0 c14w1", "code"),
+      (21L, (0 until 60).map(j => s"c21w$j").mkString(" "), "web"),
+      (22L, "c22w0 c22w1", "web"),
+      (23L, (0 until 60).map(j => s"c23w$j").mkString(" "), "code"),
+      (24L, "c24w0 c24w1", "code"))
+    def cdf(ids: Seq[Long]) = all.filter(d => ids.contains(d._1))
+      .toDF("doc_id", "text", "source")
+    def run(splits: Seq[Seq[Long]], tag: String) = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-cadence-$tag").toString
+      val store = new graft.sources.LayerStore(spark, s"$dir/store")
+      splits.zipWithIndex.foreach { case (ids, i) =>
+        StreamingPipeline.ingestCorpusBatchGated(cdf(ids), store, i.toLong, 10L) }
+      val gate = store.table("silver", "corpus_quality_gate")
+        .collect().map(_.toString).sorted.toSeq
+      (acceptedOf(store), gate)
+    }
+    val (oneShot, oneGate) = run(Seq(all.map(_._1)), "one")
+    // block 0 ungated; the stubs of blocks 1 and 2 are gate-dropped
+    assert(oneShot == ((1L to 8L) ++ Seq(11L, 13L, 21L, 23L)),
+      s"cadence admitted the wrong set: $oneShot")
+    // lopsided split, per-doc split, and a split that cuts block 1
+    // IN HALF mid-block (the case that would freeze a partial-block
+    // gate without the decided-block guard) — all identical
+    val cases = Seq(
+      Seq(Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 11L), Seq(12L, 13L, 14L, 21L, 22L, 23L, 24L)),
+      all.map(d => Seq(d._1)),
+      Seq((1L to 8L) :+ 11L :+ 12L, Seq(13L, 14L), Seq(21L, 22L, 23L, 24L)))
+    cases.zipWithIndex.foreach { case (c, i) =>
+      val (acc, gate) = run(c, s"s$i")
+      assert(acc == oneShot, s"split $i diverged: $acc vs $oneShot")
+      assert(gate == oneGate, s"split $i froze a different gate")
+    }
+  }
+
   test("a pre-gating store's rows stay retractable after the schema upgrade") {
     import org.apache.spark.sql.functions.col
     // Build the store with the CURRENT code, then rewrite its two

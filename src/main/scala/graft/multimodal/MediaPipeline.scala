@@ -194,6 +194,42 @@ object MediaPipeline {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Cross-video FRAME near-duplicate pairs by perceptual hash — the
+    * multi-frame twin of imageNearDup (q163): every decoded, kept
+    * frame's 64-bit aHash bands into 8 bytes, bucket-local join across
+    * DIFFERENT videos (doc_a < doc_b — within-video redundancy is the
+    * scene-cut sampler's job, not dedup's), popcount verify at
+    * Hamming ≤ maxHamming. The pigeonhole recall guarantee carries
+    * over unchanged: ≤ 7 flipped bits cannot touch all 8 bands, so a
+    * re-encoded clip's frames MUST collide with their originals.
+    * Scale: 8 rows per kept frame, bucket-keyed join (never
+    * all-pairs), candidate-bounded verification — the q21-q23 LSH
+    * shape with exact recall. */
+  def videoFrameNearDup(frames: Dataset[VideoFrameRow],
+      maxHamming: Int = 7): DataFrame = {
+    require(maxHamming <= 7,
+      "banded recall is exact only for maxHamming <= 7 (8 bands)")
+    val h = frames.filter(_.decoded).toDF()
+      .select(col("doc_id"), col("frame_idx"), col("ahash"))
+    val bands = h.select(col("doc_id"), col("frame_idx"), col("ahash"),
+      explode(array((0 until 8).map(i => struct(lit(i).as("band"),
+        shiftright(col("ahash"), i * 8).bitwiseAND(lit(0xffL)).as("key"))): _*)).as("b"))
+      .select(col("doc_id"), col("frame_idx"), col("ahash"),
+        col("b.band").as("band"), col("b.key").as("key"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("x.frame_idx").as("frame_a"),
+        col("y.doc_id").as("doc_b"), col("y.frame_idx").as("frame_b"),
+        col("x.ahash").as("ha"), col("y.ahash").as("hb"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS INT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("frame_a"), col("doc_b"), col("frame_b"),
+        col("hamming"))
+      .orderBy(col("doc_a"), col("frame_a"), col("doc_b"), col("frame_b"))
+  }
+
   /** BT.601 integer luma plane of a decoded image — shared by the
     * single-image and multi-frame decode paths. */
   private def lumaOf(img: java.awt.image.BufferedImage): (Int, Int, Array[Int]) = {

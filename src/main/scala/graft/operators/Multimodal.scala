@@ -195,13 +195,130 @@ object Multimodal extends QueryModule {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Frames per fixture video / sampling stride (keep every 2nd frame
+    * — the videoFrames default, so the oracle filters f % 2 = 0). */
+  private val VidFrames = 6
+  private val VidEvery = 2
+
+  /** The deterministic multi-frame fixture each document renders: group
+    * g = doc_id DIV 4 picks a base CLIP (frame f's pixel i = first two
+    * md5 hex chars of 'vid|g|f|i'), and the three non-zero group
+    * members are "re-encoded" copies perturbing ONE pixel PER FRAME
+    * (index (r·17 + f·5) % 64, value +120 mod 256) — per-frame noise a
+    * byte-exact hash misses but the perceptual aHash rides through.
+    * Parity-critical pair with the Spark rendering (q163's
+    * pixelValueSql rule, plus the frame axis). */
+  private def framePixelSql(md5Of: String => String, div: String,
+      fRef: String, iRef: String): String = {
+    val base = {
+      val h = md5Of(s"concat('vid|', CAST(doc_id $div 4 AS STRING), '|', " +
+        s"CAST($fRef AS STRING), '|', CAST($iRef AS STRING))")
+      s"(${hexDigSql(s"substring($h, 1, 1)")} * 16 + ${hexDigSql(s"substring($h, 2, 1)")})"
+    }
+    s"""CASE WHEN doc_id % 4 <> 0 AND $iRef = ((doc_id % 4) * 17 + $fRef * 5) % 64
+       |     THEN ($base + 120) % 256 ELSE $base END""".stripMargin
+  }
+
+  /** q165 — cross-video FRAME near-duplicate pairs through the REAL
+    * multi-frame codec: each document's fixture clip renders to an
+    * actual multi-page TIFF (the JDK's canonical multi-frame container;
+    * TYPE_INT_RGB with r=g=b so BT.601 luma round-trips exactly), the
+    * payload decodes back through javax.imageio sequence readers
+    * (MediaPipeline.decodeFrames), the frame sampler keeps every 2nd
+    * frame and aHash-64 fingerprints each kept frame, and near-dup
+    * frame pairs across DIFFERENT videos verify at Hamming ≤ 7 via the
+    * banded join — pigeonhole-exact recall, the q163 guarantee lifted
+    * to the video tier. The DuckDB oracle recomputes the same integers
+    * from the fixture definition (encode→decode is an exact luma round
+    * trip). Scale: encode/decode are partition-local with no shuffle;
+    * the join is bucket-keyed over 8 rows per kept frame, never
+    * all-pairs. */
+  def videoNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.MediaPipeline
+    val perFrame = 64
+    val px = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), expr(
+        s"transform(sequence(0, ${VidFrames * perFrame - 1}), j -> ${
+          framePixelSql(m => s"md5(CAST($m AS BINARY))", "DIV",
+            s"(j DIV $perFrame)", s"(j % $perFrame)")})").as("px"))
+      .as[(Long, Array[Int])]
+    val media = px.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { case (id, p) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("tiff").next()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        try {
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          for (f <- 0 until VidFrames) {
+            val img = new java.awt.image.BufferedImage(8, 8,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            for (y <- 0 until 8; x <- 0 until 8) {
+              val v = p(f * perFrame + y * 8 + x) & 0xff
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            }
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), null)
+          }
+          writer.endWriteSequence()
+        } finally { ios.close(); writer.dispose() }
+        MediaPipeline.MediaRow(id, "image/tiff", bos.toByteArray)
+      }
+    }
+    MediaPipeline.videoFrameNearDup(
+      MediaPipeline.videoFrames(media, every = VidEvery,
+        maxFrames = VidFrames))
+  }
+
+  private val videoNearDupSql = {
+    val pixel = framePixelSql(m => s"md5($m)", "//", "fr.f", "idx.i")
+    s"""WITH idx AS (SELECT unnest(generate_series(0, 63)) AS i),
+       |fr AS (SELECT f FROM (SELECT unnest(generate_series(0, ${VidFrames - 1})) AS f)
+       |       WHERE f % $VidEvery = 0),
+       |px AS (
+       |  SELECT d.doc_id, fr.f, idx.i,
+       |         $pixel AS v
+       |  FROM documents d CROSS JOIN fr CROSS JOIN idx),
+       |m AS (SELECT doc_id, f, CAST(sum(v) AS BIGINT) // 64 AS mean
+       |      FROM px GROUP BY 1, 2),
+       |bits AS (
+       |  SELECT p.doc_id, p.f, p.i,
+       |         CASE WHEN p.v >= m.mean THEN 1 ELSE 0 END AS b
+       |  FROM px p JOIN m ON p.doc_id = m.doc_id AND p.f = m.f),
+       |bands AS (
+       |  SELECT doc_id, f, i // 8 AS band,
+       |         CAST(sum(b * (1 << (i % 8))) AS BIGINT) AS key
+       |  FROM bits GROUP BY 1, 2, 3),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, x.f AS frame_a,
+       |                  y.doc_id AS doc_b, y.f AS frame_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+       |ham AS (
+       |  SELECT c.doc_a, c.frame_a, c.doc_b, c.frame_b,
+       |         CAST(sum(CASE WHEN ba.b <> bb.b THEN 1 ELSE 0 END) AS INTEGER) AS hamming
+       |  FROM cand c
+       |  JOIN bits ba ON ba.doc_id = c.doc_a AND ba.f = c.frame_a
+       |  JOIN bits bb ON bb.doc_id = c.doc_b AND bb.f = c.frame_b AND bb.i = ba.i
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT doc_a, CAST(frame_a AS INTEGER) AS frame_a,
+       |       doc_b, CAST(frame_b AS INTEGER) AS frame_b, hamming
+       |FROM ham WHERE hamming <= 7
+       |ORDER BY doc_a, frame_a, doc_b, frame_b""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_multimodal_features" -> binaryFeatures,
     "q120_frame_energy" -> frameEnergy,
-    "q163_image_near_dup" -> imageNearDupPairs)
+    "q163_image_near_dup" -> imageNearDupPairs,
+    "q165_video_near_dup" -> videoNearDupPairs)
 
   override def oracles: Map[String, String] = Map(
     "q39_multimodal_features" -> binaryFeaturesSql,
     "q120_frame_energy" -> frameEnergySql,
-    "q163_image_near_dup" -> imageNearDupSql)
+    "q163_image_near_dup" -> imageNearDupSql,
+    "q165_video_near_dup" -> videoNearDupSql)
 }

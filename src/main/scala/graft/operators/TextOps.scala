@@ -891,6 +891,179 @@ object TextOps extends QueryModule {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q166: trained language ID ---------------------------------
+
+  /** Hashed char-bigram feature width / full-batch GD epochs for the
+    * trained langid classifier (the q143 dial pair, applied to
+    * language ID). */
+  private[operators] val LangidDim = 64
+  private[operators] val LangidEpochs = 3
+
+  /** q166 — TRAINED language ID: the fastText-style recipe (hashed
+    * character-n-gram features + a linear one-vs-rest classifier,
+    * Joulin et al. 2016) on the q143 gradient-descent machinery —
+    * replacing q25's fixed stopword profiles with weights LEARNED from
+    * the labeled corpus. Features are hashed char BIGRAMS (x = cnt /
+    * n_grams, the subword signal that separates languages without any
+    * hand-picked word list); one-vs-rest means ONE (class, bucket)-
+    * keyed weight table trained jointly — per class y = (lang == cls),
+    * LangidEpochs full-batch GD passes — and prediction is the argmax
+    * class of the final margins (ties break to the lexicographically
+    * larger class, pinned by the (z, cls) struct-max / the oracle's
+    * ORDER BY z DESC, cls DESC — both engines pick identically).
+    *
+    * Parity: the q143 fixed-point discipline verbatim — x snaps 6dp,
+    * every dot/gradient reduction snaps terms 6dp and folds through
+    * DECIMAL(38,10), the sigmoid snaps 6dp, weights snap 6dp per
+    * epoch — so the unrolled recursions cannot drift across engines.
+    *
+    * Scale: the model is O(classes · LangidDim) driver-resident rows
+    * between epochs (the MLlib iteration contract) re-entering as a
+    * broadcast join, so plan depth stays constant in epochs; the
+    * feature pass is one substring explode + hash aggregation, and the
+    * class axis multiplies feature rows by the LANGUAGE INVENTORY
+    * (dozens), never the corpus. LangidSpec measures accuracy ≥ the
+    * q25 heuristic on the same fixture. */
+  def langIdTrained(s: SparkSession, dir: String): DataFrame =
+    langIdTrainedOver(s, Tables.t(s, dir, "documents"))
+
+  /** Char-bigram hashed features per (doc, class): one substring
+    * explode + hash aggregation, then the bounded class cross. The
+    * len >= 2 guard is parity-critical: Spark's sequence(1, 0) counts
+    * DOWN ([1,0]) while DuckDB's generate_series(1, 0) is empty. */
+  private def langidFeats(docs: DataFrame, classes: Seq[String]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val grams = docs
+      .select(col("doc_id"), col("lang"),
+        when(length(col("text")) >= 2,
+          expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
+          .otherwise(expr("array()")).as("gs"))
+      .select(col("doc_id"), col("lang"),
+        size(col("gs")).cast(LongType).as("n_grams"), explode(col("gs")).as("g"))
+    val feats = grams
+      .groupBy(col("doc_id"), col("lang"), col("n_grams"),
+        featureDim(col("g"), LangidDim).as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), col("lang"), col("b"), col("cnt"),
+        snapRound(col("cnt").cast(DoubleType) / col("n_grams").cast(DoubleType), 6).as("x"))
+    feats.crossJoin(broadcast(classes.toDF("cls")))
+      .withColumn("y",
+        when(col("lang") === col("cls"), lit(1.0)).otherwise(lit(0.0)))
+  }
+
+  /** The classifier core over any documents-shaped frame (the
+    * LangidSpec seam). */
+  private[graft] def langIdTrainedOver(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    // the language inventory: bounded by the world's languages, the
+    // one O(classes) driver read that sizes the weight table
+    val classes = docs.select(col("lang")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val fx = langidFeats(docs, classes).persist()
+    val nDocs = docs.select(col("doc_id")).count()
+    def margin(scale: Int): org.apache.spark.sql.Column =
+      snapRound(sum(snapRound(col("x") * col("w"), 6)
+        .cast(DecimalType(38, 10))).cast(DoubleType), scale)
+    def weightsDf(w: Seq[(String, Int, Double)]): DataFrame =
+      s.createDataFrame(w).toDF("cls", "b", "w")
+    def snap6(x: Double): Double =
+      BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var weights: Seq[(String, Int, Double)] =
+      for (c <- classes; b <- 0 until LangidDim) yield (c, b, 0.0)
+    for (_ <- 1 to LangidEpochs) {
+      val errs = fx.join(broadcast(weightsDf(weights)), Seq("cls", "b"))
+        .groupBy(col("doc_id"), col("cls"), col("y"))
+        .agg(margin(6).as("z"))
+        .select(col("doc_id"), col("cls"),
+          (snapRound(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6) - col("y")).as("err"))
+      val grads = fx.join(errs, Seq("doc_id", "cls"))
+        .groupBy(col("cls"), col("b"))
+        .agg(snapRound(sum(snapRound(col("x") * col("err"), 6)
+          .cast(DecimalType(38, 10))).cast(DoubleType) / lit(nDocs.toDouble), 6).as("g"))
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      weights = weights.map { case (c, b, w) =>
+        (c, b, snap6(w - grads.getOrElse((c, b), 0.0)))
+      }
+    }
+    fx.unpersist()
+    val scores = langidFeats(docs, classes)
+      .join(broadcast(weightsDf(weights)), Seq("cls", "b"))
+      .groupBy(col("doc_id"), col("cls"))
+      .agg(margin(4).as("z"))
+    val pred = scores
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("z"), col("cls"))).as("m"))
+      .select(col("doc_id"), col("m.cls").as("predicted_lang"),
+        col("m.z").as("score"))
+    docs.select(col("doc_id"), col("lang").as("labeled_lang"))
+      .join(pred, "doc_id")
+      .withColumn("correct", col("labeled_lang") === col("predicted_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val langIdTrainedSql = {
+    def dot(scale: Int) = snapRoundSql(
+      s"CAST(sum(CAST(${snapRoundSql("f.x * w.w", 6)} AS DECIMAL(38,10))) AS DOUBLE)", scale)
+    val epochs = (1 to LangidEpochs).map { k =>
+      s"""tz$k AS (
+         |  SELECT f.doc_id, f.cls, f.y, ${dot(6)} AS z
+         |  FROM tfx f JOIN tw${k - 1} w ON f.cls = w.cls AND f.b = w.b
+         |  GROUP BY 1, 2, 3),
+         |te$k AS (
+         |  SELECT doc_id, cls, ${snapRoundSql("1.0 / (1.0 + exp(-z))", 6)} - y AS err
+         |  FROM tz$k),
+         |tg$k AS (
+         |  SELECT f.cls, f.b, ${snapRoundSql(
+        s"CAST(sum(CAST(${snapRoundSql("f.x * e.err", 6)} AS DECIMAL(38,10))) AS DOUBLE)" +
+          " / CAST(n AS DOUBLE)", 6)} AS g
+         |  FROM tfx f JOIN te$k e ON f.doc_id = e.doc_id AND f.cls = e.cls, tnd
+         |  GROUP BY f.cls, f.b, n),
+         |tw$k AS (
+         |  SELECT w.cls, w.b, ${snapRoundSql("w.w - coalesce(g.g, 0.0)", 6)} AS w
+         |  FROM tw${k - 1} w LEFT JOIN tg$k g ON w.cls = g.cls AND w.b = g.b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tcl AS (SELECT DISTINCT lang AS cls FROM documents),
+       |tgr AS (
+       |  SELECT doc_id, lang, CAST(len(gs) AS BIGINT) AS n_grams, unnest(gs) AS g
+       |  FROM (SELECT doc_id, lang,
+       |               CASE WHEN length(text) >= 2
+       |                    THEN list_transform(generate_series(1, length(text) - 1),
+       |                                        i -> substr(text, CAST(i AS INTEGER), 2))
+       |                    ELSE [] END AS gs
+       |        FROM documents)),
+       |tft AS (
+       |  SELECT doc_id, lang, ${featureDimSql("g", LangidDim)} AS b,
+       |         count(1) AS cnt, n_grams
+       |  FROM tgr GROUP BY doc_id, lang, n_grams, 3),
+       |tfx AS (
+       |  SELECT t.doc_id, t.b,
+       |         ${snapRoundSql("CAST(t.cnt AS DOUBLE) / CAST(t.n_grams AS DOUBLE)", 6)} AS x,
+       |         c.cls, CASE WHEN t.lang = c.cls THEN 1.0 ELSE 0.0 END AS y
+       |  FROM tft t CROSS JOIN tcl c),
+       |tnd AS (SELECT count(1) AS n FROM documents),
+       |tw0 AS (
+       |  SELECT cls, b, 0.0 AS w
+       |  FROM tcl CROSS JOIN (SELECT unnest(generate_series(0, ${LangidDim - 1})) AS b)),
+       |$epochs,
+       |tsc AS (
+       |  SELECT f.doc_id, f.cls, ${dot(4)} AS z
+       |  FROM tfx f JOIN tw$LangidEpochs w ON f.cls = w.cls AND f.b = w.b
+       |  GROUP BY 1, 2),
+       |tpr AS (
+       |  SELECT doc_id, cls AS predicted_lang, z AS score
+       |  FROM (SELECT doc_id, cls, z,
+       |               row_number() OVER (PARTITION BY doc_id
+       |                                  ORDER BY z DESC, cls DESC) AS rn
+       |        FROM tsc)
+       |  WHERE rn = 1)
+       |SELECT d.doc_id, d.lang AS labeled_lang, p.predicted_lang, p.score,
+       |       d.lang = p.predicted_lang AS correct
+       |FROM documents d JOIN tpr p ON d.doc_id = p.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   // ---- q26: quality scoring --------------------------------------
 
   /** q26 — document quality: length/punctuation/stopword components
@@ -2250,6 +2423,7 @@ object TextOps extends QueryModule {
     "q48_edit_distance" -> editDistance,
     "q24_simhash" -> simhash,
     "q25_langid" -> langId,
+    "q166_langid_trained" -> langIdTrained,
     "q26_text_quality" -> qualityScore,
     "q111_quality_budget" -> qualityBudget,
     "q77_quality_gate" -> qualityGate,
@@ -2302,6 +2476,7 @@ object TextOps extends QueryModule {
     "q48_edit_distance" -> editDistanceSql,
     "q24_simhash" -> simhashSql,
     "q25_langid" -> langIdSql,
+    "q166_langid_trained" -> langIdTrainedSql,
     "q26_text_quality" -> qualityScoreSql,
     "q111_quality_budget" -> qualityBudgetSql,
     "q77_quality_gate" -> qualityGateSql,

@@ -668,16 +668,33 @@ object TextOps extends QueryModule {
     * shared shingles scores 0.0. Scale: shuffles only the delta's
     * band rows; the stored side streams; verify touches candidate
     * pairs only. */
-  private[graft] def ingestScoredPairs(newBands: DataFrame,
-      oldBands: DataFrame, allSh: DataFrame): DataFrame = {
-    val cross = newBands.as("n")
+  /** The candidate stage alone: delta bands probe the stored index
+    * plus earlier-in-batch bands. `broadcastDelta` hints the
+    * delta-sized probe side so the STORED band table streams through a
+    * broadcast-hash join — never shuffled, never sorted — the only
+    * join shape whose per-batch cost is a single parallel scan of the
+    * index at crawl scale (the streaming ingest sets it; q105's
+    * oracle-pinned batch plan keeps Spark's own choice). */
+  private[graft] def ingestCandidates(newBands: DataFrame,
+      oldBands: DataFrame, broadcastDelta: Boolean = false): DataFrame = {
+    val n = if (broadcastDelta) broadcast(newBands) else newBands
+    val cross = n.as("n")
       .join(oldBands.as("o"),
         col("n.band") === col("o.band") && col("n.band_sig") === col("o.band_sig"))
       .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("match_id"))
       .distinct()
     val within = candidatePairsOver(newBands)
       .select(col("doc_b").as("new_id"), col("doc_a").as("match_id"))
-    val cand = cross.unionByName(within) // disjoint: match_id stored vs in-batch
+    cross.unionByName(within) // disjoint: match_id stored vs in-batch
+  }
+
+  /** The exact-Jaccard verify stage over an explicit candidate frame:
+    * `allSh` must cover every doc either side of `cand` references —
+    * and NOTHING MORE is read from it than those docs' rows, which is
+    * what lets the streaming ingest pass a footer-PRUNED shingle fetch
+    * here (candidate-bounded files) instead of the whole stored
+    * artifact. */
+  private[graft] def scoreCandidates(cand: DataFrame, allSh: DataFrame): DataFrame = {
     val sh = allSh
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = cand
@@ -694,6 +711,10 @@ object TextOps extends QueryModule {
       .select(col("new_id"), col("match_id"),
         coalesce(col("jaccard"), lit(0.0)).as("jaccard"))
   }
+
+  private[graft] def ingestScoredPairs(newBands: DataFrame,
+      oldBands: DataFrame, allSh: DataFrame): DataFrame =
+    scoreCandidates(ingestCandidates(newBands, oldBands), allSh)
 
   /** Per-arriving-doc ingest decision from scored pairs: the pure-SET
     * predicate `accepted(D) ⟺ no near-dup E with E.id < D.id exists

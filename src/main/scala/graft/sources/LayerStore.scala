@@ -48,6 +48,225 @@ class LayerStore(spark: SparkSession, root: String) {
     val fs = fsFor(target)
     if (!fs.exists(target) && fs.exists(backup) && !fs.rename(backup, target))
       sys.error(s"recovery: cannot restore $backup to $target")
+    recoverPrunes(layer, name)
+  }
+
+  // ---- footer-stats file pruning (manifest-style data skipping) -----
+
+  /** Top-level data files of a flat parquet table (hidden files,
+    * sidecars, and subdirectories excluded — exactly what Spark's
+    * listing reads). */
+  private def dataFiles(layer: String, name: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val target = hadoopPath(layer, name)
+    val fs = fsFor(target)
+    if (!fs.exists(target)) Seq.empty
+    else fs.listStatus(target).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
+  /** (path, length, modtime) → footer key range memo: a probe-heavy
+    * steady state (per-batch ingest) re-reads each immutable file's
+    * footer once, not once per probe. */
+  private val footerRangeMemo =
+    collection.mutable.Map.empty[(String, Long, Long), Option[(Long, Long)]]
+
+  /** [min,max] of a BIGINT column across a parquet file's row groups,
+    * from footer statistics alone (no data pages read). None when any
+    * row group lacks stats for the column — the caller must treat the
+    * file as unpruneable. An empty file reports an empty range that
+    * no key can intersect. */
+  private def fileKeyRange(st: org.apache.hadoop.fs.FileStatus,
+      keyCol: String): Option[(Long, Long)] =
+    footerRangeMemo.getOrElseUpdate(
+      (st.getPath.toString, st.getLen, st.getModificationTime), {
+        import scala.jdk.CollectionConverters._
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(
+          st, spark.sparkContext.hadoopConfiguration)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val blocks = r.getFooter.getBlocks.asScala.toSeq
+          val ranges = blocks.filter(_.getRowCount > 0).map { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == keyCol).flatMap { c =>
+              val s = c.getStatistics
+              if (s == null || !s.hasNonNullValue) None
+              else (s.genericGetMin, s.genericGetMax) match {
+                case (mn: java.lang.Long, mx: java.lang.Long) =>
+                  Some((mn.toLong, mx.toLong))
+                case _ => None
+              }
+            }
+          }
+          if (ranges.exists(_.isEmpty)) None
+          else if (ranges.isEmpty) Some((Long.MaxValue, Long.MinValue))
+          else Some((ranges.flatten.map(_._1).min, ranges.flatten.map(_._2).max))
+        } finally r.close()
+      })
+
+  /** Split the table's files into (touched, untouched) by whether their
+    * footer [min,max] on `keyCol` can contain any of `keys`. None when
+    * stats are missing anywhere or the table has subdirectories (a
+    * versioned layout this flat-file pruner must not reason about). */
+  private def prunedFiles(layer: String, name: String, keyCol: String,
+      keys: Seq[Long]): Option[(Seq[org.apache.hadoop.fs.FileStatus], Seq[org.apache.hadoop.fs.FileStatus])] = {
+    val target = hadoopPath(layer, name)
+    val fs = fsFor(target)
+    val hasSubdirs = fs.exists(target) && fs.listStatus(target).exists(st =>
+      st.isDirectory && !st.getPath.getName.startsWith(".") &&
+        !st.getPath.getName.startsWith("_"))
+    if (hasSubdirs) return None
+    val sorted = keys.distinct.sorted.toArray
+    def hit(mn: Long, mx: Long): Boolean = {
+      var lo = 0; var hi = sorted.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (sorted(mid) < mn) lo = mid + 1 else hi = mid
+      }
+      lo < sorted.length && sorted(lo) <= mx
+    }
+    val ranges = dataFiles(layer, name).map(st => st -> fileKeyRange(st, keyCol))
+    if (ranges.exists(_._2.isEmpty)) None
+    else {
+      val (touch, keep) = ranges.partition(r => hit(r._2.get._1, r._2.get._2))
+      Some((touch.map(_._1), keep.map(_._1)))
+    }
+  }
+
+  /** Footer-pruned point read: rows whose BIGINT `keyCol` is one of
+    * `keys`, reading ONLY the files whose footer stats can contain
+    * them — Iceberg/Delta-style data skipping from plain parquet
+    * footers, no manifest service. Per-probe cost scales with the
+    * MATCHING files, not the table: on a key-clustered layout (natural
+    * append order for monotone ids, or `clusterBy`) a bounded key set
+    * touches a bounded file set however large the table grows — the
+    * property the per-batch ingest probes need at crawl scale. Reads
+    * with merged schema (pre-upgrade files surface their columns as
+    * NULL); falls back to a full filter scan when stats are
+    * unavailable. */
+  def prunedByKeys(layer: String, name: String, keyCol: String,
+      keys: Seq[Long]): DataFrame = {
+    require(exists(layer, name), s"prunedByKeys: no table $layer.$name")
+    val ks = keys.distinct
+    if (ks.isEmpty) return tableMerged(layer, name).limit(0)
+    val keyFilter = col(keyCol).isInCollection(ks)
+    prunedFiles(layer, name, keyCol, ks) match {
+      case Some((touch, _)) if touch.isEmpty =>
+        tableMerged(layer, name).limit(0)
+      case Some((touch, _)) =>
+        spark.read.option("mergeSchema", "true")
+          .parquet(touch.map(_.getPath.toString): _*).filter(keyFilter)
+      case None => tableMerged(layer, name).filter(keyFilter)
+    }
+  }
+
+  private def pruneMarkerPath(layer: String, name: String, id: String) =
+    hadoopPath(layer, name, s"/.prune-commit-$id")
+
+  /** Idempotently complete a pruned delete from its commit marker:
+    * delete the touched originals that still exist, promote any
+    * remaining staged survivor files to visible names, then drop the
+    * stage dir and the marker. Every step is a re-runnable rename or
+    * delete, so a crash at ANY point re-completes on the next
+    * recovery pass. Pure filesystem — never re-enters the recovery
+    * entry points. */
+  private def commitPrune(layer: String, name: String,
+      marker: org.apache.hadoop.fs.Path): Unit = {
+    val fs = fsFor(marker)
+    val in = fs.open(marker)
+    val lines = try new String(in.readAllBytes(), "UTF-8").split("\n").toSeq
+      finally in.close()
+    val stageName = lines.head
+    val id = stageName.stripPrefix(".prune-stage-")
+    val touched = lines.tail.filter(_.nonEmpty)
+    val dir = hadoopPath(layer, name)
+    touched.foreach { n =>
+      val p = new org.apache.hadoop.fs.Path(dir, n)
+      if (fs.exists(p)) fs.delete(p, false)
+    }
+    val stage = new org.apache.hadoop.fs.Path(dir, stageName)
+    if (fs.exists(stage)) {
+      fs.listStatus(stage).filter(f => f.isFile &&
+          f.getPath.getName.endsWith(".parquet")).foreach { f =>
+        val tgt = new org.apache.hadoop.fs.Path(dir, s"pruned-$id-${f.getPath.getName}")
+        if (fs.exists(tgt)) fs.delete(f.getPath, false)
+        else if (!fs.rename(f.getPath, tgt))
+          sys.error(s"prune commit: cannot promote ${f.getPath} to $tgt")
+      }
+      fs.delete(stage, true)
+    }
+    fs.delete(marker, false)
+  }
+
+  /** Crash recovery for pruned deletes, run from every entry point
+    * (recoverOrphanBackup): a marker proves its stage was completely
+    * written, so the commit re-completes; a stage dir WITHOUT a marker
+    * is an uncommitted rewrite whose originals are all intact — drop
+    * it. */
+  private def recoverPrunes(layer: String, name: String): Unit = {
+    val target = hadoopPath(layer, name)
+    val fs = fsFor(target)
+    if (!fs.exists(target)) return
+    val entries = fs.listStatus(target).toSeq
+    entries.filter(st => st.isFile &&
+        st.getPath.getName.startsWith(".prune-commit-"))
+      .foreach(m => commitPrune(layer, name, m.getPath))
+    entries.filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(".prune-stage-"))
+      .foreach { st =>
+        val id = st.getPath.getName.stripPrefix(".prune-stage-")
+        if (!fs.exists(pruneMarkerPath(layer, name, id)))
+          fs.delete(st.getPath, true)
+      }
+  }
+
+  /** DELETE WHERE `keyCol` IN `keys`, rewriting ONLY the files whose
+    * footer stats intersect the keys — O(matching files + keys), not
+    * O(table): the retraction/scrub primitive that keeps a late-batch
+    * correction from rewriting a crawl-scale corpus (the full
+    * overwriteMatching rewrite is this operation's O(table) fallback,
+    * also used when stats are missing or every file is touched).
+    * NULL-keyed rows are never deleted (the overwriteMatching
+    * contract). Crash-safe: survivors stage hidden inside the table
+    * dir, a commit marker (written only after the stage is durable)
+    * makes the swap a sequence of idempotent renames/deletes, and
+    * recovery completes-or-discards from any crash point — stageSwap's
+    * guarantee at file granularity. */
+  def deleteKeysPruned(layer: String, name: String, keyCol: String,
+      keys: Seq[Long]): Unit = {
+    if (keys.isEmpty || !exists(layer, name)) return
+    val ks = keys.distinct
+    def fullRewrite(): Unit = {
+      val keySource = spark.createDataset(ks)(
+        org.apache.spark.sql.Encoders.scalaLong).toDF(keyCol)
+      overwriteMatching(layer, name,
+        tableMerged(layer, name).limit(0), Seq(keyCol), keySource)
+      ()
+    }
+    prunedFiles(layer, name, keyCol, ks) match {
+      case Some((touch, _)) if touch.isEmpty => ()
+      case Some((touch, keep)) if keep.nonEmpty =>
+        val dir = hadoopPath(layer, name)
+        val fs = fsFor(dir)
+        val id = java.util.UUID.randomUUID().toString.take(12)
+        val stage = new org.apache.hadoop.fs.Path(dir, s".prune-stage-$id")
+        spark.read.option("mergeSchema", "true")
+          .parquet(touch.map(_.getPath.toString): _*)
+          .filter(col(keyCol).isNull || !col(keyCol).isInCollection(ks))
+          .write.mode(SaveMode.Overwrite).parquet(stage.toString)
+        val m = pruneMarkerPath(layer, name, id)
+        val out = fs.create(m, false)
+        try out.write((s".prune-stage-$id\n" +
+          touch.map(_.getPath.getName).mkString("\n")).getBytes("UTF-8"))
+        finally out.close()
+        commitPrune(layer, name, m)
+        spark.catalog.refreshByPath(path(layer, name))
+        table(layer, name).createOrReplaceTempView(viewName(layer, name))
+      case _ =>
+        // no stats, a versioned layout, or the delete touches every
+        // file (where the pruned path could leave a data-file-less dir)
+        fullRewrite()
+    }
   }
 
   /** Narrow existence probe: only "the path is absent" means absent.

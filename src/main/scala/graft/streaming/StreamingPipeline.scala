@@ -284,6 +284,10 @@ object StreamingPipeline {
 
   private val CommitsTable = "corpus_ingest_commits"
   private val RetractionsTable = "corpus_retractions"
+  /** Key-list cap for footer-pruned point reads/deletes: above this
+    * many driver-held ids (bounded MB of longs) the pruned path stops
+    * paying for itself and the full-artifact scan takes over. */
+  private val MaxPrunedFetch = 200000
   private val IngestTables = Seq("corpus_docs", "corpus_seen_bands",
     "corpus_seen_shingles", "corpus_ingest_log", "corpus_postings")
 
@@ -456,10 +460,11 @@ object StreamingPipeline {
       // may already be deleted from corpus_docs, so they could not be
       // recomputed) — see the retraction block below.
       if (phaseRows("intent").nonEmpty) {
+        // footer-pruned delete: only files whose id range intersects
+        // the batch rewrite — O(batch + its files), not O(store)
+        val scrubIds = batch.select(col("doc_id")).collect().map(_.getLong(0)).toSeq
         for (t <- IngestTables if store.exists("silver", t))
-          store.overwriteMatching("silver", t,
-            store.table("silver", t).limit(0), Seq("doc_id"),
-            batch.select(col("doc_id")))
+          store.deleteKeysPruned("silver", t, "doc_id", scrubIds)
         // the stats + quality-histogram tables are batch-keyed, not
         // doc-keyed
         for (t <- Seq("corpus_index_stats", "corpus_quality_hist")
@@ -486,9 +491,11 @@ object StreamingPipeline {
         .map(_.asInstanceOf[Long])
       if (idWatermark.forall(minId <= _) &&
           store.exists("silver", "corpus_ingest_log")) {
-        val dup = store.table("silver", "corpus_ingest_log")
-          .join(broadcast(batch.select(col("doc_id"))), "doc_id")
-          .limit(1).collect()
+        // late-arrival slow path: footer-pruned point read of the log
+        // by the batch's ids — O(batch + matching files), not O(log)
+        val probeIds = batch.select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+        val dup = store.prunedByKeys("silver", "corpus_ingest_log",
+          "doc_id", probeIds).limit(1).collect()
         require(dup.isEmpty,
           s"corpus ingest batch $batchId re-uses doc_id ${dup.head.getAs[Long]("doc_id")} " +
             "already decided by an earlier batch; doc_ids must be unique across the stream")
@@ -500,8 +507,6 @@ object StreamingPipeline {
       val haveIndex = store.exists("silver", "corpus_seen_bands")
       val oldBands =
         if (haveIndex) store.table("silver", "corpus_seen_bands") else bands.limit(0)
-      val oldSh =
-        if (haveIndex) store.table("silver", "corpus_seen_shingles") else sh.limit(0)
       // localCheckpoint, not persist: the appends below REFRESH their
       // parquet paths (Spark's insert refreshes the path cache), which
       // INVALIDATES any cached plan depending on those paths — merely
@@ -513,7 +518,32 @@ object StreamingPipeline {
       // nothing downstream can ever re-read the store. (A
       // multi-executor deployment uses reliable checkpoint() for
       // executor-loss safety.)
-      val pairs = TextOps.ingestScoredPairs(bands, oldBands,
+      //
+      // Two-stage probe, both stages index-size-bounded per batch:
+      // (1) the delta's bands BROADCAST against the stored band index
+      //     (the index streams through a hash join — one parallel
+      //     columnar scan, never shuffled or sorted), candidates
+      //     checkpoint delta-bounded;
+      // (2) exact-Jaccard verify fetches the candidates' stored
+      //     shingle rows through the footer-PRUNED point read — only
+      //     files whose id range can hold a candidate are opened, so
+      //     the per-batch fetch is O(candidates + matching files)
+      //     however large the stored shingle artifact grows (the
+      //     steady-state crawl regime SCALING.md's
+      //     corpus_ingest_fixed_delta row witnesses). Past
+      //     MaxPrunedFetch candidate ids the driver-side key list
+      //     stops paying for itself — fall back to the full artifact
+      //     scan (the pre-r14 shape).
+      val cand = TextOps.ingestCandidates(bands, oldBands,
+        broadcastDelta = true).localCheckpoint()
+      val matchIds = cand.select(col("match_id")).distinct()
+        .limit(MaxPrunedFetch + 1).collect().map(_.getLong(0)).toSeq
+      val oldSh =
+        if (!haveIndex) sh.limit(0)
+        else if (matchIds.length <= MaxPrunedFetch)
+          store.prunedByKeys("silver", "corpus_seen_shingles", "doc_id", matchIds)
+        else store.table("silver", "corpus_seen_shingles")
+      val pairs = TextOps.scoreCandidates(cand,
         oldSh.unionByName(sh)).localCheckpoint()
       val batchSrc = if (batchRaw.columns.contains("source"))
         col("source") else lit("all").as("source")
@@ -546,9 +576,16 @@ object StreamingPipeline {
         // rids derives from the checkpointed pairs leaf — already
         // immune to the store mutations below, no checkpoint needed
         val rids = TextOps.ingestRetractionsFromPairs(pairs)
+        // candidate retraction ids, bounded by the batch's candidate
+        // pairs — the key set every store read below prunes on, so a
+        // late batch's cost scales with what it retracts, not with
+        // the corpus (witnessed by SCALING.md's corpus_retraction row)
+        val ridIds = rids.select(col("doc_id"))
+          .limit(MaxPrunedFetch + 1).collect().map(_.getLong(0)).toSeq
+        val canPrune = ridIds.length <= MaxPrunedFetch
         // corpus_docs can be absent with candidates present (every
         // prior doc rejected) — nothing to retract then
-        if (rids.head(1).nonEmpty && store.exists("silver", "corpus_docs")) {
+        if (ridIds.nonEmpty && store.exists("silver", "corpus_docs")) {
           // only CURRENTLY-accepted docs retract: rejected-at-arrival
           // docs contributed nothing, already-retracted docs were
           // corrected by their retracting batch (log + retraction
@@ -563,16 +600,21 @@ object StreamingPipeline {
                 .filter(col("batch_id") === batchId).localCheckpoint()
             else {
               // "currently in the corpus" = dedup-accepted AND past
-              // the gate. Pre-gating stores need TWO layers of
-              // defense: tableMerged (union schema across every
-              // footer — a plain read takes ONE file's schema, so on
-              // a store mixing old and new files whether gate_passed
-              // even appears would be footer-sampling-order
-              // dependent), and a per-row coalesce(gate_passed, true)
-              // — rows written before gating read NULL, and
-              // `NULL && true` is NULL, which a bare filter drops:
-              // those docs would silently never be retractable.
-              val log = store.tableMerged("silver", "corpus_ingest_log")
+              // the gate, read as a footer-PRUNED point lookup of the
+              // candidate ids (O(candidates + matching files), not
+              // O(log)). Pre-gating stores need TWO layers of
+              // defense: merged schema (prunedByKeys reads with
+              // mergeSchema — a plain read takes ONE file's schema, so
+              // on a store mixing old and new files whether
+              // gate_passed even appears would be footer-sampling-
+              // order dependent), and a per-row
+              // coalesce(gate_passed, true) — rows written before
+              // gating read NULL, and `NULL && true` is NULL, which a
+              // bare filter drops: those docs would silently never be
+              // retractable.
+              val log = if (canPrune)
+                store.prunedByKeys("silver", "corpus_ingest_log", "doc_id", ridIds)
+              else store.tableMerged("silver", "corpus_ingest_log")
               val accepted = (if (log.columns.contains("gate_passed"))
                 log.filter(col("accepted") &&
                   coalesce(col("gate_passed"), lit(true)))
@@ -590,7 +632,9 @@ object StreamingPipeline {
               // (rows written before the source column existed read
               // NULL) and a per-row degrade to 'all' — the sentinel
               // the histogram uses for sourceless batches.
-              val docsTbl = store.tableMerged("silver", "corpus_docs")
+              val docsTbl = if (canPrune)
+                store.prunedByKeys("silver", "corpus_docs", "doc_id", ridIds)
+              else store.tableMerged("silver", "corpus_docs")
               val docRows = (if (docsTbl.columns.contains("source"))
                 docsTbl.withColumn("source",
                   coalesce(col("source"), lit("all")))
@@ -623,11 +667,13 @@ object StreamingPipeline {
               .agg((-count(lit(1))).as("c"))
               .select(lit(batchId).as("batch_id"), col("source"), col("quality"), col("c")))
             // idempotent deletions, LAST: corpus + retrieval index
-            // forget the retracted docs
+            // forget the retracted docs — footer-pruned, so only the
+            // files holding retracted ids rewrite (O(k + their
+            // files), never an O(corpus) table rewrite)
+            val delIds = details.select(col("doc_id"))
+              .collect().map(_.getLong(0)).toSeq
             for (t <- Seq("corpus_docs", "corpus_postings") if store.exists("silver", t))
-              store.overwriteMatching("silver", t,
-                store.table("silver", t).limit(0), Seq("doc_id"),
-                details.select(col("doc_id")))
+              store.deleteKeysPruned("silver", t, "doc_id", delIds)
           }
         }
         store.append("silver", "corpus_ingest_log", dec)

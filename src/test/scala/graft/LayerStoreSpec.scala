@@ -450,4 +450,61 @@ class LayerStoreSpec extends SparkSpec {
         |WHERE is_calculation_correct AND date_logic_valid""".stripMargin)
       .as[Long].head() > 0)
   }
+
+  test("footer-pruned point read touches only id-matching files") {
+    val (store, dir) = freshStore()
+    // three appends -> three id-ranged files (the monotone crawl shape)
+    for (block <- 0 until 3)
+      store.append("silver", "pr", (block * 100 until block * 100 + 100)
+        .map(i => (i.toLong, s"v$i")).toDF("doc_id", "v").coalesce(1))
+    val hits = store.prunedByKeys("silver", "pr", "doc_id", Seq(5L, 42L))
+    assert(hits.count() == 2)
+    assert(hits.select("v").as[String].collect().sorted.toSeq == Seq("v42", "v5"))
+    // the pruned plan reads ONE file (both keys in block 0), not three
+    val scanned = hits.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.inputFiles.length
+    }.sum
+    assert(scanned == 1, s"expected 1 input file, scanned $scanned")
+    // no-hit key set: empty frame, schema preserved
+    assert(store.prunedByKeys("silver", "pr", "doc_id", Seq(9999L)).isEmpty)
+  }
+
+  test("pruned delete rewrites only touched files and survives crash replay") {
+    val (store, dir) = freshStore()
+    for (block <- 0 until 3)
+      store.append("silver", "pd", (block * 100 until block * 100 + 100)
+        .map(i => (i.toLong, s"v$i")).toDF("doc_id", "v").coalesce(1))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val tdir = new org.apache.hadoop.fs.Path(s"$dir/silver/pd")
+    def files() = fs.listStatus(tdir).filter(st => st.isFile &&
+      !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+      .map(_.getPath.getName).toSet
+    val before = files()
+    store.deleteKeysPruned("silver", "pd", "doc_id", Seq(105L, 142L))
+    val after = files()
+    // block-1's file was rewritten; blocks 0 and 2 untouched byte-for-byte
+    assert((before & after).size == 2, s"untouched overlap: ${before & after}")
+    assert(store.table("silver", "pd").count() == 298)
+    assert(store.prunedByKeys("silver", "pd", "doc_id", Seq(105L, 142L)).isEmpty)
+    assert(store.prunedByKeys("silver", "pd", "doc_id", Seq(104L, 143L)).count() == 2)
+    // crash replay: plant a marker for an already-committed prune whose
+    // stage is gone — recovery must be a no-op beyond deleting it
+    val marker = new org.apache.hadoop.fs.Path(tdir, ".prune-commit-deadbeef")
+    val out = fs.create(marker, false)
+    out.write(".prune-stage-deadbeef\nno-such-file.parquet".getBytes("UTF-8"))
+    out.close()
+    assert(store.table("silver", "pd").count() == 298)
+    assert(!fs.exists(marker), "recovery should consume the marker")
+    // uncommitted stage (no marker): dropped, data intact
+    val stage = new org.apache.hadoop.fs.Path(tdir, ".prune-stage-cafe")
+    fs.mkdirs(stage)
+    assert(store.table("silver", "pd").count() == 298)
+    assert(!fs.exists(stage), "recovery should drop an uncommitted stage")
+    // deleting every remaining row falls back to the full rewrite and
+    // leaves a readable (empty) table
+    store.deleteKeysPruned("silver", "pd", "doc_id", (0L until 300L).toSeq)
+    assert(store.table("silver", "pd").count() == 0)
+  }
 }

@@ -58,9 +58,11 @@ object VectorOps extends QueryModule {
       .withColumn("norm2", dot_product(col("e"), col("e")))
   }
 
-  private def topk(s: SparkSession, dir: String, sameCluster: Boolean, k: Int): DataFrame = {
+  private def topk(s: SparkSession, dir: String, sameCluster: Boolean, k: Int,
+      queryLo: Long = 0L): DataFrame = {
     val all = withNorm(Tables.t(s, dir, "embeddings"))
-    val q = all.filter(col("vec_id") < N_QUERIES)
+    val q = all.filter(col("vec_id") >= queryLo &&
+      col("vec_id") < queryLo + N_QUERIES)
       .select(col("vec_id").as("qid"), col("label").as("qlabel"),
         col("e").as("qe"), col("norm2").as("qnorm2"))
     val c = all.select(col("vec_id").as("cid"), col("label").as("clabel"),
@@ -132,11 +134,12 @@ object VectorOps extends QueryModule {
     * the first-`cells` sampled centroids: (vec_id, e, norm2,
     * centroid_id, csim) — the shared probe core. */
   private def ivfScored(s: SparkSession, dir: String, cells: Int,
-      onlyQueries: Boolean): DataFrame = {
+      onlyQueries: Boolean, queryLo: Long = 0L): DataFrame = {
     val all0 = withNorm(Tables.t(s, dir, "embeddings"))
     val cents = all0.filter(col("vec_id") < cells)
       .select(col("vec_id").as("centroid_id"), col("e").as("ce"), col("norm2").as("cnorm2"))
-    val all = if (onlyQueries) all0.filter(col("vec_id") < N_QUERIES) else all0
+    val all = if (onlyQueries) all0.filter(col("vec_id") >= queryLo &&
+      col("vec_id") < queryLo + N_QUERIES) else all0
     val sim = (dot_product(col("e"), col("ce"))
       / (sqrt(col("norm2")) * sqrt(col("cnorm2")))).as("csim")
     all.crossJoin(broadcast(cents))
@@ -161,17 +164,18 @@ object VectorOps extends QueryModule {
   /** Ranked cells for the QUERY batch only (vec_id < N_QUERIES): the
     * multi-probe fan-out needs a rank, but only over batch×cells rows
     * — never the whole collection. */
-  private[graft] def ivfQueryProbes(s: SparkSession, dir: String, cells: Int): DataFrame = {
+  private[graft] def ivfQueryProbes(s: SparkSession, dir: String, cells: Int,
+      queryLo: Long = 0L): DataFrame = {
     val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("centroid_id"))
-    ivfScored(s, dir, cells, onlyQueries = true)
+    ivfScored(s, dir, cells, onlyQueries = true, queryLo = queryLo)
       .withColumn("rn", row_number().over(w))
   }
 
   private[graft] def annIvf(s: SparkSession, dir: String, probe: Int,
-      cells: Int = N_CELLS): DataFrame = {
+      cells: Int = N_CELLS, queryLo: Long = 0L): DataFrame = {
     val assigned = ivfFile(s, dir, cells)
     // query side probes its `probe` nearest cells
-    val q = ivfQueryProbes(s, dir, cells).filter(col("rn") <= probe)
+    val q = ivfQueryProbes(s, dir, cells, queryLo).filter(col("rn") <= probe)
       .select(col("vec_id").as("qid"), col("e").as("qe"),
         col("norm2").as("qnorm2"), col("centroid_id").as("qcell"))
     val c = assigned.select(col("vec_id").as("cid"), col("e").as("ce2"),
@@ -278,11 +282,18 @@ object VectorOps extends QueryModule {
     * this measures the same numbers at witness scales with the K ∝ N
     * cell dial). Id-equality hits like q157; scanned fraction is the
     * mean share of the collection inside the queries' probed cells. */
+  /** `queryLo` shifts the 20-query batch away from vec_id 0 — REQUIRED
+    * for any honest recall dial with cells ≥ N_QUERIES: the sampled
+    * centroids are the first `cells` vectors, so the default query
+    * batch would consist of the centroids themselves (own cell probed
+    * first at csim=1, the NN almost surely inside it) and recall
+    * saturates at 1.00 no matter the data — the r13 witness artifact's
+    * flaw. Oracle-pinned queries keep queryLo=0 (byte-identical). */
   private[graft] def recallAt(s: SparkSession, dir: String, probe: Int,
-      cells: Int): (Double, Double, Double) = {
-    val exact = topk(s, dir, sameCluster = false, k = 3)
+      cells: Int, queryLo: Long = 0L): (Double, Double, Double) = {
+    val exact = topk(s, dir, sameCluster = false, k = 3, queryLo)
       .select(col("query_id"), col("rank"), col("neighbor_id")).persist()
-    val approx = annIvf(s, dir, probe, cells)
+    val approx = annIvf(s, dir, probe, cells, queryLo)
       .select(col("query_id"), col("rank"), col("neighbor_id")).persist()
     def recallK(k: Int): Double = {
       val hits = exact.filter(col("rank") <= k)
@@ -297,7 +308,7 @@ object VectorOps extends QueryModule {
       .groupBy(col("cell")).count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val total = sizes.values.sum.toDouble
-    val probed = ivfQueryProbes(s, dir, cells).filter(col("rn") <= probe)
+    val probed = ivfQueryProbes(s, dir, cells, queryLo).filter(col("rn") <= probe)
       .select(col("vec_id"), col("centroid_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val nq = probed.map(_._1).distinct.size

@@ -70,7 +70,7 @@ class LayerStore(spark: SparkSession, root: String) {
     * steady state (per-batch ingest) re-reads each immutable file's
     * footer once, not once per probe. */
   private val footerRangeMemo =
-    collection.mutable.Map.empty[(String, Long, Long), Option[(Long, Long)]]
+    collection.concurrent.TrieMap.empty[(String, Long, Long), Option[(Long, Long)]]
 
   /** [min,max] of a BIGINT column across a parquet file's row groups,
     * from footer statistics alone (no data pages read). None when any
@@ -125,7 +125,13 @@ class LayerStore(spark: SparkSession, root: String) {
       }
       lo < sorted.length && sorted(lo) <= mx
     }
-    val ranges = dataFiles(layer, name).map(st => st -> fileKeyRange(st, keyCol))
+    // footer reads parallelize across files (a cold probe of a
+    // 1000-file artifact costs ~one footer read, not a serial second);
+    // the memo update inside fileKeyRange synchronizes per entry
+    val ranges = {
+      import scala.collection.parallel.CollectionConverters._
+      dataFiles(layer, name).par.map(st => st -> fileKeyRange(st, keyCol)).seq.toSeq
+    }
     if (ranges.exists(_._2.isEmpty)) None
     else {
       val (touch, keep) = ranges.partition(r => hit(r._2.get._1, r._2.get._2))

@@ -52,7 +52,8 @@ class PlanSweepSpec extends SparkSpec {
     "q156_rrf_fusion", // inherits q134's 1-row corpus-stats scalar crossJoin inside the fused BM25 branch
     "q159_rfm_sketch", // q95's 1-row ref-date scalar + the 1-row broadcast cutpoint-bounds frame
     "q157_ann_recall", // composes q30 + three annIvf branches: the bounded query-batch broadcasts those queries are allowlisted for, times four
-    "q164_t_closeness") // 1-row corpus-distribution scalar crossJoin onto the QI-group-space frame
+    "q164_t_closeness", // 1-row corpus-distribution scalar crossJoin onto the QI-group-space frame
+    "q166_langid_trained") // language-inventory crossJoin: dozens of class rows broadcast onto the hashed feature frame (O(rows × classes), the one-vs-rest axis)
 
   /** Queries whose plan legitimately contains Expand: ROLLUP/CUBE are
     * grouping-sets operators — Expand IS their plan shape, bounded at

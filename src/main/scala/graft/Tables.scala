@@ -29,8 +29,32 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
-    if (noSpread(name)) df else spread(spark, df, s"$dir/$name")
+    if (noSpread(name)) df else spread(spark, df, s"$dir/$name", name)
   }
+
+  /** Spread key per table: the natural primary-key prefix. Keyed (hash)
+    * spread instead of round-robin for two reasons (optimization guide
+    * §2.4/§2.5):
+    *  - round-robin repartition first pays a LOCAL BINARY SORT of every
+    *    full row (sortBeforeRepartition, on by default since SPARK-23207
+    *    so retried tasks reproduce their row→partition assignment) —
+    *    for `documents` that is a memcmp sort over the text payload on
+    *    every scan. A deterministic hash key needs no such sort: the
+    *    assignment is a pure function of the row's key values;
+    *  - the spread exchange becomes REUSABLE: HashPartitioning(pk, n)
+    *    satisfies any downstream ClusteredDistribution whose keys
+    *    contain pk (joins on the key, groupBy(pk, ...), windows
+    *    partitioned by pk), so e.g. lineitem⋈orders on the order key
+    *    and every per-doc aggregation skip their own exchange when
+    *    shuffle.partitions == the spread width (all sessions here pin
+    *    both to the core count). Keys are unique-ish (≤7 rows per
+    *    l_orderkey, ≤99 per events user_id — measured), so the hash
+    *    spread is as even as round-robin for timing purposes. */
+  private val spreadKeys: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_custkey"), "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"), "orders" -> Seq("o_orderkey"),
+    "lineitem" -> Seq("l_orderkey"), "documents" -> Seq("doc_id"),
+    "events" -> Seq("user_id"))
 
   /** The driver-generated testdata ships each table as ONE parquet file
     * with ONE row group, so the scan is a single task no matter how
@@ -57,11 +81,17 @@ object Tables {
   private val spreadDecision =
     collection.concurrent.TrieMap.empty[(String, Int), Boolean]
 
-  private def spread(spark: SparkSession, df: DataFrame, key: String): DataFrame = {
+  private def spread(spark: SparkSession, df: DataFrame, key: String,
+      name: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val target = spark.sparkContext.defaultParallelism
     val doSpread = spreadDecision.getOrElseUpdate((key, target),
       target > 1 && df.rdd.getNumPartitions < math.min(target, 8))
-    if (doSpread) df.repartition(target) else df
+    if (!doSpread) df
+    else spreadKeys.get(name) match {
+      case Some(ks) => df.repartition(target, ks.map(col): _*)
+      case None => df.repartition(target)
+    }
   }
 
   /** events.ts has shipped in two physical encodings across testdata

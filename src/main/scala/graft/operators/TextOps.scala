@@ -955,13 +955,21 @@ object TextOps extends QueryModule {
   private def langidFeats(docs: DataFrame, classes: Seq[String]): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    // bigram rows WITHOUT the interpreted transform lambda: explode a
+    // position sequence and substring in the (codegen) projection —
+    // the lambda built a 1000-element array of 2-char strings per doc
+    // in interpreted mode, the dominant stage of the query (measured
+    // 4.6 s of 10.0 at sf0.1 for the feature build). The length >= 2
+    // filter replaces the old empty-array guard: such docs produced
+    // zero gram rows either way (Spark's sequence(1, 0) DESCENDS, so
+    // the filter is parity-critical, not just a speedup).
     val grams = docs
-      .select(col("doc_id"), col("lang"),
-        when(length(col("text")) >= 2,
-          expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
-          .otherwise(expr("array()")).as("gs"))
-      .select(col("doc_id"), col("lang"),
-        size(col("gs")).cast(LongType).as("n_grams"), explode(col("gs")).as("g"))
+      .filter(length(col("text")) >= 2)
+      .select(col("doc_id"), col("lang"), col("text"),
+        (length(col("text")) - 1).cast(LongType).as("n_grams"),
+        explode(expr("sequence(1, length(text) - 1)")).as("p"))
+      .select(col("doc_id"), col("lang"), col("n_grams"),
+        expr("substring(text, p, 2)").as("g"))
     val feats = grams
       .groupBy(col("doc_id"), col("lang"), col("n_grams"),
         featureDim(col("g"), LangidDim).as("b"))
@@ -977,12 +985,23 @@ object TextOps extends QueryModule {
     * LangidSpec seam). */
   private[graft] def langIdTrainedOver(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
+    def probe[A](tag: String)(body: => A): A =
+      if (sys.env.contains("LANGID_PROBE")) {
+        val t0 = System.nanoTime()
+        val r = body
+        println(f"LANGIDPROBE $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      } else body
     // the language inventory: bounded by the world's languages, the
     // one O(classes) driver read that sizes the weight table
     val classes = docs.select(col("lang")).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
-    val fx = langidFeats(docs, classes).persist()
-    val nDocs = docs.select(col("doc_id")).count()
+    // eager localCheckpoint, not persist (the q90/q131 lineage rule):
+    // the epoch loop and the scoring pass re-enter this frame 7+ times;
+    // checkpointed, each re-entry sees a LogicalRDD leaf instead of
+    // re-analyzing the substring-explode lineage per pass
+    val fx = probe("fx_checkpoint")(langidFeats(docs, classes).localCheckpoint())
+    val nDocs = probe("ndocs")(docs.select(col("doc_id")).count())
     def margin(scale: Int): org.apache.spark.sql.Column =
       snapRound(sum(snapRound(col("x") * col("w"), 6)
         .cast(DecimalType(38, 10))).cast(DoubleType), scale)
@@ -999,28 +1018,40 @@ object TextOps extends QueryModule {
         .agg(margin(6).as("z"))
         .select(col("doc_id"), col("cls"),
           (snapRound(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6) - col("y")).as("err"))
-      val grads = fx.join(errs, Seq("doc_id", "cls"))
+      // errs is docs × classes rows (entity-sized, never corpus-token-
+      // sized) — broadcast it so each epoch's gradient pass is a map
+      // over the checkpointed feature frame instead of shuffling the
+      // feature rows per epoch (guide §3.1). A window-based single-pass
+      // variant was measured too (z via full-partition window): no
+      // faster — WindowExec is outside whole-stage codegen and its
+      // decimal sum runs interpreted per row.
+      val grads = probe("epoch")(fx.join(broadcast(errs), Seq("doc_id", "cls"))
         .groupBy(col("cls"), col("b"))
         .agg(snapRound(sum(snapRound(col("x") * col("err"), 6)
           .cast(DecimalType(38, 10))).cast(DoubleType) / lit(nDocs.toDouble), 6).as("g"))
-        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap)
       weights = weights.map { case (c, b, w) =>
         (c, b, snap6(w - grads.getOrElse((c, b), 0.0)))
       }
     }
-    fx.unpersist()
-    val scores = langidFeats(docs, classes)
+    // score over the SAME checkpointed feature frame the epochs used —
+    // rebuilding langidFeats here re-paid the substring explode + hash
+    // aggregation (the most expensive stages of the query) a second
+    // time (measured 10.3 s at sf0.1; guide §1.2 "don't compute things
+    // you throw away"). fx carries lang per doc, so the label ride-along
+    // also replaces the final join back to documents: docs without a
+    // single bigram have no fx rows and drop, exactly as the previous
+    // inner join dropped them.
+    val scores = fx
       .join(broadcast(weightsDf(weights)), Seq("cls", "b"))
-      .groupBy(col("doc_id"), col("cls"))
+      .groupBy(col("doc_id"), col("lang"), col("cls"))
       .agg(margin(4).as("z"))
-    val pred = scores
-      .groupBy(col("doc_id"))
+    scores
+      .groupBy(col("doc_id"), col("lang"))
       .agg(max(struct(col("z"), col("cls"))).as("m"))
-      .select(col("doc_id"), col("m.cls").as("predicted_lang"),
-        col("m.z").as("score"))
-    docs.select(col("doc_id"), col("lang").as("labeled_lang"))
-      .join(pred, "doc_id")
-      .withColumn("correct", col("labeled_lang") === col("predicted_lang"))
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        col("m.cls").as("predicted_lang"), col("m.z").as("score"),
+        (col("lang") === col("m.cls")).as("correct"))
       .orderBy(col("doc_id"))
   }
 

@@ -8,9 +8,13 @@ import org.apache.spark.sql.SparkSession
   * `sbt "runMain graft.tools.ExplainAudit [query ...]"` */
 object ExplainAudit {
   def main(args: Array[String]): Unit = {
+    // env-tunable SF/cores so plan dumps can match the bench's exact
+    // configuration (broadcast-threshold decisions are size-dependent)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -19,7 +23,7 @@ object ExplainAudit {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q01_monthly_sales", "q04_dashboard", "q05_topk_customers", "q30_cosine_topk")
     for (name <- names) {
-      val df = graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       println(s"\n===== $name =====")

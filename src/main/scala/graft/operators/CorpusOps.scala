@@ -1278,21 +1278,35 @@ object CorpusOps extends QueryModule {
         (5 to 10).map(n => max(when(col("n") === n, col("dupc"))).as(s"dup${n}c"))
     val gramFeat = gstat.groupBy(col("doc_id"))
       .agg(gramFeatCols.head, gramFeatCols.tail: _*)
-    // line/paragraph identity: the ordered tokens of each fixed-width
-    // window (sort_array over unique positions — deterministic;
-    // collect_list order alone is not)
-    def windowDups(width: Long, unit: String) = ex
-      .withColumn("win_id", floor(col("p") / width).cast(LongType))
-      .groupBy(col("doc_id"), col("win_id"))
-      .agg(concat_ws(" ",
-        transform(array_sort(collect_list(struct(col("p"), col("tok")))),
-          x => x.getField("tok"))).as("w"))
+    // line/paragraph identity: each fixed-width window's tokens joined
+    // in position order. Sliced DIRECTLY from the token array (one
+    // explode of ceil(n/width) window strings per doc) instead of
+    // re-exploding every token and re-assembling windows through a
+    // (doc, win_id) collect_list + array_sort aggregation — that paid
+    // a second full pass over the token rows and a per-window struct
+    // sort for an order the array already has (guide §1.2/§2.4; the
+    // transform stays INLINE in the generator select, the q152
+    // InferFiltersFromGenerate rule). Window content is identical:
+    // slice(toks, i·W+1, W) is exactly the tokens whose 0-based
+    // positions floor to win_id = i, in position order.
+    def windowDups(width: Long, unit: String) = docs
+      // toks pre-projected in its own select (the shinglesOf PERF rule:
+      // an inline split would re-tokenize once per window inside the
+      // interpreted lambda); the transform stays inline in the
+      // generator select (the q152 InferFiltersFromGenerate rule)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0L), ceil(size(col("toks")) / lit(width.toDouble)).cast(LongType) - 1),
+        i => concat_ws(" ", slice(col("toks"), (i * width + 1).cast(IntegerType), lit(width.toInt))))).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as(s"n_$unit"), sum(col("c") - 1).as(s"dup_$unit"))
     val lineFeat = windowDups(LineWidth, "lines")
     val paraFeat = windowDups(ParaWidth, "paras")
-    val nTok = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+    // token count straight off the array length — the fourth pass over
+    // the exploded token rows bought nothing size() doesn't know
+    val nTok = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast(LongType).as("n_tokens"))
     def share(c: Column, n: Int): Column =
       snapRound(c.cast(DoubleType) * n / col("n_tokens"), 6)
     val dupShares = (5 to 10).map(n =>

@@ -658,7 +658,10 @@ object Eda extends QueryModule {
   def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
     val l = Tables.t(s, dir, "lineitem")
     val rows = Seq("l_orderkey", "l_partkey", "l_suppkey").map { c =>
-      val hs = kmvHashSet(l, c)
+      // eager localCheckpoint (the q131 rule): each column's distinct-
+      // md5 set feeds BOTH the TakeOrdered minima and the exact count;
+      // left lazy, the distinct shuffle recomputes per consumer
+      val hs = kmvHashSet(l, c).localCheckpoint()
       val kth = hs.orderBy(col("h")).limit(KmvK)
         .agg(max(col("h")).as("hk"), count(lit(1)).as("k_actual"))
       val est = kmvEst(col("hk"), col("k_actual"))

@@ -372,7 +372,15 @@ object GoldMarts extends QueryModule {
         col("p_name").isNull.or(col("s_name").isNull).as("dq_missing_dim"),
         (revenue < 0).as("dq_negative_amount"),
         (col("l_shipdate") < col("o_orderdate")).as("dq_invalid_dates"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // sortWithinPartitions, not orderBy (guide §2.4): the global sort
+      // of this fact-sized 30-column output exists only to make the
+      // stored table presentational — the driver's hash compare and the
+      // oracle gate are both row-order-insensitive (sorted-column
+      // bit_xor / sort-normalized). A total order costs a range
+      // exchange whose sampling pass RE-EXECUTES the whole 6-join
+      // subtree before the real pass runs; a per-partition sort keeps
+      // files internally ordered for free.
+      .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"))
   }
 
   // decimal-routed rounding in the oracle too — see Parity.moneyRound

@@ -141,7 +141,8 @@ object SilverClean extends QueryModule {
       // (decimal(15,4) → double is exact here: scaled int < 2^53)
       cleanDecimal(dirtyPrice).cast(DoubleType).as("clean_price"),
       mapStatus(dirtyStatus, orderStatusMap).as("clean_status"))
-      .orderBy(col("o_orderkey"))
+      // per-partition sort, not a total order (guide §2.4, the q04 rule)
+      .sortWithinPartitions(col("o_orderkey"))
   }
 
   private val cleanOrderFieldsSql = {
@@ -219,7 +220,11 @@ object SilverClean extends QueryModule {
         dateLogicValid(col("o_orderdate").cast(DateType), cleanShip,
           date_add(cleanShip, 3)).as("date_logic_valid"),
         qualityScore(issues, 4).as("quality_score"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // per-partition sort, not a total order (guide §2.4, the q04
+      // rule): the range exchange's sampling pass would re-run the
+      // regex-heavy cleaning projection over the whole fact a second
+      // time; the compare gates are row-order-insensitive
+      .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"))
   }
 
   private val rejectionSplitSql = {

@@ -479,7 +479,12 @@ object CorpusOps extends QueryModule {
     * it). */
   private[graft] def lrQualityOver(s: SparkSession, docs: DataFrame): DataFrame = {
     import graft.util.Parity.snapRound
-    val feats = lrFeats(docs).persist()
+    // eager localCheckpoint, not persist (the q166/q90/q131 lineage
+    // rule): the epoch loop re-enters this frame 2× per epoch and the
+    // scoring pass once more — checkpointed, each re-entry sees a
+    // LogicalRDD leaf AND the scoring pass can reuse the materialized
+    // rows directly instead of re-deriving features from the raw frame
+    val feats = lrFeats(docs).localCheckpoint()
     val nDocs = docs.select(col("doc_id")).count()
     // snapped-decimal dot product of a doc's features with the joined
     // broadcast weights — shared by training margins and final scoring
@@ -501,7 +506,10 @@ object CorpusOps extends QueryModule {
         .agg(margin(6).as("z"))
         .select(col("doc_id"),
           (snapRound(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6) - col("y")).as("err"))
-      val grads = feats.join(errs, "doc_id")
+      // errs is doc-count-sized — broadcast it so the gradient pass is
+      // a map over the checkpointed features, not a per-epoch shuffle
+      // of the feature rows (guide §3.1, the q166 rule)
+      val grads = feats.join(broadcast(errs), "doc_id")
         .groupBy(col("b"))
         .agg(snapRound(sum(snapRound(col("x") * col("err"), 6)
           .cast(DecimalType(38, 10))).cast(DoubleType) / lit(nDocs.toDouble), 6).as("g"))
@@ -512,10 +520,11 @@ object CorpusOps extends QueryModule {
         (b, snap6(w - grads.getOrElse(b, 0.0)))
       }
     }
-    feats.unpersist()
-    // scoring re-derives features from the raw frame so the returned
-    // plan owns no reference to the (now released) training cache
-    lrFeats(docs).filter(col("y") === 0.0)
+    // score over the SAME checkpointed feature frame (the q166 rule):
+    // re-deriving lrFeats paid the tokenize+explode+hash pass — the
+    // dominant stage — a second time. The checkpoint is a LogicalRDD
+    // leaf, so the returned plan holds rows, not the training lineage.
+    feats.filter(col("y") === 0.0)
       .join(broadcast(weightsDf(weights)), "b")
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_feats"), margin(4).as("score"))

@@ -882,8 +882,13 @@ object EventOps extends QueryModule {
     * per-container bound as q126's per-doc terms); item marginals are
     * part-dictionary-sized and broadcast back. */
   def marketBasket(s: SparkSession, dir: String): DataFrame = {
+    // eager localCheckpoint (the q131/q78 rule): the distinct basket
+    // projection feeds FOUR consumers below (both self-join sides,
+    // the per-part frequencies, the basket count) — lazy, the distinct
+    // shuffle recomputed per consumer. Two-long rows, disk-backed
+    // storage level, so the pin is bounded by the projected fact.
     val li = Tables.t(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .select(col("l_orderkey"), col("l_partkey")).distinct().localCheckpoint()
     val freq = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_orders"))
     val n = li.select(col("l_orderkey")).distinct()
       .agg(count(lit(1)).as("n_baskets"))

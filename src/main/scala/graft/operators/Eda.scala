@@ -1355,9 +1355,14 @@ object Eda extends QueryModule {
       val kth = merged.agg(max(col("h")).as("hk"), count(lit(1)).as("k_actual"))
       val kInter = merged.join(aMin, "h").join(bMin, "h")
         .agg(count(lit(1)).as("k_inter"))
+      // broadcast the DIMENSION side's set in the exact-verify join:
+      // both callers pass a key-of-the-dimension as B (customer, part),
+      // so hsB is dimension-cardinality while hsA is fact-sized — the
+      // SMJ sorted both checkpointed sets when a map-side hash probe of
+      // the small one does (guide §3.1)
       val exacts = hsA.agg(count(lit(1)).as("exact_a"))
         .crossJoin(hsB.agg(count(lit(1)).as("exact_b")))
-        .crossJoin(hsA.join(hsB, "h").agg(count(lit(1)).as("exact_inter")))
+        .crossJoin(hsA.join(broadcast(hsB), "h").agg(count(lit(1)).as("exact_inter")))
       val unionEst = kmvEst(col("hk"), col("k_actual"))
       kth.crossJoin(kInter).crossJoin(exacts).select(
         lit(label).as("pair"),

@@ -3,7 +3,7 @@ package graft.operators
 import graft.{QueryModule, Tables}
 import graft.functions.TextFunctions._
 import graft.util.Parity._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
@@ -1125,14 +1125,15 @@ object TextOps extends QueryModule {
 
   /** The scorer over any documents-shaped frame — the streaming
     * ingest's seam (quality histograms maintained at ingest). */
-  private[graft] def qualityScoreOver(d: DataFrame): DataFrame = {
+  /** The q26 stat columns (shared by the public scorer and the
+    * source-carrying seam below — one definition, no drift). */
+  private def qualityStatCols: Seq[Column] = {
     val toks = tokens(col("text"))
     val nTok = size(toks).cast(DoubleType)
     val nChars = length(col("text")).cast(DoubleType)
     val punct = (length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))).cast(DoubleType)
     val stops = size(filter(toks, t => t.isin(stopwords("en"): _*))).cast(DoubleType)
-    d.select(
-      col("doc_id"),
+    Seq(
       nTok.cast(LongType).as("n_tokens"),
       nChars.cast(LongType).as("n_chars"),
       snapRound((nChars - (nTok - lit(1.0))) / nTok, 4).as("avg_token_len"),
@@ -1141,8 +1142,20 @@ object TextOps extends QueryModule {
       snapRound(least(lit(1.0), nTok / lit(100.0)) * lit(40.0)
         + (stops / nTok) * lit(30.0)
         + when(punct / nChars < 0.1, lit(30.0)).otherwise(lit(10.0)), 2).as("quality"))
-      .orderBy(col("doc_id"))
   }
+
+  private[graft] def qualityScoreOver(d: DataFrame): DataFrame =
+    d.select(col("doc_id") +: qualityStatCols: _*)
+      .orderBy(col("doc_id"))
+
+  /** (doc_id, source, quality) in ONE documents pass — the seam the
+    * per-source consumers (q77/q86/q162) read: computing source in the
+    * same projection replaces a corpus-sized join back to documents
+    * for a tag the scanned row already carried (guide §1.2/§2.4). */
+  private def scoredWithSource(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+      .select(Seq(col("doc_id"), col("source")) ++ qualityStatCols: _*)
+      .select(col("doc_id"), col("source"), col("quality"))
 
   private[operators] val qualityScoreSql: String = {
     val nTok = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
@@ -1177,10 +1190,8 @@ object TextOps extends QueryModule {
     * rollup. Reuses q26's exact scored frame — one definition of
     * quality. */
   def qualityGate(s: SparkSession, dir: String): DataFrame = {
-    val scored = qualityScore(s, dir).select(col("doc_id"), col("quality"))
-    val src = Tables.t(s, dir, "documents").select(col("doc_id"), col("source"))
     val w = Window.partitionBy(col("source")).orderBy(col("quality"), col("doc_id"))
-    scored.join(src, "doc_id")
+    scoredWithSource(s, dir)
       .withColumn("quartile", ntile(4).over(w))
       .groupBy(col("source"), col("quartile"))
       .agg(count(lit(1)).as("n_docs"),
@@ -1223,11 +1234,8 @@ object TextOps extends QueryModule {
     * integers, cut values exact 2-dp doubles, one snapped division.
     * Scale: two hash aggs keyed (source, quality) with map-side
     * combine, a lattice-bounded window, source-cardinality joins. */
-  def qualityGateHist(s: SparkSession, dir: String): DataFrame = {
-    val scored = qualityScore(s, dir).select(col("doc_id"), col("quality"))
-    val src = Tables.t(s, dir, "documents").select(col("doc_id"), col("source"))
-    qualityGateHistOver(scored.join(src, "doc_id"))
-  }
+  def qualityGateHist(s: SparkSession, dir: String): DataFrame =
+    qualityGateHistOver(scoredWithSource(s, dir))
 
   /** The histogram gate over any (source, quality) frame — the spec's
     * seam for exact-cutpoint and tie-safety fixtures. */
@@ -1322,9 +1330,7 @@ object TextOps extends QueryModule {
     * single IEEE divisions of exact longs; terms snapped then folded
     * through decimal — deterministic cross-engine. */
   def sourceDrift(s: SparkSession, dir: String): DataFrame = {
-    val scored = qualityScore(s, dir).select(col("doc_id"), col("quality"))
-    val src = Tables.t(s, dir, "documents").select(col("doc_id"), col("source"))
-    val binned = scored.join(src, "doc_id").select(col("source"),
+    val binned = scoredWithSource(s, dir).select(col("source"),
       least(floor(col("quality") / lit(10.0)), lit(9.0)).cast(IntegerType).as("bin"))
     val cell = binned.groupBy(col("source"), col("bin")).agg(count(lit(1)).as("n_sb"))
     val srcTot = binned.groupBy(col("source")).agg(count(lit(1)).as("n_s"))

@@ -356,11 +356,23 @@ object SilverClean extends QueryModule {
     val c = Tables.t(s, dir, "customer")
     val o = Tables.t(s, dir, "orders")
     val l = Tables.t(s, dir, "lineitem")
+    // aggregate the fact side BEFORE the dimension join (guide §2.3):
+    // the per-custkey rollup shrinks 600k joined fact rows to customer
+    // cardinality, so the LEFT join attaches a broadcastable aggregate
+    // instead of sort-merging the full fact against the dimension and
+    // re-aggregating after. Exactly the same values: the decimal
+    // revenue sum distributes over the regrouping, count of fact rows
+    // per customer becomes the pre-agg count (0 via coalesce for
+    // storeless customers, as count over no rows was), and NULL
+    // revenue for no-order customers is preserved (no fill).
     val facts = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(count(col("o_orderkey")).as("fact_lines"),
+        derivedSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("fact_revenue"))
     c.join(facts, col("c_custkey") === col("o_custkey"), "left")
-      .groupBy(col("c_custkey"), col("c_name"))
-      .agg(count(col("o_orderkey")).as("order_lines"),
-        derivedSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .select(col("c_custkey"), col("c_name"),
+        coalesce(col("fact_lines"), lit(0L)).as("order_lines"),
+        col("fact_revenue").as("revenue"))
       .orderBy(col("revenue").desc_nulls_last, col("c_custkey"))
   }
 

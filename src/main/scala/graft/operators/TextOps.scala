@@ -64,11 +64,25 @@ object TextOps extends QueryModule {
     }
 
   /** Build the shared artifacts eagerly (Bench prepare phase): the
-    * band index plus the q124 similarity-graph edges derived from it. */
+    * band index plus the q124 similarity-graph edges derived from it.
+    * After the band index lands, the PR graph and the containment
+    * probe set are independent consumers of the shared shingle cache —
+    * overlap them on threads (the prep_kmeans pattern) so the shorter
+    * build hides behind the longer one; first failure propagates,
+    * the second rides as suppressed. */
   def prepareArtifacts(s: SparkSession, dir: String): Unit = {
     sharedBands(s, dir)
-    prGraph(s, dir)
-    sharedContainProbes(s, dir)
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val t = new Thread(() =>
+      try { sharedContainProbes(s, dir); () }
+      catch { case e: Throwable => err.compareAndSet(null, e); () })
+    t.setDaemon(true); t.start()
+    try prGraph(s, dir)
+    catch { case e: Throwable =>
+      if (!err.compareAndSet(null, e)) err.get.addSuppressed(e)
+    }
+    t.join()
+    if (err.get != null) throw err.get
   }
 
   /** Bench prep-hash probe: the frames prep_text_lsh materializes

@@ -227,7 +227,10 @@ object MediaPipeline {
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("frame_a"), col("doc_b"), col("frame_b"),
         col("hamming"))
-      .orderBy(col("doc_a"), col("frame_a"), col("doc_b"), col("frame_b"))
+      // per-partition sort (guide §2.4, the q04 rule): pair rows scale
+      // with the planted-clip population; the compare gates are
+      // row-order-insensitive
+      .sortWithinPartitions(col("doc_a"), col("frame_a"), col("doc_b"), col("frame_b"))
   }
 
   /** BT.601 integer luma plane of a decoded image — shared by the

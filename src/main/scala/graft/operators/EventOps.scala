@@ -908,7 +908,10 @@ object EventOps extends QueryModule {
           .as("conf_b_to_a"),
         snapRound((col("support") * col("n_baskets")).cast(DoubleType) /
           (col("n_a") * col("n_b")).cast(DoubleType), 6).as("lift"))
-      .orderBy(col("part_a"), col("part_b"))
+      // per-partition sort (guide §2.4, the q04 rule): the pair table
+      // scales quadratically within baskets; the compare gates are
+      // row-order-insensitive
+      .sortWithinPartitions(col("part_a"), col("part_b"))
   }
 
   private val marketBasketSql =

@@ -78,7 +78,10 @@ object Multimodal extends QueryModule {
           .as("energy"),
         expr("CAST(array_max(bytes) AS BIGINT)").as("peak_byte"),
         expr("CAST(size(filter(bytes, v -> v = 32)) AS BIGINT)").as("n_silent"))
-      .orderBy(col("doc_id"), col("frame_idx"))
+      // per-partition sort, not a total order (guide §2.4, the q04
+      // rule): frame rows scale with the corpus and the compare gates
+      // are row-order-insensitive
+      .sortWithinPartitions(col("doc_id"), col("frame_idx"))
   }
 
   private val frameEnergySql =

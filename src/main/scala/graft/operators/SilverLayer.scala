@@ -630,7 +630,10 @@ object SilverLayer extends QueryModule {
         .when(m === 2, lit("CANCELLED")).when(m === 3, lit("processing"))
         .when(m === 4, lit("received")).when(m === 5, lit("On Route"))
         .otherwise(lit("weird status")).as("status"))
-    supplyOrders(dirty).clean.orderBy(col("supply_order_id"))
+    // per-partition sort, not a total order (guide §2.4, the q04
+    // rule): the output is orders-sized and the range exchange's
+    // sampling pass re-runs the whole cleaning projection
+    supplyOrders(dirty).clean.sortWithinPartitions(col("supply_order_id"))
   }
 
   private val silverSupplyOrdersSql = {

@@ -283,8 +283,7 @@ object Eda extends QueryModule {
       count(col(c)).as(s"n_$c"),
       (count(lit(1)) - count(col(c))).as(s"nulls_$c"),
       min(x).as(s"min_$c"),
-      max(x).as(s"max_$c"),
-      expr(s"percentile($c, array(0.25D, 0.5D, 0.75D))").as(s"pct_$c"))
+      max(x).as(s"max_$c"))
     if (c == "l_extendedprice") {
       val v = round(x * 100).cast(LongType) // cents <= 1e7, exact
       val v2 = v * v                        // <= 1e14, exact long
@@ -384,7 +383,17 @@ object Eda extends QueryModule {
     // results cross-join for free
     val dcs = cols.map(c =>
       l.select(col(c)).agg(countDistinct(col(c)).as(s"dc_$c")))
-    val one = dcs.foldLeft(
+    // each EXACT percentile is its own single-column branch, not a
+    // column of the main aggregate: the final merge of a percentile
+    // buffer sorts every value in ONE task, so four of them in one
+    // agg serialized four 600k-value sorts behind each other — as
+    // separate crossJoined branches the four final merges run as
+    // parallel stages (guide §2.6), and each branch's map side scans
+    // only its own pruned column
+    val pcs = cols.map(c =>
+      l.select(col(c)).agg(
+        expr(s"percentile($c, array(0.25D, 0.5D, 0.75D))").as(s"pct_$c")))
+    val one = (dcs ++ pcs).foldLeft(
       l.agg(aggs.head, aggs.tail: _*).select(col("*") +: postSeqs.flatten: _*))(
       _ crossJoin _)
     val rows = cols.map { c =>
